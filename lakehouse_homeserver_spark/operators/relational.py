@@ -1,0 +1,959 @@
+"""Relational operator inventory — SURVEY.md §2.B–§2.H.
+
+The reference exposes the full SQL surface through Trino + Spark SQL
+over its Iceberg tables (/root/reference/README.md:66-98; catalog
+wiring /root/reference/scripts/extract_load.py:32,42-46). This module
+re-expresses that surface natively in the DataFrame API, one named
+query per capability row, each with a DuckDB oracle.
+
+Scale notes per family:
+- Joins: dimensions (region/nation/supplier, and customer at fixture
+  scale) carry explicit ``broadcast()`` hints; fact-fact joins rely on
+  sort-merge + AQE skew handling. Non-equi conditions always ride on
+  top of an equi key so Spark never falls back to a nested-loop join
+  on the fact table.
+- Aggregations: all `groupBy` on natural low-cardinality keys → tiny
+  shuffles after map-side partial aggregation.
+- Windows: partition keys chosen with bounded fan-out (priority,
+  status, user) so no single partition exceeds executor memory; the
+  running-sum frame is ROWS-bounded which Spark evaluates in a single
+  pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table as T
+from .common import davg, dec, dsum, sql_davg, sql_dsum
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.D — flagship aggregation (TPC-H Q1 pricing summary)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty} AS sum_qty,
+           {sum_base} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_charge,
+           {avg_qty} AS avg_qty,
+           {avg_price} AS avg_price,
+           {avg_disc} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=sql_dsum("l_quantity"),
+        sum_base=sql_dsum("l_extendedprice"),
+        avg_qty=sql_davg("l_quantity"),
+        avg_price=sql_davg("l_extendedprice"),
+        avg_disc=sql_davg("l_discount"),
+    ),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: scan → filter → hash-agg (SURVEY D2).
+
+    Shuffles once on a 6-value grouping key after map-side partials;
+    the shipdate predicate pushes down to the parquet scan.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.B — projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+@query(
+    "b_filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity < 25
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus IS NOT NULL
+    """,
+)
+def b_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison / BETWEEN / IN / IS NULL predicates (SURVEY B5).
+
+    All four predicates push down to the parquet scan (PushedFilters),
+    and the 5-column projection prunes the read schema.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 25)
+        & F.col("l_discount").between(0.05, 0.07)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@query(
+    "b_like_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE 'PROMO%' OR p_name LIKE '%a%'
+    """,
+)
+def b_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE pattern predicates (SURVEY B2/B5); prefix LIKE pushes down."""
+    p = T(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("PROMO%") | F.col("p_name").like("%a%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# §2.C — joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "c1_join_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND r.r_name IN ('ASIA', 'EUROPE', 'AMERICA', 'AFRICA', 'MIDDLE EAST')
+    GROUP BY n.n_name
+    """,
+)
+def c1_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way inner equi-join star query (SURVEY C1/C5, TPC-H Q5-ish).
+
+    Join order: fact(lineitem) ⋈ orders on orderkey (the only
+    fact-fact join → sort-merge, AQE-skew-aware), then dims customer/
+    nation/region attached with explicit broadcast hints — at 100 TB
+    the fact side streams once with zero extra shuffles for the dims.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE", "AMERICA", "AFRICA", "MIDDLE EAST")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@query(
+    "c2_join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def c2_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (SURVEY C2).
+
+    At scale: count orders per custkey FIRST (map-side combinable),
+    then outer-join the tiny aggregate — never outer-join the raw fact.
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("order_cnt"),
+        )
+    )
+
+
+@query(
+    "c2_join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(c_cnt, 0) AS customer_cnt,
+           COALESCE(s_cnt, 0) AS supplier_cnt
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def c2_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (SURVEY C2)."""
+    cn = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    sn = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce("c_cnt", F.lit(0)).cast("bigint").alias("customer_cnt"),
+        F.coalesce("s_cnt", F.lit(0)).cast("bigint").alias("supplier_cnt"),
+    )
+
+
+@query(
+    "c3_join_semi",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def c3_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with an open order (SURVEY C3)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@query(
+    "c3_join_anti",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def c3_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all (SURVEY C3/B4).
+
+    Same primitive as the reference's incremental new-file detection
+    (set difference, /root/reference/scripts/extract_load.py:155-156),
+    expressed as a distributed anti-join instead of driver Python.
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@query(
+    "c4_theta_join",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey, COUNT(*) AS richer_pairs
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_nationkey
+    """,
+)
+def c4_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + non-equi residual (SURVEY C4).
+
+    The nationkey equi-condition keeps this a hash/sort-merge join
+    with the acctbal comparison as a residual filter — never a
+    nested-loop over the cross product.
+    """
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .groupBy(s.s_nationkey.alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("richer_pairs"))
+    )
+
+
+@query(
+    "c4_cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def c4_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny inputs (SURVEY C4) — both sides bounded."""
+    r = T(spark, sf_dir, "region").select("r_name")
+    s = T(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+@query(
+    "c6_range_join",
+    oracle="""
+    SELECT b.band, COUNT(*) AS part_cnt, {avg_price} AS avg_price
+    FROM part p
+    JOIN (VALUES ('low', 0.0, 500.0), ('mid', 500.0, 1200.0),
+                 ('high', 1200.0, 1e9)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """.format(avg_price=sql_davg("p_retailprice")),
+)
+def c6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join against a band table (SURVEY C6).
+
+    The band side is a literal dimension → broadcast nested-loop over
+    a 3-row table, i.e. effectively a map-side lookup. At scale with a
+    large band table you'd bucketize the fact value to convert this to
+    an equi-join; with a handful of bands, broadcast is optimal.
+    """
+    p = T(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 500.0), ("mid", 500.0, 1200.0), ("high", 1200.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("part_cnt"),
+            davg("p_retailprice").alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.D — aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "d2_group_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_cnt,
+           {s} AS sum_total,
+           {a} AS avg_total,
+           MIN(o_totalprice) AS min_total,
+           MAX(o_totalprice) AS max_total
+    FROM orders GROUP BY o_orderpriority
+    """.format(s=sql_dsum("o_totalprice"), a=sql_davg("o_totalprice")),
+)
+def d2_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sum/avg/min/max/count (SURVEY D2)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        dsum("o_totalprice").alias("sum_total"),
+        davg("o_totalprice").alias("avg_total"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+    )
+
+
+@query(
+    "d3_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS nations,
+           COUNT(*) AS customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (SURVEY D3) — expands then de-dups
+    via Spark's two-stage distinct-aggregate rewrite."""
+    c = T(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("nations"),
+        F.count(F.lit(1)).alias("customers"),
+    )
+
+
+@query(
+    "d4_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           {s} AS sum_qty, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """.format(s=sql_dsum("l_quantity")),
+)
+def d4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping id (SURVEY D4)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "cnt")
+
+
+@query(
+    "d4_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def d4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys (SURVEY D4)."""
+    o = T(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "d5_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS cust_cnt
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 3
+    """,
+)
+def d5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter, SQL HAVING (SURVEY D5)."""
+    c = T(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+        .filter(F.col("cust_cnt") > 3)
+    )
+
+
+@query(
+    "d6_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def d6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct projection (SURVEY D6)."""
+    return T(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "d7_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 2) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 2) AS var_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 2) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (SURVEY D7): stddev/variance/median.
+
+    `percentile` is the exact interpolated quantile (matches DuckDB's
+    QUANTILE_CONT); at 100 TB you'd swap in `percentile_approx`
+    (t-digest sketch, single pass, mergeable) and drop the oracle.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("median_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.E — window functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "e1_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, o_orderpriority,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 5
+    """,
+)
+def e1_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions + top-k filter (SURVEY E1/F4).
+
+    Catalyst rewrites the rn<=5 filter into a WindowGroupLimit
+    (top-k per partition pushed before the full sort at the shuffle),
+    so each partition ships only its head at scale.
+    """
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "e2_window_lag_lead",
+    oracle="""
+    SELECT event_id,
+           ROUND(value - LAG(value) OVER w, 2) AS delta_prev,
+           ROUND(LEAD(value) OVER w - value, 2) AS delta_next,
+           FIRST_VALUE(event_id) OVER w AS first_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e2_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first analytic windows over an event stream (SURVEY E2)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+@query(
+    "e3_window_running",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS moving_sum10
+    FROM orders
+    """,
+)
+def e3_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame running sum + moving average (SURVEY E3).
+
+    Decimal accumulation keeps the running sum order-exact; the frame
+    is ROWS-bounded so Spark evaluates it streamingly per partition.
+    """
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-9, 0)
+    return o.select(
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(run).cast("double").alias("running_total"),
+        F.sum(dec("o_totalprice")).over(mov).cast("double").alias("moving_sum10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.F — sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "f2_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def f2_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (SURVEY F2/F3).
+
+    Spark plans this as TakeOrderedAndProject: per-partition top-10
+    then a driver-side merge of k*partitions rows — no global sort,
+    scales to any input size.
+    """
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .limit(10)
+    )
+
+
+@query(
+    "f4_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) WHERE rn <= 2
+    """,
+)
+def f4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (SURVEY F4)."""
+    p = T(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.G — set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "g_union",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def g_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets (SURVEY G)."""
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+@query(
+    "g_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def g_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (SURVEY G)."""
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "g_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def g_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set EXCEPT — the reference's incremental set difference as SQL
+    (SURVEY G; /root/reference/scripts/extract_load.py:155-156)."""
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+@query(
+    "g_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def g_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag EXCEPT ALL (multiplicity-aware difference, SURVEY G)."""
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# §2.H — scalar functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "h2_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           TRIM(CONCAT(p_brand, ' ', p_type)) AS brand_type,
+           CAST(REGEXP_EXTRACT(p_brand, '#(\\d+)', 1) AS BIGINT) AS brand_num,
+           LEN(STRING_SPLIT(p_name, ' ')) AS name_words
+    FROM part
+    """,
+)
+def h2_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (SURVEY H2)."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat("p_brand", F.lit(" "), "p_type")).alias("brand_type"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("bigint").alias("brand_num"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("name_words"),
+    )
+
+
+@query(
+    "h3_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS order_year,
+           MONTH(o_orderdate) AS order_month,
+           DAY(o_orderdate) AS order_day,
+           QUARTER(o_orderdate) AS order_quarter,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+    FROM orders
+    """,
+)
+def h3_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (SURVEY H3).
+
+    Temporal outputs are formatted as strings / day counts so the
+    value-hash is representation-stable across engines.
+    """
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_y2k"),
+    )
+
+
+@query(
+    "h4_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 4) AS price_r4,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_floor7,
+           ROUND(SQRT(l_extendedprice), 2) AS price_sqrt,
+           CAST(l_quantity AS BIGINT) % 5 AS qty_mod5
+    FROM lineitem
+    """,
+)
+def h4_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (SURVEY H4). sqrt/abs are IEEE-exact;
+    transcendentals (ln/exp) are excluded from the oracle set because
+    libm rounding differs across engines."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 4).alias("price_r4"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_floor7"),
+        F.round(F.sqrt("l_extendedprice"), 2).alias("price_sqrt"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod5"),
+    )
+
+
+@query(
+    "h5_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                WHEN o_totalprice < 10000 THEN 'medium'
+                ELSE 'large' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_norm,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def h5_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif (SURVEY H5)."""
+    o = T(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 1000, "small")
+        .when(F.col("o_totalprice") < 10000, "medium")
+        .otherwise("large")
+    )
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending"))
+    return (
+        o.select(band.alias("price_band"), status.alias("status_norm"))
+        .groupBy("price_band", "status_norm")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "h6_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+                 + CAST(embedding[3] AS DOUBLE), 4) AS head3_sum,
+           CASE WHEN list_contains(embedding, 0.0) THEN TRUE ELSE FALSE END
+               AS has_zero
+    FROM embeddings
+    """,
+)
+def h6_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over embedding vectors (SURVEY H6).
+
+    Head-element arithmetic is done in double with per-element casts
+    (not a float fold) so both engines compute the identical IEEE sum.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    head3 = (
+        emb.getItem(0).cast("double")
+        + emb.getItem(1).cast("double")
+        + emb.getItem(2).cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(emb.getItem(0).cast("double"), 4).alias("first_val"),
+        F.round(head3, 4).alias("head3_sum"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+    )
+
+
+@query(
+    "h6_explode_unnest",
+    oracle="""
+    WITH words AS (
+      SELECT p_partkey, UNNEST(STRING_SPLIT(p_name, ' ')) AS word
+      FROM part
+    )
+    SELECT word, COUNT(*) AS cnt, COUNT(DISTINCT p_partkey) AS part_cnt
+    FROM words GROUP BY word
+    """,
+)
+def h6_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode / UNNEST of a split array (SURVEY H6) → word frequencies."""
+    p = T(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("p_partkey").alias("part_cnt"),
+        )
+    )
+
+
+@query(
+    "h8_json_funcs",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS cnt,
+           {v} AS sum_value
+    FROM events GROUP BY 1
+    """.format(v=sql_dsum("value")),
+)
+def h8_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (SURVEY H8, events.props)."""
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+    )
+
+
+@query(
+    "h9_casts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST(CAST(o_totalprice AS DECIMAL(12,1)) AS VARCHAR) AS price_dec_str,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(CAST(o_orderkey AS DOUBLE) AS BIGINT) AS key_roundtrip
+    FROM orders
+    """,
+)
+def h9_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts across the type lattice (SURVEY H9).
+
+    double→int goes through explicit FLOOR because bare casts disagree
+    across engines (Spark truncates, DuckDB rounds) — the engine
+    surfaces the deterministic spelling.
+    """
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.col("o_totalprice").cast("decimal(12,1)").cast("string").alias("price_dec_str"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.col("o_orderkey").cast("double").cast("bigint").alias("key_roundtrip"),
+    )

@@ -1,0 +1,53 @@
+"""Table registry over the parquet fixture zone.
+
+Reference parity: the reference's only scan is a multi-file parquet
+read of an S3 landing prefix (`/root/reference/scripts/extract_load.py:68-73`,
+`:136-139` — SURVEY.md A1/A2). Here the landing zone is a directory of
+parquet files; `spark.read.parquet` gives the same schema-on-read
+contract (SURVEY.md §1.2) and keeps predicate pushdown + column
+pruning intact because the scan is a native FileScan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-on-read parquet scan (SURVEY.md A1).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it
+    as raw nanos (``nanosAsLong``, see session.py) and we truncate to a
+    µs timestamp here — the same truncation DuckDB applies, so oracle
+    comparisons stay exact.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

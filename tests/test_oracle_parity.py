@@ -1,0 +1,72 @@
+"""Local mirror of the driver's correctness gate (SURVEY.md §5.2).
+
+Every query with an oracle runs in both Spark and DuckDB at sf0.001;
+row count, column names, and order-insensitive values must match
+exactly. This is intentionally stricter than a tolerance compare —
+the driver hashes values, so only bit-stable parity passes.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+
+from lakehouse_homeserver_spark.registry import all_oracles, all_queries
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    return v
+
+
+def _normalize_rows(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        out.append(tuple(repr(_norm(row[i])) for i in order))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_oracle_parity(name, spark, duck, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_norm = _normalize_rows(spark_rows, spark_cols)
+    d_norm = _normalize_rows(duck_rows, duck_cols)
+    if s_norm != d_norm:
+        diffs = [
+            (a, b) for a, b in zip(s_norm, d_norm) if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_all_queries_run(spark, sf_dir):
+    """Queries without oracles must still execute and return rows>=0."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
