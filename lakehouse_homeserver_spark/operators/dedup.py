@@ -1,0 +1,412 @@
+"""Deduplication operators over `documents` — SURVEY.md §2.K1/K2.
+
+Training-data-pipeline dedup at 100 TB, three rungs of the ladder:
+
+1. **Exact** (`k1_*`): normalize → hash → one hash-partitioned
+   groupBy. Shuffle is on a 128-bit digest → uniformly distributed,
+   no skew, no comparisons beyond equality.
+2. **Near-dup, exact verification** (`k2_ngram_jaccard`): token-set
+   Jaccard, but only *within a blocking key* — never the O(n²) global
+   cross join. Here the block is `source`; in production it's an LSH
+   band (below).
+3. **Near-dup at scale** (`k2_minhash_lsh`): shingle → MinHash
+   signature → banded LSH bucketing → candidate pairs by bucket
+   equi-join → exact-Jaccard verification of candidates only. All
+   shuffles are equi-joins on band hashes; the cross-product never
+   materializes (SURVEY.md §7 Phase 5's 100 TB constraint).
+4. **SimHash** (`k2_simhash`): 60-bit fingerprint from md5 token
+   hashes — near-dup via Hamming distance on a single BIGINT; the
+   fingerprint itself is engine-agnostic (md5-derived) and therefore
+   oracle-checkable bit-for-bit.
+
+Hashes are md5-derived (not Spark-private xxhash) wherever an oracle
+must reproduce them; LSH internals use xxhash64 (cheaper, JVM-side)
+since they are verified by property, not by SQL parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table as T
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed BIGINT
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def norm_text(col):
+    """Normalization contract shared by every dedup rung: lowercase,
+    collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# K1 — exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "k1_dedup_exact_groups",
+    oracle=f"""
+    SELECT md5({SQL_NORM}) AS text_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def k1_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups: hash of normalized text → keeper + copy count.
+
+    One shuffle on the digest; at 100 TB the md5 column is 16 bytes/row
+    into the exchange instead of the full document text.
+    """
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(norm_text(F.col("text"))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "k1_dedup_exact_keep",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY md5({SQL_NORM})
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def k1_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving rows after exact dedup (first-by-doc_id wins) —
+    the window-rank formulation that keeps full rows without a
+    self-join back (SURVEY K1)."""
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(norm_text(F.col("text")))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2 — near-dup: exact Jaccard within a blocking key
+# ---------------------------------------------------------------------------
+
+@query(
+    "k2_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split({SQL_NORM}, ' ')) AS tokens
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+             / (len(a.tokens) + len(b.tokens)
+                - len(list_intersect(a.tokens, b.tokens))) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+             / (len(a.tokens) + len(b.tokens)
+                - len(list_intersect(a.tokens, b.tokens))) >= 0.8
+    """,
+)
+def k2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.8 within a `source` block (SURVEY K2).
+
+    The block join is an equi-join on the blocking key — the pair
+    explosion is bounded per block, never global. |A∩B| is computed
+    once; jaccard = i / (|A|+|B|−i) is integer-derived, so the double
+    division is bit-identical across engines.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(norm_text(F.col("text")), " ")).alias("tokens"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
+    union = F.size(F.col("a.tokens")) + F.size(F.col("b.tokens")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2 — MinHash + LSH (the 100 TB path; property-verified, no SQL oracle)
+# ---------------------------------------------------------------------------
+
+def _shingles(col, n: int = 3):
+    """Word n-gram shingles of normalized text, as a distinct array.
+
+    Built with transform over index range — pure JVM expressions, no
+    UDF in the path.
+    """
+    toks = F.split(norm_text(col), " ")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # Short docs (< n tokens): fall back to the whole text as one shingle.
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(norm_text(col)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """doc_id → array<bigint> MinHash signature.
+
+    Permutation i is simulated with xxhash64 seeded by prefixing the
+    shingle with ``i:`` — all JVM-side expressions, vectorizable, no
+    Python in the loop.
+    """
+    sh = _shingles(F.col("text"), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"), sh.alias("shingles"))
+
+
+@query("k2_minhash_lsh")
+def k2_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification
+    (SURVEY K2; rows-only check — LSH recall is probabilistic, so the
+    contract is verified by property tests, not a SQL oracle).
+
+    Pipeline (all equi-joins, no cross product):
+      shingle → 16 minhashes → 8 bands × 2 rows → explode bands →
+      groupBy (band, band_hash) → within-bucket pair join →
+      distinct candidate pairs → exact Jaccard on shingle sets →
+      filter ≥ threshold.
+
+    At 100 TB: the band explode is ×8 on a (doc_id, 16×8 bytes)
+    projection — not on the text; bucket joins shuffle only digests;
+    the exact verification re-joins shingles for the candidate pairs
+    only (a vanishing fraction of n²).
+    """
+    docs = T(spark, sf_dir, "documents")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes).cache()
+
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bhash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2 — SimHash fingerprint (oracle-checkable: md5-derived bits)
+# ---------------------------------------------------------------------------
+
+def _sql_simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(string_split({SQL_NORM}, ' '))) AS token
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM bits
+    """
+
+
+@query("k2_simhash", oracle=_sql_simhash_oracle())
+def k2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (SURVEY K2).
+
+    Token hash = first 60 bits of md5 (engine-agnostic → the oracle
+    reproduces the fingerprint exactly). Explode tokens → per-bit ±1
+    sums in ONE hash aggregate (60 columns) → reassemble the
+    fingerprint. Near-dup queries then compare fingerprints with
+    ``bit_count(a ^ b) <= k`` — a single-BIGINT Hamming check.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(norm_text(F.col("text")), " "))
+        ).alias("token"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("bigint") * (1 << j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.alias("simhash"))
+
+
+@query("k2_simhash_near_pairs")
+def k2_simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 5
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(a,b) ≤ k via banded blocking.
+
+    The scale path mirrors classic simhash dedup: split the 60-bit
+    fingerprint into 6 bands of 10 bits; by pigeonhole, any pair
+    within Hamming ≤ 5 (< number of bands) agrees exactly on ≥1 band
+    → equi-join on (band_idx, band_bits) finds ALL such pairs without
+    a cross join; verify with bit_count on the candidates. Rows-only
+    (fingerprints already oracle-checked by k2_simhash).
+    """
+    assert max_hamming < 6, "banding guarantee requires max_hamming < bands"
+    fps = k2_simhash(spark, sf_dir)
+    bands = 6
+    width = SIMHASH_BITS // bands  # 10 bits
+    mask = (1 << width) - 1
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,189 @@
+"""Multimodal columns — SURVEY.md §2.K5.
+
+Design: media (image/audio/video) lives in the lakehouse as an opaque
+``binary`` payload column plus a typed metadata struct — exactly how
+parquet stores it natively (BinaryType + StructType, no special
+format needed). Decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` over the binary column: executors stream batches of
+payloads through a pandas function without ever materializing the
+corpus in one place.
+
+The media codec libraries (PIL/librosa/av) are NOT in this
+environment, so the actual decode is stubbed behind a try-import with
+a deterministic fallback (`decode_image_batch`) — the Spark-side
+plumbing (schema, partitioning, UDF signature, Arrow batch shape) is
+real and tested. The fallback derives "features" from the payload
+bytes themselves, which makes the whole pipeline oracle-checkable:
+the DuckDB oracle reproduces the same features from the same bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..sources import load_table as T
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal table from `documents`: binary payload
+    (utf-8 encoded text standing in for image bytes) + metadata struct.
+    In production this column arrives from the ingestion layer as real
+    media bytes; everything downstream is payload-agnostic.
+    """
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("declared_size"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_bytes", LongType()),
+        StructField("first_byte", LongType()),
+        StructField("byte_sum_head16", LongType()),
+    ]
+)
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real decode path — requires an image codec, absent here."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "deterministic fallback features are used instead"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here on a real cluster")
+
+
+def decode_features_batches(batches: Iterator, _nothing=None):
+    """Arrow-batched feature extraction over binary payloads.
+
+    pandas in, pandas out — one row per payload; the deterministic
+    fallback computes byte-level features (length, first byte, sum of
+    the first 16 bytes) in place of codec output.
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload_bytes": payloads.map(len).astype("int64"),
+                "first_byte": payloads.map(
+                    lambda b: b[0] if len(b) else -1
+                ).astype("int64"),
+                "byte_sum_head16": payloads.map(
+                    lambda b: int(sum(b[:16]))
+                ).astype("int64"),
+            }
+        )
+
+
+@query(
+    "k5_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           CAST((SELECT SUM(ascii(substring(text, g.i, 1)))
+                 FROM UNNEST(generate_series(1, LEAST(octet_length(encode(text)), 16)))
+                      AS g(i)) AS BIGINT) AS byte_sum_head16
+    FROM documents
+    """,
+)
+def k5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via Arrow-batched mapInPandas
+    (SURVEY K5). The payload crosses to Python once, as Arrow batches,
+    on the executors — no driver involvement, no per-row pickling.
+    (Oracle works because fixture text is ASCII: byte==char.)
+    """
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "payload").mapInPandas(
+        decode_features_batches, DECODE_SCHEMA
+    )
+
+
+@query(
+    "k5_multimodal_meta",
+    oracle="""
+    SELECT source AS origin,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           CAST(SUM(n_chars) AS BIGINT) AS declared_total
+    FROM documents GROUP BY source
+    """,
+)
+def k5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-struct rollup (SURVEY K5): storage accounting over the
+    typed metadata without touching payload bytes — column pruning
+    means the binary column is never read from parquet for this query.
+    """
+    media = media_table(spark, sf_dir)
+    return media.groupBy(F.col("meta.origin").alias("origin")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        F.max(F.length("payload")).cast("bigint").alias("max_bytes"),
+        F.sum("meta.declared_size").cast("bigint").alias("declared_total"),
+    )
+
+
+@query("k5_frame_sample")
+def k5_frame_sample(spark: SparkSession, sf_dir: str, every: int = 7) -> DataFrame:
+    """Frame-sampling plumbing (SURVEY K5): treat each payload as a
+    virtual frame sequence (1 frame per 16-byte chunk in the stub) and
+    emit every Nth frame's offset + a frame digest. Rows-only: the
+    stub stands in for codec-dependent frame extraction; the explode/
+    partition shape is what a video pipeline at scale runs.
+    """
+    media = media_table(spark, sf_dir)
+    n_frames = F.floor(F.length("payload") / 16).cast("int")
+    frame_idx = F.sequence(
+        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every)
+    )
+    return (
+        media.select(
+            "doc_id",
+            "payload",
+            F.explode(frame_idx).alias("frame_no"),
+        )
+        .select(
+            "doc_id",
+            "frame_no",
+            (F.col("frame_no") * 16).cast("bigint").alias("byte_offset"),
+            F.md5(
+                F.expr("substring(payload, frame_no * 16 + 1, 16)")
+            ).alias("frame_digest"),
+        )
+    )

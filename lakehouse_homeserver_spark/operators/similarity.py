@@ -1,0 +1,265 @@
+"""Similarity search over `embeddings` — SURVEY.md §2.K3.
+
+Three tiers, mirroring how a 100 TB vector corpus is actually served:
+
+1. **Brute-force cosine top-k** (`k3_knn_bruteforce`): the exactness
+   baseline. The query set is broadcast; the corpus streams once; no
+   shuffle of the corpus at all. Cost O(|Q|·n) — right answer, and at
+   small |Q| it IS the scale path (a broadcast-map over the corpus).
+2. **LSH-bucketed ANN** (`k3_knn_lsh`): random-hyperplane signs give a
+   b-bit bucket; query probes its bucket plus all Hamming-1 neighbors
+   (multi-probe) via an equi-join on bucket id — the corpus is hashed
+   once, candidates are a tiny fraction of n, and the join key is an
+   integer. Approximate → verified by property tests, not SQL oracle.
+3. **Embedding near-dup pairs** (`k3_embedding_near_dup`): all pairs
+   with cosine ≥ τ via the same bucketing, pair join within buckets
+   only — the O(n²) cross join never materializes (same shape as
+   MinHash-LSH dedup in dedup.py).
+
+Vector math is pure expression code (functions/vectors.py) — JVM
+whole-stage codegen, fold order identical to DuckDB's list_sum, so
+the brute-force tier is bit-for-bit oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_sim, dot, l2_norm
+from ..sources import load_table as T
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+N_QUERIES = 10  # vec_id < 10 are the demo query vectors
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+SQL_COSINE = """
+  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(q.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(c.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "k3_knn_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {SQL_COSINE} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {SQL_COSINE} DESC, c.vec_id) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      JOIN embeddings c ON q.vec_id <> c.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def k3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{k} for {q} query vectors (SURVEY K3 baseline).
+
+    Plan shape: broadcast(queries) nested-loop over the corpus scan →
+    per-partition top-k via the rank filter (WindowGroupLimit) → tiny
+    final shuffle on query_id. The corpus is read once, never
+    shuffled; this is the optimal exact plan at any corpus size.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    cos = cosine_sim(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (md5-derived), so the
+    LSH bucketing is reproducible across sessions and engines."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 2**32 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def _bucket_col(emb) -> F.Column:
+    """b-bit bucket id: sign bit per hyperplane dot product."""
+    planes = _hyperplanes()
+    bits = None
+    for p, plane in enumerate(planes):
+        lit_plane = F.array([F.lit(v) for v in plane])
+        bit = F.when(dot(emb, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("int")
+
+
+@query("k3_knn_lsh")
+def k3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH, multi-probe (SURVEY K3
+    scale path; property-verified — approximate results have no SQL
+    oracle).
+
+    The corpus is bucketed once (8 sign bits → 256 buckets). Each
+    query probes its own bucket plus the 8 Hamming-1 buckets, via an
+    equi-join on the integer bucket id. Candidates ≈ 9/256 of the
+    corpus per query; exact cosine + top-k only on candidates. At
+    100 TB the bucketed corpus would be written bucket-partitioned so
+    a probe is a partition-pruned scan.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _bucket_col(F.col("embedding")).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _bucket_col(F.col("embedding")).alias("qbucket"),
+    )
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+            for p in range(N_PLANES)
+        ],
+    )
+    q_probed = q.select(
+        "query_id", "q_emb", F.explode(probes).alias("bucket")
+    )
+    cos = cosine_sim(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q_probed)
+        .join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+@query("k3_embedding_near_dup")
+def k3_embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.28
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (SURVEY K1's
+    embedding-based rung): pairs with cosine ≥ τ found via LSH-bucket
+    equi-join — within-bucket pairs only, no n² cross join.
+    Multi-probe on Hamming-1 buckets keeps recall high for
+    near-identical vectors (which agree on almost every sign bit).
+
+    The default τ is calibrated to the synthetic fixture, whose
+    clusters are loose (max pairwise cosine ≈ 0.33) — real dedup runs
+    set τ ≈ 0.95+, where sign-LSH recall is strongest.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket")
+    )
+    probed = vecs.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+                    for p in range(N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    a = vecs.alias("a")  # un-probed side: each true pair met once per shared probe
+    b = probed.alias("b")
+    cos = cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+@query(
+    "k3_centroid_by_label",
+    oracle=f"""
+    WITH unnested AS (
+      SELECT label, g.i AS dim_idx, CAST(embedding[g.i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(generate_series(1, {DIM})) AS g(i)
+    )
+    SELECT label, dim_idx,
+           ROUND(SUM(v), 6) AS dim_sum,
+           COUNT(*) AS n
+    FROM unnested GROUP BY label, dim_idx
+    """,
+)
+def k3_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid accumulators (the reduce step of k-means /
+    IVF coarse quantization, SURVEY K3). posexplode → decimal-exact
+    dimension sums; one shuffle on (label, dim) — the distributed
+    mean-vector pattern. Returned un-divided (sum + count), rounded at
+    6 dp — far coarser than cross-engine summation-order noise, far
+    finer than float32 data resolution. (A decimal-cast sum would be
+    exactly order-independent but float-derived doubles can land on
+    exact decimal-rounding ties where Spark HALF_UP and DuckDB
+    HALF_EVEN disagree — rounding a plain double sum is the safer
+    parity contract here.)"""
+    e = T(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("bigint").alias("dim_idx"),
+            F.col("v").cast("double").alias("v"),
+        )
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.round(F.sum("v"), 6).alias("dim_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

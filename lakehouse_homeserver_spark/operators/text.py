@@ -1,0 +1,290 @@
+"""Text-analysis operators over `documents` — SURVEY.md §2.K4.
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting for a training-data pipeline. Everything is built-in
+`pyspark.sql.functions` expressions (JVM-side, whole-stage codegen) —
+no Python in the row path, so a 100 TB corpus scans at parquet speed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table as T
+from .dedup import SQL_NORM, norm_text
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deterministic and engine-agnostic.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "et", "les", "de"],
+    "es": ["el", "los", "que", "y", "en"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+@query(
+    "k4_text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_NORM} AS nt,
+             string_split({SQL_NORM}, ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           LENGTH(nt) AS n_chars_norm,
+           LEN(toks) AS n_words,
+           LEN(list_distinct(toks)) AS n_distinct_words,
+           CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) AS ttr,
+           CAST(LENGTH(nt) - LEN(toks) + 1 AS DOUBLE) / LEN(toks)
+               AS avg_word_len,
+           LEN(list_filter(toks, x -> LENGTH(x) >= 6)) AS n_long_words
+    FROM t
+    """,
+)
+def k4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (SURVEY K4): char/word counts,
+    type-token ratio, average word length, long-word count. Integer-
+    derived ratios → bit-stable across engines."""
+    d = T(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    toks = F.split(nt, " ")
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length(nt).cast("bigint").alias("n_chars_norm"),
+        n_words.cast("bigint").alias("n_words"),
+        n_distinct.cast("bigint").alias("n_distinct_words"),
+        (n_distinct.cast("double") / n_words).alias("ttr"),
+        ((F.length(nt) - n_words + 1).cast("double") / n_words).alias(
+            "avg_word_len"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) >= 6))
+        .cast("bigint")
+        .alias("n_long_words"),
+    )
+
+
+@query(
+    "k4_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_NORM} AS nt, string_split({SQL_NORM}, ' ') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             LEN(toks) AS n_words,
+             CAST(LEN(list_filter(toks,
+                 x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                 AS DOUBLE) / LEN(toks) AS stopword_ratio,
+             CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) AS ttr,
+             CASE WHEN LENGTH(nt) BETWEEN 100 AND 5000 THEN 1.0
+                  WHEN LENGTH(nt) BETWEEN 30 AND 20000 THEN 0.5
+                  ELSE 0.0 END AS len_score
+      FROM t
+    )
+    SELECT doc_id, n_words, stopword_ratio, ttr, len_score,
+           (len_score + ttr + LEAST(stopword_ratio * 4, 1.0)) / 3
+               AS quality
+    FROM m
+    """,
+)
+def k4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (SURVEY K4): length band +
+    lexical diversity + stopword plausibility, averaged. The formula
+    is arithmetic over integer-derived doubles → oracle-exact."""
+    d = T(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    toks = F.split(nt, " ")
+    n_words = F.size(toks)
+    stop = F.array([F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    stopword_ratio = stop_hits.cast("double") / n_words
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_words
+    ln = F.length(nt)
+    len_score = (
+        F.when(ln.between(100, 5000), 1.0)
+        .when(ln.between(30, 20000), 0.5)
+        .otherwise(0.0)
+    )
+    quality = (len_score + ttr + F.least(stopword_ratio * 4, F.lit(1.0))) / 3
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        stopword_ratio.alias("stopword_ratio"),
+        ttr.alias("ttr"),
+        len_score.alias("len_score"),
+        quality.alias("quality"),
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in LANG_MARKERS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"LEN(list_filter(list_distinct(toks), x -> list_contains([{arr}], x)))"
+            f" AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@query(
+    "k4_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split({SQL_NORM}, ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, {_lang_scores_sql()} FROM t
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN s_en >= GREATEST(s_fr, s_es, s_de, s_zh) THEN 'en'
+                WHEN s_fr >= GREATEST(s_es, s_de, s_zh) THEN 'fr'
+                WHEN s_es >= GREATEST(s_de, s_zh) THEN 'es'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS pred_lang,
+           s_en + s_fr + s_es + s_de + s_zh AS marker_hits
+    FROM s
+    """,
+)
+def k4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (SURVEY K4). Scores = distinct
+    marker hits per language; argmax with a fixed tie-break order
+    (en > fr > es > de > zh) so prediction is deterministic."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(norm_text(F.col("text")), " "))
+    def marker_score(words):
+        arr = F.array([F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: marker_score(words) for lang, words in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            scores["en"]
+            >= F.greatest(scores["fr"], scores["es"], scores["de"], scores["zh"]),
+            "en",
+        )
+        .when(scores["fr"] >= F.greatest(scores["es"], scores["de"], scores["zh"]), "fr")
+        .when(scores["es"] >= F.greatest(scores["de"], scores["zh"]), "es")
+        .when(scores["de"] >= scores["zh"], "de")
+        .otherwise("zh")
+    )
+    total = scores["en"] + scores["fr"] + scores["es"] + scores["de"] + scores["zh"]
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("pred_lang"),
+        total.cast("bigint").alias("marker_hits"),
+    )
+
+
+@query(
+    "k4_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           LEN(string_split({SQL_NORM}, ' ')) AS ws_tokens,
+           LEN(regexp_extract_all({SQL_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS bpe_ish_tokens,
+           CAST(CEIL(LENGTH({SQL_NORM}) / 4.0) AS BIGINT) AS est_tokens_len4
+    FROM documents
+    """,
+)
+def k4_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (SURVEY K4): whitespace tokens, a
+    BPE-ish regex segmentation (letter runs / digit runs / other),
+    and the chars/4 estimator used for quick corpus sizing."""
+    d = T(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.split(nt, " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(nt, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length(nt) / 4.0).cast("bigint").alias("est_tokens_len4"),
+    )
+
+
+@query(
+    "k4_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_NORM} AS nt, string_split({SQL_NORM}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, nt,
+             CASE WHEN LEN(toks) >= 3 THEN
+               (SELECT MIN(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                FROM UNNEST(generate_series(1, LEN(toks) - 2)) AS g(i))
+             ELSE md5(nt) END AS min_gram_md5
+      FROM t
+    )
+    SELECT doc_id, md5(nt) AS full_md5, min_gram_md5 FROM grams
+    """,
+)
+def k4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (SURVEY K4): whole-text md5 plus a
+    winnowing-style rolling fingerprint (min md5 over word 3-grams).
+    The min-gram digest survives small edits far from the minimal
+    gram — cheap near-dup pre-screen, one expression, no UDF."""
+    d = T(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    toks = F.split(nt, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 3))),
+    )
+    min_gram = F.when(F.size(toks) >= 3, F.array_min(grams)).otherwise(F.md5(nt))
+    return d.select(
+        "doc_id",
+        F.md5(nt).alias("full_md5"),
+        min_gram.alias("min_gram_md5"),
+    )
+
+
+@query(
+    "k4_corpus_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS docs,
+           CAST(SUM(LEN(string_split({SQL_NORM}, ' '))) AS BIGINT) AS total_words,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def k4_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup by (lang, source) (SURVEY K4): the
+    monitoring query a data pipeline runs per ingestion batch."""
+    d = T(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split(nt, " "))).cast("bigint").alias("total_words"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+    )

@@ -1,0 +1,117 @@
+"""Property tests for approximate operators (SURVEY.md §5.3) — the
+ops whose semantics a SQL oracle can't express: LSH recall is
+probabilistic, so the contract is containment / consistency /
+monotonicity properties instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_homeserver_spark.operators import dedup, multimodal, similarity
+
+
+def test_minhash_lsh_pairs_are_verified_near_dups(spark, sf_dir):
+    """Every returned pair really has Jaccard >= threshold (the op
+    verifies candidates exactly), and pairs are canonical (a < b)."""
+    pairs = dedup.k2_minhash_lsh(spark, sf_dir, threshold=0.7).collect()
+    for r in pairs:
+        assert r.jaccard >= 0.7
+        assert r.doc_a < r.doc_b
+
+
+def test_minhash_lsh_threshold_monotone(spark, sf_dir):
+    lo = dedup.k2_minhash_lsh(spark, sf_dir, threshold=0.5)
+    hi = dedup.k2_minhash_lsh(spark, sf_dir, threshold=0.9)
+    lo_pairs = {(r.doc_a, r.doc_b) for r in lo.collect()}
+    hi_pairs = {(r.doc_a, r.doc_b) for r in hi.collect()}
+    assert hi_pairs <= lo_pairs
+
+
+def test_simhash_near_pairs_hamming_bound(spark, sf_dir):
+    pairs = dedup.k2_simhash_near_pairs(spark, sf_dir, max_hamming=5)
+    rows = pairs.collect()
+    for r in rows:
+        assert r.hamming <= 5
+        assert r.doc_a < r.doc_b
+
+
+def test_simhash_banding_finds_all_close_pairs(spark, sf_dir):
+    """Pigeonhole completeness: banded blocking must find EVERY pair
+    with Hamming <= 5 (6 bands of 10 bits → one band must agree).
+    Cross-check against a direct all-pairs Hamming computation."""
+    fps = dedup.k2_simhash(spark, sf_dir).collect()
+    by_id = {r.doc_id: r.simhash for r in fps}
+    ids = sorted(by_id)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(by_id[a] ^ by_id[b]).count("1") <= 5:
+                expected.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.k2_simhash_near_pairs(spark, sf_dir, max_hamming=5).collect()
+    }
+    assert got == expected
+
+
+def test_knn_lsh_consistent_with_bruteforce(spark, sf_dir):
+    """ANN results: per query <= k neighbors, cosines bit-identical to
+    the exact computation for overlapping pairs, every query answered.
+    (No recall floor asserted: the fixture's vectors are weakly
+    clustered — exact top-1 cosine is only ~0.33 — so sign-LSH recall
+    is data-dependent; near-identical vectors, the dedup case, are
+    the ones guaranteed to collide.)"""
+    exact = similarity.k3_knn_bruteforce(spark, sf_dir).collect()
+    approx = similarity.k3_knn_lsh(spark, sf_dir).collect()
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    per_query = {}
+    for r in approx:
+        per_query.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+    for q, rows in per_query.items():
+        assert len(rows) <= similarity.TOP_K
+    assert len(per_query) == similarity.N_QUERIES
+
+
+def test_embedding_near_dup_pairs_verified(spark, sf_dir):
+    pairs = similarity.k3_embedding_near_dup(spark, sf_dir, threshold=0.28).collect()
+    assert pairs, "fixture should contain pairs above the demo threshold"
+    for r in pairs:
+        assert r.cosine >= 0.28
+        assert r.vec_a < r.vec_b
+
+
+def test_multimodal_decode_stub_raises(spark, sf_dir):
+    """The real codec path must fail loudly, not silently fake."""
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_real(b"\x89PNG...")
+
+
+def test_frame_sample_shape(spark, sf_dir):
+    df = multimodal.k5_frame_sample(spark, sf_dir, every=7)
+    rows = df.limit(200).collect()
+    assert df.columns == ["doc_id", "frame_no", "byte_offset", "frame_digest"]
+    for r in rows:
+        assert r.frame_no % 7 == 0
+        assert r.byte_offset == r.frame_no * 16
+        assert len(r.frame_digest) == 32
+
+
+def test_exact_dedup_is_idempotent(spark, sf_dir):
+    keep = dedup.k1_dedup_exact_keep(spark, sf_dir)
+    n1 = keep.count()
+    # dedup of the deduped set changes nothing
+    texts = keep.select("doc_id").join(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
+    from lakehouse_homeserver_spark.operators.dedup import norm_text
+
+    n2 = (
+        texts.select(F.md5(norm_text(F.col("text"))).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert n1 == n2

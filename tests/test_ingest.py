@@ -1,0 +1,85 @@
+"""Ingestion-semantics unit tests (SURVEY.md §5.4) — the reference's
+contract replicated: full-load replaces, incremental appends only
+unseen files, empty source is a no-op, bookkeeping round-trips,
+re-runs are idempotent."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from lakehouse_homeserver_spark.sources.ingest import Lakehouse
+
+
+@pytest.fixture()
+def landing(tmp_path, spark, sf_dir):
+    """A landing dir with the sf0.001 lineitem split into 3 files."""
+    d = tmp_path / "landing" / "lineitem"
+    d.mkdir(parents=True)
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parts = df.randomSplit([1.0, 1.0, 1.0], seed=42)
+    for i, p in enumerate(parts):
+        out = tmp_path / f"part{i}"
+        p.coalesce(1).write.mode("overwrite").parquet(str(out))
+        src = next(f for f in os.listdir(out) if f.endswith(".parquet"))
+        shutil.copy(out / src, d / f"batch_{i}.parquet")
+        os.utime(d / f"batch_{i}.parquet", (1000 + i, 1000 + i))
+    return str(tmp_path / "landing")
+
+
+@pytest.fixture()
+def lh(spark, tmp_path_factory):
+    lh = Lakehouse(spark)
+    yield lh
+    for t in spark.catalog.listTables("src"):
+        spark.sql(f"DROP TABLE IF EXISTS src.{t.name}")
+    for t in spark.catalog.listTables("metadata"):
+        spark.sql(f"DROP TABLE IF EXISTS metadata.{t.name}")
+
+
+def _counts(spark, landing):
+    import glob
+
+    files = glob.glob(os.path.join(landing, "lineitem", "*.parquet"))
+    return {f: spark.read.parquet(f).count() for f in files}
+
+
+def test_full_load_replaces_with_latest(spark, lh, landing):
+    n = lh.load_full("lineitem", landing)
+    counts = _counts(spark, landing)
+    latest = max(counts, key=lambda p: (os.path.getmtime(p), p))
+    assert n == counts[latest]
+    assert lh.table("lineitem").count() == counts[latest]
+    # second full load replaces, not appends
+    n2 = lh.load_full("lineitem", landing)
+    assert lh.table("lineitem").count() == n2 == n
+
+
+def test_incremental_appends_only_unseen(spark, lh, landing):
+    total = sum(_counts(spark, landing).values())
+    n1 = lh.load_incremental("lineitem", landing)
+    assert n1 == total
+    assert lh.table("lineitem").count() == total
+    # idempotent re-run: nothing new
+    assert lh.load_incremental("lineitem", landing) == 0
+    assert lh.table("lineitem").count() == total
+    # drop a new file → only it is appended
+    src_dir = os.path.join(landing, "lineitem")
+    first = sorted(os.listdir(src_dir))[0]
+    new = os.path.join(src_dir, "batch_new.parquet")
+    shutil.copy(os.path.join(src_dir, first), new)
+    n3 = lh.load_incremental("lineitem", landing)
+    assert n3 == spark.read.parquet(new).count()
+    assert lh.table("lineitem").count() == total + n3
+    # bookkeeping reflects all 4 files
+    assert lh.loaded_files("lineitem").count() == 4
+
+
+def test_empty_source_is_noop(spark, lh, tmp_path):
+    empty = tmp_path / "empty_landing"
+    empty.mkdir()
+    assert lh.load_full("nothing", str(empty)) == 0
+    assert lh.load_incremental("nothing", str(empty)) == 0
+    assert not spark.catalog.tableExists("src.nothing")
