@@ -41,6 +41,12 @@ def main() -> None:
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
 
+    # Warm up the JVM / codegen / parquet footer caches so the first
+    # timed query isn't charged for session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(queries.items()):

@@ -149,17 +149,24 @@ def k2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.array_distinct(F.split(norm_text(F.col("text")), " ")).alias("tokens"),
-    )
+    ).withColumn("n_tok", F.size("tokens"))
     a = toks.alias("a")
     b = toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
     union = F.size(F.col("a.tokens")) + F.size(F.col("b.tokens")) - inter
     jac = inter.cast("double") / union
+    # Size-ratio prefilter: J >= 0.8 forces |A| >= 0.8|B| and vice
+    # versa — a pure optimization (cannot drop a qualifying pair) that
+    # skips the array_intersect for the vast majority of pairs.
+    size_ok = (F.col("a.n_tok") * 5 >= F.col("b.n_tok") * 4) & (
+        F.col("b.n_tok") * 5 >= F.col("a.n_tok") * 4
+    )
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -200,17 +207,29 @@ def minhash_signatures(
     Permutation i is simulated with xxhash64 seeded by prefixing the
     shingle with ``i:`` — all JVM-side expressions, vectorizable, no
     Python in the loop.
+
+    Two-step projection on purpose: the shingle array is materialized
+    as a column FIRST, then the 16 min-hashes fold over that column
+    reference. Inlining the shingle expression into each of the 17
+    consumers defeats common-subexpression elimination and recomputes
+    the (regex + slice + concat) shingling 17× per row — measured 10×
+    slower at sf0.1.
     """
-    sh = _shingles(F.col("text"), shingle_n)
+    sh_df = docs.select(
+        "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
+    )
     sig = F.array(
         *[
             F.array_min(
-                F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s)))
+                F.transform(
+                    "shingles",
+                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s)),
+                )
             )
             for i in range(num_hashes)
         ]
     )
-    return docs.select("doc_id", sig.alias("sig"), sh.alias("shingles"))
+    return sh_df.select("doc_id", sig.alias("sig"), "shingles")
 
 
 @query("k2_minhash_lsh")

@@ -528,9 +528,10 @@ def d7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e1_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window functions + top-k filter (SURVEY E1/F4).
 
-    Catalyst rewrites the rn<=5 filter into a WindowGroupLimit
-    (top-k per partition pushed before the full sort at the shuffle),
-    so each partition ships only its head at scale.
+    Function-coverage query: row_number/rank/dense_rank/ntile in one
+    pass. Note ntile disqualifies the WindowGroupLimit rewrite — for
+    pure top-k at scale use the f4_topk_per_group formulation, which
+    ships only per-partition heads.
     """
     o = T(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(

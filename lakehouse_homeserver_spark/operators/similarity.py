@@ -101,11 +101,11 @@ def k3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (md5-derived), so the
     LSH bucketing is reproducible across sessions and engines."""
     planes = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         row = []
         for d in range(DIM):
             h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
@@ -114,9 +114,14 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-def _bucket_col(emb) -> F.Column:
-    """b-bit bucket id: sign bit per hyperplane dot product."""
-    planes = _hyperplanes()
+def _bucket_col(emb, n_planes: int = N_PLANES) -> F.Column:
+    """b-bit bucket id: sign bit per hyperplane dot product.
+
+    ``n_planes`` sizes the bucket space: more planes → smaller buckets
+    → fewer candidate pairs but lower recall per probe. Rule of thumb:
+    2^planes ≈ corpus_size / desired_bucket_occupancy.
+    """
+    planes = _hyperplanes(n_planes)
     bits = None
     for p, plane in enumerate(planes):
         lit_plane = F.array([F.lit(v) for v in plane])
@@ -188,10 +193,17 @@ def k3_embedding_near_dup(
     The default τ is calibrated to the synthetic fixture, whose
     clusters are loose (max pairwise cosine ≈ 0.33) — real dedup runs
     set τ ≈ 0.95+, where sign-LSH recall is strongest.
+
+    Uses a wider code (12 planes → 4096 buckets) than the ANN query
+    path: pair-finding cost grows with bucket occupancy squared, so
+    buckets are kept small; near-identical vectors still collide.
     """
+    n_planes = 12
     e = T(spark, sf_dir, "embeddings")
     vecs = e.select(
-        "vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        _bucket_col(F.col("embedding"), n_planes).alias("bucket"),
     )
     probed = vecs.select(
         "vec_id",
@@ -201,7 +213,7 @@ def k3_embedding_near_dup(
                 F.col("bucket"),
                 *[
                     F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
-                    for p in range(N_PLANES)
+                    for p in range(n_planes)
                 ],
             )
         ).alias("bucket"),

