@@ -237,6 +237,147 @@ def k3_embedding_near_dup(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the classic coarse-quantizer scale path.
+# ---------------------------------------------------------------------------
+
+N_LIST = 16  # coarse clusters
+N_PROBE = 4  # clusters searched per query
+
+
+def _sq_dist(emb, centroid_lit) -> F.Column:
+    """Squared L2 distance between a vector column and a literal centroid."""
+    return F.aggregate(
+        F.zip_with(
+            F.transform(emb, lambda x: x.cast("double")),
+            centroid_lit,
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_clusters(emb, centroids: list[list[float]], n: int) -> F.Column:
+    """Array of the n nearest cluster ids, as a pure JVM expression.
+
+    The centroid model (nlist×dim doubles — model parameters, not
+    data) is inlined as literals, so cluster assignment is a map-only
+    projection: no join, no shuffle, vectorized in codegen. Ties break
+    toward the lower cluster id via the (dist, id) struct sort.
+    """
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("d"),
+                _sq_dist(emb, F.array(*[F.lit(v) for v in c])),
+                F.lit("c"),
+                F.lit(i),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, n).getField("c")
+
+
+def ivf_train(
+    spark: SparkSession,
+    corpus: DataFrame,
+    nlist: int = N_LIST,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means for the IVF coarse quantizer, distributed.
+
+    Seeds are the nlist vectors with the smallest xxhash64(id) —
+    deterministic and uniformly spread over the corpus without a
+    full sort (top-k via window would also work; at fixture scale a
+    sort-limit is one tiny job). Each iteration is: assignment as a
+    literal-expression projection (no shuffle), then one groupBy
+    (cluster, dim) shuffle to re-average — the canonical distributed
+    k-means step. Model size nlist×dim floats lives on the driver,
+    like any broadcast model.
+    """
+    seeds = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.element_at(_nearest_clusters(F.col(vec_col), centroids, 1), 1).alias(
+                "cluster_id"
+            ),
+            F.posexplode(vec_col).alias("dim_idx", "v"),
+        )
+        rows = (
+            assigned.groupBy("cluster_id", "dim_idx")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in rows:
+            new.setdefault(r["cluster_id"], [0.0] * len(centroids[0]))[
+                r["dim_idx"]
+            ] = r["m"]
+        # empty clusters keep their previous centroid
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+@query("k3_knn_ivf")
+def k3_knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = N_LIST,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """IVF ANN top-k (SURVEY K3 scale path #2, complementing sign-LSH).
+
+    Index: every corpus vector is assigned to its nearest of nlist
+    k-means centroids — a map-only projection producing an integer
+    ``cluster_id`` (at 100 TB the corpus is written partitioned by it,
+    so probes become partition-pruned scans). Search: each query ranks
+    the nlist centroids (driver-side model, inlined literals), probes
+    its nprobe nearest clusters via an integer equi-join, and scores
+    exact cosine only on candidates — ~nprobe/nlist of the corpus.
+    With nprobe == nlist the result is exactly brute force (property
+    test); approximate → no SQL oracle.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    centroids = ivf_train(spark, e, nlist=nlist)
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.element_at(
+            _nearest_clusters(F.col("embedding"), centroids, 1), 1
+        ).alias("cluster_id"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            _nearest_clusters(F.col("embedding"), centroids, nprobe)
+        ).alias("cluster_id"),
+    )
+    cos = cosine_sim(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(corpus, "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
 @query(
     "k3_centroid_by_label",
     oracle=f"""

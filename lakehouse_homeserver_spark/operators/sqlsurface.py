@@ -1,0 +1,287 @@
+"""SQL-text entry point — the reference's primary query surface.
+
+The reference's users query through SQL engines wired over its tables
+(Trino CLI / dbt / Spark SQL — /root/reference/README.md:66-98;
+default-catalog wiring /root/reference/scripts/extract_load.py:32).
+This module is the native equivalent: fixture tables registered as
+views, query text executed by ``spark.sql`` (SURVEY.md §3.2-3.3).
+
+Most queries here run the IDENTICAL SQL text in Spark and in the
+DuckDB oracle — demonstrating that the engine's SQL dialect surface
+(joins, subqueries, grouping sets, window frames) is ANSI-compatible,
+not just DataFrame-reachable.
+
+Scale notes:
+- The TPC-H-style multi-join queries leave join strategy to Catalyst:
+  region/nation/supplier are far below the broadcast threshold, so
+  the plan broadcasts every dimension and the single shuffle is the
+  final groupBy — verified in tests/test_plans.py.
+- Correlated subqueries (EXISTS / IN / scalar) are decorrelated by
+  Catalyst's RewriteCorrelatedScalarSubquery / RewritePredicateSubquery
+  into joins — no per-row re-execution, unlike a naive interpreter.
+- All double sums go through exact decimal arithmetic (operators/common.py
+  rationale) so results are order-independent → reproducible across
+  partitionings AND engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table as T
+from ..sources import register_views
+from .common import dec, dsum, sql_dsum
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def sql_query(name: str, sql: str):
+    """Register a query whose Spark side IS the oracle SQL text.
+
+    The same string goes through spark.sql() and DuckDB — a literal
+    dialect-compatibility check for the exposed SQL surface.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    run.__name__ = name
+    run.__doc__ = f"Same-text SQL in Spark and DuckDB:\n{sql}"
+    QUERIES[name] = run
+    ORACLES[name] = sql
+    return run
+
+
+REVENUE = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H-style multi-join queries (SURVEY C1/C5/D2/F2-F4 composed),
+# adapted to the fixture star schema (FIXTURES.md).
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT o_orderkey,
+           CAST({REVENUE} AS DOUBLE) AS revenue,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
+sql_query(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           CAST({REVENUE} AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+sql_query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey,
+           c_name,
+           CAST({REVENUE} AS DOUBLE) AS revenue,
+           c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Subqueries (SURVEY B5 — the full WHERE surface the SQL engines expose).
+# Catalyst decorrelates all three forms into joins (no per-row loops).
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "sql_exists_correlated",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+sql_query(
+    "sql_in_subquery",
+    """
+    SELECT c_mktsegment, COUNT(*) AS big_spenders
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          AND o_totalprice > 300000
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+
+sql_query(
+    "sql_scalar_subquery",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 4 * (
+        SELECT COALESCE(MAX(l_extendedprice), 0)
+        FROM lineitem WHERE l_orderkey = o_orderkey
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (SURVEY D4 — beyond cube/rollup) with GROUPING()
+# disambiguation of "real NULL" vs "rolled-up level".
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "sql_grouping_sets",
+    f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide-format conditional aggregation). Spark side uses the
+# DataFrame pivot API (the idiomatic form); the oracle expresses the
+# same thing with FILTERed aggregates — identical output schema.
+# ---------------------------------------------------------------------------
+
+@query(
+    "d8_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS A,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS N,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def d8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: rows→columns on a low-cardinality key (SURVEY D2/D4 family).
+
+    Explicit value list keeps the plan a single pass (no extra job to
+    discover pivot values) and fixes the output schema — required both
+    for oracle parity and for plan stability at scale.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame (SURVEY E3 — value-based frame, vs the ROWS-based
+# running sum in relational.e3). Frame membership is defined by the
+# ORDER BY value, so results are insensitive to peer-row order.
+# ---------------------------------------------------------------------------
+
+@query(
+    "e3_window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           day_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_orderpriority ORDER BY day_n
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS weekly_total
+    FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_n
+        FROM orders
+    )
+    """,
+)
+def e3_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day sum per priority via a RANGE frame.
+
+    The frame is value-bounded (epoch-day ± interval), so ties on the
+    sort key contribute symmetrically — unlike ROWS frames this is
+    deterministic under shuffle reordering without a unique tiebreaker.
+    """
+    o = T(spark, sf_dir, "orders").withColumn(
+        "day_n", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_n")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "day_n",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("weekly_total"),
+    )

@@ -271,3 +271,40 @@ def ts_rollup_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((day, hour), (day))
         """
     )
+
+
+@query(
+    "ts_rich_sessions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {30 * MIN_US}
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) + {30 * MIN_US} AS session_end_us,
+           COUNT(*) AS n_events,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS event_types,
+           SUM(cents) AS value_cents
+    FROM numbered GROUP BY user_id, sess_no
+    """,
+)
+def ts_rich_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful.rich_sessions (custom-payload
+    sessionization: distinct-type set + exact cents sum per session).
+    Registered with an oracle so the custom stateful operator's
+    semantics are SQL-cross-checked even though the streaming
+    execution itself is checkpoint-driven (tests/test_streaming.py
+    proves stream == this batch twin)."""
+    from ..streaming.stateful import batch_rich_sessions
+
+    return batch_rich_sessions(T(spark, sf_dir, "events"))

@@ -20,7 +20,15 @@ def _load_modules():
     from .operators import relational
 
     mods = [relational]
-    for name in ("dedup", "similarity", "text", "multimodal", "asof", "timeseries"):
+    for name in (
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+        "asof",
+        "timeseries",
+        "sqlsurface",
+    ):
         try:
             mods.append(
                 __import__(

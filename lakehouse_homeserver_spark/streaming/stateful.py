@@ -1,0 +1,207 @@
+"""Custom stateful streaming operator — SURVEY.md §2.I / §2.J.
+
+`applyInPandasWithState` is the engine's escape hatch for stateful
+semantics the built-in operators can't express. The demo operator is
+*rich sessionization*: like `session_window` it groups events into
+gap-bounded sessions, but the per-session payload carries custom
+accumulators — the set of distinct event types and an exact value sum
+— which the built-in windowed agg cannot produce in one pass.
+
+Semantics
+- State per user: open session (start, last ts, counts, type set).
+- An event later than `gap` after the last one closes the session and
+  opens a new one; closed sessions are emitted immediately.
+- The open session is emitted when the event-time watermark passes
+  last_ts + gap (EventTimeTimeout) — the same late-data contract as
+  the built-in session window, so state is GC'd and memory stays
+  bounded regardless of stream length.
+
+Scale notes: state is keyed by user_id → distributed across
+executors by hash; each micro-batch ships one Arrow batch per active
+key group (vectorized, not per-row python). The payload kept per key
+is O(#distinct event types), bounded.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("event_types", StringType()),  # sorted, comma-joined
+        StructField("value_cents", LongType()),  # exact integer cents
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("types_csv", StringType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+
+GAP_US = 30 * 60 * 1_000_000  # 30 minutes, in µs
+
+
+def _close(row: tuple) -> pd.DataFrame:
+    start_us, last_us, n, types_csv, cents = row
+    return pd.DataFrame(
+        {
+            "session_start_us": [start_us],
+            "session_end_us": [last_us + GAP_US],
+            "n_events": [n],
+            "event_types": [",".join(sorted(set(types_csv.split(","))))],
+            "value_cents": [cents],
+        }
+    )
+
+
+def sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Grouped-map state function: one user's new events per batch."""
+    (user_id,) = key
+    out: list[pd.DataFrame] = []
+
+    if state.hasTimedOut:
+        # Watermark passed the open session's gap horizon — finalize.
+        if state.exists:
+            out.append(_close(state.get))
+            state.remove()
+    else:
+        cur = list(state.get) if state.exists else None
+        batch = pd.concat(list(pdfs))
+        batch["us"] = batch["ts"].astype("int64") // 1000
+        batch = batch.sort_values("us")
+        for us, etype, value in zip(
+            batch["us"], batch["event_type"], batch["value"]
+        ):
+            cents = int(round(value * 100))
+            if cur is None:
+                cur = [us, us, 1, etype, cents]
+            elif us - cur[1] > GAP_US:
+                out.append(_close(tuple(cur)))
+                cur = [us, us, 1, etype, cents]
+            else:
+                cur[1] = us
+                cur[2] += 1
+                cur[3] = f"{cur[3]},{etype}"
+                cur[4] += cents
+        if cur is not None:
+            state.update(tuple(cur))
+            # Fire when the event-time watermark passes the gap horizon.
+            state.setTimeoutTimestamp((cur[1] + GAP_US) // 1000)
+
+    for pdf in out:
+        pdf.insert(0, "user_id", user_id)
+        yield pdf
+    if not out:
+        yield pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in SESSION_SCHEMA}
+        )
+
+
+def rich_sessions(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """The stateful transformation (stream-side): watermarked events →
+    closed rich sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_rich_sessions(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: StructType,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """I2/I3/I5 composite via the custom-state path: landing files →
+    rich sessions → parquet sink, exactly-once per checkpoint.
+
+    maxFilesPerTrigger=1 by default so an AvailableNow run replays the
+    landing dir as a sequence of micro-batches — the watermark then
+    advances between batches and closed sessions actually emit (a
+    single mega-batch would close nothing, exactly like the built-in
+    session window in append mode).
+    """
+    from .jobs import read_file_stream
+
+    src = read_file_stream(
+        spark, landing_dir, schema, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        rich_sessions(src)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def batch_rich_sessions(events: DataFrame) -> DataFrame:
+    """Batch twin of `rich_sessions` (same output schema, computed
+    with window functions) — the cross-check oracle for tests."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    with_gap = (
+        events.select(
+            "user_id",
+            us.alias("us"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "new_session",
+            (F.col("prev_us").isNull() | ((F.col("us") - F.col("prev_us")) > GAP_US))
+            .cast("int"),
+        )
+        .withColumn("session_no", F.sum("new_session").over(w))
+    )
+    return (
+        with_gap.groupBy("user_id", "session_no")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            (F.max("us") + F.lit(GAP_US)).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+                "event_types"
+            ),
+            F.sum("cents").alias("value_cents"),
+        )
+        .drop("session_no")
+    )

@@ -74,6 +74,43 @@ def test_knn_lsh_consistent_with_bruteforce(spark, sf_dir):
     assert len(per_query) == similarity.N_QUERIES
 
 
+def test_knn_ivf_exhaustive_probe_equals_bruteforce(spark, sf_dir):
+    """With nprobe == nlist, IVF searches every inverted list — the
+    result must be EXACTLY brute force (same tiebreaker), which
+    validates index completeness (every vector lands in exactly one
+    cluster) and the scoring path in one shot."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.k3_knn_bruteforce(spark, sf_dir).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.k3_knn_ivf(
+            spark, sf_dir, nlist=8, nprobe=8
+        ).collect()
+    }
+    assert full.keys() == exact.keys()
+    for k, v in full.items():
+        assert abs(v - exact[k]) < 1e-12
+
+
+def test_knn_ivf_default_probe_well_formed(spark, sf_dir):
+    """Default nprobe<nlist: every query answered, <= k rows each, and
+    every returned cosine bit-matches the exact computation."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.k3_knn_bruteforce(spark, sf_dir).collect()
+    }
+    per_query = {}
+    for r in similarity.k3_knn_ivf(spark, sf_dir).collect():
+        per_query.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+    assert len(per_query) == similarity.N_QUERIES
+    for rows in per_query.values():
+        assert len(rows) <= similarity.TOP_K
+
+
 def test_embedding_near_dup_pairs_verified(spark, sf_dir):
     pairs = similarity.k3_embedding_near_dup(spark, sf_dir, threshold=0.28).collect()
     assert pairs, "fixture should contain pairs above the demo threshold"

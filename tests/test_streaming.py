@@ -102,6 +102,47 @@ def test_stream_session_windows(spark, sf_dir, tmp_path):
             assert s2 >= e1
 
 
+def test_stateful_rich_sessions_match_batch_twin(spark, sf_dir, tmp_path):
+    """Custom applyInPandasWithState sessionization: every emitted
+    session must EXACTLY equal a session computed by the batch twin
+    (same start, end, count, type-set, exact cents sum), and sessions
+    whose gap horizon the final watermark passed must all be emitted."""
+    from lakehouse_homeserver_spark.streaming import stateful
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.prepare_events_landing(spark, sf_dir, landing, slices=4)
+    _run(
+        stateful.stream_rich_sessions(
+            spark, landing, out, ckpt, jobs.events_schema()
+        )
+    )
+    emitted = spark.read.parquet(out).collect()
+    assert emitted, "no sessions emitted"
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.user_id, r.session_start_us): r
+        for r in stateful.batch_rich_sessions(events).collect()
+    }
+    for r in emitted:
+        b = batch[(r.user_id, r.session_start_us)]
+        assert (r.session_end_us, r.n_events, r.event_types, r.value_cents) == (
+            b.session_end_us,
+            b.n_events,
+            b.event_types,
+            b.value_cents,
+        )
+    # completeness: sessions closed well before the final watermark
+    # (max ts - 1 h watermark - 30 min gap) must have been emitted
+    emitted_keys = {(r.user_id, r.session_start_us) for r in emitted}
+    max_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    horizon = max_us - 3_600_000_000 - stateful.GAP_US
+    for key, b in batch.items():
+        if b.session_end_us < horizon:
+            assert key in emitted_keys
+
+
 def test_stream_dedup_drops_duplicates(spark, sf_dir, tmp_path):
     landing = str(tmp_path / "landing")
     out = str(tmp_path / "out")
