@@ -245,12 +245,12 @@ N_LIST = 16  # coarse clusters
 N_PROBE = 4  # clusters searched per query
 
 
-def _sq_dist(emb, centroid_lit) -> F.Column:
-    """Squared L2 distance between a vector column and a literal centroid."""
+def _sq_dist(a, b) -> F.Column:
+    """Squared L2 distance between two array<float|double> columns."""
     return F.aggregate(
         F.zip_with(
-            F.transform(emb, lambda x: x.cast("double")),
-            centroid_lit,
+            F.transform(a, lambda x: x.cast("double")),
+            F.transform(b, lambda x: x.cast("double")),
             lambda x, c: (x - c) * (x - c),
         ),
         F.lit(0.0),
@@ -258,26 +258,42 @@ def _sq_dist(emb, centroid_lit) -> F.Column:
     )
 
 
-def _nearest_clusters(emb, centroids: list[list[float]], n: int) -> F.Column:
-    """Array of the n nearest cluster ids, as a pure JVM expression.
+def _nearest_clusters(emb_col: str, centroids: list[list[float]], n: int) -> F.Column:
+    """Array of the n nearest cluster ids — a map-only expression.
 
-    The centroid model (nlist×dim doubles — model parameters, not
-    data) is inlined as literals, so cluster assignment is a map-only
-    projection: no join, no shuffle, vectorized in codegen. Ties break
-    toward the lower cluster id via the (dist, id) struct sort.
+    The centroid model is ONE literal array-of-arrays scanned by a
+    single `transform` lambda (distance fold + index), then an
+    nlist-way struct sort. Three deliberate choices:
+    - one compact lambda, not nlist inlined copies of the fold (which
+      blows the expression tree up ~nlist×);
+    - the whole expression is built as ONE SQL string → one py4j
+      round-trip, vs nlist×dim F.lit() calls (~0.7 s of driver time
+      per build at 16×64);
+    - no join and NO shuffle — assignment never moves the corpus,
+      matching how a 100 TB cluster-id backfill must behave.
+    Ties break toward the lower cluster id via the (dist, id) struct
+    order. Float literals use repr() (shortest round-trip), so the
+    driver-side model reaches the JVM bit-exactly.
     """
-    scored = F.array(
-        *[
-            F.named_struct(
-                F.lit("d"),
-                _sq_dist(emb, F.array(*[F.lit(v) for v in c])),
-                F.lit("c"),
-                F.lit(i),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    cents_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"cast({v!r} as double)" for v in c) + ")"
+            for c in centroids
+        )
+        + ")"
     )
-    return F.slice(F.array_sort(scored), 1, n).getField("c")
+    return F.expr(
+        f"""
+        slice(array_sort(transform({cents_sql}, (c, i) -> named_struct(
+            'd', aggregate(
+                     zip_with({emb_col}, c,
+                              (x, y) -> (cast(x as double) - y)
+                              * (cast(x as double) - y)),
+                     cast(0.0 as double), (acc, v) -> acc + v),
+            'c', i))), 1, {n}).c
+        """
+    )
 
 
 def ivf_train(
@@ -291,38 +307,47 @@ def ivf_train(
     """Lloyd's k-means for the IVF coarse quantizer, distributed.
 
     Seeds are the nlist vectors with the smallest xxhash64(id) —
-    deterministic and uniformly spread over the corpus without a
-    full sort (top-k via window would also work; at fixture scale a
-    sort-limit is one tiny job). Each iteration is: assignment as a
-    literal-expression projection (no shuffle), then one groupBy
-    (cluster, dim) shuffle to re-average — the canonical distributed
-    k-means step. Model size nlist×dim floats lives on the driver,
-    like any broadcast model.
+    deterministic and uniformly spread over the corpus without a full
+    sort at scale (top-k by hash). Each iteration: broadcast-join
+    assignment, then one (cluster, dim) groupBy to re-average — the
+    canonical distributed k-means step. The model (nlist×dim doubles)
+    is collected to the driver between iterations, exactly like any
+    broadcast ML model. Training runs on a deterministic hash-sample
+    (~256 vectors per cluster — k-means centroids converge on a
+    sample; only the final assignment must touch every vector), so
+    training cost is O(nlist·sample), independent of corpus size.
     """
+    n = corpus.count()
+    every = max(1, n // (256 * nlist))
+    train = (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(every)) == 0)
+        if every > 1
+        else corpus
+    )
     seeds = (
-        corpus.select(vec_col)
+        train.select(vec_col)
         .orderBy(F.xxhash64(F.col(id_col)))
         .limit(nlist)
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    dim = len(centroids[0])
     for _ in range(iters):
-        assigned = corpus.select(
-            F.element_at(_nearest_clusters(F.col(vec_col), centroids, 1), 1).alias(
-                "cluster_id"
-            ),
-            F.posexplode(vec_col).alias("dim_idx", "v"),
+        assigned = train.select(
+            F.element_at(
+                _nearest_clusters(vec_col, centroids, 1), 1
+            ).alias("cluster_id"),
+            vec_col,
         )
         rows = (
-            assigned.groupBy("cluster_id", "dim_idx")
+            assigned.select("cluster_id", F.posexplode(vec_col).alias("dim_idx", "v"))
+            .groupBy("cluster_id", "dim_idx")
             .agg(F.avg(F.col("v").cast("double")).alias("m"))
             .collect()
         )
-        new = {}
+        new: dict[int, list[float]] = {}
         for r in rows:
-            new.setdefault(r["cluster_id"], [0.0] * len(centroids[0]))[
-                r["dim_idx"]
-            ] = r["m"]
+            new.setdefault(r["cluster_id"], [0.0] * dim)[r["dim_idx"]] = r["m"]
         # empty clusters keep their previous centroid
         centroids = [new.get(i, c) for i, c in enumerate(centroids)]
     return centroids
@@ -338,14 +363,13 @@ def k3_knn_ivf(
     """IVF ANN top-k (SURVEY K3 scale path #2, complementing sign-LSH).
 
     Index: every corpus vector is assigned to its nearest of nlist
-    k-means centroids — a map-only projection producing an integer
-    ``cluster_id`` (at 100 TB the corpus is written partitioned by it,
-    so probes become partition-pruned scans). Search: each query ranks
-    the nlist centroids (driver-side model, inlined literals), probes
-    its nprobe nearest clusters via an integer equi-join, and scores
-    exact cosine only on candidates — ~nprobe/nlist of the corpus.
-    With nprobe == nlist the result is exactly brute force (property
-    test); approximate → no SQL oracle.
+    k-means centroids — an integer ``cluster_id`` (at 100 TB the
+    corpus is written partitioned by it, so probes become
+    partition-pruned scans). Search: each query ranks the centroids
+    (broadcast), probes its nprobe nearest clusters via an integer
+    equi-join, and scores exact cosine only on candidates —
+    ~nprobe/nlist of the corpus. With nprobe == nlist the result is
+    exactly brute force (property test); approximate → no SQL oracle.
     """
     e = T(spark, sf_dir, "embeddings")
     centroids = ivf_train(spark, e, nlist=nlist)
@@ -353,14 +377,14 @@ def k3_knn_ivf(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.element_at(
-            _nearest_clusters(F.col("embedding"), centroids, 1), 1
+            _nearest_clusters("embedding", centroids, 1), 1
         ).alias("cluster_id"),
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.explode(
-            _nearest_clusters(F.col("embedding"), centroids, nprobe)
+            _nearest_clusters("embedding", centroids, nprobe)
         ).alias("cluster_id"),
     )
     cos = cosine_sim(F.col("q_emb"), F.col("c_emb"))
