@@ -958,3 +958,71 @@ def h9_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         F.col("o_orderkey").cast("double").cast("bigint").alias("key_roundtrip"),
     )
+
+
+@query(
+    "h7_struct_map",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_from_struct,
+           o_totalprice AS price_from_struct,
+           o_totalprice AS price_from_map,
+           'o' || CAST(o_orderkey AS VARCHAR) AS tag
+    FROM orders
+    WHERE o_totalprice > 200000
+    """,
+)
+def h7_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access and map construction + key
+    lookup (SURVEY H7). The Spark side routes values through a real
+    STRUCT column and a MAP column and back out — proving the nested
+    type surface — while the oracle checks the recovered values.
+    Nested build+access is collapsed by Catalyst's
+    SimplifyExtractValueOps, so this costs nothing physical.
+    """
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    m = F.create_map(
+        F.lit("price"), F.col("o_totalprice"),
+        F.lit("half"), F.col("o_totalprice") / 2,
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("status").alias("status_from_struct"),
+        s.getField("price").alias("price_from_struct"),
+        F.element_at(m, F.lit("price")).alias("price_from_map"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("tag"),
+    )
+
+
+@query("d3_approx_count_distinct")
+def d3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per returnflag (SURVEY D3's
+    approx tier). At 100 TB this replaces exact COUNT(DISTINCT) — one
+    map-side sketch per partition, constant memory, no distinct
+    shuffle. Approximate → property-tested against the exact count
+    (tests/test_extensions.py), no SQL oracle.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+@query("d7_quantiles_approx")
+def d7_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles of extendedprice per
+    returnflag (SURVEY D7's approx tier) — mergeable sketches, single
+    pass, bounded error 1e-3. Property-tested against exact
+    percentile bounds; no SQL oracle.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 1000).alias(
+            "quantiles"
+        )
+    )

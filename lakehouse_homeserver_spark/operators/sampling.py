@@ -1,0 +1,118 @@
+"""Sampling & dataset-split operators — training-data pipeline staples.
+
+A 100 TB corpus is never consumed whole: pipelines carve
+deterministic train/eval splits, stratified subsamples for quality
+audits, and uniform samples for statistics. Three rules at scale:
+
+- **Hash-based splits, not random()**: membership must be a pure
+  function of the row key so it is stable across re-runs, engines,
+  and partitionings (random() changes under retry/reordering). The
+  split here is md5-based and reproduced bit-for-bit by the DuckDB
+  oracle.
+- **Map-only**: every operator below is a filter/projection — no
+  shuffle, no driver collection; sampling 100 TB costs one scan.
+- **Seeded Bernoulli for quick looks**: `df.sample(seed=)` is
+  deterministic per (seed, partitioning) — fine for interactive
+  stats, wrong for persistent splits; both are exposed, documented
+  apart.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table as T
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def split_bucket(key, buckets: int = 100) -> F.Column:
+    """Deterministic bucket 0..buckets-1 from a row key: first 8 hex
+    chars of md5 → int → mod. Engine-portable (md5 is md5 everywhere)
+    and key-stable — the contract a train/test split needs."""
+    col = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+SQL_BUCKET = (
+    "CAST(CAST('0x' || SUBSTRING(md5(CAST({key} AS VARCHAR)), 1, 8) AS BIGINT)"
+    " AS BIGINT) % 100"
+)
+
+
+@query(
+    "k6_hash_split",
+    oracle=f"""
+    SELECT CASE WHEN {SQL_BUCKET.format(key="doc_id")} < 80
+                THEN 'train' ELSE 'eval' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def k6_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/eval split of the corpus, audited per
+    language. Membership is a pure function of doc_id (md5 bucket), so
+    the split is identical across engines, re-runs, and cluster
+    layouts — verified bit-for-bit by the DuckDB oracle computing the
+    same md5 arithmetic.
+    """
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "split",
+            F.when(split_bucket("doc_id") < 80, "train").otherwise("eval"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query("k6_stratified_sample")
+def k6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Bernoulli sample: 50 % of en, 10 % of everything
+    else (the 'rebalance a skewed corpus' op). `sampleBy` evaluates a
+    seeded hash per row — map-only, no shuffle. Seeded → reproducible
+    within an engine; across engines it's property-tested (fraction
+    tolerance, strata containment), no SQL oracle.
+    """
+    d = T(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "fr": 0.1, "es": 0.1, "zh": 0.1, "de": 0.1}
+    return d.sampleBy("lang", fractions, seed=42).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query("k6_uniform_sample")
+def k6_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded uniform 10 % sample with per-source counts — the
+    interactive 'eyeball statistics' op. Property-tested bounds."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.sample(fraction=0.1, seed=7)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

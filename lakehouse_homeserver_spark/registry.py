@@ -28,6 +28,7 @@ def _load_modules():
         "asof",
         "timeseries",
         "sqlsurface",
+        "sampling",
     ):
         try:
             mods.append(

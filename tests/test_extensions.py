@@ -152,3 +152,90 @@ def test_exact_dedup_is_idempotent(spark, sf_dir):
         .count()
     )
     assert n1 == n2
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """HLL estimate within ~3x the configured 2% rsd of exact."""
+    from lakehouse_homeserver_spark.operators.relational import (
+        d3_approx_count_distinct,
+    )
+    from lakehouse_homeserver_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.o, r.p)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("o"),
+            F.countDistinct("l_partkey").alias("p"),
+        )
+        .collect()
+    }
+    for r in d3_approx_count_distinct(spark, sf_dir).collect():
+        eo, ep = exact[r.l_returnflag]
+        assert abs(r.approx_orders - eo) <= max(3, 0.06 * eo)
+        assert abs(r.approx_parts - ep) <= max(3, 0.06 * ep)
+
+
+def test_quantiles_approx_bounded_by_exact_neighbors(spark, sf_dir):
+    """Each approximate quantile must lie within the exact value range
+    at +/- 2% rank (the GK guarantee at accuracy=1000 is far tighter)."""
+    from lakehouse_homeserver_spark.operators.relational import (
+        d7_quantiles_approx,
+    )
+    from lakehouse_homeserver_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = {
+        r.l_returnflag: sorted(
+            x.l_extendedprice
+            for x in li.filter(F.col("l_returnflag") == r.l_returnflag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        for r in li.select("l_returnflag").distinct().collect()
+    }
+    for r in d7_quantiles_approx(spark, sf_dir).collect():
+        v = vals[r.l_returnflag]
+        n = len(v)
+        for q, est in zip([0.25, 0.5, 0.75, 0.95], r.quantiles):
+            lo = v[max(0, int((q - 0.02) * n) - 1)]
+            hi = v[min(n - 1, int((q + 0.02) * n))]
+            assert lo <= est <= hi
+
+
+def test_stratified_sample_containment_and_fractions(spark, sf_dir):
+    from lakehouse_homeserver_spark.operators.sampling import (
+        k6_stratified_sample,
+    )
+    from lakehouse_homeserver_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = k6_stratified_sample(spark, sf_dir)
+    counts = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    fractions = {"en": 0.5, "fr": 0.1, "es": 0.1, "zh": 0.1, "de": 0.1}
+    for lang, n in counts.items():
+        assert lang in fractions
+        frac = n / totals[lang]
+        assert abs(frac - fractions[lang]) < 0.15, (lang, frac)
+    # deterministic under the fixed seed
+    again = {
+        r.lang: r.n
+        for r in k6_stratified_sample(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert again == counts
+
+
+def test_hash_split_is_partition_of_corpus(spark, sf_dir):
+    from lakehouse_homeserver_spark.operators.sampling import k6_hash_split
+    from lakehouse_homeserver_spark.sources import load_table
+
+    total = load_table(spark, sf_dir, "documents").count()
+    rows = k6_hash_split(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == total
+    train = sum(r.n_docs for r in rows if r.split == "train")
+    assert 0.7 < train / total < 0.9

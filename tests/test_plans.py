@@ -98,6 +98,54 @@ def test_near_dup_no_cartesian(spark, sf_dir):
     assert_no_cartesian(similarity.k3_embedding_near_dup(spark, sf_dir))
 
 
+def test_tpch_q5_broadcasts_dims_and_pushes_filters(spark, sf_dir):
+    """The 6-way star join: region/nation/supplier (and customer at
+    fixture scale) must ride broadcast-hash joins — the only shuffle
+    should be the final groupBy — and the date-range predicate must
+    reach the orders parquet scan."""
+    from lakehouse_homeserver_spark.registry import all_queries
+
+    df = all_queries()["tpch_q5_local_supplier_volume"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed
+
+
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """EXISTS / IN / correlated-scalar subqueries must compile to
+    semi/anti/aggregate joins — per-row subquery re-execution would be
+    a driver-side loop at scale."""
+    from lakehouse_homeserver_spark.registry import all_queries
+
+    for q in ("sql_exists_correlated", "sql_in_subquery", "sql_scalar_subquery"):
+        df = all_queries()[q](spark, sf_dir)
+        assert_no_cartesian(df)
+        plan = formatted_plan(df)
+        assert "Subquery" not in plan.split("== Physical Plan ==")[-1].split(
+            "Subqueries"
+        )[0] or "Join" in plan
+
+
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    """IVF cluster assignment must not shuffle the corpus: the only
+    exchanges allowed are the broadcast of the probed queries and the
+    final top-k window shuffle (keyed by query_id, tiny)."""
+    df = similarity.k3_knn_ivf(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    # corpus side reaches the join via scan→project→filter only
+    assert "BroadcastExchange" in plan
+
+
+def test_range_frame_single_window_pass(spark, sf_dir):
+    from lakehouse_homeserver_spark.registry import all_queries
+
+    plan = formatted_plan(all_queries()["e3_window_range_frame"](spark, sf_dir))
+    assert plan.count("Window") >= 1
+    assert_no_cartesian(all_queries()["e3_window_range_frame"](spark, sf_dir))
+
+
 @pytest.mark.parametrize(
     "qname",
     [
@@ -108,6 +156,11 @@ def test_near_dup_no_cartesian(spark, sf_dir):
         "k1_dedup_exact_groups",
         "k2_ngram_jaccard",
         "k4_text_stats",
+        "tpch_q3_shipping_priority",
+        "tpch_q10_returned_items",
+        "sql_grouping_sets",
+        "d8_pivot",
+        "ts_rich_sessions",
     ],
 )
 def test_no_accidental_cartesian_anywhere(spark, sf_dir, qname):
