@@ -285,3 +285,17 @@ def e3_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_n",
         F.sum(dec("o_totalprice")).over(w).cast("double").alias("weekly_total"),
     )
+
+
+sql_query(
+    "h1_interval_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL '90' DAY AS DATE) AS due_date,
+           CAST(o_orderdate - INTERVAL '3' DAY AS DATE) AS gc_cutoff_style,
+           o_orderdate + INTERVAL '90' DAY
+               > TIMESTAMP '2001-06-01 00:00:00' AS past_horizon
+    FROM orders
+    WHERE o_orderdate + INTERVAL '30' DAY >= TIMESTAMP '2001-01-01 00:00:00'
+    """,
+)

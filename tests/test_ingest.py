@@ -83,3 +83,25 @@ def test_empty_source_is_noop(spark, lh, tmp_path):
     assert lh.load_full("nothing", str(empty)) == 0
     assert lh.load_incremental("nothing", str(empty)) == 0
     assert not spark.catalog.tableExists("src.nothing")
+
+
+def test_expire_snapshots_is_safe_and_table_survives(spark, lh, landing):
+    """A10 maintenance seam: expire_snapshots after a load must not
+    disturb the table (no-op on plain parquet; VACUUM with Delta)."""
+    n = lh.load_full("lineitem", landing)
+    assert n > 0
+    lh.expire_snapshots("lineitem", retain_days=3)
+    assert lh.table("lineitem").count() == n
+
+
+def test_full_then_incremental_roundtrip(spark, lh, landing):
+    """The reference's documented workflow (README.md:56-61): full load
+    first, then incremental runs picking up only newer drops."""
+    lh.load_full("lineitem", landing)
+    base = lh.table("lineitem").count()
+    # incremental now appends the two files full-load skipped
+    added = lh.load_incremental("lineitem", landing)
+    assert added > 0
+    assert lh.table("lineitem").count() == base + added
+    # and is idempotent on re-run
+    assert lh.load_incremental("lineitem", landing) == 0
