@@ -1026,3 +1026,61 @@ def d7_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quantiles"
         )
     )
+
+
+@query(
+    "c8_salted_skew_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {rev} AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """.format(
+        rev="CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+    ),
+)
+def c8_salted_skew_join(
+    spark: SparkSession, sf_dir: str, salt_buckets: int = 8
+) -> DataFrame:
+    """Manually salted fact-to-fact join (the pre-AQE skew weapon,
+    still needed when one key dominates beyond what AQE's split
+    threshold catches). Semantics-neutral — the oracle is the plain
+    join.
+
+    Build side replicates each row salt_buckets times with salt
+    0..S-1; probe side computes a deterministic salt from the row
+    hash. The join key becomes (key, salt), so a hot key's rows
+    spread over S reducers instead of one. Replication cost is S× the
+    BUILD side only — choose the smaller input. AQE's runtime skew
+    split (spark.sql.adaptive.skewJoin) makes this unnecessary for
+    moderate skew; the operator documents the heavy-artillery form.
+    """
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = T(spark, sf_dir, "lineitem")
+    salted_build = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)]))
+    )
+    salted_probe = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salt_buckets)).cast(
+            "int"
+        ),
+    )
+    return (
+        salted_probe.join(
+            salted_build,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (salted_probe["salt"] == salted_build["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -4,6 +4,7 @@ whether a query survives a 100× scale-up, checked mechanically."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from lakehouse_homeserver_spark.operators import dedup, relational, similarity
 from lakehouse_homeserver_spark.plans import (
@@ -167,3 +168,47 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir, qname):
     from lakehouse_homeserver_spark.registry import all_queries
 
     assert_no_cartesian(all_queries()[qname](spark, sf_dir))
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key co-locates matching rows:
+    the sort-merge join must contain ZERO shuffle exchanges — the
+    physical contract that makes repeated fact-fact joins affordable
+    at 100 TB (shuffle once at write time, never again at read)."""
+    from lakehouse_homeserver_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed")
+    for name, df, key in (("b_orders", o, "o_orderkey"), ("b_lineitem", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS bucketed.{name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(f"bucketed.{name}")
+        )
+    # Force the sort-merge path: at fixture scale orders fits the
+    # broadcast threshold and the planner would (correctly) broadcast
+    # instead of using bucketing. At 100 TB neither side broadcasts —
+    # that's the regime this test pins down.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("bucketed.b_lineitem")
+            .join(
+                spark.table("bucketed.b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+        )
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("b_orders", "b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS bucketed.{name}")
