@@ -24,6 +24,7 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StructField,
     StructType,
@@ -186,4 +187,61 @@ def k5_frame_sample(spark: SparkSession, sf_dir: str, every: int = 7) -> DataFra
                 F.expr("substring(payload, frame_no * 16 + 1, 16)")
             ).alias("frame_digest"),
         )
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("thumb", BinaryType()),
+        StructField("orig_bytes", LongType()),
+        StructField("thumb_bytes", LongType()),
+    ]
+)
+
+
+def resize_batches(target_bytes: int):
+    """Binary→binary transform factory (the 'resize' stage shape).
+
+    The stub derives a deterministic fixed-size thumbnail from the
+    payload digest; a real deployment swaps the body for PIL
+    thumbnail encoding. The signature — Arrow batches of binary in,
+    Arrow batches of binary out, bounded output size — is the part
+    that matters for the pipeline.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            digests = pdf["payload"].map(
+                lambda b: hashlib.md5(bytes(b)).digest()
+            )
+            reps = (target_bytes + 15) // 16
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": digests.map(lambda d: (d * reps)[:target_bytes]),
+                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                    "thumb_bytes": target_bytes,
+                }
+            )
+
+    return fn
+
+
+@query("k5_resize_stub")
+def k5_resize_stub(
+    spark: SparkSession, sf_dir: str, target_bytes: int = 64
+) -> DataFrame:
+    """Resize/thumbnail stage (SURVEY K5): binary in → smaller binary
+    out via Arrow-batched mapInPandas, payload never visits the
+    driver. Output size is bounded by construction — the property
+    that keeps a 100 TB image-resize job's shuffle/write volume
+    predictable. Rows-only (codec stubbed; shape property-tested).
+    """
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "payload").mapInPandas(
+        resize_batches(target_bytes), RESIZE_SCHEMA
     )

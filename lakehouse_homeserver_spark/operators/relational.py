@@ -1084,3 +1084,64 @@ def c8_salted_skew_join(
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "e1_window_pct",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def e1_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows: percent_rank / cume_dist / ntile
+    (SURVEY E1's statistical tier). Unique (price, key) sort order
+    makes ranks deterministic; round(6) absorbs the one division both
+    engines do on identical integer operands."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "d9_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS val
+      FROM lineitem WHERE l_linenumber <= 2
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_linenumber <= 2
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_linenumber <= 2
+    )
+    """,
+)
+def d9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide measures → long (measure, val) rows — the
+    inverse of d8_pivot, one narrow projection + generator, no shuffle
+    (SURVEY D family). The oracle spells it as the equivalent UNION ALL."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_extendedprice", "price")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )

@@ -239,3 +239,15 @@ def test_hash_split_is_partition_of_corpus(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == total
     train = sum(r.n_docs for r in rows if r.split == "train")
     assert 0.7 < train / total < 0.9
+
+
+def test_resize_stub_bounded_and_deterministic(spark, sf_dir):
+    df = multimodal.k5_resize_stub(spark, sf_dir, target_bytes=64)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert len(r.thumb) == 64
+        assert r.thumb_bytes == 64
+        assert r.orig_bytes > 0
+    again = {r.doc_id: bytes(r.thumb) for r in df.collect()}
+    assert {r.doc_id: bytes(r.thumb) for r in rows} == again
