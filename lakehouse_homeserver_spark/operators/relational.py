@@ -1145,3 +1145,79 @@ def d9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("measure") == "l_discount", "discount")
         .otherwise("tax"),
     )
+
+
+@query(
+    "c6_range_join_bucketized",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE))
+                AS BIGINT) AS min_lag_days
+    FROM orders JOIN lineitem
+      ON l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL '4' DAY
+    WHERE o_orderpriority = '1-URGENT' AND l_quantity > 45
+    GROUP BY o_orderstatus
+    """,
+)
+def c6_range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact interval join via time-bucketing (SURVEY C6's
+    scale path). A naive `ON ts BETWEEN lo AND hi` between two fact
+    tables is a broadcast-nested-loop → O(n·m). Bucketizing converts
+    it to an equi-join: each orders row is replicated to the ceil(w/b)
+    week-buckets its 4-day window can touch (≤2 here), lineitem maps
+    to exactly one bucket, the join key is an integer, and the range
+    predicate refines the coarse matches. Both sides shuffle once on
+    the bucket key — sort-merge/hash territory, skew-safe, no
+    cross product (asserted in tests/test_plans.py). The selective
+    filters push to both scans; without them a 4-day all-pairs window
+    over the full tables genuinely yields ~150M pairs at sf0.1 — a
+    reminder that interval-join cost is output-bound, not plan-bound.
+    """
+    bucket_days = 7
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "o_day"
+        ),
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        "l_orderkey",
+        "l_shipdate",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias(
+            "l_day"
+        ),
+    )
+    # orders row covers days [o_day, o_day+3] → its window may span
+    # bucket(o_day) and bucket(o_day+3); sequence emits each once.
+    o_bucketed = o.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("o_day") / bucket_days).cast("int"),
+                ((F.col("o_day") + 3) / bucket_days).cast("int"),
+            )
+        ),
+    )
+    li_bucketed = li.withColumn(
+        "bucket", (F.col("l_day") / bucket_days).cast("int")
+    )
+    return (
+        li_bucketed.join(o_bucketed, "bucket")
+        .filter(
+            (F.col("l_day") >= F.col("o_day"))
+            & (F.col("l_day") < F.col("o_day") + 4)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.col("l_day") - F.col("o_day"))
+            .cast("bigint")
+            .alias("min_lag_days"),
+        )
+    )

@@ -158,6 +158,8 @@ def test_range_frame_single_window_pass(spark, sf_dir):
         "k2_ngram_jaccard",
         "k4_text_stats",
         "tpch_q3_shipping_priority",
+        "c6_range_join_bucketized",
+        "c8_salted_skew_join",
         "tpch_q10_returned_items",
         "sql_grouping_sets",
         "d8_pivot",
