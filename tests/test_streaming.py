@@ -161,3 +161,26 @@ def test_stream_dedup_drops_duplicates(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_ingest_to_catalog_table(spark, sf_dir, tmp_path):
+    """I6: writeStream.toTable — the streaming sink lands in a
+    catalog-managed table (the reference's `writeTo(...).append()`
+    generalized to continuous ingestion)."""
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.prepare_events_landing(spark, sf_dir, landing, slices=2)
+    spark.sql("CREATE DATABASE IF NOT EXISTS streamsink")
+    spark.sql("DROP TABLE IF EXISTS streamsink.events_stream")
+    src = jobs.read_file_stream(spark, landing, jobs.events_schema())
+    q = (
+        src.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", str(tmp_path / "tbl"))
+        .trigger(availableNow=True)
+        .toTable("streamsink.events_stream")
+    )
+    q.awaitTermination()
+    total = load_table(spark, sf_dir, "events").count()
+    assert spark.table("streamsink.events_stream").count() == total
+    spark.sql("DROP TABLE IF EXISTS streamsink.events_stream")
