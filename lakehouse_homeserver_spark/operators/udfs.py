@@ -1,0 +1,120 @@
+"""Vectorized Python UDF surface — SURVEY.md §2.J.
+
+The engine's rule is UDF-as-last-resort (everything in relational.py
+is pure expression code), but the surface itself must exist and be
+fast when semantics genuinely need Python (numpy/scipy-style math,
+model inference). Both demos here are Arrow-batched — data crosses
+the JVM↔Python boundary as columnar batches, never row-at-a-time:
+
+- scalar `pandas_udf`: per-batch numpy over an array column
+  (embedding L2-normalization — the preprocessing step every vector
+  pipeline runs before cosine/IP search).
+- grouped-map `applyInPandas`: one pandas frame per group (per-label
+  covariance-trace / dispersion stats — the "how tight is this
+  cluster" audit; oracle-checkable because trace(cov) = Σ per-dim
+  population variance, which the DuckDB oracle reproduces).
+
+Scale notes: scalar pandas_udfs stream batch-by-batch with bounded
+memory. applyInPandas materializes ONE GROUP per worker — safe here
+(labels are balanced, 10 groups) but the docstring warns: a skewed
+group key is an OOM, prefer built-in aggs unless the math needs a
+full-group matrix.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+from ..sources import load_table as T
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def l2_normalize(v: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: L2-normalize each vector, vectorized numpy
+    per Arrow batch (no per-row Python)."""
+    import numpy as np
+
+    mat = np.stack(v.to_numpy())
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return pd.Series(list((mat / norms).astype("float32")))
+
+
+@query("j_normalize_embeddings")
+def j_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-normalization via scalar pandas_udf (SURVEY J).
+    Rows-only; the unit-norm property is asserted in tests (JVM-side
+    norm of the Python-produced vectors == 1 within float32 eps)."""
+    e = T(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", l2_normalize("embedding").alias("unit_embedding")
+    )
+
+
+def _label_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    var = mat.var(axis=0)  # population variance per dim
+    return pd.DataFrame(
+        {
+            "label": [int(pdf["label"].iloc[0])],
+            "n_vecs": [len(pdf)],
+            "cov_trace": [round(float(var.sum()), 6)],
+            "max_dim_var": [round(float(var.max()), 6)],
+        }
+    )
+
+
+@query(
+    "j_label_dispersion",
+    oracle="""
+    WITH unnested AS (
+      SELECT label, g.i AS dim_idx, CAST(embedding[g.i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS g(i)
+    ), per_dim AS (
+      SELECT label, dim_idx, var_pop(v) AS dim_var, COUNT(*) AS n
+      FROM unnested GROUP BY label, dim_idx
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           ROUND(SUM(dim_var), 6) AS cov_trace,
+           ROUND(MAX(dim_var), 6) AS max_dim_var
+    FROM per_dim GROUP BY label
+    """,
+)
+def j_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster dispersion via grouped-map applyInPandas (SURVEY J):
+    each label's full vector matrix lands in one pandas frame, numpy
+    computes the covariance trace. Oracle parity holds because
+    trace(cov) = Σ per-dim population variances and numpy's two-pass
+    variance matches DuckDB's var_pop at 6 dp (both are exact
+    two-pass algorithms; rounding absorbs summation-order noise).
+
+    Scale caveat in module docstring: one group must fit one worker —
+    for skewed/huge groups use built-in aggregation (see
+    k3_centroid_by_label for the streaming-friendly form).
+    """
+    e = T(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(
+        _label_stats,
+        "label bigint, n_vecs bigint, cov_trace double, max_dim_var double",
+    )

@@ -29,6 +29,7 @@ def _load_modules():
         "timeseries",
         "sqlsurface",
         "sampling",
+        "udfs",
     ):
         try:
             mods.append(

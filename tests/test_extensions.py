@@ -251,3 +251,16 @@ def test_resize_stub_bounded_and_deterministic(spark, sf_dir):
         assert r.orig_bytes > 0
     again = {r.doc_id: bytes(r.thumb) for r in df.collect()}
     assert {r.doc_id: bytes(r.thumb) for r in rows} == again
+
+
+def test_normalize_embeddings_unit_norm(spark, sf_dir):
+    """Scalar pandas_udf output: every vector has L2 norm 1 (float32
+    eps), verified JVM-side so the Arrow roundtrip is part of the test."""
+    from lakehouse_homeserver_spark.functions.vectors import l2_norm
+    from lakehouse_homeserver_spark.operators.udfs import j_normalize_embeddings
+
+    df = j_normalize_embeddings(spark, sf_dir)
+    norms = df.select(l2_norm(F.col("unit_embedding")).alias("n")).collect()
+    assert norms
+    for r in norms:
+        assert abs(r.n - 1.0) < 1e-5
