@@ -1221,3 +1221,25 @@ def c6_range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("min_lag_days"),
         )
     )
+
+
+@query(
+    "g_intersect_all",
+    oracle="""
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def g_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each partkey kept min(countA,
+    countR) times (SURVEY G). Catalyst plans it as a single left-semi
+    style hash join on (value, occurrence) — no distinct collapse."""
+    li = T(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return a.intersectAll(r)
