@@ -58,9 +58,18 @@ class TableFormat:
 class Lakehouse:
     """The ELT entry point (reference CLI equivalent, README.md:52-61)."""
 
-    def __init__(self, spark: SparkSession, fmt: TableFormat | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        fmt: TableFormat | None = None,
+        source_format: str = "parquet",
+    ):
         self.spark = spark
         self.fmt = fmt or TableFormat()
+        # landing-file format: parquet (reference parity), or json/csv
+        # for extractors that drop those (schema inferred on read,
+        # same schema-on-read contract either way)
+        self.source_format = source_format
         # A8: CREATE NAMESPACE IF NOT EXISTS (extract_load.py:79)
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {SRC_NS}")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {META_NS}")
@@ -78,10 +87,11 @@ class Lakehouse:
         prefix = os.path.join(landing_dir, table)
         if not os.path.isdir(prefix):
             return []
+        suffix = "." + self.source_format
         return sorted(
             os.path.join(prefix, f)
             for f in os.listdir(prefix)
-            if f.endswith(".parquet")
+            if f.endswith(suffix)
         )
 
     # -- bookkeeping (A3/A4: extract_load.py:55-66) ------------------------
@@ -109,8 +119,15 @@ class Lakehouse:
 
     # -- loads (A5/A6/A7: extract_load.py:75-110,118-165) ------------------
     def _read(self, paths: list[str]) -> DataFrame:
-        """A1: multi-file parquet scan, schema-on-read (:68-73)."""
-        return self.spark.read.parquet(*paths)
+        """A1: multi-file scan, schema-on-read (:68-73). json/csv infer
+        schema (csv with header) — same contract, different codec."""
+        if self.source_format == "parquet":
+            return self.spark.read.parquet(*paths)
+        if self.source_format == "json":
+            return self.spark.read.json(list(paths))
+        if self.source_format == "csv":
+            return self.spark.read.csv(list(paths), header=True, inferSchema=True)
+        raise ValueError(f"unsupported source format {self.source_format!r}")
 
     def load_full(self, table: str, landing_dir: str) -> int:
         """Full load: newest landing file replaces the table (:145-152).
@@ -183,3 +200,58 @@ class Lakehouse:
 
     def table(self, table: str) -> DataFrame:
         return self.spark.table(f"{SRC_NS}.{table}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI mirroring the reference's entry point (README.md:56-61):
+
+        python -m lakehouse_homeserver_spark.sources.ingest \\
+            <table> <full|incremental> [landing_dir] [--format parquet|json|csv]
+
+    Same contract: empty source → clean exit 0 (:141-143); any error →
+    traceback + exit 1 (:176-180); per-load snapshot GC (:167-171).
+    """
+    import argparse
+    import traceback
+
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(prog="ingest")
+    p.add_argument("table")
+    p.add_argument("load_type", choices=["full", "incremental"])
+    p.add_argument("landing_dir", nargs="?", default="./landing")
+    p.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
+    args = p.parse_args(argv)
+
+    # Persistent catalog for cross-run state (the reference uses a
+    # REST catalog + Postgres for the same reason, extract_load.py:42-46):
+    # Spark's default in-memory catalog forgets tables between CLI
+    # invocations while their warehouse dirs survive -> re-runs would
+    # hit LOCATION_ALREADY_EXISTS. Hive catalogImplementation persists
+    # the metastore (local Derby) next to the warehouse.
+    spark = get_spark(
+        app_name=f"ingest-{args.table}",
+        extra_conf={"spark.sql.catalogImplementation": "hive"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        lh = Lakehouse(spark, source_format=args.format)
+        if args.load_type == "full":
+            n = lh.load_full(args.table, args.landing_dir)
+        else:
+            n = lh.load_incremental(args.table, args.landing_dir)
+        if n == 0:
+            print(f"{args.table}: no new data — nothing to do")
+            return 0
+        lh.expire_snapshots(args.table)
+        print(f"{args.table}: loaded {n} rows ({args.load_type})")
+        return 0
+    except Exception:
+        traceback.print_exc()
+        return 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
