@@ -98,9 +98,9 @@ def k4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> list_contains(['the','a','of','and','to','in','is'], x)))
                  AS DOUBLE) / LEN(toks) AS stopword_ratio,
              CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) AS ttr,
-             CASE WHEN LENGTH(nt) BETWEEN 100 AND 5000 THEN 1.0
+             CAST(CASE WHEN LENGTH(nt) BETWEEN 100 AND 5000 THEN 1.0
                   WHEN LENGTH(nt) BETWEEN 30 AND 20000 THEN 0.5
-                  ELSE 0.0 END AS len_score
+                  ELSE 0.0 END AS DOUBLE) AS len_score
       FROM t
     )
     SELECT doc_id, n_words, stopword_ratio, ttr, len_score,

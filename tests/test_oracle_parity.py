@@ -21,8 +21,13 @@ ORACLES = all_oracles()
 
 
 def _norm(v):
+    # NB: deliberately NOT converting Decimal -> float. A Decimal in
+    # oracle output means the SQL has an unCASTed decimal literal/agg
+    # that the driver's value-hash will see as a different value than
+    # Spark's double — fail loudly here instead (bit k4_quality_score:
+    # a bare `1.0` CASE literal is DECIMAL(2,1) in DuckDB).
     if isinstance(v, Decimal):
-        return float(v)
+        return v
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
