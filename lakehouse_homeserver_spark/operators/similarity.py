@@ -29,7 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_sim, dot, l2_norm
+from ..functions.vectors import cosine_sim, dot
 from ..sources import load_table as T
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

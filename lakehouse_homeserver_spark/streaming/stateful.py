@@ -24,7 +24,6 @@ is O(#distinct event types), bounded.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import pandas as pd
