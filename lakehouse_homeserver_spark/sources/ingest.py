@@ -201,6 +201,37 @@ class Lakehouse:
     def table(self, table: str) -> DataFrame:
         return self.spark.table(f"{SRC_NS}.{table}")
 
+    def compact(self, table: str, target_files: int = 1) -> int:
+        """Small-file compaction (the OPTIMIZE every lakehouse needs):
+        incremental appends leave one file per load; rewrite the table
+        into target_files files. At cluster scale target_files ≈
+        table_bytes / 512 MiB. Returns the row count (sanity echo).
+
+        Implementation note: Spark refuses to overwrite a table that
+        its own plan reads (UNSUPPORTED_OVERWRITE) — `localCheckpoint`
+        materializes the rows and severs the lineage so the rewrite is
+        a plain write. (On a cluster with unreliable executors, stage
+        through a temp table instead.)
+        """
+        target = f"{SRC_NS}.{table}"
+        df = self.spark.table(target).localCheckpoint(eager=True)
+        n = df.count()
+        self.fmt.create_or_replace(df.coalesce(target_files), target)
+        return n
+
+    def optimize_layout(self, table: str, sort_cols: list[str]) -> None:
+        """Rewrite the table range-partitioned + sorted on sort_cols so
+        parquet row-group min/max stats become selective — the poor
+        man's Z-ORDER (single-dimension clustering). Filters on the
+        sort prefix then skip row groups at scan time.
+        """
+        target = f"{SRC_NS}.{table}"
+        df = self.spark.table(target).localCheckpoint(eager=True)
+        rewritten = df.repartitionByRange(*sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+        self.fmt.create_or_replace(rewritten, target)
+
 
 def main(argv: list[str] | None = None) -> int:
     """CLI mirroring the reference's entry point (README.md:56-61):

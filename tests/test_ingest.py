@@ -105,3 +105,37 @@ def test_full_then_incremental_roundtrip(spark, lh, landing):
     assert lh.table("lineitem").count() == base + added
     # and is idempotent on re-run
     assert lh.load_incremental("lineitem", landing) == 0
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, lh, landing):
+    import glob as g
+
+    lh.load_full("lineitem", landing)
+    added = lh.load_incremental("lineitem", landing)
+    assert added > 0
+    n_before = lh.table("lineitem").count()
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED src.lineitem")
+        .filter("col_name = 'Location'")
+        .collect()[0][1]
+    ).replace("file:", "")
+    files_before = len(g.glob(os.path.join(loc, "*.parquet")))
+    n = lh.compact("lineitem", target_files=1)
+    files_after = len(g.glob(os.path.join(loc, "*.parquet")))
+    assert n == n_before
+    assert lh.table("lineitem").count() == n_before
+    assert files_after <= files_before
+    assert files_after == 1
+
+
+def test_optimize_layout_sorts_and_preserves(spark, lh, landing):
+    lh.load_full("lineitem", landing)
+    before = lh.table("lineitem").count()
+    lh.optimize_layout("lineitem", ["l_shipdate"])
+    after_df = lh.table("lineitem")
+    assert after_df.count() == before
+    # a shipdate range filter must push to the (now clustered) scan
+    from lakehouse_homeserver_spark.plans import pushed_filters
+
+    q = after_df.filter("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'")
+    assert any("l_shipdate" in p for p in pushed_filters(q))
