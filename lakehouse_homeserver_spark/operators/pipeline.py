@@ -1,0 +1,130 @@
+"""End-to-end training-corpus preparation — the composition story.
+
+Individual operators (dedup, quality, split, token stats) are useful
+alone; a real pipeline chains them. This module's single query runs
+the canonical pre-training data flow over `documents`:
+
+    exact-dedup (keep lowest doc_id per normalized-text group)
+      → quality gate (heuristic score ≥ τ)
+      → deterministic train/eval split (md5 bucket of doc_id)
+      → per-(split, lang) audit: docs kept, tokens, mean quality
+
+and the DuckDB oracle reproduces the whole chain in SQL — proof that
+the composition, not just each stage, is semantically exact.
+
+Scale shape: one hash-partitioned window for the dedup keeper, then
+map-only scoring/splitting, then one tiny groupBy. No joins, no
+skew-prone keys (the dedup partition key is a 128-bit digest).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table as T
+from .dedup import SQL_NORM, norm_text
+from .sampling import SQL_BUCKET, split_bucket
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+QUALITY_MIN = 0.5
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@query(
+    "k7_training_corpus",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, {SQL_NORM} AS nt,
+             string_split({SQL_NORM}, ' ') AS toks
+      FROM documents
+    ), dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(nt)
+                                     ORDER BY doc_id) AS rn
+        FROM base
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT doc_id, lang, toks,
+             (CAST(CASE WHEN LENGTH(nt) BETWEEN 100 AND 5000 THEN 1.0
+                        WHEN LENGTH(nt) BETWEEN 30 AND 20000 THEN 0.5
+                        ELSE 0.0 END AS DOUBLE)
+              + CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks)
+              + LEAST(4.0 * CAST(LEN(list_filter(toks,
+                    x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                    AS DOUBLE) / LEN(toks), 1.0)) / 3 AS quality
+      FROM dedup
+    ), gated AS (
+      SELECT *, CASE WHEN {SQL_BUCKET.format(key="doc_id")} < 80
+                     THEN 'train' ELSE 'eval' END AS split
+      FROM scored WHERE quality >= {QUALITY_MIN}
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens,
+           ROUND(SUM(quality) / COUNT(*), 6) AS mean_quality
+    FROM gated GROUP BY split, lang
+    """,
+)
+def k7_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training pipeline (SURVEY K1+K4+K6 chained);
+    audit rollup per (split, lang). Every stage is the library
+    operator's exact semantics — the oracle runs the identical chain
+    in SQL, so composition correctness is hash-checked, not assumed.
+    """
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", norm_text(F.col("text")).alias("nt")
+    ).withColumn("toks", F.split("nt", " "))
+
+    # stage 1 — exact dedup, keep lowest doc_id per content group
+    w = Window.partitionBy(F.md5("nt")).orderBy("doc_id")
+    deduped = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # stage 2 — heuristic quality score (same formula as k4_quality_score)
+    toks = F.col("toks")
+    n_words = F.size(toks)
+    stop = F.array([F.lit(x) for x in ["the", "a", "of", "and", "to", "in", "is"]])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast("double")
+        / n_words
+    )
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_words
+    ln = F.length("nt")
+    len_score = (
+        F.when(ln.between(100, 5000), 1.0)
+        .when(ln.between(30, 20000), 0.5)
+        .otherwise(0.0)
+    )
+    quality = (len_score + ttr + F.least(4.0 * stop_ratio, F.lit(1.0))) / 3
+    scored = deduped.withColumn("quality", quality)
+
+    # stage 3 — quality gate + deterministic split
+    gated = scored.filter(F.col("quality") >= QUALITY_MIN).withColumn(
+        "split",
+        F.when(split_bucket("doc_id") < 80, "train").otherwise("eval"),
+    )
+
+    # stage 4 — audit rollup
+    return gated.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("total_tokens"),
+        F.round(F.sum("quality") / F.count(F.lit(1)), 6).alias("mean_quality"),
+    )

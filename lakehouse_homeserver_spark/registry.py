@@ -30,6 +30,7 @@ def _load_modules():
         "sqlsurface",
         "sampling",
         "udfs",
+        "pipeline",
     ):
         try:
             mods.append(
