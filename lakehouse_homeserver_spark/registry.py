@@ -25,7 +25,6 @@ def _load_modules():
         "similarity",
         "text",
         "multimodal",
-        "asof",
         "timeseries",
         "sqlsurface",
         "sampling",
