@@ -75,3 +75,25 @@ def test_all_queries_run(spark, sf_dir):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "k6_hash_split", "tpch_q5_local_supplier_volume",
+     "k3_centroid_by_label", "ts_rich_sessions"],
+)
+def test_results_invariant_to_partitioning(name, spark, sf_dir):
+    """The order-independence contract: decimal-exact sums and
+    hash-based ops must produce IDENTICAL values regardless of
+    parallelism — re-run with a co-prime shuffle partition count and
+    compare full result sets."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    df1 = QUERIES[name](spark, sf_dir)
+    r1 = _normalize_rows([tuple(r) for r in df1.collect()], df1.columns)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        df2 = QUERIES[name](spark, sf_dir)
+        r2 = _normalize_rows([tuple(r) for r in df2.collect()], df2.columns)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert r1 == r2
