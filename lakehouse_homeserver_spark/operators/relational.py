@@ -1243,3 +1243,62 @@ def g_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("partkey")
     )
     return a.intersectAll(r)
+
+
+@query(
+    "h2_regex_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           translate(p_type, 'AEIOU', 'aeiou') AS tr_type,
+           lpad(p_brand, 12, '*') AS lp,
+           rpad(p_brand, 12, '.') AS rp,
+           LENGTH(regexp_replace(p_name, '[^ ]', '', 'g')) + 1 AS word_count
+    FROM part
+    """,
+)
+def h2_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex replace / translate / padding (SURVEY H2's mutation tier;
+    h2_string_funcs covers the extraction tier). Note the dialect trap
+    baked into the pairing: Spark regexp_replace is global by default,
+    DuckDB needs the explicit 'g' flag."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("tr_type"),
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_brand", 12, ".").alias("rp"),
+        (
+            F.length(F.regexp_replace("p_name", "[^ ]", "")) + 1
+        ).cast("bigint").alias("word_count"),
+    )
+
+
+@query(
+    "h3_calendar_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           weekofyear(o_orderdate) AS iso_week,
+           dayname(o_orderdate) AS weekday_name,
+           CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR)
+               AS week_start
+    FROM orders
+    """,
+)
+def h3_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar functions (SURVEY H3's calendar tier): month-end, ISO
+    week number, weekday name, week start. Both engines use ISO week
+    semantics and Monday week starts; dates stringified for a
+    representation-stable hash."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        F.date_format("o_orderdate", "EEEE").alias("weekday_name"),
+        F.date_trunc("week", "o_orderdate").cast("date").cast("string").alias(
+            "week_start"
+        ),
+    )
