@@ -165,7 +165,7 @@ def k2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_tok", F.size("tokens"))
     vocab = [
         r.t
-        for r in toks.select(F.explode("tokens").alias("t")).distinct().limit(65).collect()
+        for r in toks.select(F.explode("tokens").alias("t")).distinct().limit(64).collect()
     ]
 
     size_ok = (F.col("a.n_tok") * 5 >= F.col("b.n_tok") * 4) & (
@@ -175,7 +175,10 @@ def k2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id") < F.col("b.doc_id")
     )
 
-    if len(vocab) <= 64:
+    # ≤ 63 (not 64): bit index 63 would emit 1 << 63 as a Python int
+    # literal, which overflows Spark's signed long at expression-build
+    # time; the sign bit is simply left unused.
+    if len(vocab) <= 63:
         bit = dict(zip(sorted(vocab), range(len(vocab))))
         mask_map = F.create_map(
             *[x for t, i in bit.items() for x in (F.lit(t), F.lit(1 << i))]

@@ -91,28 +91,78 @@ def k6_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("k6_stratified_sample")
+def _binomial_ok(n_sampled, n_total, frac: float) -> F.Column:
+    """|observed − f·n| ≤ 5·sqrt(f(1−f)n) + 1 — a ~5-sigma binomial
+    bound, deterministic-in-practice (P(false alarm) ~ 1e-6 per
+    stratum) yet meaningful at every stratum size and scale factor.
+    This is how seeded-engine-specific samples get a cross-engine
+    oracle: the oracle recomputes the exact stratum sizes and pins the
+    bound column to TRUE (VERDICT round-1 item 9)."""
+    expect = F.lit(frac) * n_total
+    slack = F.lit(5.0) * F.sqrt(F.lit(frac * (1.0 - frac)) * n_total) + F.lit(1.0)
+    return F.abs(n_sampled - expect) <= slack
+
+
+@query(
+    "k6_stratified_sample",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_total, TRUE AS frac_ok
+    FROM documents GROUP BY lang
+    """,
+)
 def k6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified Bernoulli sample: 50 % of en, 10 % of everything
     else (the 'rebalance a skewed corpus' op). `sampleBy` evaluates a
-    seeded hash per row — map-only, no shuffle. Seeded → reproducible
-    within an engine; across engines it's property-tested (fraction
-    tolerance, strata containment), no SQL oracle.
+    seeded hash per row — map-only, no shuffle.
+
+    Output = per-stratum audit: exact stratum size (a real value the
+    DuckDB oracle recomputes) + the sampled-fraction bound boolean.
     """
     d = T(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "fr": 0.1, "es": 0.1, "zh": 0.1, "de": 0.1}
-    return d.sampleBy("lang", fractions, seed=42).select(
-        "doc_id", "lang", "source"
+    tot = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    samp = (
+        d.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    frac = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in fractions.items()],
+        F.lit(0.0),
+    )
+    joined = tot.join(samp, "lang", "left").fillna(0, subset=["n_sampled"])
+    expect = frac * F.col("n_total")
+    slack = F.lit(5.0) * F.sqrt(frac * (F.lit(1.0) - frac) * F.col("n_total")) + 1.0
+    return joined.select(
+        "lang",
+        "n_total",
+        (F.abs(F.col("n_sampled") - expect) <= slack).alias("frac_ok"),
     )
 
 
-@query("k6_uniform_sample")
+@query(
+    "k6_uniform_sample",
+    oracle="""
+    SELECT source, COUNT(*) AS n_total, TRUE AS frac_ok
+    FROM documents GROUP BY source
+    """,
+)
 def k6_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded uniform 10 % sample with per-source counts — the
-    interactive 'eyeball statistics' op. Property-tested bounds."""
+    """Seeded uniform 10 % sample audited per source — the interactive
+    'eyeball statistics' op. Same bound-boolean oracle pattern as
+    k6_stratified_sample; the exact per-source totals are real value
+    columns the oracle recomputes independently.
+    """
     d = T(spark, sf_dir, "documents")
-    return (
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    samp = (
         d.sample(fraction=0.1, seed=7)
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    joined = tot.join(samp, "source", "left").fillna(0, subset=["n_sampled"])
+    return joined.select(
+        "source",
+        "n_total",
+        _binomial_ok(F.col("n_sampled"), F.col("n_total"), 0.1).alias("frac_ok"),
     )

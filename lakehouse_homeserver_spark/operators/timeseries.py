@@ -90,14 +90,14 @@ def c7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_sessionize",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {30 * MIN_US}
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM flagged
     )
@@ -117,7 +117,10 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     ts_us = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tie-breaker: with duplicate ts, peer order under a ROWS
+    # frame is engine-unspecified — a session-opening row could land
+    # on either side of its twin and shift every session_idx after it.
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     gap = 30 * MIN_US

@@ -81,9 +81,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     confs (AQE, timezone, shuffle partitions) are applied here so
     query semantics match `get_spark` sessions.
     """
+    from pyspark.errors import AnalysisException
+
     for k, v in default_conf().items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # static conf on a live session — keep going
+        except AnalysisException as e:
+            # Only static confs are expected to be un-settable on a
+            # live session; anything else (typo'd key, bad value)
+            # must surface — a silently-missed conf changes query
+            # semantics (e.g. timezone) in ways the oracle catches 50
+            # queries later with no cause attached.
+            if "static" not in str(e).lower():
+                raise
     return spark

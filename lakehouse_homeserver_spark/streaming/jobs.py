@@ -189,13 +189,13 @@ def prepare_events_landing(
 
     os.makedirs(landing_dir, exist_ok=True)
     events = load_table(spark, sf_dir, "events")
-    n = events.count()
-    per = (n + slices - 1) // slices
+    # Slice by id modulus, not id range: range slicing assumed 0-based
+    # contiguous ids and silently dropped the last event when ids are
+    # 1-based — every row lands in exactly one slice regardless of the
+    # id numbering scheme.
     for i in range(slices):
         (
-            events.filter(
-                (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
-            )
+            events.filter(F.pmod(F.col("event_id"), F.lit(slices)) == i)
             .coalesce(1)
             .write.mode("append")
             .parquet(landing_dir)

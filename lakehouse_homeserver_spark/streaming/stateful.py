@@ -24,6 +24,7 @@ is O(#distinct event types), bounded.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -90,11 +91,16 @@ def sessionize_fn(
         cur = list(state.get) if state.exists else None
         batch = pd.concat(list(pdfs))
         batch["us"] = batch["ts"].astype("int64") // 1000
-        batch = batch.sort_values("us")
+        sort_keys = ["us", "event_id"] if "event_id" in batch else ["us"]
+        batch = batch.sort_values(sort_keys)
         for us, etype, value in zip(
             batch["us"], batch["event_type"], batch["value"]
         ):
-            cents = int(round(value * 100))
+            # HALF_UP to match F.round/DuckDB ROUND in the batch twin
+            # (Python round() is banker's: 12.5 -> 12, breaking the
+            # stream==batch contract on exact half-cents). Values are
+            # non-negative here; floor(x + 0.5) is HALF_UP for x >= 0.
+            cents = int(math.floor(value * 100 + 0.5))
             if cur is None:
                 cur = [us, us, 1, etype, cents]
             elif us - cur[1] > GAP_US:
@@ -175,11 +181,15 @@ def batch_rich_sessions(events: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy("us")
+    # event_id tie-breaker: duplicate ts must order identically in the
+    # stream (pandas sort below) and this batch twin, or session
+    # boundaries drift between the two.
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
     with_gap = (
         events.select(
             "user_id",
             us.alias("us"),
+            "event_id",
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
