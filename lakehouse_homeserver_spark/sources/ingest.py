@@ -37,6 +37,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .snapshot import SnapshotTable
+
 SRC_NS = "src"
 META_NS = "metadata"
 
@@ -44,15 +46,101 @@ META_NS = "metadata"
 @dataclass
 class TableFormat:
     """Write-path seam (SURVEY.md §1.4). `parquet` locally; swap
-    `delta`/`iceberg` + catalog conf on a real cluster."""
+    `delta`/`iceberg` + catalog conf on a real cluster.
+
+    `atomic_ingest`: the format can fold ingest bookkeeping into the
+    data commit itself (single atomic operation). `mvcc`: readers of
+    old snapshots are isolated from concurrent rewrites, so table
+    rewrites need no driver-side materialization barrier."""
 
     name: str = "parquet"
+    atomic_ingest: bool = False
+    mvcc: bool = False
 
-    def create_or_replace(self, df: DataFrame, table: str) -> None:
+    def create_or_replace(
+        self, df: DataFrame, table: str, properties: dict | None = None
+    ) -> None:
         df.write.format(self.name).mode("overwrite").saveAsTable(table)
 
-    def append(self, df: DataFrame, table: str) -> None:
+    def append(
+        self, df: DataFrame, table: str, properties: dict | None = None
+    ) -> None:
         df.write.format(self.name).mode("append").saveAsTable(table)
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return spark.catalog.tableExists(table)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.table(table)
+
+    def expire(self, spark: SparkSession, table: str, retain_days: int) -> None:
+        if self.name == "delta":
+            spark.sql(f"VACUUM {table} RETAIN {retain_days * 24} HOURS")
+
+    def ingested_files(self, spark: SparkSession, table: str) -> list[str]:
+        raise NotImplementedError("only atomic_ingest formats track this")
+
+
+class SnapshotFormat(TableFormat):
+    """ACID table format backed by sources/snapshot.py — the local
+    stand-in for the reference's Iceberg tables, with the actual
+    transactional behaviors (atomic commit, lineage, time travel,
+    snapshot expiry) rather than the parquet seam's no-ops.
+
+    Ingest bookkeeping rides INSIDE each commit as a snapshot
+    property, so "append data" + "record loaded files" is ONE atomic
+    operation — closing the crash window the two-step parquet path
+    (and the reference's read-modify-write, extract_load.py:154-165)
+    leaves open."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        super().__init__(name="snapshot", atomic_ingest=True, mvcc=True)
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+
+    def _table(self, table: str) -> SnapshotTable:
+        path = os.path.join(self.warehouse_dir, *table.split("."))
+        return SnapshotTable(self.spark, path)
+
+    def create_or_replace(
+        self, df: DataFrame, table: str, properties: dict | None = None
+    ) -> None:
+        self._table(table).create_or_replace(df, properties=properties)
+
+    def append(
+        self, df: DataFrame, table: str, properties: dict | None = None
+    ) -> None:
+        self._table(table).append(df, properties=properties)
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return self._table(table).exists()
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return self._table(table).read()
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        return self._table(table).read(version=version)
+
+    def history(self, table: str) -> list[dict]:
+        return self._table(table).history()
+
+    def expire(self, spark: SparkSession, table: str, retain_days: int) -> None:
+        # Deterministic count-based retention (see SnapshotTable doc);
+        # retain_days maps to a timestamp_ms filter on a wall-clock
+        # deployment.
+        self._table(table).expire_snapshots(keep_last=max(retain_days, 1))
+
+    def ingested_files(self, spark: SparkSession, table: str) -> list[str]:
+        """Union of per-commit `ingested_files` properties across the
+        snapshot log — the bookkeeping table, derived instead of
+        separately written."""
+        t = self._table(table)
+        if not t.exists():
+            return []
+        out: list[str] = []
+        for e in t.history():
+            out.extend(e.get("properties", {}).get("ingested_files", []))
+        return out
 
 
 class Lakehouse:
@@ -103,7 +191,14 @@ class Lakehouse:
 
         Narrowed failure handling vs the reference's bare `except:`
         (:60-61): only "table missing" means "nothing loaded yet".
+        Atomic formats derive this from commit properties instead of a
+        separately-written bookkeeping table.
         """
+        if self.fmt.atomic_ingest:
+            files = self.fmt.ingested_files(self.spark, f"{SRC_NS}.{table}")
+            return self.spark.createDataFrame(
+                [(p,) for p in files], "file_path string"
+            )
         bk = self._bookkeeping_table(table)
         if not self.spark.catalog.tableExists(bk):
             return self.spark.createDataFrame([], "file_path string")
@@ -144,12 +239,15 @@ class Lakehouse:
         n = df.count()
         if n == 0:
             return 0
-        self.fmt.create_or_replace(df, f"{SRC_NS}.{table}")
-        # Full load resets bookkeeping to exactly the loaded file.
-        bk = self._bookkeeping_table(table)
         self.fmt.create_or_replace(
-            self.spark.createDataFrame([(latest,)], ["file_path"]), bk
+            df, f"{SRC_NS}.{table}", properties={"ingested_files": [latest]}
         )
+        if not self.fmt.atomic_ingest:
+            # Full load resets bookkeeping to exactly the loaded file.
+            bk = self._bookkeeping_table(table)
+            self.fmt.create_or_replace(
+                self.spark.createDataFrame([(latest,)], ["file_path"]), bk
+            )
         return n
 
     def load_incremental(self, table: str, landing_dir: str) -> int:
@@ -178,28 +276,42 @@ class Lakehouse:
         if n == 0:
             return 0
         target = f"{SRC_NS}.{table}"
-        if self.spark.catalog.tableExists(target):
-            self.fmt.append(df, target)
+        props = {"ingested_files": new_files}
+        if self.fmt.exists(self.spark, target):
+            self.fmt.append(df, target, properties=props)
         else:
-            self.fmt.create_or_replace(df, target)
-        self._record_loaded(table, new_files)
+            self.fmt.create_or_replace(df, target, properties=props)
+        if not self.fmt.atomic_ingest:
+            # Two-step bookkeeping: documented crash window (a failure
+            # here double-loads on re-run). SnapshotFormat closes it by
+            # folding `props` into the commit above.
+            self._record_loaded(table, new_files)
         return n
 
     # -- maintenance (A10: extract_load.py:167-171) ------------------------
     def expire_snapshots(self, table: str, retain_days: int = 3) -> None:
-        """Snapshot GC seam. The reference calls
+        """Snapshot GC (A10). The reference calls
         `iceberg.system.expire_snapshots(..., now-3d)` after every
-        load; plain parquet tables have no snapshot lineage, so this
-        is a no-op locally. With Delta: `VACUUM {t} RETAIN n HOURS`;
-        with Iceberg jars: the identical CALL.
+        load (extract_load.py:167-171). SnapshotFormat executes the
+        real thing (drops old log entries + unreferenced data files,
+        tests/test_snapshot.py proves files actually disappear);
+        plain parquet has no lineage so it stays a no-op; Delta maps
+        to VACUUM.
         """
-        if self.fmt.name == "delta":
-            self.spark.sql(
-                f"VACUUM {SRC_NS}.{table} RETAIN {retain_days * 24} HOURS"
-            )
+        self.fmt.expire(self.spark, f"{SRC_NS}.{table}", retain_days)
 
     def table(self, table: str) -> DataFrame:
-        return self.spark.table(f"{SRC_NS}.{table}")
+        return self.fmt.read(self.spark, f"{SRC_NS}.{table}")
+
+    def table_at(self, table: str, version: int) -> DataFrame:
+        """Time-travel read (A12): the table as of snapshot `version`
+        — Iceberg/Trino `FOR VERSION AS OF` equivalent. Only snapshot
+        lineage formats support it."""
+        if not isinstance(self.fmt, SnapshotFormat):
+            raise NotImplementedError(
+                f"time travel needs a snapshot format, not {self.fmt.name!r}"
+            )
+        return self.fmt.read_version(f"{SRC_NS}.{table}", version)
 
     def compact(self, table: str, target_files: int = 1) -> int:
         """Small-file compaction (the OPTIMIZE every lakehouse needs):
@@ -214,7 +326,9 @@ class Lakehouse:
         through a temp table instead.)
         """
         target = f"{SRC_NS}.{table}"
-        df = self.spark.table(target).localCheckpoint(eager=True)
+        df = self.fmt.read(self.spark, target)
+        if not self.fmt.mvcc:
+            df = df.localCheckpoint(eager=True)
         n = df.count()
         self.fmt.create_or_replace(df.coalesce(target_files), target)
         return n
@@ -226,7 +340,13 @@ class Lakehouse:
         sort prefix then skip row groups at scan time.
         """
         target = f"{SRC_NS}.{table}"
-        df = self.spark.table(target).localCheckpoint(eager=True)
+        df = self.fmt.read(self.spark, target)
+        if not self.fmt.mvcc:
+            # Non-MVCC formats can't overwrite a table their own plan
+            # reads; snapshot tables can — the rewrite lands as a new
+            # snapshot while the scan keeps the old manifest, so no
+            # driver-side materialization barrier is needed at scale.
+            df = df.localCheckpoint(eager=True)
         rewritten = df.repartitionByRange(*sort_cols).sortWithinPartitions(
             *sort_cols
         )

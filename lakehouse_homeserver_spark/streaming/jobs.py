@@ -187,15 +187,23 @@ def prepare_events_landing(
     in a landing dir (simulating an extractor dropping batches)."""
     from ..sources import load_table
 
+    from pyspark.sql import Window
+
     os.makedirs(landing_dir, exist_ok=True)
     events = load_table(spark, sf_dir, "events")
-    # Slice by id modulus, not id range: range slicing assumed 0-based
-    # contiguous ids and silently dropped the last event when ids are
-    # 1-based — every row lands in exactly one slice regardless of the
-    # id numbering scheme.
-    for i in range(slices):
+    # Slice by time-ordered row position (ntile), not id range: range
+    # slicing assumed 0-based contiguous ids and silently dropped the
+    # last event for 1-based ids. ntile keeps every row AND preserves
+    # the in-time-order arrival a file-by-file stream replay needs —
+    # the watermark advances monotonically across slices. (Global sort
+    # window: test/demo helper only, never a data-plane path.)
+    sliced = events.withColumn(
+        "_slice", F.ntile(slices).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, slices + 1):
         (
-            events.filter(F.pmod(F.col("event_id"), F.lit(slices)) == i)
+            sliced.filter(F.col("_slice") == i)
+            .drop("_slice")
             .coalesce(1)
             .write.mode("append")
             .parquet(landing_dir)

@@ -113,8 +113,15 @@ def sessionize_fn(
                 cur[4] += cents
         if cur is not None:
             state.update(tuple(cur))
-            # Fire when the event-time watermark passes the gap horizon.
-            state.setTimeoutTimestamp((cur[1] + GAP_US) // 1000)
+            # Fire when the event-time watermark passes the gap
+            # horizon; if the group's data is already behind the
+            # watermark (late/replayed keys), clamp forward so the
+            # session finalizes at the next trigger instead of
+            # crashing on a timeout in the past.
+            timeout_ms = (cur[1] + GAP_US) // 1000
+            state.setTimeoutTimestamp(
+                max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
 
     for pdf in out:
         pdf.insert(0, "user_id", user_id)

@@ -89,8 +89,9 @@ def test_knn_bruteforce_broadcasts_queries(spark, sf_dir):
     assert "BroadcastExchange" in plan
     # The only shuffle allowed is the tiny post-WindowGroupLimit
     # exchange on query_id; the corpus scan reaches the join and the
-    # partial top-k unshuffled.
-    assert plan.count("Exchange hashpartitioning") == 1
+    # partial top-k unshuffled. (In formatted mode a shuffle renders
+    # as "+- Exchange (n)"; BroadcastExchange doesn't match.)
+    assert plan.count("- Exchange (") == 1
     assert "WindowGroupLimit" in plan
 
 
