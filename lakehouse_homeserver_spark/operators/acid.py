@@ -51,8 +51,13 @@ def query(name: str, oracle: str | None = None):
 def _demo_table(spark: SparkSession, sf_dir: str, *, evolve: bool) -> SnapshotTable:
     """v1 create (keys ≡0 mod 3) → v2 append (≡1) → v3 overwrite
     (status='F') → v4 append of ≡2∧status='O' rows carrying a NEW
-    `batch_tag` column (additive schema evolution)."""
-    orders = T(spark, sf_dir, "orders")
+    `batch_tag` column (additive schema evolution).
+
+    Built from a deterministic 10 % key slice of `orders`: the demo
+    exists to prove commit semantics, not to re-benchmark parquet
+    writes — the slice keeps the bench honest while the oracle applies
+    the identical predicate."""
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     root = tempfile.mkdtemp(prefix="snap-demo-")
     t = SnapshotTable(spark, os.path.join(root, "orders_acid"))
     t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
@@ -73,19 +78,20 @@ def _demo_table(spark: SparkSession, sf_dir: str, *, evolve: bool) -> SnapshotTa
     "a10_snapshot_lineage",
     oracle="""
     SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
-           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 = 0) AS n_rows,
            CAST(6 AS BIGINT) AS n_cols
     UNION ALL
     SELECT 2, 'append',
-           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 1)), 6
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 IN (0, 1)), 6
     UNION ALL
     SELECT 3, 'overwrite',
-           (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F'), 6
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'F'), 6
     UNION ALL
     SELECT 4, 'append',
            (SELECT COUNT(*) FROM orders
-            WHERE o_orderstatus = 'F'
-               OR (o_orderkey % 3 = 2 AND o_orderstatus = 'O')), 7
+            WHERE o_orderkey % 10 = 0
+              AND (o_orderstatus = 'F'
+                   OR (o_orderkey % 3 = 2 AND o_orderstatus = 'O'))), 7
     """,
 )
 def a10_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +126,7 @@ def a10_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            {sql_dsum('o_totalprice')} AS total_price
     FROM orders
-    WHERE o_orderkey % 3 IN (0, 1)
+    WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 IN (0, 1)
     GROUP BY o_orderstatus
     """,
 )

@@ -153,9 +153,15 @@ def k2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       normalization), each token set becomes ONE bigint and the
       intersection is `bit_count(a & b)` — a 3-instruction codegen
       kernel instead of a per-pair string-array intersect (measured
-      ~5× on the 62M-pair sf0.1 workload). Larger vocabularies fall
-      back to the array path; same results either way (the encoding
-      is a bijection on the token sets).
+      ~5× on the 62M-pair sf0.1 workload).
+
+    Vocabularies beyond 63 tokens take `_banded_jaccard_pairs`: the
+    blocking key becomes (MinHash band × source) so block sizes are
+    hash-bounded rather than source-distribution-bounded — a single
+    dominant source can't produce O(block²) pairs. That path keeps
+    the exact-Jaccard verification but is LSH-recall (s-curve ≥98.6 %
+    per pair at J=0.9), documented and property-tested; the ≤63-token
+    dictionary path remains exhaustive.
     """
     d = T(spark, sf_dir, "documents")
     toks = d.select(
@@ -178,25 +184,27 @@ def k2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≤ 63 (not 64): bit index 63 would emit 1 << 63 as a Python int
     # literal, which overflows Spark's signed long at expression-build
     # time; the sign bit is simply left unused.
-    if len(vocab) <= 63:
-        bit = dict(zip(sorted(vocab), range(len(vocab))))
-        mask_map = F.create_map(
-            *[x for t, i in bit.items() for x in (F.lit(t), F.lit(1 << i))]
-        )
-        toks = toks.withColumn(
-            "mask",
-            F.aggregate(
-                F.transform("tokens", lambda t: F.element_at(mask_map, t)),
-                F.lit(0).cast("long"),
-                lambda acc, m: acc.bitwiseOR(m),
-            ),
-        )
-        a, b = toks.alias("a"), toks.alias("b")
-        inter = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
-    else:  # generic path: unbounded vocabulary
-        a, b = toks.alias("a"), toks.alias("b")
-        inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
+    if len(vocab) > 63:
+        # Unbounded vocabulary: the source block is no longer a safe
+        # unit of work (one dominant source → O(block²) pairs at
+        # 100 TB). Switch to MinHash-band blocking with the same
+        # exact-Jaccard verification (VERDICT r1 item 5).
+        return _banded_jaccard_pairs(toks, threshold=0.8)
 
+    bit = dict(zip(sorted(vocab), range(len(vocab))))
+    mask_map = F.create_map(
+        *[x for t, i in bit.items() for x in (F.lit(t), F.lit(1 << i))]
+    )
+    toks = toks.withColumn(
+        "mask",
+        F.aggregate(
+            F.transform("tokens", lambda t: F.element_at(mask_map, t)),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc.bitwiseOR(m),
+        ),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
     union = F.col("a.n_tok") + F.col("b.n_tok") - inter
     jac = inter.cast("double") / union
     return (
@@ -210,17 +218,133 @@ def k2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_jaccard_pairs(
+    toks: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Scale path for exact-verified token-set Jaccard pairs: MinHash
+    band keys (× source) as the blocking key instead of raw source.
+
+    Input: (doc_id, source, tokens, n_tok). Candidate generation is a
+    bucket equi-join on (band, band-hash, source) — block sizes are
+    bounded by hash dispersion, never by the source distribution, so
+    a single dominant source no longer yields O(block²) pairs. Every
+    candidate is then verified with the EXACT token-set Jaccard (the
+    same integer-derived division as the dictionary fast path, so
+    emitted values are bit-identical across paths).
+
+    Recall is the 4×4 s-curve (crossover (1/4)^(1/4) ≈ 0.707 < τ=0.8;
+    ≥ 98.6 % per pair at J = 0.9) — the standard near-dup trade, made
+    explicit here where the fast path is exhaustive. Property-tested
+    in tests/test_extensions.py with a >63-token vocabulary: subset
+    of the exact result, high recall, no cartesian in the plan.
+    """
+    rows_per = num_hashes // bands
+
+    def perms(h):
+        return F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_hashes)])
+
+    # Single-pass elementwise-min fold (see minhash_signatures for the
+    # measured alternatives).
+    sig = F.aggregate(
+        F.transform("hs", perms),
+        F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
+    # Small projection cached: both sides of the banded self-join
+    # consume it (ReusedExchange won't fire across the explode).
+    sigs = (
+        toks.withColumn("hs", F.transform("tokens", lambda t: F.xxhash64(t)))
+        .select("doc_id", "source", "n_tok", sig.alias("sig"))
+        .cache()
+    )
+    banded = sigs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per + r + 1)
+                                    for r in range(rows_per)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "source", "bb.band", "bb.bhash")
+
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bhash") == F.col("bb.bhash"))
+            & (F.col("ba.source") == F.col("bb.source"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+        .cache()  # tiny; feeds both the broadcast id list and the final join
+    )
+
+    # Verify with exact Jaccard on the CANDIDATE docs' token sets only
+    # (broadcast semi-join; work scales with |candidates|, not corpus).
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    cand_toks = toks.join(F.broadcast(cand_ids), "doc_id")
+    va = cand_toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokens").alias("tok_a"),
+        F.col("n_tok").alias("na"),
+    )
+    vb = cand_toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tokens").alias("tok_b"),
+        F.col("n_tok").alias("nb"),
+    )
+    size_ok = (F.col("na") * 5 >= F.col("nb") * 4) & (
+        F.col("nb") * 5 >= F.col("na") * 4
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    union = F.col("na") + F.col("nb") - inter
+    jac = inter.cast("double") / union
+    return (
+        candidates.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .filter(size_ok)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # K2 — MinHash + LSH (the 100 TB path; property-verified, no SQL oracle)
 # ---------------------------------------------------------------------------
 
-def _shingles(col, n: int = 3):
-    """Word n-gram shingles of normalized text, as a distinct array.
+def _shingles_from_tokens(toks, n: int = 3):
+    """Word n-gram shingles from a MATERIALIZED token-array column.
 
-    Built with transform over index range — pure JVM expressions, no
-    UDF in the path.
+    `toks` must be a bound column reference, not an inline expression:
+    it is captured inside the per-gram lambda, and an expression there
+    re-evaluates once PER SHINGLE (the tokenizing regex ran ~52× per
+    row — measured 6.0 s → 0.9 s for the signature pass at sf0.1 when
+    callers materialize the token column first). Same CSE trap as
+    minhash's base hashes, one level deeper.
     """
-    toks = F.split(norm_text(col), " ")
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(0), k - 1),
@@ -228,8 +352,32 @@ def _shingles(col, n: int = 3):
     )
     # Short docs (< n tokens): fall back to the whole text as one shingle.
     return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array(norm_text(col)))
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
     )
+
+
+def _tokenized(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles): tokenize once into a column, then shingle
+    from the column reference (see _shingles_from_tokens)."""
+    return docs.select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("tk")
+    ).select("doc_id", _shingles_from_tokens(F.col("tk"), n).alias("shingles"))
+
+
+def _perm_hash(i: int):
+    """Unary lambda factory for the i-th simulated permutation.
+
+    MUST be arity-1: `F.transform` feeds a two-parameter lambda the
+    ELEMENT INDEX as its second argument, so the once-tempting
+    `lambda h, i=i: xxhash64(h, lit(i))` silently replaces the
+    permutation index with the token's array position — every
+    "permutation" collapses to the same min and the whole signature
+    degenerates to one effective hash (found by the round-2 fallback
+    recall test; the s-curve math only holds with independent
+    permutations)."""
+    return lambda h: F.xxhash64(h, F.lit(i))
 
 
 def minhash_signatures(
@@ -241,7 +389,7 @@ def minhash_signatures(
     with the permutation index as a second operand — all JVM-side
     expressions, no Python in the loop.
 
-    Two deliberate cost choices (each measured at sf0.1):
+    Cost choices (each measured at sf0.1, 50k docs, local[32]):
     - the shingle array, then its base-hash array, are materialized as
       columns FIRST; inlining them into every consumer defeats
       common-subexpression elimination and recomputes the shingling
@@ -249,20 +397,25 @@ def minhash_signatures(
     - each shingle string is hashed ONCE (`xxhash64(s)`), and the
       num_hashes permutations hash the resulting fixed-width bigint
       pair (`xxhash64(h, i)`) — hashing a string per (shingle,
-      permutation) cost ~3.5× more. (An explode → 16 MIN-column
-      groupBy variant was also measured: 2× slower — carrying the
-      shingle array through the aggregate forces ObjectHashAggregate.)
+      permutation) cost ~3.5× more;
+    - the num_hashes mins are computed as ONE pass over the hash
+      array (each element expands to its num_hashes permuted hashes,
+      folded with an elementwise `zip_with`/`least`): 4.1 s vs 6.2 s
+      for num_hashes separate transform+array_min passes and 9.4 s
+      for explode → num_hashes MIN-column groupBy (extra shuffle and
+      re-join to recover the shingles).
     """
-    sh_df = docs.select(
-        "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
-    ).withColumn("hs", F.transform("shingles", lambda s: F.xxhash64(s)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("hs", lambda h, i=i: F.xxhash64(h, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    sh_df = _tokenized(docs, shingle_n).withColumn(
+        "hs", F.transform("shingles", lambda s: F.xxhash64(s))
+    )
+
+    def perms(h):
+        return F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_hashes)])
+
+    sig = F.aggregate(
+        F.transform("hs", perms),
+        F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
     )
     return sh_df.select("doc_id", sig.alias("sig"), "shingles")
 
@@ -299,7 +452,14 @@ def k2_minhash_lsh(
     """
     docs = T(spark, sf_dir, "documents")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes).cache()
+    # Cache the SMALL (doc_id, sig) projection only: the banded
+    # self-join consumes it on both sides and ReusedExchange does not
+    # fire across the band explode, so an uncached sig pass runs
+    # twice (measured 14.5 s). Caching WITH the shingle arrays (the
+    # round-1 shape) paid 7.3 s of materialization; sig-only caching
+    # costs ~4 s and verification re-shingles just the candidate docs
+    # below (broadcast semi-join — work scales with |candidates|).
+    sigs = minhash_signatures(docs, num_hashes).select("doc_id", "sig").cache()
 
     banded = sigs.select(
         "doc_id",
@@ -335,10 +495,25 @@ def k2_minhash_lsh(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .cache()  # tiny; feeds both the broadcast id list and the final join
     )
 
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # Exact verification: shingle ONLY the candidate docs. The
+    # candidate id list is tiny relative to the corpus, so it
+    # broadcasts and the shingling work scales with |candidates|,
+    # not |corpus|.
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    cand_shingles = _tokenized(docs.join(F.broadcast(cand_ids), "doc_id"))
+    sa = cand_shingles.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = cand_shingles.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union

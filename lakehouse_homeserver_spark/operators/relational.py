@@ -1023,22 +1023,42 @@ def d3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just in pytest.
     """
     li = T(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # Two exact distincts in ONE aggregate would make Spark Expand
+    # every row 4× (one replica per distinct/plain aggregate group —
+    # measured 25 s at sf0.1). Instead: each exact distinct is its own
+    # dedup-then-count (two cheap shuffles over shrinking data), the
+    # HLL sketches ride a plain map-side agg, and three tiny per-flag
+    # results join at the end.
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("a_orders"),
         F.approx_count_distinct("l_partkey", 0.02).alias("a_parts"),
+    )
+    exact_o = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    exact_p = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
     )
 
     def within(a: str, x: str) -> F.Column:
         return F.abs(F.col(a) - F.col(x)) <= F.col(x) * F.lit(0.06)
 
-    return agg.select(
-        "l_returnflag",
-        "exact_orders",
-        "exact_parts",
-        within("a_orders", "exact_orders").alias("orders_within_rsd"),
-        within("a_parts", "exact_parts").alias("parts_within_rsd"),
+    return (
+        sketches.join(exact_o, "l_returnflag")
+        .join(exact_p, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            within("a_orders", "exact_orders").alias("orders_within_rsd"),
+            within("a_parts", "exact_parts").alias("parts_within_rsd"),
+        )
     )
 
 
@@ -1067,28 +1087,26 @@ def d7_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     qs = (0.25, 0.50, 0.75, 0.95)
     eps = 2.0e-3  # 2× the GK epsilon at accuracy=1000
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for q in qs:
-        tag = f"{int(q * 100)}"
-        aggs.append(
-            F.percentile_approx("l_extendedprice", q, 1000).alias(f"a{tag}")
-        )
-        aggs.append(
-            F.percentile("l_extendedprice", max(0.0, q - eps)).alias(f"lo{tag}")
-        )
-        aggs.append(
-            F.percentile("l_extendedprice", min(1.0, q + eps)).alias(f"hi{tag}")
-        )
-    agg = li.groupBy("l_returnflag").agg(*aggs)
+    # ONE GK sketch evaluated at all 4 targets and ONE exact
+    # percentile buffer evaluated at all 8 bound ranks (array forms) —
+    # 12 independent aggregate buffers measured 9.0 s at sf0.1; the
+    # two array-typed aggregates take 1.6 s. Arrays stay internal;
+    # the output is all-scalar for the harness canonicalizer.
+    bound_qs = [max(0.0, q - eps) for q in qs] + [min(1.0, q + eps) for q in qs]
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile_approx("l_extendedprice", list(qs), 1000).alias("approx"),
+        F.percentile("l_extendedprice", F.array(*[F.lit(b) for b in bound_qs])).alias(
+            "bounds"
+        ),
+    )
     cols = [F.col("l_returnflag"), F.col("n_rows")]
-    for q in qs:
+    for i, q in enumerate(qs):
         tag = f"{int(q * 100)}"
-        cols.append(
-            (
-                (F.col(f"lo{tag}") <= F.col(f"a{tag}"))
-                & (F.col(f"a{tag}") <= F.col(f"hi{tag}"))
-            ).alias(f"p{tag}_ok")
-        )
+        a = F.element_at("approx", i + 1)
+        lo = F.element_at("bounds", i + 1)
+        hi = F.element_at("bounds", i + 5)
+        cols.append(((lo <= a) & (a <= hi)).alias(f"p{tag}_ok"))
     return agg.select(*cols)
 
 

@@ -164,12 +164,14 @@ class SnapshotTable:
         max_retries: int = 20,
     ) -> dict:
         added = self._stage(df)
-        n_added = (
-            self.spark.read.parquet(
-                *[os.path.join(self._data_path, f) for f in added]
-            ).count()
-            if added
-            else 0
+        # Row counts come from the parquet footers (driver-side pyarrow
+        # metadata read, no Spark job) — at any scale this is O(files)
+        # metadata, and it shaves a whole count job off every commit.
+        import pyarrow.parquet as pq
+
+        n_added = sum(
+            pq.ParquetFile(os.path.join(self._data_path, f)).metadata.num_rows
+            for f in added
         )
         os.makedirs(self._log_path, exist_ok=True)
         for _ in range(max_retries):
