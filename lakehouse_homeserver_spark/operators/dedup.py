@@ -593,7 +593,17 @@ def k2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select("doc_id", fp.alias("simhash"))
 
 
-@query("k2_simhash_near_pairs")
+def _sql_near_pairs_oracle() -> str:
+    return f"""
+    WITH fp AS ({_sql_simhash_oracle()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+    """
+
+
+@query("k2_simhash_near_pairs", oracle=_sql_near_pairs_oracle())
 def k2_simhash_near_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 5
 ) -> DataFrame:
@@ -603,8 +613,13 @@ def k2_simhash_near_pairs(
     fingerprint into 6 bands of 10 bits; by pigeonhole, any pair
     within Hamming ≤ 5 (< number of bands) agrees exactly on ≥1 band
     → equi-join on (band_idx, band_bits) finds ALL such pairs without
-    a cross join; verify with bit_count on the candidates. Rows-only
-    (fingerprints already oracle-checked by k2_simhash).
+    a cross join; verify with bit_count on the candidates.
+
+    Unlike MinHash LSH this blocking is COMPLETE (a guarantee, not an
+    s-curve), so the op is fully oracle-checked: DuckDB recomputes the
+    md5-derived fingerprints and brute-forces every pair — feasible at
+    oracle scale, and any banding bug (missed band, wrong mask) shows
+    up as a missing row.
     """
     assert max_hamming < 6, "banding guarantee requires max_hamming < bands"
     # cache: the fingerprint agg (explode + 60-column bit sums) feeds

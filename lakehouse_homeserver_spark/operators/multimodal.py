@@ -160,23 +160,52 @@ def k5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("k5_frame_sample")
+@query(
+    "k5_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, lower(hex(encode(text))) AS phex FROM documents
+    ), frames AS (
+      SELECT doc_id, phex,
+             UNNEST(generate_series(
+                 0,
+                 greatest(CAST(length(phex) // 32 AS BIGINT) - 1, 0),
+                 7)) AS frame_no
+      FROM media
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INTEGER) AS frame_no,
+           frame_no * 16 AS byte_offset,
+           md5(substring(phex, CAST(frame_no * 32 + 1 AS INTEGER), 32))
+             AS frame_digest
+    FROM frames
+    """,
+)
 def k5_frame_sample(spark: SparkSession, sf_dir: str, every: int = 7) -> DataFrame:
     """Frame-sampling plumbing (SURVEY K5): treat each payload as a
     virtual frame sequence (1 frame per 16-byte chunk in the stub) and
-    emit every Nth frame's offset + a frame digest. Rows-only: the
-    stub stands in for codec-dependent frame extraction; the explode/
-    partition shape is what a video pipeline at scale runs.
+    emit every Nth frame's offset + a frame digest. The stub stands in
+    for codec-dependent frame extraction; the explode/partition shape
+    is what a video pipeline at scale runs.
+
+    The digest is md5 over the chunk's LOWERCASE-HEX encoding: byte
+    offsets stay exact for multi-byte text (2 hex chars per payload
+    byte) and DuckDB v1.0 can reproduce it (`hex(BLOB)` exists there,
+    `md5(BLOB)`/blob slicing don't). The hex column is materialized
+    once before the explode — the per-gram/per-frame lambda CSE trap
+    applies here too.
     """
-    media = media_table(spark, sf_dir)
-    n_frames = F.floor(F.length("payload") / 16).cast("int")
+    media = media_table(spark, sf_dir).select(
+        "doc_id", F.lower(F.hex("payload")).alias("phex")
+    )
+    n_frames = F.floor(F.length("phex") / 32).cast("int")
     frame_idx = F.sequence(
         F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every)
     )
     return (
         media.select(
             "doc_id",
-            "payload",
+            "phex",
             F.explode(frame_idx).alias("frame_no"),
         )
         .select(
@@ -184,7 +213,7 @@ def k5_frame_sample(spark: SparkSession, sf_dir: str, every: int = 7) -> DataFra
             "frame_no",
             (F.col("frame_no") * 16).cast("bigint").alias("byte_offset"),
             F.md5(
-                F.expr("substring(payload, frame_no * 16 + 1, 16)")
+                F.expr("substring(phex, frame_no * 32 + 1, 32)")
             ).alias("frame_digest"),
         )
     )
@@ -231,7 +260,16 @@ def resize_batches(target_bytes: int):
     return fn
 
 
-@query("k5_resize_stub")
+@query(
+    "k5_resize_stub",
+    oracle="""
+    SELECT doc_id,
+           repeat(md5(text), 4) AS thumb_hex,
+           CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+           CAST(64 AS BIGINT) AS thumb_bytes
+    FROM documents
+    """,
+)
 def k5_resize_stub(
     spark: SparkSession, sf_dir: str, target_bytes: int = 64
 ) -> DataFrame:
@@ -239,9 +277,20 @@ def k5_resize_stub(
     out via Arrow-batched mapInPandas, payload never visits the
     driver. Output size is bounded by construction — the property
     that keeps a 100 TB image-resize job's shuffle/write volume
-    predictable. Rows-only (codec stubbed; shape property-tested).
+    predictable.
+
+    The query output hex-encodes the thumbnail (engines repr raw
+    binary differently, and the stub thumb is digest-repetition, so
+    the oracle rebuilds it as `repeat(md5(payload), 4)`); the
+    binary→binary Arrow path itself is unchanged and property-tested.
     """
     media = media_table(spark, sf_dir)
-    return media.select("doc_id", "payload").mapInPandas(
+    resized = media.select("doc_id", "payload").mapInPandas(
         resize_batches(target_bytes), RESIZE_SCHEMA
+    )
+    return resized.select(
+        "doc_id",
+        F.lower(F.hex("thumb")).alias("thumb_hex"),
+        "orig_bytes",
+        "thumb_bytes",
     )

@@ -51,14 +51,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-SQL_COSINE = """
-  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+def _sql_cosine(a: str = "q.embedding", b: str = "c.embedding") -> str:
+    """Cosine in DuckDB with the exact fold order of
+    functions/vectors.py — bit-identical doubles across engines."""
+    return f"""
+  list_sum(list_transform(list_zip({a}, {b}),
       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-  / (sqrt(list_sum(list_transform(q.embedding,
+  / (sqrt(list_sum(list_transform({a},
         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-     * sqrt(list_sum(list_transform(c.embedding,
+     * sqrt(list_sum(list_transform({b},
         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
 """
+
+
+SQL_COSINE = _sql_cosine()
 
 
 @query(
@@ -130,11 +136,58 @@ def _bucket_col(emb, n_planes: int = N_PLANES) -> F.Column:
     return bits.cast("int")
 
 
-@query("k3_knn_lsh")
+def _sql_bucket_expr(n_planes: int = N_PLANES, col: str = "embedding") -> str:
+    """Sign-bit bucket id in DuckDB SQL with the md5-derived plane
+    constants inlined. The dot products are bit-identical to Spark's
+    (same fold order), so the sign decisions — and hence the buckets —
+    match exactly; 'approximate' here means approximate RESULTS, not
+    nondeterministic ones."""
+    parts = []
+    for i, plane in enumerate(_hyperplanes(n_planes)):
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip({col}, {arr}),"
+            f" x -> CAST(x[1] AS DOUBLE) * x[2])) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(parts) + " AS INTEGER)"
+
+
+def _sql_knn_lsh_oracle() -> str:
+    probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))
+    cos = _sql_cosine()
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_sql_bucket_expr()} AS bucket
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS query_id,
+             UNNEST([bucket, {probes}]) AS bucket
+      FROM bucketed WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN bucketed c USING (bucket)
+      WHERE p.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                ORDER BY {cos} DESC, cand.neighbor_id) AS rn
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@query("k3_knn_lsh", oracle=_sql_knn_lsh_oracle())
 def k3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH, multi-probe (SURVEY K3
-    scale path; property-verified — approximate results have no SQL
-    oracle).
+    scale path). Approximate ≠ unverifiable: the hyperplanes are
+    md5-derived constants and the bucket dot products are bit-stable
+    across engines, so the ENTIRE pipeline — bucketing, multi-probe,
+    candidate join, exact re-scoring, top-k — is reproduced by the
+    DuckDB oracle and hash-checked, recall gaps and all.
 
     The corpus is bucketed once (8 sign bits → 256 buckets). Each
     query probes its own bucket plus the 8 Hamming-1 buckets, via an
@@ -180,7 +233,26 @@ def k3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("k3_embedding_near_dup")
+def _sql_near_dup_oracle(n_planes: int = 12, threshold: float = 0.28) -> str:
+    probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(n_planes))
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_sql_bucket_expr(n_planes)} AS bucket
+      FROM embeddings
+    ), probed AS (
+      SELECT vec_id, embedding,
+             UNNEST([bucket, {probes}]) AS bucket
+      FROM bucketed
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+    FROM bucketed a JOIN probed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold!r}
+    """
+
+
+@query("k3_embedding_near_dup", oracle=_sql_near_dup_oracle())
 def k3_embedding_near_dup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.28
 ) -> DataFrame:

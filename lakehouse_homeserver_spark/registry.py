@@ -25,6 +25,8 @@ PRIORITY: tuple[str, ...] = (
     # -- similarity / text / multimodal (K3-K5), unverified in r1
     "k3_knn_bruteforce",
     "k3_centroid_by_label",
+    "k3_knn_lsh",
+    "k3_embedding_near_dup",
     "k4_text_stats",
     "k4_quality_score",
     "k4_lang_id",
@@ -33,6 +35,8 @@ PRIORITY: tuple[str, ...] = (
     "k4_corpus_stats",
     "k5_multimodal_features",
     "k5_multimodal_meta",
+    "k5_frame_sample",
+    "k5_resize_stub",
     # -- time-series / streaming batch-twins, unverified in r1
     "c7_asof_join",
     "ts_sessionize",
@@ -72,12 +76,7 @@ PRIORITY: tuple[str, ...] = (
     # -- already-green relational representatives (keep in-window)
     "q1_pricing_summary",
     "c1_join_revenue_by_nation",
-    "d2_group_agg",
-    "d4_cube",
-    "e1_window_rank",
     "f4_topk_per_group",
-    "g_except_all",
-    "h6_array_funcs",
     "k1_dedup_exact_groups",
     "k2_ngram_jaccard",
 )

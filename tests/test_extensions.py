@@ -236,11 +236,11 @@ def test_resize_stub_bounded_and_deterministic(spark, sf_dir):
     rows = df.collect()
     assert rows
     for r in rows:
-        assert len(r.thumb) == 64
+        assert len(r.thumb_hex) == 128  # 64 bytes hex-encoded
         assert r.thumb_bytes == 64
         assert r.orig_bytes > 0
-    again = {r.doc_id: bytes(r.thumb) for r in df.collect()}
-    assert {r.doc_id: bytes(r.thumb) for r in rows} == again
+    again = {r.doc_id: r.thumb_hex for r in df.collect()}
+    assert {r.doc_id: r.thumb_hex for r in rows} == again
 
 
 def test_normalize_embeddings_unit_norm(spark, sf_dir):
