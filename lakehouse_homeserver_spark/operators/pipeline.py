@@ -128,3 +128,71 @@ def k7_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("toks")).cast("bigint").alias("total_tokens"),
         F.round(F.sum("quality") / F.count(F.lit(1)), 6).alias("mean_quality"),
     )
+
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+N_SHARDS = 8
+
+
+@query(
+    "k7_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {SQL_BUCKET.format(key="doc_id")} % {N_SHARDS} AS shard,
+             LEN(string_split({SQL_NORM}, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  // {SEQ_BUDGET} AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT shard, pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY shard, pack_id
+    """,
+)
+def k7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (SURVEY K7 ext.): assign documents to
+    fixed-token-budget training sequences — the standard pretraining
+    step that turns a ragged corpus into ~uniform model inputs.
+
+    Packing is contiguous-with-overflow within a SHARD: documents are
+    md5-sharded (deterministic, engine-portable), ordered by doc_id
+    inside the shard, and a doc starts a new pack when the running
+    token total crosses the budget. The shard is what makes this
+    scale: the only window runs PARTITIONED BY shard — thousands of
+    independent partitions on a cluster, never a global sort — which
+    is exactly how production packers shard work across files. The
+    oracle replays the identical shard/cumsum/bucket arithmetic (all
+    integer-derived, so cross-engine hash-exact).
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (split_bucket("doc_id") % N_SHARDS).alias("shard"),
+        F.size(F.split(norm_text(F.col("text")), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SEQ_BUDGET),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -296,3 +296,64 @@ def k4_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars"
         ),
     )
+
+
+# Simple, engine-portable redaction patterns (Java regex and RE2
+# agree on this subset: character classes, +, literal @ and dots).
+REDACT_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+REDACT_NUMBER = "[0-9]+"
+
+
+@query(
+    "k4_redact",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             {SQL_NORM} AS nt,
+             regexp_replace(
+               regexp_replace({SQL_NORM}, '{REDACT_EMAIL}', '<EMAIL>', 'g'),
+               '{REDACT_NUMBER}', '<NUM>', 'g') AS red
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(nt, '{REDACT_EMAIL}')) AS INTEGER)
+             AS n_emails,
+           CAST(LEN(regexp_extract_all(
+               regexp_replace(nt, '{REDACT_EMAIL}', '<EMAIL>', 'g'),
+               '{REDACT_NUMBER}')) AS INTEGER) AS n_numbers,
+           LENGTH(red) AS redacted_len,
+           md5(red) AS redacted_digest
+    FROM r
+    """,
+)
+def k4_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction scrub (SURVEY K4 ext.): mask emails then
+    digit runs with placeholder tokens — the pre-training hygiene pass
+    every corpus gets. Map-only (two regexp_replace per row, zero
+    shuffle; at 100 TB this is scan-bound, exactly as it should be).
+
+    The redacted text itself is audited by digest: the oracle replays
+    the same two-stage rewrite (email first, so digits inside masked
+    emails aren't double-counted) and md5-compares the result, making
+    the transform — not just the counts — hash-verified.
+    """
+    d = T(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    base = d.select("doc_id", nt.alias("nt"))
+    emails_masked = F.regexp_replace(F.col("nt"), REDACT_EMAIL, "<EMAIL>")
+    stage = base.select(
+        "doc_id",
+        "nt",
+        emails_masked.alias("em"),
+    )
+    return stage.select(
+        "doc_id",
+        F.regexp_count("nt", F.lit(REDACT_EMAIL)).alias("n_emails"),
+        F.regexp_count("em", F.lit(REDACT_NUMBER)).alias("n_numbers"),
+        F.length(
+            F.regexp_replace(F.col("em"), REDACT_NUMBER, "<NUM>")
+        ).alias("redacted_len"),
+        F.md5(
+            F.regexp_replace(F.col("em"), REDACT_NUMBER, "<NUM>")
+        ).alias("redacted_digest"),
+    )

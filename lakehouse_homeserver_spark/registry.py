@@ -63,6 +63,9 @@ PRIORITY: tuple[str, ...] = (
     "j_label_dispersion",
     "j_grouped_agg_mad",
     "k7_training_corpus",
+    # -- new round-2 pipeline ops
+    "k7_sequence_packing",
+    "k4_redact",
     # -- approx tier: fixed (d7) / newly oracled this round
     "d7_quantiles_approx",
     "d3_approx_count_distinct",
@@ -76,8 +79,6 @@ PRIORITY: tuple[str, ...] = (
     # -- already-green relational representatives (keep in-window)
     "q1_pricing_summary",
     "c1_join_revenue_by_nation",
-    "f4_topk_per_group",
-    "k1_dedup_exact_groups",
     "k2_ngram_jaccard",
 )
 
