@@ -219,3 +219,49 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("b_orders", "b_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS bucketed.{name}")
+
+
+def test_sequence_packing_single_shard_exchange(spark, sf_dir):
+    """Packing must parallelize by shard: exactly one hash exchange
+    (on shard, feeding the window + partial agg) and no global sort
+    outside window partitions."""
+    from lakehouse_homeserver_spark.operators.pipeline import k7_sequence_packing
+
+    plan = formatted_plan(k7_sequence_packing(spark, sf_dir))
+    assert plan.count("- Exchange (") <= 2  # shard window + final agg (AQE may merge)
+    assert "Window" in plan
+    # No global (single-partition) sort: every Sort sits under the
+    # shard-partitioned window, which the shard Exchange precedes.
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_redact_is_map_only(spark, sf_dir):
+    """The scrub is scan+project: no exchange, no join, no aggregate."""
+    from lakehouse_homeserver_spark.operators.text import k4_redact
+
+    plan = formatted_plan(k4_redact(spark, sf_dir))
+    assert "- Exchange (" not in plan
+    assert "Join" not in plan
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs predicate must decompose into pushed filters on
+    BOTH the lineitem and part scans (Or(...) in PushedFilters), with
+    the part side broadcast."""
+    from lakehouse_homeserver_spark.registry import all_queries
+
+    df = all_queries()["tpch_q19_disjunctive_pricing"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "Or(" in l]
+    assert len(pushed) >= 2, pushed
+
+
+def test_knn_lsh_probe_join_is_equi(spark, sf_dir):
+    """Multi-probe ANN: candidates come from an integer-bucket
+    equi-join against a broadcast probe list — never a cartesian."""
+    df = similarity.k3_knn_lsh(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
