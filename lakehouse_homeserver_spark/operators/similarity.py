@@ -403,6 +403,11 @@ def ivf_train(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    if not centroids:
+        raise ValueError(
+            "ivf_train: corpus is empty — an IVF index needs at least "
+            "one vector (build the index after ingestion, not before)"
+        )
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = train.select(

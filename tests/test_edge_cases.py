@@ -1,0 +1,96 @@
+"""Empty-input robustness: every corpus operator must yield an empty
+(or well-defined) result on an empty table, not crash — the state a
+real pipeline hits on day one (empty landing dir, filtered-out shard,
+brand-new table). Catches driver-side collects that assume rows exist
+(vocab probes, seed sampling) and HOF folds over empty arrays."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+FIXTURE_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    """A scale-factor dir with every table present but 0 rows."""
+    d = tmp_path_factory.mktemp("sf-empty")
+    for t in FIXTURE_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0)
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+EMPTY_SAFE = [
+    "k1_dedup_exact_groups",
+    "k1_dedup_exact_keep",
+    "k2_ngram_jaccard",
+    "k2_minhash_lsh",
+    "k2_simhash",
+    "k2_simhash_near_pairs",
+    "k3_embedding_near_dup",
+    "k3_centroid_by_label",
+    "k4_text_stats",
+    "k4_lang_id",
+    "k4_token_count",
+    "k4_fingerprint",
+    "k4_corpus_stats",
+    "k4_redact",
+    "k5_multimodal_features",
+    "k5_frame_sample",
+    "k5_resize_stub",
+    "k6_hash_split",
+    "k6_uniform_sample",
+    "k7_training_corpus",
+    "k7_sequence_packing",
+    "q1_pricing_summary",
+    "ts_sessionize",
+    "c7_asof_join",
+    "d7_quantiles_approx",
+    "d3_approx_count_distinct",
+]
+
+
+@pytest.mark.parametrize("qname", EMPTY_SAFE)
+def test_operator_survives_empty_corpus(spark, empty_sf_dir, qname):
+    from lakehouse_homeserver_spark.registry import all_queries
+
+    df = all_queries()[qname](spark, empty_sf_dir)
+    assert df.count() == 0
+
+
+def test_snapshot_table_empty_commit_roundtrip(spark, sf_dir, tmp_path):
+    """Committing 0 rows is a legal snapshot (empty-source full load):
+    schema preserved, count 0, later appends still work."""
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+    nations = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(nations.limit(0))
+    assert t.read().count() == 0
+    assert t.read().schema == nations.schema
+    t.append(nations)
+    assert t.read().count() == nations.count()
+    assert t.read(version=1).count() == 0
+
+
+def test_ingest_empty_landing_dir_noop(spark, tmp_path):
+    from lakehouse_homeserver_spark.sources.ingest import Lakehouse, SnapshotFormat
+
+    lh = Lakehouse(spark, fmt=SnapshotFormat(spark, str(tmp_path / "wh")))
+    os.makedirs(tmp_path / "landing" / "nation", exist_ok=True)
+    assert lh.load_incremental("nation", str(tmp_path / "landing")) == 0
+    assert lh.load_full("nation", str(tmp_path / "landing")) == 0
+
+
+def test_ivf_on_empty_corpus_raises_cleanly(spark, empty_sf_dir):
+    from lakehouse_homeserver_spark.operators.similarity import k3_knn_ivf
+
+    with pytest.raises(ValueError, match="empty"):
+        k3_knn_ivf(spark, empty_sf_dir)
