@@ -301,3 +301,56 @@ def test_log_entries_are_valid_json_with_full_manifest(spark, tmp_path, nations)
     e1 = json.loads(entries[0].read_text())
     assert set(e1["manifest"]).issubset(set(e2["manifest"]))
     assert set(e2["added"]) == set(e2["manifest"]) - set(e1["manifest"])
+
+
+# -- model-based test: random op sequences vs a pure-Python model ----------
+
+
+def test_snapshot_table_matches_model_under_random_ops(spark, sf_dir, tmp_path):
+    """Hypothesis-style model check (deterministic example set, since
+    each Spark commit costs ~0.5 s): replay random create_or_replace /
+    append / expire sequences against a trivial Python model of the
+    table contents and lineage; the real table must agree on row
+    count, version numbering, time-travel reads, and post-expiry
+    visibility at every step."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+    nations = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    slices = {k: nations.filter(F.col("n_regionkey") == k) for k in range(5)}
+    counts = {k: slices[k].count() for k in range(5)}
+
+    rng = random.Random(2026)
+    for trial in range(3):
+        t = SnapshotTable(spark, str(tmp_path / f"m{trial}"))
+        model_rows = 0          # rows at head
+        model_versions = []     # (version, rows_at_version)
+        next_v = 1
+        for _ in range(6):
+            op = rng.choice(["replace", "append", "append", "expire"])
+            k = rng.randrange(5)
+            if op == "replace":
+                t.create_or_replace(slices[k])
+                model_rows = counts[k]
+                model_versions.append((next_v, model_rows))
+                next_v += 1
+            elif op == "append":
+                t.append(slices[k])
+                model_rows = (model_rows + counts[k]) if model_versions else counts[k]
+                model_versions.append((next_v, model_rows))
+                next_v += 1
+            else:
+                if not model_versions:
+                    continue
+                t.expire_snapshots(keep_last=2)
+                model_versions = model_versions[-2:]
+            # invariants after every op
+            assert t.versions() == [v for v, _ in model_versions]
+            if model_versions:
+                assert t.read().count() == model_versions[-1][1]
+                for v, rows in model_versions:
+                    assert t.read(version=v).count() == rows
+                    assert t.row_count(version=v) == rows
