@@ -311,3 +311,45 @@ def ts_rich_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import batch_rich_sessions
 
     return batch_rich_sessions(T(spark, sf_dir, "events"))
+
+
+@query(
+    "ts_attribution_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) AS p_us,
+           epoch_us(c.ts) AS c_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def ts_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/jobs.interval_join (SURVEY §2.I ext.):
+    purchases attributed to same-user clicks within the preceding 30
+    minutes. The equi-key (user_id) keeps this a hash join with a
+    range residual — never a cross product — and the identical
+    function body runs as the watermarked stream-stream join
+    (tests/test_streaming.py proves stream == batch on the emitted
+    frontier). Output is all-pairs within the window by design
+    (multi-touch attribution); first/last-touch is one
+    WindowGroupLimit away.
+    """
+    from ..streaming.jobs import interval_join
+
+    e = T(spark, sf_dir, "events")
+    joined = interval_join(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("p_us"),
+        F.unix_micros("c_ts").alias("c_us"),
+    )

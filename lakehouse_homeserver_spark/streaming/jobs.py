@@ -208,3 +208,63 @@ def prepare_events_landing(
             .write.mode("append")
             .parquet(landing_dir)
         )
+
+
+def interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.I extension): attribute
+    each purchase to same-user clicks in the preceding `max_gap`.
+
+    Works identically on two streaming DataFrames or two batch
+    DataFrames (the batch twin used by the oracle test): watermarks on
+    BOTH sides bound the join state — Spark can discard a buffered
+    click once the purchase-side watermark passes click_ts + max_gap,
+    so state is O(rate × gap) per key range, never unbounded.
+
+    Equality on user_id plus a time-range predicate is the canonical
+    streaming attribution join; at 100 TB/day the user_id hash
+    partitioning spreads state across executors and the range
+    predicate prunes buffered rows per micro-batch.
+    """
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    gap = f"INTERVAL {max_gap}"
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & F.expr(f"c_ts >= p_ts - {gap}"),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id", "p_ts", "c_ts")
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    max_gap: str = "30 minutes",
+) -> StreamingQuery:
+    """Run the attribution join with BOTH sides read as file streams
+    from the same landing dir (filtered to purchases / clicks)."""
+    ev = read_file_stream(spark, landing_dir, events_schema())
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = interval_join(purchases, clicks, max_gap=max_gap)
+    return _start_parquet_sink(joined, out_dir, checkpoint)
