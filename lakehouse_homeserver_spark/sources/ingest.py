@@ -352,6 +352,80 @@ class Lakehouse:
         )
         self.fmt.create_or_replace(rewritten, target)
 
+    def optimize_layout_zorder(
+        self,
+        table: str,
+        col_a: str,
+        col_b: str,
+        bits: int = 8,
+        target_files: int | None = None,
+    ) -> None:
+        """Two-dimensional clustering via Z-order (Morton) interleave —
+        the multi-column OPTIMIZE ZORDER of Delta/Iceberg, as pure
+        expression code. Rows close in BOTH dimensions land in the
+        same files, so min/max row-group stats prune scans filtered on
+        EITHER column — single-dimension sorting only serves its
+        prefix.
+
+        Scale shape: quantile boundaries per dimension come from ONE
+        GK-sketch aggregate (mergeable, a bounded 2·2^bits-double
+        model collect — never a global rank window); bucketing is then
+        map-only, and the rewrite is a single range partition + local
+        sort on the interleaved key. The key is never stored.
+        """
+        target = f"{SRC_NS}.{table}"
+        df = self.fmt.read(self.spark, target)
+        if not self.fmt.mvcc:
+            df = df.localCheckpoint(eager=True)
+        qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        row = df.agg(
+            F.percentile_approx(col_a, qs, 10_000).alias("ba"),
+            F.percentile_approx(col_b, qs, 10_000).alias("bb"),
+        ).collect()[0]
+        z = zorder_key(
+            _quantile_bucket(F.col(col_a), row["ba"]),
+            _quantile_bucket(F.col(col_b), row["bb"]),
+            bits=bits,
+        )
+        # Explicit file-count override pins the layout (AQE would
+        # otherwise coalesce small rewrites); at cluster scale choose
+        # target_files ≈ table_bytes / 512 MiB, like compact().
+        ranged = (
+            df.withColumn("_z", z).repartitionByRange(target_files, "_z")
+            if target_files
+            else df.withColumn("_z", z).repartitionByRange("_z")
+        )
+        rewritten = ranged.sortWithinPartitions("_z").drop("_z")
+        self.fmt.create_or_replace(rewritten, target)
+
+
+def _quantile_bucket(col: F.Column, boundaries: list) -> F.Column:
+    """Rank-normalize a column to [0, len(boundaries)] by counting how
+    many quantile boundaries it passes — distribution-robust (raw
+    value bits collapse under skew) and map-only once the boundary
+    array (a broadcast-sized literal) is known."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(col.cast("double") >= x, 1).otherwise(0),
+    )
+
+
+def zorder_key(na: F.Column, nb: F.Column, bits: int = 8) -> F.Column:
+    """Morton/Z-order interleave of two pre-normalized integer columns
+    in [0, 2^bits): bit planes alternate a0 b0 a1 b1 … so sort order
+    alternates locality between the dimensions. Pure shift/mask
+    expressions, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(na, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(nb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
 
 def main(argv: list[str] | None = None) -> int:
     """CLI mirroring the reference's entry point (README.md:56-61):

@@ -354,3 +354,76 @@ def test_snapshot_table_matches_model_under_random_ops(spark, sf_dir, tmp_path):
                 for v, rows in model_versions:
                     assert t.read(version=v).count() == rows
                     assert t.row_count(version=v) == rows
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from lakehouse_homeserver_spark.sources.ingest import zorder_key
+
+    rows = [(a, b) for a in [0, 1, 5, 170, 255] for b in [0, 3, 128, 255]]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b"), bits=8).alias("z")
+        ).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b, z)
+
+
+def test_zorder_rewrite_preserves_rows_and_clusters(spark, sf_dir, tmp_path):
+    """After the Z-order rewrite, rows are intact and each output file
+    covers a narrow band of BOTH clustering columns (the property that
+    makes min/max stats prune either-column filters)."""
+    import glob as _glob
+
+    from lakehouse_homeserver_spark.sources.ingest import Lakehouse, SnapshotFormat
+
+    lh = Lakehouse(spark, fmt=SnapshotFormat(spark, str(tmp_path / "wh")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lh.fmt.create_or_replace(li.repartition(4), "src.lineitem")
+    n = li.count()
+
+    lh.optimize_layout_zorder(
+        "lineitem", "l_quantity", "l_extendedprice", target_files=8
+    )
+    assert lh.table("lineitem").count() == n
+
+    # Per-file spread of each column should be well below global spread
+    # for most files (Z-order trades a little per-dimension locality
+    # for locality in both).
+    files = [
+        f
+        for f in _glob.glob(str(tmp_path / "wh/src/lineitem/data/*.parquet"))
+    ]
+    # keep only files from the latest snapshot
+    latest = lh.fmt._table("src.lineitem").entry(
+        lh.fmt._table("src.lineitem").latest_version()
+    )["manifest"]
+    files = [f for f in files if os.path.basename(f) in latest]
+    assert len(files) >= 4
+    import pyarrow.parquet as pq
+
+    def spread(path, col):
+        t = pq.read_table(path, columns=[col]).column(0).to_pylist()
+        return max(t) - min(t) if t else 0.0
+
+    g_qty = li.agg(F.max("l_quantity") - F.min("l_quantity")).collect()[0][0]
+    g_price = (
+        li.agg(F.max("l_extendedprice") - F.min("l_extendedprice")).collect()[0][0]
+    )
+    narrow_both = sum(
+        1
+        for f in files
+        if spread(f, "l_quantity") <= 0.8 * g_qty
+        and spread(f, "l_extendedprice") <= 0.8 * g_price
+    )
+    assert narrow_both >= len(files) // 2, (narrow_both, len(files))
