@@ -412,3 +412,146 @@ sql_query(
     ORDER BY c_mktsegment
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 TPC-H additions. The fixture schema (FIXTURES.md) lacks
+# partsupp, l_commitdate/l_receiptdate, o_comment and p_container, so
+# Q2/Q9/Q11/Q16/Q20 are out of reach and Q13/Q17/Q21 are adapted to
+# equivalent predicates over columns the fixtures do have (adaptation
+# noted per query). All are same-text SQL in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+sql_query(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           CAST(ROUND(
+             CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+sql_query(
+    # Adaptation: TPC-H Q13 excludes orders by o_comment pattern; the
+    # fixture has no comment column, so the exclusion predicate is
+    # o_orderpriority <> '1-URGENT' (same shape: join-condition filter
+    # on the right side of a LEFT JOIN, preserving zero-order customers).
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+sql_query(
+    # Adaptation: TPC-H Q17 filters p_brand + p_container; the fixture
+    # has no container, so the second predicate is p_type = 'SMALL'.
+    # The correlated scalar subquery (per-part 20%-of-average quantity
+    # threshold) is the point of the query and is kept verbatim —
+    # Catalyst decorrelates it into an aggregate + join, not a per-row
+    # re-execution (see module docstring).
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT CAST(ROUND(
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND p_type = 'SMALL'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+
+sql_query(
+    # Adaptation: TPC-H Q21 defines "kept waiting" via l_receiptdate >
+    # l_commitdate; the fixture has neither, so the lateness criterion
+    # becomes "this supplier shipped strictly last on a multi-supplier
+    # finished order" — same correlated EXISTS / NOT EXISTS structure
+    # (including the non-equi correlated predicate in the NOT EXISTS),
+    # which is the part that stresses the decorrelation machinery.
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name IN ('NATION_5', 'NATION_10', 'NATION_15')
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
