@@ -664,3 +664,63 @@ def k2_simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# K8 — benchmark decontamination (training-data pipeline extension)
+# ---------------------------------------------------------------------------
+
+@query(
+    "k8_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 5
+                    THEN list_distinct(list_transform(
+                           range(1, len(tk) - 3),
+                           i -> array_to_string(tk[i:i+4], ' ')))
+                    ELSE [array_to_string(tk, ' ')] END) AS gram
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0)
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_contaminated_grams
+    FROM grams g JOIN ev USING (gram)
+    WHERE g.doc_id % 29 <> 0
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def k8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share a
+    word 5-gram with a held-out eval set (here: every 29th doc plays
+    the benchmark role). Standard practice for LLM corpora (the
+    reference stack has no equivalent; this is a §2.K extension).
+
+    100 TB design: eval sets are benchmark-sized (thousands of docs),
+    so their distinct-gram set is broadcast; the corpus side is a
+    map-only explode + broadcast hash semi-join, and the final groupBy
+    only aggregates rows that survived the semi-join (contaminated
+    grams — tiny). The corpus is never shuffled.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("tk")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(_shingles_from_tokens(F.col("tk"), 5)).alias("gram"),
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % 29 == 0)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+        .orderBy("doc_id")
+    )

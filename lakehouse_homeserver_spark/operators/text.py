@@ -357,3 +357,109 @@ def k4_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.col("em"), REDACT_NUMBER, "<NUM>")
         ).alias("redacted_digest"),
     )
+
+
+@query(
+    "k4_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+    ),
+    big AS (
+      SELECT doc_id, tk,
+             greatest(len(tk) - 1, 0) AS n_bigrams,
+             CASE WHEN len(tk) >= 2
+                  THEN len(list_distinct(list_transform(
+                         range(1, len(tk)),
+                         i -> array_to_string(tk[i:i+1], ' '))))
+                  ELSE 0 END AS n_distinct_bigrams
+      FROM toks
+    ),
+    wc AS (
+      SELECT doc_id, n_bigrams, n_distinct_bigrams, unnest(tk) AS w
+      FROM big
+    ),
+    counts AS (
+      SELECT doc_id, n_bigrams, n_distinct_bigrams, w, COUNT(*) AS c
+      FROM wc GROUP BY doc_id, n_bigrams, n_distinct_bigrams, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           COUNT(*) AS n_distinct_words,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_word_frac,
+           ROUND(CASE WHEN n_bigrams > 0
+                 THEN (n_bigrams - n_distinct_bigrams) * 1.0 / n_bigrams
+                 ELSE 0.0 END, 6) AS dup_bigram_frac,
+           (COUNT(*) * 1.0 / SUM(c) >= 0.4
+            AND MAX(c) * 1.0 / SUM(c) <= 0.25) AS keep
+    FROM counts
+    GROUP BY doc_id, n_bigrams, n_distinct_bigrams
+    ORDER BY doc_id
+    """,
+)
+def k4_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-document top-word
+    fraction, duplicate-bigram fraction, and type-token ratio gate
+    (Rae et al. 2021's "repetitious text" rules, a standard LLM-corpus
+    pre-filter; §2.K4 extension beyond the reference surface).
+
+    100 TB design: bigram stats are per-row array expressions
+    (map-only); word-frequency mode needs the exact per-(doc, word)
+    count, which explode + partial-aggregated groupBy handles with a
+    shuffle bounded by distinct (doc, word) pairs — the classic
+    word-count shape, skew-free because keys embed doc_id.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("tk")
+    )
+    tk = F.col("tk")
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Materialize the bigram stats BEFORE the explode: an expression
+    # that lands in the Project ABOVE a Generate re-evaluates once per
+    # GENERATED row — O(tokens²) per doc for the transform+distinct
+    # HOF (measured 19.5 s → ~1 s at sf0.1). Same CSE-through-
+    # generator trap as minhash (see operators/dedup.py).
+    d = d.select(
+        "doc_id",
+        F.greatest(F.size(tk) - 1, F.lit(0)).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+        "tk",
+    )
+    d = d.select(
+        "doc_id", "n_bigrams", "n_distinct_bigrams", F.explode("tk").alias("w")
+    )
+    counts = d.groupBy("doc_id", "n_bigrams", "n_distinct_bigrams", "w").agg(
+        F.count("*").alias("c")
+    )
+    n_words = F.sum("c")
+    n_distinct = F.count("*")
+    top_c = F.max("c")
+    return (
+        counts.groupBy("doc_id", "n_bigrams", "n_distinct_bigrams")
+        .agg(
+            n_words.cast("bigint").alias("n_words"),
+            n_distinct.alias("n_distinct_words"),
+            F.round(top_c * 1.0 / n_words, 6).alias("top_word_frac"),
+            F.round(
+                F.when(
+                    F.col("n_bigrams") > 0,
+                    (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                    * 1.0
+                    / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_bigram_frac"),
+            (
+                (n_distinct * 1.0 / n_words >= 0.4)
+                & (top_c * 1.0 / n_words <= 0.25)
+            ).alias("keep"),
+        )
+        .drop("n_bigrams", "n_distinct_bigrams")
+        .orderBy("doc_id")
+    )
