@@ -124,7 +124,15 @@ def test_subqueries_decorrelate_to_joins(spark, sf_dir):
     a driver-side loop at scale."""
     from lakehouse_homeserver_spark.registry import all_queries
 
-    for q in ("sql_exists_correlated", "sql_in_subquery", "sql_scalar_subquery"):
+    for q in (
+        "sql_exists_correlated",
+        "sql_in_subquery",
+        "sql_scalar_subquery",
+        # per-part 20%-of-avg threshold (correlated scalar agg)
+        "tpch_q17_small_quantity_revenue",
+        # EXISTS + NOT EXISTS with a non-equi correlated predicate
+        "tpch_q21_waiting_supplier",
+    ):
         df = all_queries()[q](spark, sf_dir)
         assert_no_cartesian(df)
         plan = formatted_plan(df)
@@ -265,3 +273,21 @@ def test_knn_lsh_probe_join_is_equi(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """k8: the eval-set gram list must reach the corpus via a
+    broadcast hash join (corpus side stays map-only before the join);
+    a shuffled or nested-loop join would move the 100 TB side."""
+    from lakehouse_homeserver_spark.operators.dedup import k8_decontaminate
+
+    df = k8_decontaminate(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+
+
+def test_repetition_filter_no_cartesian(spark, sf_dir):
+    from lakehouse_homeserver_spark.operators.text import k4_repetition_filter
+
+    assert_no_cartesian(k4_repetition_filter(spark, sf_dir))
