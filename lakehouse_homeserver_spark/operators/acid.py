@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table as T
 from ..sources.snapshot import SnapshotTable
-from .common import dsum, sql_dsum
+from .common import dec, dsum, sql_dsum
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -146,3 +146,85 @@ def a12_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+def _merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MERGE source built from the fixtures: an UPDATE
+    branch (customers ≡0 mod 10 with their order spend folded into
+    `c_acctbal`, segment → 'UPDATED') plus an INSERT branch (customers
+    ≡3 mod 5, guaranteed disjoint from the ≡0 mod 5 target, segment →
+    'INSERTED')."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    upd = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .agg(
+            (dec("c_acctbal") + F.sum(dec("o_totalprice")))
+            .cast("double")
+            .alias("new_acctbal")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.col("new_acctbal").alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+    )
+    ins = cust.filter(F.col("c_custkey") % 5 == 3).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.lit("INSERTED").alias("c_mktsegment"),
+    )
+    return upd.unionByName(ins)
+
+
+@query(
+    "a13_merge_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT * FROM customer WHERE c_custkey % 5 = 0
+    ),
+    upd AS (
+      SELECT c.c_custkey, c.c_name, c.c_nationkey,
+             CAST(CAST(c.c_acctbal AS DECIMAL(18,2))
+                  + SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey % 10 = 0
+      GROUP BY c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal
+    ),
+    ins AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             'INSERTED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 5 = 3
+    ),
+    src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT * FROM tgt
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+    UNION ALL
+    SELECT * FROM src
+    ORDER BY c_custkey
+    """,
+)
+def a13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO result (SURVEY A-ext): commit a customer slice as a
+    snapshot table, `merge` an update+insert source into it (real
+    copy-on-write commit via SnapshotTable.merge), and return the
+    post-merge table state. The oracle recomputes the merged state
+    relationally (anti-join ∪ source), so the whole MERGE path —
+    plan, commit, and post-merge read — is hash-checked. Customers
+    ≡0 mod 10 without orders stay un-updated (inner-join source), a
+    deliberate edge the oracle shares.
+    """
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-merge-"), "cust")
+    )
+    t.create(T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0))
+    t.merge(_merge_source(spark, sf_dir), on=["c_custkey"])
+    return t.read().orderBy("c_custkey")

@@ -54,6 +54,13 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 
+# Sentinel for `_commit(expect_parent=...)`: "commit on whatever the
+# current head is" (blind append/replace). An explicit int (or None for
+# "table must be empty") pins the commit to a snapshot the caller READ,
+# turning the CAS into full optimistic-concurrency for read-modify-write
+# ops like MERGE — a stale write raises instead of clobbering.
+_ANY_PARENT = object()
+
 
 class CommitConflict(RuntimeError):
     """Another writer claimed the version (surfaced only when retries
@@ -79,6 +86,51 @@ def merge_schemas(old: StructType, new: StructType) -> StructType:
             )
     extra = [f for f in new.fields if f.name not in by_name]
     return StructType(old.fields + extra)
+
+
+def merge_plan(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    *,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> DataFrame:
+    """The relational core of MERGE INTO (Delta/Iceberg `MERGE` with
+    UPDATE SET * / DELETE and INSERT * branches), as a pure DataFrame
+    plan — shared by `SnapshotTable.merge` (which commits it) and the
+    read-only `a13_merge_upsert` driver query (which verifies it
+    against a SQL oracle).
+
+    Semantics: target rows whose key appears in `source` are replaced
+    by the source row (`update`) or dropped (`delete`); source rows
+    with no target match are inserted (`insert`) or ignored. Source
+    keys must be unique (same contract as Delta, which errors on
+    multiple matches; enforced by the caller's pytest, not a data-plane
+    count job).
+
+    Scale shape: one hash join keyed on `on` per branch — the anti
+    join shuffles target+keys, the optional semi/anti on the source
+    side is small-by-construction (updates are deltas). No window, no
+    driver collect.
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched: {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched: {when_not_matched!r}")
+    keys = source.select(on).distinct()
+    kept = target.join(keys, on, "left_anti")
+    if when_matched == "update" and when_not_matched == "insert":
+        incoming = source
+    elif when_matched == "update":
+        incoming = source.join(target.select(on).distinct(), on, "left_semi")
+    elif when_not_matched == "insert":
+        incoming = source.join(target.select(on).distinct(), on, "left_anti")
+    else:
+        incoming = None
+    if incoming is None:
+        return kept
+    return kept.unionByName(incoming, allowMissingColumns=True)
 
 
 class SnapshotTable:
@@ -162,6 +214,7 @@ class SnapshotTable:
         merge_schema: bool = True,
         properties: dict | None = None,
         max_retries: int = 20,
+        expect_parent=_ANY_PARENT,
     ) -> dict:
         added = self._stage(df)
         # Row counts come from the parquet footers (driver-side pyarrow
@@ -176,6 +229,20 @@ class SnapshotTable:
         os.makedirs(self._log_path, exist_ok=True)
         for _ in range(max_retries):
             head_v = self.latest_version()
+            if expect_parent is not _ANY_PARENT and head_v != expect_parent:
+                # The snapshot this write was derived from is no longer
+                # the head: committing would silently drop the
+                # intervening writer's rows (write skew). Clean up and
+                # let the caller re-derive from the new head.
+                for f in added:
+                    try:
+                        os.remove(os.path.join(self._data_path, f))
+                    except FileNotFoundError:
+                        pass
+                raise CommitConflict(
+                    f"{self.path}: expected parent {expect_parent}, "
+                    f"head is {head_v}"
+                )
             if head_v is not None and if_absent:
                 # create-if-absent found the table: another writer (or
                 # a previous run) created it; drop our staged files.
@@ -280,6 +347,57 @@ class SnapshotTable:
             merge_schema=merge_schema,
             properties=properties,
         )
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        *,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        properties: dict | None = None,
+        max_retries: int = 5,
+    ) -> dict:
+        """MERGE INTO (upsert): one atomic snapshot that applies
+        `merge_plan` to the current table state. The reference's stack
+        exposes MERGE through Spark/Trino-on-Iceberg; this is the
+        native equivalent over the commit log.
+
+        Copy-on-write: the merged state is rewritten in full and
+        committed pinned to the snapshot it was READ from
+        (`expect_parent`) — if a concurrent writer lands in between,
+        the commit raises instead of clobbering, and the loop
+        re-derives the plan from the new head (serializable
+        read-modify-write, the same conflict rule Delta applies to
+        MERGE). At 100 TB the rewrite would narrow to the files whose
+        key ranges intersect the source (file-skipping stats in the
+        manifest) or flip to merge-on-read deletes — both seams sit
+        here, in how `merged` and the manifest are built; the commit
+        protocol is unchanged.
+        """
+        last: CommitConflict | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base is None:
+                raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+            merged = merge_plan(
+                self.read(version=base),
+                source,
+                on,
+                when_matched=when_matched,
+                when_not_matched=when_not_matched,
+            )
+            try:
+                return self._commit(
+                    "merge",
+                    merged,
+                    replace=True,
+                    properties=properties,
+                    expect_parent=base,
+                )
+            except CommitConflict as e:
+                last = e
+        raise last  # type: ignore[misc]
 
     # -- read path ---------------------------------------------------------
     def schema(self, version: int | None = None) -> StructType:

@@ -427,3 +427,138 @@ def test_zorder_rewrite_preserves_rows_and_clusters(spark, sf_dir, tmp_path):
         and spread(f, "l_extendedprice") <= 0.8 * g_price
     )
     assert narrow_both >= len(files) // 2, (narrow_both, len(files))
+
+
+# -- MERGE INTO (upsert) ----------------------------------------------------
+
+
+def _merge_src(nations, lo, hi):
+    """Source slice [lo, hi) with a rewritten n_name (visible update)."""
+    return nations.filter(
+        (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi)
+    ).withColumn("n_name", F.concat(F.lit("MERGED_"), F.col("n_nationkey")))
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    t.create(nations.filter(F.col("n_nationkey") < 10))
+    t.merge(_merge_src(nations, 5, 15), on=["n_nationkey"])
+
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    # keys 0-4 untouched, 5-9 updated in place, 10-14 inserted
+    assert sorted(rows) == list(range(15))
+    for k in range(5):
+        assert not rows[k].startswith("MERGED_")
+    for k in range(5, 15):
+        assert rows[k] == f"MERGED_{k}"
+    assert [e["operation"] for e in t.history()] == ["create", "merge"]
+
+
+def test_merge_modes(spark, tmp_path, nations):
+    base = nations.filter(F.col("n_nationkey") < 10)
+
+    # matched=delete, not_matched=insert: 5-9 deleted, 10-14 inserted
+    t = _table(spark, tmp_path, "del_ins")
+    t.create(base)
+    t.merge(
+        _merge_src(nations, 5, 15),
+        on=["n_nationkey"],
+        when_matched="delete",
+        when_not_matched="insert",
+    )
+    assert sorted(r.n_nationkey for r in t.read().collect()) == list(
+        range(5)
+    ) + list(range(10, 15))
+
+    # matched=update, not_matched=ignore: 5-9 updated, nothing inserted
+    t2 = _table(spark, tmp_path, "upd_ign")
+    t2.create(base)
+    t2.merge(
+        _merge_src(nations, 5, 15),
+        on=["n_nationkey"],
+        when_not_matched="ignore",
+    )
+    rows = {r.n_nationkey: r.n_name for r in t2.read().collect()}
+    assert sorted(rows) == list(range(10))
+    assert all(rows[k] == f"MERGED_{k}" for k in range(5, 10))
+
+    # matched=delete, not_matched=ignore: pure keyed delete
+    t3 = _table(spark, tmp_path, "del_ign")
+    t3.create(base)
+    t3.merge(
+        _merge_src(nations, 5, 15),
+        on=["n_nationkey"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    assert sorted(r.n_nationkey for r in t3.read().collect()) == list(range(5))
+
+    with pytest.raises(ValueError, match="when_matched"):
+        t3.merge(_merge_src(nations, 0, 1), on=["n_nationkey"], when_matched="upsert")
+
+
+def test_merge_is_idempotent(spark, tmp_path, nations):
+    """Re-merging the same source must not change the table state —
+    the re-run safety the reference's incremental loader lacks."""
+    t = _table(spark, tmp_path)
+    t.create(nations.filter(F.col("n_nationkey") < 10))
+    src = _merge_src(nations, 5, 15)
+    t.merge(src, on=["n_nationkey"])
+    first = sorted(map(tuple, t.read().collect()))
+    t.merge(src, on=["n_nationkey"])
+    assert sorted(map(tuple, t.read().collect())) == first
+    assert t.latest_version() == 3
+
+
+def test_merge_concurrent_append_is_not_lost(spark, tmp_path, nations):
+    """Write-skew guard: an append that lands between merge's read and
+    its commit must survive — the pinned-parent commit aborts, and the
+    merge re-derives its plan on top of the new head."""
+    t = _table(spark, tmp_path)
+    t.create(nations.filter(F.col("n_nationkey") < 10))
+
+    competitor = _table(spark, tmp_path)
+    late_row = nations.filter(F.col("n_nationkey") == 20)
+    orig_write = SnapshotTable._write_entry
+    fired = {"done": False}
+
+    def racing_write(self, entry):
+        if not fired["done"] and entry["operation"] == "merge":
+            fired["done"] = True
+            competitor.append(late_row)
+        return orig_write(self, entry)
+
+    try:
+        SnapshotTable._write_entry = racing_write
+        t.merge(_merge_src(nations, 5, 15), on=["n_nationkey"])
+    finally:
+        SnapshotTable._write_entry = orig_write
+
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    # competitor's key-20 row survived the merge AND the merge applied
+    assert sorted(rows) == list(range(15)) + [20]
+    assert rows[7] == "MERGED_7"
+    assert not rows[20].startswith("MERGED_")
+    assert [e["operation"] for e in t.history()] == [
+        "create",
+        "append",
+        "merge",
+    ]
+
+
+def test_merge_schema_evolution_new_column(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    t.create(nations.filter(F.col("n_nationkey") < 10))
+    src = _merge_src(nations, 5, 15).withColumn("batch_tag", F.lit("m1"))
+    t.merge(src, on=["n_nationkey"])
+    got = t.read()
+    assert "batch_tag" in got.columns
+    tags = {r.n_nationkey: r.batch_tag for r in got.collect()}
+    assert all(tags[k] == "m1" for k in range(5, 15))
+    assert all(tags[k] is None for k in range(5))
+
+
+def test_merge_missing_table_raises(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    with pytest.raises(SnapshotNotFound):
+        t.merge(nations, on=["n_nationkey"])
