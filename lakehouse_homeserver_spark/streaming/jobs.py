@@ -268,3 +268,90 @@ def stream_interval_join(
     clicks = ev.filter(F.col("event_type") == "click")
     joined = interval_join(purchases, clicks, max_gap=max_gap)
     return _start_parquet_sink(joined, out_dir, checkpoint)
+
+
+# ---------------------------------------------------------------------------
+# I-ext: streaming upsert (foreachBatch MERGE into a snapshot table)
+# ---------------------------------------------------------------------------
+
+def upsert_user_totals_batch(
+    spark: SparkSession, table_path: str, batch: DataFrame, batch_id: int
+) -> None:
+    """Apply one micro-batch of events to a per-user totals table as
+    an idempotent MERGE commit.
+
+    foreachBatch delivers at-least-once: after a crash between the
+    table commit and the checkpoint advance, the SAME batch_id is
+    replayed. Exactly-once is restored by recording the batch id in
+    the commit's properties and skipping a batch the log already
+    carries — the idempotent-writer pattern Delta implements with
+    `txnAppId`/`txnVersion`, re-expressed over the snapshot commit log
+    (metadata scan, O(#snapshots), no data read).
+    """
+    from ..operators.common import dsum
+    from ..sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, table_path)
+    if t.exists() and any(
+        e.get("properties", {}).get("stream_batch_id") == batch_id
+        for e in t.history()
+    ):
+        return
+    delta = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    props = {"stream_batch_id": batch_id}
+    if not t.exists():
+        t.create(delta, properties=props)
+        return
+    cur = t.read().select(
+        "user_id",
+        F.col("n_events").alias("cur_n"),
+        F.col("total_value").alias("cur_v"),
+    )
+    # Absolute post-image per touched user: delta + current state.
+    # Each stored double is the nearest-double of an exact cent value
+    # (dsum contract), but adding two such doubles reintroduces
+    # representation error (0.01 is not a binary double) — re-rounding
+    # to cents recovers the nearest-double of the exact running total,
+    # so the view stays bit-identical to a one-shot batch dsum in any
+    # arrival order / batch split.
+    combined = delta.join(cur, "user_id", "left").select(
+        "user_id",
+        (F.col("n_events") + F.coalesce(F.col("cur_n"), F.lit(0))).alias(
+            "n_events"
+        ),
+        F.round(
+            F.col("total_value") + F.coalesce(F.col("cur_v"), F.lit(0.0)), 2
+        ).alias("total_value"),
+    )
+    t.merge(combined, on=["user_id"], properties=props)
+
+
+def stream_upsert_user_totals(
+    spark: SparkSession,
+    landing_dir: str,
+    table_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """I-ext: streaming materialized view — per-user event totals
+    maintained by MERGE, one atomic snapshot per micro-batch. The
+    touched-key set per batch is small, so each commit rewrites only
+    the totals table (dimension-sized), never the event stream; at
+    100 TB the event side stays append-only and this view is the
+    compacted queryable state.
+    """
+    src = read_file_stream(
+        spark, landing_dir, events_schema(), max_files_per_trigger=1
+    )
+    return (
+        src.writeStream.foreachBatch(
+            lambda batch, bid: upsert_user_totals_batch(
+                spark, table_path, batch, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -222,3 +222,55 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     expect_keys = {(r.purchase_id, r.click_id) for r in expect.collect()}
     assert got_keys == expect_keys
     assert len(got_keys) > 0
+
+
+def test_stream_upsert_totals_match_batch_and_replay_safe(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE view: after draining the landing dir file by
+    file, the totals table must equal the one-shot batch aggregate;
+    replaying an already-committed batch id must be a no-op."""
+    from lakehouse_homeserver_spark.operators.common import dsum
+    from lakehouse_homeserver_spark.sources import load_table
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+    from lakehouse_homeserver_spark.streaming.jobs import (
+        prepare_events_landing,
+        stream_upsert_user_totals,
+        upsert_user_totals_batch,
+    )
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "user_totals")
+    prepare_events_landing(spark, sf_dir, landing, slices=3)
+    q = stream_upsert_user_totals(
+        spark, landing, table, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    t = SnapshotTable(spark, table)
+    got = {
+        r.user_id: (r.n_events, r.total_value) for r in t.read().collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exp = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # one commit per micro-batch (3 files, maxFilesPerTrigger=1)
+    assert len(t.history()) == 3
+    ops = [e["operation"] for e in t.history()]
+    assert ops[0] == "create" and set(ops[1:]) == {"merge"}
+
+    # replay the LAST batch id (at-least-once delivery): no-op
+    before = t.latest_version()
+    last_events = load_table(spark, sf_dir, "events").limit(50)
+    replay_id = t.entry(before)["properties"]["stream_batch_id"]
+    upsert_user_totals_batch(spark, table, last_events, replay_id)
+    assert t.latest_version() == before
+    # a genuinely new batch id DOES commit
+    upsert_user_totals_batch(spark, table, last_events, replay_id + 1000)
+    assert t.latest_version() == before + 1
