@@ -355,3 +355,58 @@ def stream_upsert_user_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# I-ext: stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+def user_profile(events: DataFrame) -> DataFrame:
+    """Static dimension for enrichment: per-user lifetime stats from
+    the batch events table (cent-exact average via the dsum contract)."""
+    from ..operators.common import davg
+
+    return events.groupBy("user_id").agg(
+        davg("value").alias("user_avg_value"),
+        F.count(F.lit(1)).alias("user_n_events"),
+    )
+
+
+def enrich_events(stream_df: DataFrame, profile: DataFrame) -> DataFrame:
+    """Stream-static join: tag each event with its user's historical
+    profile and an above-personal-average flag. Works identically on a
+    streaming or batch left side (the batch twin is the test oracle).
+
+    The static side is a dimension (one row per user) — broadcast, so
+    each micro-batch is map-only: no shuffle, no streaming state at
+    all (unlike stream-stream joins, stream-static needs none). At
+    100 TB/day this is the standard enrichment shape: re-broadcast the
+    dim per trigger picks up slowly-changing profile updates for free.
+    """
+    return (
+        stream_df.join(F.broadcast(profile), "user_id", "left")
+        .withColumn(
+            "above_avg", F.col("value") > F.col("user_avg_value")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            "user_avg_value",
+            "user_n_events",
+            "above_avg",
+        )
+    )
+
+
+def stream_enrich_events(
+    spark: SparkSession,
+    landing_dir: str,
+    profile: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    src = read_file_stream(spark, landing_dir, events_schema())
+    return _start_parquet_sink(enrich_events(src, profile), out_dir, checkpoint)

@@ -274,3 +274,31 @@ def test_stream_upsert_totals_match_batch_and_replay_safe(spark, sf_dir, tmp_pat
     # a genuinely new batch id DOES commit
     upsert_user_totals_batch(spark, table, last_events, replay_id + 1000)
     assert t.latest_version() == before + 1
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment: draining the landing dir
+    through the streaming join must produce exactly the batch twin's
+    rows (same join, static left side)."""
+    from lakehouse_homeserver_spark.sources import load_table
+    from lakehouse_homeserver_spark.streaming.jobs import (
+        enrich_events,
+        prepare_events_landing,
+        stream_enrich_events,
+        user_profile,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    prepare_events_landing(spark, sf_dir, landing, slices=3)
+    events = load_table(spark, sf_dir, "events")
+    profile = user_profile(events)
+
+    q = stream_enrich_events(
+        spark, landing, profile, out, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    exp = sorted(map(tuple, enrich_events(events, profile).collect()))
+    assert got == exp and len(got) > 0
