@@ -428,17 +428,30 @@ class SnapshotTable:
         return self.entry(v)["row_count"]
 
     # -- maintenance (A10) -------------------------------------------------
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
-        """Drop all but the newest `keep_last` snapshots and delete
-        every data file no retained snapshot references — including
-        crash orphans from aborted commits (extract_load.py:167-171;
-        retention by count rather than wall-clock so tests and replays
-        are deterministic — a now-3d variant is a trivial filter on
-        `timestamp_ms`). Returns {expired_snapshots, deleted_files}."""
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> dict:
+        """Drop expired snapshots and delete every data file no
+        retained snapshot references — including crash orphans from
+        aborted commits (extract_load.py:167-171).
+
+        Retention: by count (`keep_last`, deterministic for tests and
+        replays) and/or wall-clock (`older_than_ms`, the reference's
+        `expire_snapshots(TIMESTAMP now-3d)` contract — snapshots with
+        `timestamp_ms` < cutoff expire). The head snapshot is always
+        retained regardless of either rule, matching Iceberg.
+        Returns {expired_snapshots, deleted_files}."""
         vs = self.versions()
         if len(vs) <= keep_last and not os.path.isdir(self._data_path):
             return {"expired_snapshots": 0, "deleted_files": 0}
         keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        if older_than_ms is not None and vs:
+            keep.add(vs[-1])  # never expire the head
+            keep.update(
+                v
+                for v in vs
+                if self.entry(v)["timestamp_ms"] >= older_than_ms
+            )
         live: set[str] = set()
         for v in keep:
             live.update(self.entry(v)["manifest"])

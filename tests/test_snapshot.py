@@ -562,3 +562,38 @@ def test_merge_missing_table_raises(spark, tmp_path, nations):
     t = _table(spark, tmp_path)
     with pytest.raises(SnapshotNotFound):
         t.merge(nations, on=["n_nationkey"])
+
+
+def test_expire_snapshots_by_wall_clock(spark, tmp_path, nations):
+    """Reference contract: expire_snapshots(TIMESTAMP now-3d) — age-
+    based retention, head always kept even if old."""
+    t = _table(spark, tmp_path)
+    t.create(nations.filter(F.col("n_regionkey") == 0))
+    t.append(nations.filter(F.col("n_regionkey") == 1))
+    t.append(nations.filter(F.col("n_regionkey") == 2))
+
+    # age v1/v2 artificially (3 days+); v3 stays "now"
+    old_ms = int((__import__("time").time() - 4 * 86400) * 1000)
+    for v in (1, 2):
+        p = t._entry_path(v)
+        e = json.load(open(p))
+        e["timestamp_ms"] = old_ms
+        json.dump(e, open(p, "w"))
+
+    cutoff = int((__import__("time").time() - 3 * 86400) * 1000)
+    res = t.expire_snapshots(keep_last=0, older_than_ms=cutoff)
+    assert res["expired_snapshots"] == 2
+    assert t.versions() == [3]
+    # head state intact; expired versions unreachable
+    assert t.read().count() == nations.filter(F.col("n_regionkey") < 3).count()
+    with pytest.raises(SnapshotNotFound):
+        t.read(version=1)
+
+    # head is never expired, even when older than the cutoff
+    p = t._entry_path(3)
+    e = json.load(open(p))
+    e["timestamp_ms"] = old_ms
+    json.dump(e, open(p, "w"))
+    res2 = t.expire_snapshots(keep_last=0, older_than_ms=cutoff)
+    assert res2["expired_snapshots"] == 0
+    assert t.versions() == [3]
