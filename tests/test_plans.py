@@ -291,3 +291,30 @@ def test_repetition_filter_no_cartesian(spark, sf_dir):
     from lakehouse_homeserver_spark.operators.text import k4_repetition_filter
 
     assert_no_cartesian(k4_repetition_filter(spark, sf_dir))
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout (partitionBy at write): a filter
+    on the partition column must become a PartitionFilter — directory
+    pruning before any file is opened. At 100 TB this is the
+    difference between scanning one day and scanning the lake."""
+    from lakehouse_homeserver_spark.sources import load_table
+
+    path = str(tmp_path / "orders_by_year")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(path)
+    )
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("o_year") == 1996)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = formatted_plan(df)
+    part = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "o_year" in part, plan
+    # and the data-column projection still prunes the read schema
+    scans = read_schema_columns(df)
+    assert scans and all(len(cols) <= 2 for cols in scans), scans
