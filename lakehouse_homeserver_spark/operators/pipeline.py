@@ -5,6 +5,8 @@ alone; a real pipeline chains them. This module's single query runs
 the canonical pre-training data flow over `documents`:
 
     exact-dedup (keep lowest doc_id per normalized-text group)
+      → benchmark decontamination (5-gram overlap with the held-out
+        eval set removed — k8_decontaminate's semantics)
       → quality gate (heuristic score ≥ τ)
       → deterministic train/eval split (md5 bucket of doc_id)
       → per-(split, lang) audit: docs kept, tokens, mean quality
@@ -12,9 +14,11 @@ the canonical pre-training data flow over `documents`:
 and the DuckDB oracle reproduces the whole chain in SQL — proof that
 the composition, not just each stage, is semantically exact.
 
-Scale shape: one hash-partitioned window for the dedup keeper, then
-map-only scoring/splitting, then one tiny groupBy. No joins, no
-skew-prone keys (the dedup partition key is a 128-bit digest).
+Scale shape: one hash-partitioned window for the dedup keeper, a
+broadcast semi-join + anti-join for decontamination (eval grams are
+benchmark-sized), then map-only scoring/splitting and one tiny
+groupBy. No skew-prone keys (the dedup partition key is a 128-bit
+digest; the anti-join key is doc_id).
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table as T
-from .dedup import SQL_NORM, norm_text
+from .dedup import SQL_NORM, _shingles_from_tokens, norm_text
 from .sampling import SQL_BUCKET, split_bucket
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -57,6 +61,24 @@ def query(name: str, oracle: str | None = None):
                                      ORDER BY doc_id) AS rn
         FROM base
       ) WHERE rn = 1
+    ), grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 5
+                    THEN list_distinct(list_transform(
+                           range(1, len(toks) - 3),
+                           i -> array_to_string(toks[i:i+4], ' ')))
+                    ELSE [array_to_string(toks, ' ')] END) AS gram
+      FROM base
+    ), ev AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0
+    ), bad AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN ev USING (gram)
+      WHERE g.doc_id % 29 <> 0
+    ), decon AS (
+      SELECT * FROM dedup
+      WHERE doc_id % 29 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM bad)
     ), scored AS (
       SELECT doc_id, lang, toks,
              (CAST(CASE WHEN LENGTH(nt) BETWEEN 100 AND 5000 THEN 1.0
@@ -66,7 +88,7 @@ def query(name: str, oracle: str | None = None):
               + LEAST(4.0 * CAST(LEN(list_filter(toks,
                     x -> list_contains(['the','a','of','and','to','in','is'], x)))
                     AS DOUBLE) / LEN(toks), 1.0)) / 3 AS quality
-      FROM dedup
+      FROM decon
     ), gated AS (
       SELECT *, CASE WHEN {SQL_BUCKET.format(key="doc_id")} < 80
                      THEN 'train' ELSE 'eval' END AS split
@@ -98,6 +120,26 @@ def k7_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
 
+    # stage 1.5 — benchmark decontamination (k8_decontaminate's exact
+    # semantics): docs ≡0 mod 29 play the held-out benchmark; corpus
+    # docs sharing a word 5-gram with it are dropped, and the
+    # benchmark docs themselves never enter the corpus. Eval grams
+    # broadcast; corpus side map-only + anti-join.
+    grams = base.select(
+        "doc_id",
+        F.explode(_shingles_from_tokens(F.col("toks"), 5)).alias("gram"),
+    )
+    ev = grams.filter(F.col("doc_id") % 29 == 0).select("gram").distinct()
+    bad = (
+        grams.filter(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(ev), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    decon = deduped.filter(F.col("doc_id") % 29 != 0).join(
+        bad, "doc_id", "left_anti"
+    )
+
     # stage 2 — heuristic quality score (same formula as k4_quality_score)
     toks = F.col("toks")
     n_words = F.size(toks)
@@ -114,7 +156,7 @@ def k7_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
     )
     quality = (len_score + ttr + F.least(4.0 * stop_ratio, F.lit(1.0))) / 3
-    scored = deduped.withColumn("quality", quality)
+    scored = decon.withColumn("quality", quality)
 
     # stage 3 — quality gate + deterministic split
     gated = scored.filter(F.col("quality") >= QUALITY_MIN).withColumn(

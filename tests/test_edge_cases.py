@@ -49,6 +49,9 @@ EMPTY_SAFE = [
     "k6_uniform_sample",
     "k7_training_corpus",
     "k7_sequence_packing",
+    "k8_decontaminate",
+    "k4_repetition_filter",
+    "j_udtf_term_expand",
     "q1_pricing_summary",
     "ts_sessionize",
     "c7_asof_join",
