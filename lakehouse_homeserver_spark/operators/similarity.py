@@ -517,3 +517,171 @@ def k3_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K3 — diversified retrieval (MMR re-rank)
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 10  # candidate pool per query (from the exact top-C pass)
+MMR_K = 4  # diversified results returned
+MMR_LAMBDA = 0.7  # relevance weight
+# Diversity weight as an EXPLICIT literal, not 1-MMR_LAMBDA: Python
+# (1 - 0.7) is 0.30000000000000004, and the oracle must run the
+# same IEEE constant — one ulp here flips no picks but breaks the
+# bit-exact score hash.
+MMR_MU = 0.3
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB SQL: pick1 is the top-relevance
+    candidate; each later pick maximizes λ·rel − (1−λ)·max-sim-to-
+    selected (ties → lowest vec_id). Fixed K ⇒ the greedy loop unrolls
+    into K chained CTEs — an exact oracle for an iterative algorithm.
+    All float ops are CAST AS DOUBLE so both engines run the same IEEE
+    arithmetic on the same JVM/DuckDB-fold-identical cosines."""
+    cos_ab = _sql_cosine("ea.embedding", "eb.embedding")
+    parts = [
+        f"""
+    WITH cand AS (
+      SELECT query_id, cand_id, rel FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {SQL_COSINE} AS rel,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {SQL_COSINE} DESC, c.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+      ) WHERE rn <= {MMR_POOL}
+    ), pairs AS (
+      SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+             {cos_ab} AS sim
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+      JOIN embeddings ea ON ea.vec_id = a.cand_id
+      JOIN embeddings eb ON eb.vec_id = b.cand_id
+    ), pick1 AS (
+      SELECT query_id, cand_id, CAST({MMR_LAMBDA} AS DOUBLE) * rel AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, cand_id) AS rn
+            FROM cand) WHERE rn = 1
+    ), sel1 AS (SELECT query_id, cand_id FROM pick1)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        parts.append(f"""
+    , m{t} AS (
+      SELECT c.query_id, c.cand_id, c.rel, MAX(p.sim) AS maxsim
+      FROM cand c
+      JOIN sel{t-1} s ON s.query_id = c.query_id
+      JOIN pairs p ON p.query_id = c.query_id
+                  AND p.a_id = c.cand_id AND p.b_id = s.cand_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel{t-1} x
+                        WHERE x.query_id = c.query_id
+                          AND x.cand_id = c.cand_id)
+      GROUP BY c.query_id, c.cand_id, c.rel
+    ), pick{t} AS (
+      SELECT query_id, cand_id, score FROM (
+        SELECT query_id, cand_id,
+               CAST({MMR_LAMBDA} AS DOUBLE) * rel
+                 - CAST({MMR_MU!r} AS DOUBLE) * maxsim AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 CAST({MMR_LAMBDA} AS DOUBLE) * rel
+                   - CAST({MMR_MU!r} AS DOUBLE) * maxsim DESC,
+                 cand_id) AS rn
+        FROM m{t}) WHERE rn = 1
+    ), sel{t} AS (SELECT query_id, cand_id FROM sel{t-1}
+                  UNION ALL SELECT query_id, cand_id FROM pick{t})""")
+    finals = [
+        f"SELECT query_id, {t} AS sel_rank, cand_id AS vec_id, score FROM pick{t}"
+        for t in range(1, MMR_K + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(finals))
+    return "".join(parts)
+
+
+@query("k3_mmr_rerank", oracle=_mmr_oracle())
+def k3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (SURVEY K3 ext.):
+    re-rank each query's exact top-{pool} candidates so results are
+    relevant AND mutually diverse — the standard retrieval-quality
+    step RAG/search stacks run after ANN.
+
+    Split of labor, chosen for both scale and exactness:
+    - relevance + pairwise sims are computed JVM-side with the
+      bit-stable cosine fold (same plan as k3_knn_bruteforce plus one
+      pool-sized self-join — pairs per query = pool², tiny);
+    - the greedy selection itself runs in `applyInPandas` per query
+      group (group size = pool² rows, BOUNDED by construction — the
+      skew warning on grouped-map does not apply), doing NO float
+      math beyond λ-weighted add/sub on the precomputed doubles, so
+      the unrolled-SQL oracle reproduces every pick bit-for-bit.
+    """
+    import pandas as pd
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "c_emb",
+            cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+    a = cand.select("query_id", F.col("cand_id").alias("a_id"),
+                    F.col("rel").alias("rel_a"), F.col("c_emb").alias("a_emb"))
+    b = cand.select("query_id", F.col("cand_id").alias("b_id"),
+                    F.col("c_emb").alias("b_emb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id", "a_id", "rel_a", "b_id",
+            cosine_sim(F.col("a_emb"), F.col("b_emb")).alias("sim"),
+        )
+    )
+
+    lam = MMR_LAMBDA
+    mu = MMR_MU
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.a_id)] = float(r.rel_a)
+            sim[(int(r.a_id), int(r.b_id))] = float(r.sim)
+        selected: list[int] = []
+        out = []
+        for rank in range(1, MMR_K + 1):
+            best_id, best_score = None, None
+            for cid in sorted(rel):  # ascending id ⇒ ties keep lowest
+                if cid in selected:
+                    continue
+                maxsim = (
+                    max(sim[(cid, s)] for s in selected) if selected else 0.0
+                )
+                score = lam * rel[cid] - mu * maxsim if selected else lam * rel[cid]
+                if best_score is None or score > best_score:
+                    best_id, best_score = cid, score
+            selected.append(best_id)
+            out.append((qid, rank, best_id, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "sel_rank", "vec_id", "score"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        greedy, "query_id bigint, sel_rank int, vec_id bigint, score double"
+    )

