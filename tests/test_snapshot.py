@@ -323,24 +323,43 @@ def test_snapshot_table_matches_model_under_random_ops(spark, sf_dir, tmp_path):
     slices = {k: nations.filter(F.col("n_regionkey") == k) for k in range(5)}
     counts = {k: slices[k].count() for k in range(5)}
 
+    keys = {
+        k: [r.n_nationkey for r in slices[k].select("n_nationkey").collect()]
+        for k in range(5)
+    }
+
     rng = random.Random(2026)
     for trial in range(3):
         t = SnapshotTable(spark, str(tmp_path / f"m{trial}"))
-        model_rows = 0          # rows at head
-        model_versions = []     # (version, rows_at_version)
+        model_keys: list[int] = []  # key multiset at head
+        model_versions = []         # (version, rows_at_version)
         next_v = 1
-        for _ in range(6):
-            op = rng.choice(["replace", "append", "append", "expire"])
+        for _ in range(7):
+            op = rng.choice(["replace", "append", "append", "merge", "expire"])
             k = rng.randrange(5)
             if op == "replace":
                 t.create_or_replace(slices[k])
-                model_rows = counts[k]
-                model_versions.append((next_v, model_rows))
+                model_keys = list(keys[k])
+                model_versions.append((next_v, len(model_keys)))
                 next_v += 1
             elif op == "append":
                 t.append(slices[k])
-                model_rows = (model_rows + counts[k]) if model_versions else counts[k]
-                model_versions.append((next_v, model_rows))
+                model_keys = (
+                    model_keys + keys[k] if model_versions else list(keys[k])
+                )
+                model_versions.append((next_v, len(model_keys)))
+                next_v += 1
+            elif op == "merge":
+                if not model_versions:
+                    continue
+                # MERGE is key-based: ALL target rows whose n_nationkey
+                # appears in the source are replaced by the source's
+                # single row per key (dedup-by-upsert when the target
+                # holds duplicate keys from repeated appends).
+                t.merge(slices[k], on=["n_nationkey"])
+                src = set(keys[k])
+                model_keys = [x for x in model_keys if x not in src] + keys[k]
+                model_versions.append((next_v, len(model_keys)))
                 next_v += 1
             else:
                 if not model_versions:
@@ -351,6 +370,9 @@ def test_snapshot_table_matches_model_under_random_ops(spark, sf_dir, tmp_path):
             assert t.versions() == [v for v, _ in model_versions]
             if model_versions:
                 assert t.read().count() == model_versions[-1][1]
+                assert sorted(
+                    r.n_nationkey for r in t.read().collect()
+                ) == sorted(model_keys)
                 for v, rows in model_versions:
                     assert t.read(version=v).count() == rows
                     assert t.row_count(version=v) == rows
