@@ -1,0 +1,99 @@
+"""Corpus-scaling smoke: run the map/band-heavy corpus operators at
+1× and 10× the sf0.1 documents/embeddings tables and report wall
+times — the empirical check behind SCALE.md's linear-scaling claims.
+
+Clones are doc_id/vec_id-offset AND text-salted (a per-copy token
+appended) so pair-mining ops don't see artificial exact duplicates
+across copies; the salt token is appended, leaving the original
+5-gram/shingle structure intact.
+
+Usage: python scripts/scale_smoke.py [copies]   (default 10)
+Writes nothing to the repo; scratch data lands in a temp dir.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lakehouse_homeserver_spark.registry import all_queries  # noqa: E402
+from lakehouse_homeserver_spark.session import get_spark  # noqa: E402
+from lakehouse_homeserver_spark.sources import load_table  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+OPS = [
+    "k1_dedup_exact_groups",
+    "k2_simhash",
+    "k2_minhash_lsh",
+    "k4_repetition_filter",
+    "k4_fingerprint",
+    "k6_hash_split",
+    "k8_decontaminate",
+    "k3_knn_bruteforce",
+]
+
+
+def build_scaled(spark, out_dir: str, copies: int) -> None:
+    docs = load_table(spark, BASE_SF, "documents")
+    embs = load_table(spark, BASE_SF, "embeddings")
+    d_parts = []
+    e_parts = []
+    for i in range(copies):
+        off = i * 1_000_000
+        d = docs.withColumn("doc_id", F.col("doc_id") + off)
+        if i > 0:  # salt clone text so copies are near-, not exact, dups
+            d = d.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" copytok{i}"))
+            )
+        d_parts.append(d)
+        e_parts.append(embs.withColumn("vec_id", F.col("vec_id") + off))
+    parts0 = d_parts[0]
+    for p in d_parts[1:]:
+        parts0 = parts0.unionByName(p)
+    parts0.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    e0 = e_parts[0]
+    for p in e_parts[1:]:
+        e0 = e0.unionByName(p)
+    e0.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        load_table(spark, BASE_SF, t).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled = tempfile.mkdtemp(prefix="sf-scaled-")
+    build_scaled(spark, scaled, copies)
+    qs = all_queries()
+    print(f"{'op':28s} {'1x_s':>8s} {'%d x_s' % copies:>8s} {'ratio':>6s}")
+    for name in OPS:
+        times = []
+        for sf_dir in (BASE_SF, scaled):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(time.time() - t0)
+        print(
+            f"{name:28s} {times[0]:8.2f} {times[1]:8.2f} "
+            f"{times[1] / times[0]:6.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
