@@ -1384,3 +1384,42 @@ def h3_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_start"
         ),
     )
+
+
+@query(
+    "h10_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(o_orderkey AS DOUBLE) / (o_orderkey % 3)
+           END AS safe_div,
+           TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+           TRY_CAST(CAST(9223372036854775807 AS HUGEINT)
+                    + CAST(o_orderkey % 2 AS HUGEINT) AS BIGINT) AS edge_add
+    FROM orders
+    """,
+)
+def h10_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-family addendum: the `try_*` escape hatches that make ANSI
+    mode (Spark 4's default, on in this engine) livable — division by
+    zero, malformed casts, and bigint overflow yield NULL instead of
+    failing the job. The DuckDB oracle reproduces each semantics
+    explicitly (CASE-guarded division; TRY_CAST; HUGEINT arithmetic
+    TRY_CAST back to BIGINT for the overflow), so the NULL contract is
+    hash-checked, not assumed. All map-only expression code.
+    """
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_orderkey"), F.col("o_orderkey") % 3).alias(
+            "safe_div"
+        ),
+        F.expr("TRY_CAST(o_orderpriority AS INT)").alias("bad_cast"),
+        F.expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)").alias(
+            "prio_num"
+        ),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("o_orderkey") % 2
+        ).alias("edge_add"),
+    )
