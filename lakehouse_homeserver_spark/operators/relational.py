@@ -1393,10 +1393,13 @@ def h3_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_orderkey % 3 = 0 THEN NULL
                 ELSE CAST(o_orderkey AS DOUBLE) / (o_orderkey % 3)
            END AS safe_div,
-           TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+           TRY_CAST(CASE WHEN o_orderkey % 1000 = 0 THEN o_orderpriority
+                         ELSE CAST(o_orderkey AS VARCHAR) END
+                    AS INT) AS dirty_cast,
            TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
            TRY_CAST(CAST(9223372036854775807 AS HUGEINT)
-                    + CAST(o_orderkey % 2 AS HUGEINT) AS BIGINT) AS edge_add
+                    + CASE WHEN o_orderkey % 5000 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS edge_add
     FROM orders
     """,
 )
@@ -1408,6 +1411,15 @@ def h10_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly (CASE-guarded division; TRY_CAST; HUGEINT arithmetic
     TRY_CAST back to BIGINT for the overflow), so the NULL contract is
     hash-checked, not assumed. All map-only expression code.
+
+    Failure is deliberately RARE (1/1000 dirty strings, 1/5000
+    overflows): `TryEval` catches a real JVM exception per failing
+    row, so a try_cast whose input is malformed on EVERY row costs
+    ~10x the clean path (measured 1.5 s vs 0.14 s on 150k rows at
+    sf0.1, and 2.1 s for an always-overflowing try_add). try_*
+    belongs on mostly-clean columns with rare dirt — which is also
+    the realistic data-cleaning shape; a column that always fails
+    should be handled with an explicit CASE guard instead.
     """
     o = T(spark, sf_dir, "orders")
     return o.select(
@@ -1415,11 +1427,15 @@ def h10_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("o_orderkey"), F.col("o_orderkey") % 3).alias(
             "safe_div"
         ),
-        F.expr("TRY_CAST(o_orderpriority AS INT)").alias("bad_cast"),
+        F.expr(
+            "TRY_CAST(CASE WHEN o_orderkey % 1000 = 0 THEN o_orderpriority"
+            "              ELSE CAST(o_orderkey AS STRING) END AS INT)"
+        ).alias("dirty_cast"),
         F.expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)").alias(
             "prio_num"
         ),
         F.try_add(
-            F.lit(9223372036854775807), F.col("o_orderkey") % 2
+            F.lit(9223372036854775807),
+            F.when(F.col("o_orderkey") % 5000 == 0, 1).otherwise(0),
         ).alias("edge_add"),
     )
