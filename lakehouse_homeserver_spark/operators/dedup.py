@@ -724,3 +724,122 @@ def k8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K2 — duplicate-cluster resolution (connected components over pairs)
+# ---------------------------------------------------------------------------
+
+@query(
+    "k2_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split({SQL_NORM}, ' ')) AS tokens
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+              / (len(a.tokens) + len(b.tokens)
+                 - len(list_intersect(a.tokens, b.tokens))) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_keeper
+    FROM cc
+    """,
+)
+def k2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: near-dup pairs only say "a looks
+    like b"; a dedup pipeline must pick one survivor per transitive
+    group (a~b, b~c => {a,b,c} keep min). This is connected components
+    over the verified pair graph — the step between `k2_*` pair
+    generation and the corpus rewrite, and the part most engines
+    (including the reference stack) leave to the user.
+
+    Spark formulation: Pregel-style min-label propagation as pure
+    DataFrame ops, over ONLY the nodes that occur in some edge —
+    singletons (the overwhelming majority of any real corpus) can
+    never change label, so they are excluded from every round and
+    re-attached at the end with one left join + coalesce. Each round
+    is then ONE equi-join (edges x labels on the 64-bit node id) +
+    ONE groupBy(min) — both shuffle-bounded by the EDGE list, never
+    by the corpus. Labels are monotonically non-increasing, so
+    convergence detection is a single-scalar sum(label) comparison
+    per round (no join-against-previous). Rounds needed = graph
+    diameter; near-dup clusters are shallow (dozens of members,
+    diameter ~2-4), so this converges in a handful of rounds even at
+    100 TB. For adversarially long chains the O(log n)-round
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") drops in behind
+    the same interface. `localCheckpoint` truncates lineage each
+    round so the plan does not grow with iterations.
+
+    The DuckDB oracle computes the same fixpoint with a recursive CTE
+    (UNION-dedup guarantees termination), making an ITERATIVE
+    distributed algorithm hash-checkable against declarative SQL.
+    Output: every doc with its cluster id (= min doc_id reachable),
+    cluster size, and the keeper flag.
+    """
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    pairs = k2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)  # pair generation must not re-run per round
+    )
+    # Propagate only over edge-touched nodes; singletons can't move.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(25):
+        nbr = edges.join(
+            labels, edges["src"] == labels["doc_id"], "inner"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        labels = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:  # pragma: no cover - 25 rounds covers diameter 25; fixture is ~2
+        raise RuntimeError("connected components did not converge in 25 rounds")
+
+    cc = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )

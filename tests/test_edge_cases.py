@@ -50,6 +50,7 @@ EMPTY_SAFE = [
     "k7_training_corpus",
     "k7_sequence_packing",
     "k8_decontaminate",
+    "k2_dup_clusters",
     "k4_repetition_filter",
     "j_udtf_term_expand",
     "q1_pricing_summary",

@@ -392,3 +392,44 @@ def test_mmr_rerank_properties(spark, sf_dir):
         assert len(set(picks)) == MMR_K
         best = max(knn_sorted[q], key=lambda r: (r.cosine, -r.neighbor_id))
         assert picks[0] == best.neighbor_id
+
+
+def test_dup_clusters_match_union_find_model(spark, sf_dir):
+    """The distributed min-label propagation must agree exactly with a
+    driver-side union-find over the same verified pair list: same
+    partition into components, cluster_id = component min, sizes and
+    keeper flags consistent."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.k2_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    expected = {d: find(d) for d in docs}
+    rows = dedup.k2_dup_clusters(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    sizes = {}
+    for r in rows:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    for r in rows:
+        assert r.cluster_id == expected[r.doc_id]
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.is_keeper == (r.doc_id == r.cluster_id)
+    assert any(r.cluster_size > 1 for r in rows), "fixture should have dup clusters"
