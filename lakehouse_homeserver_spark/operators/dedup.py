@@ -843,3 +843,97 @@ def k2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K1 — span-level exact dedup (repeated-substring removal)
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 20
+
+
+@query(
+    "k1_span_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(tk[i * {SPAN_TOKENS} + 1 : i * {SPAN_TOKENS} + {SPAN_TOKENS}], ' ') AS chunk
+      FROM d, UNNEST(range(CAST(ceil(len(tk) / {SPAN_TOKENS}.0) AS BIGINT))) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                      FILTER (WHERE rn = 1), '') AS kept_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def k1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: remove REPEATED SPANS across the whole
+    corpus, not just whole-document copies — the chunked variant of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"; their suffix-array match becomes a
+    fixed-width token-window match, the standard scale relaxation).
+    Documents are split into non-overlapping SPAN_TOKENS-token (20)
+    chunks; the
+    FIRST occurrence of each distinct chunk (by (doc_id, chunk_idx))
+    survives, later occurrences are dropped, and each document is
+    reconstructed from its surviving chunks in order.
+
+    Plan shape: explode to chunks (map-only), ONE window over
+    md5(chunk) — a 16-byte uniformly distributed partition key, no
+    skew — then ONE groupBy(doc_id) to reassemble. The chunk text
+    rides the hash shuffle; a narrow (hash, doc_id, idx)-only window
+    plus a join-back would shuffle the text anyway, so one pass is
+    strictly better. In-order reassembly uses
+    sort_array(collect_list(struct(idx, chunk))) so it is
+    deterministic regardless of task arrival order.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("tk")
+    )
+    n_chunks = F.greatest(
+        F.ceil(F.size("tk") / F.lit(float(SPAN_TOKENS))).cast("int"), F.lit(1)
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice("tk", F.col("chunk_idx") * SPAN_TOKENS + 1, SPAN_TOKENS)
+        ).alias("chunk"),
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") == 1,
+                        F.struct(F.col("chunk_idx"), F.col("chunk")),
+                    )
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        kept.alias("kept_text"),
+    )

@@ -51,6 +51,7 @@ EMPTY_SAFE = [
     "k7_sequence_packing",
     "k8_decontaminate",
     "k2_dup_clusters",
+    "k1_span_dedup",
     "k4_repetition_filter",
     "j_udtf_term_expand",
     "q1_pricing_summary",

@@ -433,3 +433,54 @@ def test_dup_clusters_match_union_find_model(spark, sf_dir):
         assert r.cluster_size == sizes[r.cluster_id]
         assert r.is_keeper == (r.doc_id == r.cluster_id)
     assert any(r.cluster_size > 1 for r in rows), "fixture should have dup clusters"
+
+
+def test_span_dedup_keeps_exactly_one_copy_per_distinct_chunk(spark, sf_dir):
+    """Global invariant: kept chunks across the corpus == distinct
+    chunk hashes (each repeated span survives exactly once), and every
+    doc's kept_text is a subsequence of its normalized text."""
+    res = dedup.k1_span_dedup(spark, sf_dir)
+    agg = res.agg(
+        F.sum(F.col("n_chunks") - F.col("n_dup_chunks")).alias("kept"),
+        F.sum("n_chunks").alias("total"),
+    ).first()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    distinct_chunks = (
+        docs.select(
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(
+                            F.size(F.split(dedup.norm_text(F.col("text")), " "))
+                            / F.lit(20.0)
+                        ).cast("int")
+                        - 1,
+                        F.lit(0),
+                    ),
+                )
+            ).alias("i"),
+            F.split(dedup.norm_text(F.col("text")), " ").alias("tk"),
+        )
+        .select(
+            F.md5(
+                F.concat_ws(" ", F.slice("tk", F.col("i") * 20 + 1, 20))
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert agg.kept == distinct_chunks
+    assert agg.total >= agg.kept
+    sample = res.orderBy("doc_id").limit(50).collect()
+    orig = {
+        r.doc_id: r.norm
+        for r in docs.select(
+            "doc_id", dedup.norm_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    for r in sample:
+        kept_tokens = r.kept_text.split(" ") if r.kept_text else []
+        orig_tokens = orig[r.doc_id].split(" ")
+        it = iter(orig_tokens)
+        assert all(t in it for t in kept_tokens), f"doc {r.doc_id} not a subsequence"
