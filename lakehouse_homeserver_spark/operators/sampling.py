@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table as T
@@ -165,4 +165,43 @@ def k6_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_total",
         _binomial_ok(F.col("n_sampled"), F.col("n_total"), 0.1).alias("frac_ok"),
+    )
+
+
+@query(
+    "k6_reservoir_per_group",
+    oracle=f"""
+    SELECT lang, doc_id, pick_rank FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS pick_rank
+      FROM documents
+    ) WHERE pick_rank <= 10
+    """,
+)
+def k6_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (10 docs per language) — the
+    "reservoir sampling" need, made DETERMINISTIC: order each group by
+    md5(doc_id) (a uniform pseudo-random permutation that both engines
+    compute identically) and keep the first 10. Same statistical
+    behavior as a seeded reservoir — every doc equally likely under
+    the hash permutation — but reproducible across engines, re-runs
+    and partitionings, which a `rand()`-seeded sample is not.
+
+    Plan: one window per group with a rank-limit predicate — Spark
+    compiles this to WindowGroupLimit, so each partition keeps only
+    its current top-10 by hash BEFORE the shuffle (exactly the
+    reservoir algorithm, executed map-side); the exchange carries
+    ~10 rows per group per partition, not the corpus.
+    """
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= 10)
     )

@@ -555,3 +555,46 @@ sql_query(
     ORDER BY numwait DESC, s_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE == DuckDB WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    # A recursive month spine (the classic gap-free reporting scaffold:
+    # months with zero orders must still appear) left-joined to monthly
+    # revenue. Recursion surface is new in Spark 4 (SPARK-24497); the
+    # IDENTICAL text runs on DuckDB, so anchor/step semantics, DATE +
+    # INTERVAL arithmetic inside the recursive step, and termination
+    # are all hash-checked cross-engine. The spine is 80 rows — the
+    # recursion is driver-cheap scaffolding; the heavy side (orders
+    # aggregation) remains one ordinary shuffle, and joining spine to
+    # aggregate is a broadcast of the tiny spine at any corpus scale.
+    "sql_recursive_month_spine",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01' AS m
+      UNION ALL
+      SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+      WHERE m < DATE '2001-08-01'
+    ),
+    rev AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 100
+               + EXTRACT(MONTH FROM o_orderdate) AS ym,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT CAST(EXTRACT(YEAR FROM m) * 100
+                + EXTRACT(MONTH FROM m) AS BIGINT) AS ym,
+           COALESCE(n_orders, 0) AS n_orders,
+           CAST(COALESCE(revenue, 0.0) AS DOUBLE) AS revenue
+    FROM months
+    LEFT JOIN rev
+      ON EXTRACT(YEAR FROM m) * 100 + EXTRACT(MONTH FROM m) = rev.ym
+    ORDER BY ym
+    """,
+)

@@ -318,3 +318,64 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # and the data-column projection still prunes the read schema
     scans = read_schema_columns(df)
     assert scans and all(len(cols) <= 2 for cols in scans), scans
+
+
+def test_reservoir_sample_uses_window_group_limit(spark, sf_dir):
+    """The deterministic per-group reservoir must execute as
+    WindowGroupLimit (map-side top-10 per group by hash, i.e. the
+    reservoir algorithm) — not a full-partition sort-and-filter."""
+    from lakehouse_homeserver_spark.operators import sampling
+
+    plan = formatted_plan(sampling.k6_reservoir_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """At 100 TB the win on selective shuffle joins is Spark's runtime
+    bloom-filter injection: a bloom built from the filtered build side
+    is pushed into the probe-side scan so non-matching rows die before
+    the exchange. Fixture tables sit under the default 10 GiB
+    application-side threshold, so tune the thresholds down and pin
+    that the rewrite actually fires (bloom_filter_agg on the build
+    side + bloom_filter_might_contain on the probe side)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10000000",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins bypass the bloom path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
