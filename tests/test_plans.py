@@ -139,6 +139,19 @@ def test_subqueries_decorrelate_to_joins(spark, sf_dir):
         assert "Subquery" not in plan.split("== Physical Plan ==")[-1].split(
             "Subqueries"
         )[0] or "Join" in plan
+    for q in (
+        # nested IN + correlated scalar agg over lineitem (Q20) and
+        # correlated MIN over the regional supplier pool (Q2). Their
+        # partsupp derivation contains two INTENDED tiny nested-loop
+        # broadcasts (the 1-row supplier-count scalar and the 4-row
+        # VALUES stride list), so only true cartesians are banned.
+        "tpch_q20_part_promotion",
+        "tpch_q2_min_cost_supplier",
+    ):
+        df = all_queries()[q](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan
 
 
 def test_ivf_assignment_is_map_only(spark, sf_dir):
