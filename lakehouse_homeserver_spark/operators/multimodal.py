@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -294,3 +295,119 @@ def k5_resize_stub(
         "orig_bytes",
         "thumb_bytes",
     )
+
+
+# ---------------------------------------------------------------------------
+# K5 — REAL decode path: PPM (P6), pure numpy, no codec library needed
+# ---------------------------------------------------------------------------
+
+PPM_W = 8
+PPM_H = 8
+PPM_HEADER = b"P6\n8 8\n255\n"
+
+PPM_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def ppm_payload_col():
+    """P6 payload assembled from the row's text: real PPM header +
+    exactly w*h*3 pixel bytes (the text cycled via rpad). This is the
+    stand-in for media bytes arriving from ingestion; everything
+    DOWNSTREAM of this column treats it as an opaque image file."""
+    body = F.expr("rpad(text || ' x', 192, text || ' x')")
+    return F.concat(F.lit(PPM_HEADER), F.encode(body, "UTF-8"))
+
+
+def decode_ppm_batches(batches: Iterator, _nothing=None):
+    """REAL image decode (not a stub): parses the P6 header (magic,
+    dimensions, maxval), validates payload length, reinterprets the
+    pixel buffer as a (h, w, 3) uint8 array with numpy, and emits
+    per-channel means — the same steps PIL/imageio would perform for
+    an uncompressed format, with zero external codec dependency.
+    Compressed formats (JPEG/PNG) still require a codec library and
+    keep the loud NotImplementedError path in _decode_image_real."""
+    import numpy as np
+    import pandas as pd
+
+    def one(b: bytes):
+        b = bytes(b)
+        if not b.startswith(b"P6"):
+            raise ValueError("not a P6 PPM payload")
+        # header = three whitespace-delimited fields after the magic
+        parts = b.split(b"\n", 3)
+        w, h = (int(x) for x in parts[1].split())
+        maxval = int(parts[2])
+        if maxval != 255:
+            raise ValueError("only 8-bit PPM supported")
+        px = np.frombuffer(parts[3][: w * h * 3], dtype=np.uint8).reshape(
+            h, w, 3
+        )
+        return (
+            w,
+            h,
+            float(px[:, :, 0].mean()),
+            float(px[:, :, 1].mean()),
+            float(px[:, :, 2].mean()),
+        )
+
+    for pdf in batches:
+        decoded = [one(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "mean_r": [d[2] for d in decoded],
+                "mean_g": [d[3] for d in decoded],
+                "mean_b": [d[4] for d in decoded],
+            }
+        )
+
+
+@query(
+    "k5_ppm_decode",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           (SELECT AVG(ascii(substring(body, 1 + 3 * i, 1)))
+            FROM UNNEST(range(64)) AS t(i)) AS mean_r,
+           (SELECT AVG(ascii(substring(body, 2 + 3 * i, 1)))
+            FROM UNNEST(range(64)) AS t(i)) AS mean_g,
+           (SELECT AVG(ascii(substring(body, 3 + 3 * i, 1)))
+            FROM UNNEST(range(64)) AS t(i)) AS mean_b
+    FROM img
+    """,
+)
+def k5_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image decode over a binary column: each row
+    carries a complete 8x8 P6 PPM file (header + 192 pixel bytes,
+    assembled from the doc's text as the ingestion stand-in), and the
+    Arrow-batched decoder actually parses the format — magic check,
+    dimension parse, buffer reshape via numpy — then emits per-channel
+    means. 8x8 makes each mean an exact sum/64, so doubles cannot
+    drift and the DuckDB oracle (recomputing the channel means from
+    the same cycled text bytes via ascii(substring(...))) hash-matches
+    bit-for-bit. Upgrade over the r1 stub: the decode step itself is
+    now real for uncompressed formats; only compressed codecs remain
+    behind the loud NotImplementedError seam.
+
+    Scale shape: one map-only mapInPandas pass, payload never
+    shuffled; at 100 TB the decode parallelism is the scan
+    parallelism.
+    """
+    d = T(spark, sf_dir, "documents")
+    media = d.select("doc_id", ppm_payload_col().alias("payload"))
+    return media.mapInPandas(decode_ppm_batches, PPM_DECODE_SCHEMA)

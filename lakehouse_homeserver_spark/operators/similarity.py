@@ -685,3 +685,74 @@ def k3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("query_id").applyInPandas(
         greedy, "query_id bigint, sel_rank int, vec_id bigint, score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# K3 — random-projection (Johnson-Lindenstrauss) dimensionality sketch
+# ---------------------------------------------------------------------------
+
+PROJ_DIMS = 8
+
+
+def _proj_signs(j: int, dim: int = DIM) -> list[float]:
+    """Deterministic +-1 sign row j of the projection matrix, derived
+    from md5 at MODULE BUILD time (not query time) — the same Python
+    constants are embedded as literals into BOTH the Spark expression
+    and the DuckDB oracle text, so the 'random' matrix is identical by
+    construction and costs zero hashing at runtime."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0], 16) < 8 else -1.0
+        for i in range(dim)
+    ]
+
+
+def _spark_proj_expr(j: int) -> str:
+    signs = ", ".join(f"{s:.1f}" for s in _proj_signs(j))
+    return (
+        f"aggregate(zip_with(embedding, array({signs}),"
+        " (a, b) -> CAST(a AS DOUBLE) * b),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x) / sqrt(8.0)"
+    )
+
+
+def _duck_proj_expr(j: int) -> str:
+    signs = ", ".join(f"{s:.1f}" for s in _proj_signs(j))
+    return (
+        f"list_sum(list_transform(list_zip(embedding, [{signs}]),"
+        " x -> CAST(x[1] AS DOUBLE) * x[2])) / sqrt(8.0)"
+    )
+
+
+@query(
+    "k3_random_projection",
+    oracle="SELECT vec_id, label, "
+    + ", ".join(f"{_duck_proj_expr(j)} AS proj_{j}" for j in range(PROJ_DIMS))
+    + " FROM embeddings",
+)
+def k3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-matrix projection 64 -> 8 dims (the
+    Achlioptas +-1 construction): the standard pre-step that makes
+    downstream clustering / ANN / near-dup cheaper by an 8x column
+    shrink while approximately preserving pairwise geometry (distances
+    within ~1+-eps with eps ~ sqrt(ln n / k)).
+
+    Map-only: each output dim is one fold over the embedding array
+    against a +-1 literal vector — no shuffle, no UDF, whole
+    projection inlined as JVM higher-order-function expressions built
+    as ONE SQL string (py4j lesson from the IVF centroids). The fold
+    order matches DuckDB's list_sum(list_transform(...)) exactly, so
+    the projected doubles are bit-identical and fully hash-checked —
+    unusual for a 'random' projection, possible because the matrix is
+    md5-derived at build time and embedded into both engine texts.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        *[
+            F.expr(_spark_proj_expr(j)).alias(f"proj_{j}")
+            for j in range(PROJ_DIMS)
+        ],
+    )

@@ -52,6 +52,9 @@ EMPTY_SAFE = [
     "k8_decontaminate",
     "k2_dup_clusters",
     "k1_span_dedup",
+    "k3_random_projection",
+    "k5_ppm_decode",
+    "k6_reservoir_per_group",
     "k4_repetition_filter",
     "j_udtf_term_expand",
     "q1_pricing_summary",

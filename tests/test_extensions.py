@@ -484,3 +484,65 @@ def test_span_dedup_keeps_exactly_one_copy_per_distinct_chunk(spark, sf_dir):
         orig_tokens = orig[r.doc_id].split(" ")
         it = iter(orig_tokens)
         assert all(t in it for t in kept_tokens), f"doc {r.doc_id} not a subsequence"
+
+
+def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
+    """JL contract: E[||P v||^2] == ||v||^2 for the +-1/sqrt(k)
+    construction. Check the corpus-average ratio is within 25% (k=8 is
+    a coarse sketch; the guarantee is in expectation, not per-vector)."""
+    from pyspark.sql import functions as F
+
+    proj = similarity.k3_random_projection(spark, sf_dir)
+    pnorm = proj.select(
+        sum(
+            (F.col(f"proj_{j}") * F.col(f"proj_{j}") for j in range(8)),
+            F.lit(0.0),
+        ).alias("p2")
+    ).agg(F.avg("p2").alias("avg_p2")).first()
+    onorm = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("o2")
+        )
+        .agg(F.avg("o2").alias("avg_o2"))
+        .first()
+    )
+    ratio = pnorm.avg_p2 / onorm.avg_o2
+    assert 0.75 < ratio < 1.25, ratio
+
+
+def test_ppm_decoder_round_trips_a_known_image(spark, sf_dir):
+    """Feed the decoder a hand-built 2x2 P6 image with known pixels and
+    check exact channel means — proving the parser reads actual PPM
+    structure (header skip, row-major RGB interleave), not byte
+    heuristics. Then: decoder must reject a non-PPM payload loudly."""
+    import pandas as pd
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    img = b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  255, 255, 255]
+    )
+    out = pd.concat(
+        mm.decode_ppm_batches(iter([pd.DataFrame({"doc_id": [1], "payload": [img]})]))
+    )
+    r = out.iloc[0]
+    assert (r.width, r.height) == (2, 2)
+    assert r.mean_r == (255 + 0 + 0 + 255) / 4.0
+    assert r.mean_g == (0 + 255 + 0 + 255) / 4.0
+    assert r.mean_b == (0 + 0 + 255 + 255) / 4.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(
+            mm.decode_ppm_batches(
+                iter([pd.DataFrame({"doc_id": [1], "payload": [b"JFIF..."]})])
+            )
+        )
