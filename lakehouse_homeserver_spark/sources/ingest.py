@@ -20,13 +20,15 @@ deliberate improvements over the reference (SURVEY.md §3.1 notes):
 3. The bare `except:` that treats *any* metadata failure as "nothing
    loaded yet" (:60-61) is narrowed to "table does not exist".
 
-Table format seam: locally tables are session-catalog parquet tables
-written with `saveAsTable` (V1 API — Spark's built-in catalog has no
-V2 REPLACE support). On a cluster with Delta/Iceberg jars the same
-call sites switch to `DataFrameWriterV2.createOrReplace()/append()`
-with the reference's exact table options
-(write.format.default=parquet, format-version=2, :95-110); the seam
-is `TableFormat`.
+Table format seam: table CREATE goes through the real
+`DataFrameWriterV2` path (`writeTo().using().create()` — the API the
+reference calls for every write, :94-110); replace/append fall back
+to V1 `saveAsTable` because Spark's built-in V2SessionCatalog rejects
+V2 append/REPLACE on v1 tables (errors verified in-environment). On a
+cluster with Delta/Iceberg jars all three verbs take the writeTo()
+surface with the reference's exact table options
+(write.format.default=parquet, format-version=2); the seam is
+`TableFormat`.
 """
 
 from __future__ import annotations
@@ -57,10 +59,27 @@ class TableFormat:
     atomic_ingest: bool = False
     mvcc: bool = False
 
+    def create(
+        self, df: DataFrame, table: str, properties: dict | None = None
+    ) -> None:
+        """A7 create: the REAL DataFrameWriterV2 call path —
+        `writeTo(t).using(fmt).create()`, the exact API shape the
+        reference uses for every write (extract_load.py:94-110).
+        Spark's built-in V2SessionCatalog supports V2 CREATE TABLE AS
+        SELECT but not V2 append/REPLACE on v1 tables (verified in
+        this environment: "Cannot write into v1 table" / "does not
+        support REPLACE TABLE AS SELECT"), so locally only this verb
+        routes through V2; with Delta/Iceberg jars on the classpath
+        the other two verbs take the same writeTo() surface."""
+        df.writeTo(table).using(self.name).create()
+
     def create_or_replace(
         self, df: DataFrame, table: str, properties: dict | None = None
     ) -> None:
-        df.write.format(self.name).mode("overwrite").saveAsTable(table)
+        if not df.sparkSession.catalog.tableExists(table):
+            self.create(df, table, properties=properties)
+        else:
+            df.write.format(self.name).mode("overwrite").saveAsTable(table)
 
     def append(
         self, df: DataFrame, table: str, properties: dict | None = None
@@ -101,6 +120,11 @@ class SnapshotFormat(TableFormat):
     def _table(self, table: str) -> SnapshotTable:
         path = os.path.join(self.warehouse_dir, *table.split("."))
         return SnapshotTable(self.spark, path)
+
+    def create(
+        self, df: DataFrame, table: str, properties: dict | None = None
+    ) -> None:
+        self._table(table).create(df, properties=properties)
 
     def create_or_replace(
         self, df: DataFrame, table: str, properties: dict | None = None

@@ -139,3 +139,24 @@ def test_optimize_layout_sorts_and_preserves(spark, lh, landing):
 
     q = after_df.filter("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'")
     assert any("l_shipdate" in p for p in pushed_filters(q))
+
+
+def test_tableformat_create_uses_writer_v2(spark, tmp_path):
+    """A7 through the REAL DataFrameWriterV2 verb: create() must make a
+    catalog table readable by name, and a second create() must fail
+    with Spark's V2 table-exists analysis error (proving the call went
+    through writeTo().create(), which has create-exclusive semantics,
+    not saveAsTable overwrite)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from lakehouse_homeserver_spark.sources.ingest import TableFormat
+
+    fmt = TableFormat()
+    spark.sql("DROP TABLE IF EXISTS default.v2_create_probe")
+    df = spark.range(7).toDF("id")
+    fmt.create(df, "default.v2_create_probe")
+    assert spark.table("default.v2_create_probe").count() == 7
+    with pytest.raises(AnalysisException):
+        fmt.create(df, "default.v2_create_probe")
+    spark.sql("DROP TABLE IF EXISTS default.v2_create_probe")
