@@ -1502,3 +1502,86 @@ def d3_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_close_to_direct"),
         )
     )
+
+
+@query(
+    "e4_analytic_suite",
+    oracle="""
+    SELECT n_nationkey, c_custkey, c_acctbal,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS poorest,
+           NTH_VALUE(c_custkey, 3) OVER w AS third_poorest,
+           LAST_VALUE(c_custkey) OVER (
+             PARTITION BY n_nationkey ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS richest
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def e4_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window functions (SURVEY E1 completion):
+    percent_rank / cume_dist / first_value / nth_value / last_value.
+    percent_rank and cume_dist are exact rationals (rank arithmetic /
+    row counts), so the doubles are bit-identical across engines after
+    a noise-free round(6). last_value requires the explicit
+    unbounded-following frame in BOTH engines — the default frame ends
+    at CURRENT ROW, which silently returns the current row's value;
+    nth_value / first_value run on the default frame to pin that
+    semantic difference too (nth_value is NULL until 3 peers have been
+    seen). (c_acctbal, c_custkey) makes every ordering a total order.
+    """
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("c_custkey").over(w).alias("poorest"),
+            F.nth_value("c_custkey", 3).over(w).alias("third_poorest"),
+            F.last("c_custkey").over(w_full).alias("richest"),
+        )
+    )
+
+
+@query(
+    "h11_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS maybe_status,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM
+            NULLIF(o_orderpriority, o_orderpriority)) AS null_safe_eq,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS coalesced,
+           (NULLIF(o_orderstatus, 'O') IS NULL) AS is_open,
+           CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT NULL
+                THEN length(o_orderstatus) END AS closed_len
+    FROM orders
+    """,
+)
+def h11_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface (SURVEY H5 completion): NULLIF /
+    COALESCE / IS NULL, and NULL-SAFE equality — Spark's `<=>`
+    (eqNullSafe) against the ANSI `IS NOT DISTINCT FROM` spelling in
+    the oracle, pinning that NULL <=> NULL is TRUE while NULL = NULL
+    is NULL. The second NULLIF operand (col vs itself) manufactures a
+    guaranteed NULL without leaving the row's own data, so the
+    null-safe comparison exercises both NULL-NULL and NULL-value
+    cases across the fixture. All map-only."""
+    o = T(spark, sf_dir, "orders")
+    maybe = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    always_null = F.nullif(F.col("o_orderpriority"), F.col("o_orderpriority"))
+    return o.select(
+        "o_orderkey",
+        maybe.alias("maybe_status"),
+        maybe.eqNullSafe(always_null).alias("null_safe_eq"),
+        F.coalesce(maybe, F.lit("OPEN")).alias("coalesced"),
+        maybe.isNull().alias("is_open"),
+        F.when(maybe.isNotNull(), F.length("o_orderstatus")).alias("closed_len"),
+    )
