@@ -270,3 +270,50 @@ def a14_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, num_rows bigint, n_cols bigint"
     )
+
+
+@query(
+    "a15_file_skipping",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 6000 AND 7499
+    ORDER BY o_orderkey
+    """,
+)
+def a15_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping end to end (SURVEY A-ext; Iceberg's
+    core scan optimization): orders is committed as four key-range
+    slices (each commit's footer min/max recorded in the snapshot,
+    zero extra scan jobs), then a narrow range scan prunes the
+    manifest BEFORE Spark plans the read — only overlapping files are
+    opened, and the residual predicate keeps pruning semantically
+    invisible. The oracle answers the same range from the raw table,
+    so pruned == unpruned is hash-checked; the pytest layer
+    additionally asserts the file-count reduction (pruning actually
+    happened, not just correct results).
+
+    At 100 TB with time- or key-clustered commits (the natural ingest
+    order), this is the difference between opening every file in a
+    million-file table and opening the handful whose range matches —
+    metadata-only, before any executor starts.
+    """
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-skip-"), "orders")
+    )
+    orders = T(spark, sf_dir, "orders")
+    bounds = [0, 5000, 10000, 15000, 10**12]
+    for i in range(4):
+        sl = orders.filter(
+            (F.col("o_orderkey") >= bounds[i])
+            & (F.col("o_orderkey") < bounds[i + 1])
+        ).coalesce(1)
+        if i == 0:
+            t.create(sl)
+        else:
+            t.append(sl)
+    return (
+        t.scan("o_orderkey", 6000, 7499)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

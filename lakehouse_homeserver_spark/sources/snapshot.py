@@ -133,9 +133,44 @@ def merge_plan(
     return kept.unionByName(incoming, allowMissingColumns=True)
 
 
+def _footer_stats(path: str) -> tuple[int, dict]:
+    """(row_count, {col: [min, max]}) from one parquet footer — the
+    per-file skipping index, harvested at commit time with zero data
+    reads. Only JSON-stable primitive stats are kept (ints, floats,
+    strings); columns without usable statistics are simply absent,
+    which `prune_files` treats as "cannot skip" (always safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (struct/array internals)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return md.num_rows, {c: [mins[c], maxs[c]] for c in mins}
+
+
 class SnapshotTable:
     """One table = one directory with `data/` + `_log/`. All mutation
-    goes through `_commit`, all reads through `read(version=)`."""
+    goes through `_commit`, all reads through `read(version=)` or the
+    stats-pruned `scan(...)`."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -217,15 +252,18 @@ class SnapshotTable:
         expect_parent=_ANY_PARENT,
     ) -> dict:
         added = self._stage(df)
-        # Row counts come from the parquet footers (driver-side pyarrow
-        # metadata read, no Spark job) — at any scale this is O(files)
-        # metadata, and it shaves a whole count job off every commit.
-        import pyarrow.parquet as pq
-
-        n_added = sum(
-            pq.ParquetFile(os.path.join(self._data_path, f)).metadata.num_rows
-            for f in added
-        )
+        # Row counts AND per-file column min/max come from the parquet
+        # footers (driver-side pyarrow metadata read, no Spark job) —
+        # at any scale this is O(files) metadata. The counts shave a
+        # whole count job off every commit; the min/max ranges become
+        # the snapshot's file-skipping index (Iceberg's manifest
+        # stats), consumed by `scan()`.
+        n_added = 0
+        added_stats: dict[str, dict] = {}
+        for f in added:
+            rows, stats = _footer_stats(os.path.join(self._data_path, f))
+            n_added += rows
+            added_stats[f] = stats
         os.makedirs(self._log_path, exist_ok=True)
         for _ in range(max_retries):
             head_v = self.latest_version()
@@ -257,6 +295,7 @@ class SnapshotTable:
                 manifest = list(added)
                 schema = df.schema
                 total = n_added
+                stats = dict(added_stats)
             else:
                 schema = df.schema
                 if merge_schema:
@@ -272,6 +311,7 @@ class SnapshotTable:
                         )
                 manifest = head["manifest"] + added
                 total = head["row_count"] + n_added
+                stats = {**head.get("stats", {}), **added_stats}
             entry = {
                 "version": (head_v or 0) + 1,
                 "parent": head_v,
@@ -281,6 +321,7 @@ class SnapshotTable:
                 "added": added,
                 "schema": json.dumps(schema.jsonValue()),
                 "row_count": total,
+                "stats": stats,
                 "properties": properties or {},
             }
             if self._write_entry(entry):
@@ -420,6 +461,56 @@ class SnapshotTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
+
+    def files(self, version: int | None = None) -> list[dict]:
+        """The Iceberg `.files` metadata table: one dict per live data
+        file with its commit-time footer stats. Metadata only — no
+        data scan."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        e = self.entry(v)
+        stats = e.get("stats", {})
+        return [
+            {"file": f, "stats": stats.get(f, {})} for f in e["manifest"]
+        ]
+
+    def prune_files(
+        self, column: str, lo, hi, version: int | None = None
+    ) -> list[str]:
+        """Manifest-level file skipping: keep only files whose
+        [min, max] range for `column` overlaps [lo, hi]. Files with no
+        recorded stats are kept (skipping is an optimization, never a
+        correctness decision). Pure metadata: at 100 TB this turns
+        "list and open a million files" into "open the dozens whose
+        range matches" BEFORE Spark plans the scan — the same job
+        Iceberg's manifest stats do."""
+        out = []
+        for f in self.files(version):
+            rng = f["stats"].get(column)
+            if rng is None or (rng[0] <= hi and rng[1] >= lo):
+                out.append(f["file"])
+        return out
+
+    def scan(
+        self, column: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Range scan with file skipping: prune the manifest by footer
+        stats, read only surviving files, and STILL apply the residual
+        predicate (pruning is semantically invisible — a file may
+        overlap the range yet contain no matching rows)."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        schema = StructType.fromJson(json.loads(self.entry(v)["schema"]))
+        names = self.prune_files(column, lo, hi, version=v)
+        pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+        if not names:
+            return self.spark.createDataFrame([], schema).filter(pred)
+        files = [os.path.join(self._data_path, f) for f in names]
+        return self.spark.read.schema(schema).parquet(*files).filter(pred)
 
     def row_count(self, version: int | None = None) -> int:
         v = self.latest_version() if version is None else version

