@@ -463,3 +463,76 @@ def k4_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_bigrams", "n_distinct_bigrams")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "k4_tfidf_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf_count
+      FROM toks, UNNEST(tk) AS t(term)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf_count, tfidf FROM (
+      SELECT tf.doc_id, tf.term, tf.tf_count,
+             ROUND(tf.tf_count * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6)
+               AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf_count
+                              * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6)
+                        DESC, tf.term
+             ) AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rn <= 5
+    """,
+)
+def k4_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the classic keyword/topic
+    signal a corpus pipeline derives before indexing or clustering.
+
+    Plan shape at 100 TB: one (doc_id, term) aggregate (the only
+    corpus-sized shuffle), one vocabulary-sized term aggregate, then
+    the document-frequency table joins BACK via broadcast (vocab ≪
+    corpus) and a WindowGroupLimit top-5 per doc. The IDF log is
+    rounded to 6 dp and the ROW_NUMBER orders by the ROUNDED score —
+    StrictMath.log (Spark) and libm log (DuckDB) may differ in the
+    last ulp, so both the emitted value and the top-k SELECTION are
+    pinned to the rounded, tie-broken ordering (bit-stable across
+    engines; the raw-double ordering would not be).
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("tk")
+    )
+    tf = (
+        d.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf_count"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf_count")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf_count", "tfidf")
+    )

@@ -55,6 +55,7 @@ EMPTY_SAFE = [
     "k3_random_projection",
     "k5_ppm_decode",
     "k6_reservoir_per_group",
+    "k4_tfidf_terms",
     "k4_repetition_filter",
     "j_udtf_term_expand",
     "q1_pricing_summary",
