@@ -317,3 +317,38 @@ def a15_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "a16_incremental_read",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_custkey % 4 IN (1, 2)
+    ORDER BY c_custkey
+    """,
+)
+def a16_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption between snapshots (SURVEY A-ext;
+    Iceberg incremental scan / Delta CDF for append-only tables):
+    customer is committed in four residue-class slices; the consumer
+    asks for "everything added after version 1, up to version 3" and
+    gets EXACTLY slices 2 and 3 — resolved as manifest arithmetic
+    (union of the intervening commits' `added` file lists), no state
+    diffing, no re-scan of slices 0/1. The oracle states the same
+    contract declaratively (residues 1 and 2). This is how periodic
+    downstream jobs stay O(new data) at 100 TB.
+    """
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-inc-"), "cust")
+    )
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    t.create(c.filter(F.col("c_custkey") % 4 == 0))
+    v1 = t.latest_version()
+    t.append(c.filter(F.col("c_custkey") % 4 == 1))
+    t.append(c.filter(F.col("c_custkey") % 4 == 2))
+    v3 = t.latest_version()
+    t.append(c.filter(F.col("c_custkey") % 4 == 3))
+    return t.added_between(v1, v3).orderBy("c_custkey")

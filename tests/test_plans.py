@@ -392,3 +392,41 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    """MIN/MAX/COUNT with no filter can be answered from parquet
+    footer statistics without scanning a single data page — at 100 TB
+    that's a metadata planning query, not a cluster job. Requires the
+    DSv2 parquet path; pin both the PushedAggregation marker and the
+    result's correctness."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.parquet.aggregatePushdown",
+            "spark.sql.sources.useV1SourceList",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        plan = formatted_plan(df)
+        assert "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]" in plan
+        row = df.first()
+        full = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        assert row.n == full.count()
+        lohi = full.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+        assert (row.lo, row.hi) == (lohi[0], lohi[1])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -688,3 +688,27 @@ def test_scan_outside_all_ranges_reads_zero_files(spark, tmp_path, nations):
     t.create(nations.coalesce(1))
     assert t.prune_files("n_nationkey", 10_000, 20_000) == []
     assert t.scan("n_nationkey", 10_000, 20_000).count() == 0
+
+
+def test_incremental_read_returns_exactly_new_rows(spark, tmp_path, nations):
+    """added_between(v1, v3) == rows of commits 2..3, nothing else;
+    (head, head) is empty; spanning a replace raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "inc"))
+    t.create(nations.filter("n_nationkey < 5"))
+    v1 = t.latest_version()
+    t.append(nations.filter("n_nationkey >= 5 AND n_nationkey < 10"))
+    t.append(nations.filter("n_nationkey >= 10 AND n_nationkey < 15"))
+    v3 = t.latest_version()
+    got = sorted(
+        r.n_nationkey for r in t.added_between(v1, v3).collect()
+    )
+    assert got == list(range(5, 15))
+    assert t.added_between(v3, v3).count() == 0
+    t.create_or_replace(nations.filter("n_nationkey < 3"))
+    with pytest.raises(ValueError, match="incremental read undefined"):
+        t.added_between(v1).collect()
