@@ -756,3 +756,82 @@ def k3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(PROJ_DIMS)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# K3 — int8 scalar quantization (vector compression)
+# ---------------------------------------------------------------------------
+
+@query(
+    "k3_int8_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    rng AS (
+      SELECT vec_id, label, e,
+             list_min(e) AS mn,
+             (list_max(e) - list_min(e)) / 255.0 AS scale
+      FROM v
+    )
+    SELECT vec_id, label,
+           ROUND(mn, 6) AS mn,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(list_transform(e,
+                x -> CAST(FLOOR((x - mn) / scale + 0.5) AS BIGINT)))
+             AS BIGINT) AS code_sum,
+           list_max(list_transform(e,
+                x -> abs(x - (mn + FLOOR((x - mn) / scale + 0.5) * scale))))
+             <= scale * 0.5000001 AS within_half_step
+    FROM rng
+    """,
+)
+def k3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    4x vector-store compression (FAISS SQ8 / Lucene scalar quantizer):
+    per vector, min-max affine map onto 0..255 codes, half-up rounded.
+    Emitted as scalar audit columns (range, code checksum, and the
+    reconstruction-error contract |x - dequant(x)| <= scale/2 pinned
+    as a boolean) because the driver canonicalizer rejects array
+    outputs; the codes themselves are the intermediate
+    `FLOOR((x-mn)/scale + 0.5)` term.
+
+    Cross-engine determinism: both engines run the identical IEEE
+    double ops ((x-mn)/scale, floor, fused nowhere), so codes and
+    checksums match bit-for-bit; rounding is spelled FLOOR(x+0.5) —
+    never CAST — because CAST(double AS INT) truncates in Spark but
+    rounds in DuckDB. The error bound gets a 1e-7 relative epsilon so
+    the boolean cannot flip on the one-ulp boundary. Map-only, no
+    shuffle; at 100 TB this is a scan-speed rewrite that shrinks the
+    ANN working set 4x.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).select(
+        "vec_id",
+        "label",
+        "e",
+        F.array_min("e").alias("mn"),
+        ((F.array_max("e") - F.array_min("e")) / 255.0).alias("scale"),
+    )
+    code = "CAST(FLOOR((x - mn) / scale + 0.5) AS BIGINT)"
+    return v.select(
+        "vec_id",
+        "label",
+        F.round("mn", 6).alias("mn"),
+        F.round("scale", 6).alias("scale"),
+        F.expr(
+            f"CAST(aggregate(transform(e, x -> {code}), 0L, (a, b) -> a + b)"
+            " AS BIGINT)"
+        ).alias("code_sum"),
+        F.expr(
+            "array_max(transform(e,"
+            " x -> abs(x - (mn + FLOOR((x - mn) / scale + 0.5) * scale))))"
+            " <= scale * 0.5000001"
+        ).alias("within_half_step"),
+    )

@@ -260,3 +260,78 @@ def j_udtf_term_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _docs_udtf d, LATERAL term_expand(d.text) f
         """
     )
+
+
+@query(
+    "j_cogroup_medians",
+    oracle="""
+    WITH cm AS (
+      SELECT c_nationkey AS n_nationkey,
+             QUANTILE_CONT(c_acctbal, 0.5) AS cust_median,
+             COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    sm AS (
+      SELECT s_nationkey AS n_nationkey,
+             QUANTILE_CONT(s_acctbal, 0.5) AS supp_median,
+             COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT n_nationkey,
+           ROUND(cust_median, 6) AS cust_median,
+           ROUND(supp_median, 6) AS supp_median,
+           ROUND(cust_median - supp_median, 6) AS median_gap,
+           n_cust, n_supp
+    FROM cm JOIN sm USING (n_nationkey)
+    """,
+)
+def j_cogroup_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth sanctioned pandas surface (SURVEY J completion):
+    COGROUPED applyInPandas — two DataFrames grouped on the same key
+    arrive as a pandas-frame PAIR per key, the shape for per-key
+    cross-dataset logic (merge_asof alignment, per-entity
+    reconciliation). Here: per-nation customer-vs-supplier account
+    medians and their gap. pandas' interpolating median matches
+    QUANTILE_CONT / Spark percentile exactly, so the oracle recomputes
+    it relationally (two aggs + a join).
+
+    Scale: each side shuffles once on the cogroup key; a group must
+    fit one worker's memory (keys here are nations). Nations with
+    customers but no suppliers (or vice versa) are dropped by BOTH
+    sides (inner-join semantics, matching the oracle's JOIN).
+    """
+    import pandas as pd
+
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey"), "c_acctbal"
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey"), "s_acctbal"
+    )
+
+    def gap(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=[
+                    "n_nationkey", "cust_median", "supp_median",
+                    "median_gap", "n_cust", "n_supp",
+                ]
+            )
+        cm = float(left["c_acctbal"].median())
+        sm = float(right["s_acctbal"].median())
+        return pd.DataFrame(
+            {
+                "n_nationkey": [int(left["n_nationkey"].iloc[0])],
+                "cust_median": [round(cm, 6)],
+                "supp_median": [round(sm, 6)],
+                "median_gap": [round(cm - sm, 6)],
+                "n_cust": [len(left)],
+                "n_supp": [len(right)],
+            }
+        )
+
+    return c.groupBy("n_nationkey").cogroup(s.groupBy("n_nationkey")).applyInPandas(
+        gap,
+        "n_nationkey bigint, cust_median double, supp_median double, "
+        "median_gap double, n_cust bigint, n_supp bigint",
+    )

@@ -56,6 +56,8 @@ EMPTY_SAFE = [
     "k5_ppm_decode",
     "k6_reservoir_per_group",
     "k4_tfidf_terms",
+    "k3_int8_quantize",
+    "j_cogroup_medians",
     "k4_repetition_filter",
     "j_udtf_term_expand",
     "q1_pricing_summary",
