@@ -1,0 +1,121 @@
+"""Python DataSource (Spark 4 API) exposing snapshot tables as a
+first-class `spark.read.format("snapshot")` source.
+
+The reference stack reads its tables through a catalog-wired format
+("iceberg.src.t" — /root/reference/scripts/extract_load.py:87-110);
+this module gives the commit-log table format the same first-class
+read surface using PySpark 4's user-defined data source API
+(pyspark.sql.datasource) instead of a JVM catalog plugin:
+
+    spark.dataSource.register(SnapshotDataSource)
+    spark.read.format("snapshot").load("/path/to/table")
+    spark.read.format("snapshot").option("version", 3).load(...)
+
+Design:
+- `schema()` resolves from the snapshot log (driver-side JSON read,
+  no Spark job) — the requested version's schema, so time travel
+  surfaces the schema AS OF that snapshot.
+- One `InputPartition` per live data file (the manifest IS the split
+  plan); each task streams its file as Arrow record batches via
+  pyarrow — batch-columnar end to end, no per-row Python loop.
+- Files written before a schema evolution lack the later columns;
+  the reader null-fills and reorders every batch to the snapshot
+  schema — the same projection `SnapshotTable.read()` gets from
+  `spark.read.schema(...)`.
+
+This path is the INTEGRATION surface (format-string reads, catalog
+UIs, tools that only know `spark.read.format`). `SnapshotTable.read()`
+remains the fast path: it hands the manifest straight to the native
+parquet scan (JVM vectorized reader, pushdown, pruning). Same table,
+same snapshots, two doors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+def _read_entry(table_path: str, version: int | None) -> dict:
+    log = os.path.join(table_path, _LOG_DIR)
+    if not os.path.isdir(log):
+        raise FileNotFoundError(f"{table_path}: not a snapshot table (no _log)")
+    versions = sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(log)
+        if f.endswith(".json") and not f.startswith(".")
+    )
+    if not versions:
+        raise FileNotFoundError(f"{table_path}: table has no snapshots")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"{table_path}: no snapshot {v} (have {versions})")
+    with open(os.path.join(log, f"{v:020d}.json")) as fh:
+        return json.load(fh)
+
+
+class SnapshotPartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class SnapshotReader(DataSourceReader):
+    def __init__(self, schema: StructType, entry: dict, table_path: str):
+        self._schema = schema
+        self._entry = entry
+        self._table_path = table_path
+
+    def partitions(self):
+        data = os.path.join(self._table_path, _DATA_DIR)
+        return [
+            SnapshotPartition(os.path.join(data, f))
+            for f in self._entry["manifest"]
+        ]
+
+    def read(self, partition: SnapshotPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        want = [f.name for f in self._schema.fields]
+        pf = pq.ParquetFile(partition.file_path)
+        have = set(pf.schema_arrow.names)
+        present = [c for c in want if c in have]
+        for batch in pf.iter_batches(columns=present):
+            cols = {c: batch.column(batch.schema.get_field_index(c)) for c in present}
+            arrays = []
+            for c in want:
+                if c in cols:
+                    arrays.append(cols[c])
+                else:  # pre-evolution file: null-fill the later column
+                    arrays.append(pa.nulls(batch.num_rows))
+            yield pa.RecordBatch.from_arrays(arrays, names=want)
+
+
+class SnapshotDataSource(DataSource):
+    """`format("snapshot")` — options: `path` (load() arg), `version`
+    (optional int, Iceberg `VERSION AS OF` / Delta `versionAsOf`)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot"
+
+    def _entry(self) -> tuple[dict, str]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot source requires a path: .load(path)")
+        v = self.options.get("version")
+        return _read_entry(path, int(v) if v is not None else None), path
+
+    def schema(self) -> StructType:
+        entry, _ = self._entry()
+        return StructType.fromJson(json.loads(entry["schema"]))
+
+    def reader(self, schema: StructType) -> SnapshotReader:
+        entry, path = self._entry()
+        return SnapshotReader(schema, entry, path)

@@ -160,3 +160,66 @@ def test_tableformat_create_uses_writer_v2(spark, tmp_path):
     with pytest.raises(AnalysisException):
         fmt.create(df, "default.v2_create_probe")
     spark.sql("DROP TABLE IF EXISTS default.v2_create_probe")
+
+
+def test_observation_metrics_ride_the_job(spark, sf_dir):
+    """`df.observe()` — pipeline audit counters collected ON the
+    executors during the one real pass (no second scan): row count +
+    revenue sum must equal a direct aggregation's answer."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    obs = Observation("audit")
+    out = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+    ).filter(F.col("l_quantity") > 25)
+    kept = out.count()
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+    ).first()
+    assert obs.get["n_rows"] == direct.n
+    assert obs.get["rev"] == direct.rev
+    assert kept < direct.n
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_path):
+    """Backfill contract: with partitionOverwriteMode=dynamic, an
+    INSERT OVERWRITE of one partition's recomputed data must replace
+    ONLY that partition and leave the others byte-identical — the
+    idempotent-backfill pattern every scheduled pipeline needs."""
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+            "status", F.col("o_orderstatus")
+        )
+        path = str(tmp_path / "part_tbl")
+        orders.write.partitionBy("status").parquet(path)
+        before = {
+            r.status: r.n
+            for r in spark.read.parquet(path).groupBy("status").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        # backfill exactly one partition with half its rows
+        redo = orders.filter("o_orderstatus = 'F'").filter("o_orderkey % 2 = 0")
+        redo.write.mode("overwrite").partitionBy("status").parquet(path)
+        after = {
+            r.status: r.n
+            for r in spark.read.parquet(path).groupBy("status").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert after["F"] == redo.count()
+        for k in before:
+            if k != "F":
+                assert after[k] == before[k], f"partition {k} was clobbered"
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)

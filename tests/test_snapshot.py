@@ -712,3 +712,39 @@ def test_incremental_read_returns_exactly_new_rows(spark, tmp_path, nations):
     t.create_or_replace(nations.filter("n_nationkey < 3"))
     with pytest.raises(ValueError, match="incremental read undefined"):
         t.added_between(v1).collect()
+
+
+def test_python_datasource_reads_snapshot_format(spark, tmp_path, nations):
+    """spark.read.format("snapshot") — the Spark 4 Python DataSource
+    wrapper — must agree with SnapshotTable.read() for the head AND
+    for version-as-of, including null-fill on pre-evolution files."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+    spark.dataSource.register(SnapshotDataSource)
+    path = str(tmp_path / "fmt")
+    t = SnapshotTable(spark, path)
+    t.create(nations.filter("n_nationkey < 10"))
+    v1 = t.latest_version()
+    t.append(
+        nations.filter("n_nationkey >= 10").withColumn(
+            "extra", F.col("n_nationkey") * 2
+        )
+    )
+
+    head = spark.read.format("snapshot").load(path)
+    assert sorted(head.columns) == sorted(t.read().columns)
+    assert head.count() == 25
+    # pre-evolution rows surface NULL for the evolved column
+    assert head.filter("n_nationkey < 10 AND extra IS NULL").count() == 10
+    assert head.filter("n_nationkey >= 10 AND extra IS NOT NULL").count() == 15
+
+    old = spark.read.format("snapshot").option("version", v1).load(path)
+    assert old.count() == 10
+    assert "extra" not in old.columns
+
+    got = {r.n_nationkey for r in head.collect()}
+    want = {r.n_nationkey for r in t.read().collect()}
+    assert got == want
