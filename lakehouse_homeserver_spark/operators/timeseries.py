@@ -353,3 +353,247 @@ def ts_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("p_us"),
         F.unix_micros("c_ts").alias("c_us"),
     )
+
+
+WEEK_US = 604_800_000_000
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+      GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS viewed,
+           (SELECT COUNT(*) FROM c) AS clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS purchased_after_click
+    """,
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): how many users
+    reach each stage IN ORDER — a later click only counts if at or
+    after the user's first view, a purchase only after that click.
+    The product-analytics operator every event store grows
+    (Mixpanel/Amplitude funnels; Snowplow's SQL runs exactly this
+    CTE chain).
+
+    Plan: three sequential per-user MIN aggregates, each joined to a
+    strictly SHRINKING user set (stage-2 joins stage-1 survivors,
+    ...), so every shuffle is keyed on user_id and bounded by the
+    previous stage's cardinality — no window over the full event
+    stream, no self-join explosion. Scales as three groupBys.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
+
+
+@query(
+    "ts_cohort_retention",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, MIN(epoch_us(ts) // {WEEK_US}) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS w
+      FROM events
+    )
+    SELECT cohort_week,
+           w - cohort_week AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen
+    week, counted in every subsequent week they were active — the
+    second canonical product-analytics rollup next to the funnel.
+
+    Plan: one per-user MIN (cohort assignment), one DISTINCT over
+    (user, week) — both keyed on user_id — then the cohort table
+    (users-sized, far smaller than events) broadcasts back onto
+    activity for the final (cohort, offset) count. Integer week
+    arithmetic (epoch-µs floor-div) is exact in both engines.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {WEEK_US}").alias("w")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    activity = e.distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .select("cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "ts_interpolate",
+    oracle=f"""
+    WITH sparse AS (
+      SELECT event_type,
+             (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS val
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM sparse),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM sparse) t
+      CROSS JOIN (
+        SELECT UNNEST(range(lo, hi + {HOUR_US}, {HOUR_US})) AS h
+        FROM bounds
+      ) g
+    ),
+    dense AS (
+      SELECT s.event_type, s.h, sp.val
+      FROM spine s LEFT JOIN sparse sp
+        ON s.event_type = sp.event_type AND s.h = sp.h
+    ),
+    flanked AS (
+      SELECT event_type, h, val,
+        LAST_VALUE(val IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN val IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        FIRST_VALUE(val IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN val IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM dense
+    )
+    SELECT event_type, h AS hour_us,
+           (val IS NULL) AS was_gap,
+           ROUND(CASE
+             WHEN val IS NOT NULL THEN val
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             ELSE pv + (nv - pv) * (CAST(h - ph AS DOUBLE)
+                                    / CAST(nh - ph AS DOUBLE))
+           END, 6) AS value_interp
+    FROM flanked
+    ORDER BY event_type, hour_us
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a gap-filled hourly series (the
+    TimescaleDB `interpolate()` / InfluxDB `fill(linear)` operator):
+    per event type, missing hours get the straight line between the
+    flanking known points; hours outside the known range stay NULL
+    (no extrapolation).
+
+    Plan: sparse hourly aggregate (decimal-exact mean) -> dense spine
+    join (spine rows = hours x types, generated distributively) ->
+    TWO windows per type (backward LOCF pair, forward NOCB pair) with
+    IGNORE NULLS frames — the standard flanking-value encoding that
+    keeps interpolation a per-partition sort, never a self-join. All
+    lerp arithmetic is the same IEEE double ops in both engines, and
+    emitted values are rounded at 6 dp.
+    """
+    e = T(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    sparse = (
+        e.select(
+            "event_type",
+            ((ts_us / F.lit(HOUR_US)).cast("bigint") * HOUR_US).alias("h"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("val")
+        )
+    )
+    bounds = sparse.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = (
+        sparse.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_US))
+            ).alias("h"),
+        )
+    )
+    dense = spine.join(sparse, ["event_type", "h"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("val").isNotNull(), F.col("h"))
+    flanked = dense.select(
+        "event_type",
+        "h",
+        "val",
+        F.last("val", ignorenulls=True).over(back).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(back).alias("ph"),
+        F.first("val", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("h") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double")
+    )
+    return flanked.select(
+        "event_type",
+        F.col("h").alias("hour_us"),
+        F.col("val").isNull().alias("was_gap"),
+        F.round(
+            F.when(F.col("val").isNotNull(), F.col("val"))
+            .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+            .otherwise(lerp),
+            6,
+        ).alias("value_interp"),
+    ).orderBy("event_type", "hour_us")

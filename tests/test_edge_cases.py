@@ -62,6 +62,8 @@ EMPTY_SAFE = [
     "j_udtf_term_expand",
     "q1_pricing_summary",
     "ts_sessionize",
+    "ts_cohort_retention",
+    "ts_interpolate",
     "c7_asof_join",
     "d7_quantiles_approx",
     "d3_approx_count_distinct",
