@@ -1585,3 +1585,54 @@ def h11_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         maybe.isNull().alias("is_open"),
         F.when(maybe.isNotNull(), F.length("o_orderstatus")).alias("closed_len"),
     )
+
+
+@query(
+    "d10_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)),
+                      19) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS bucket_min,
+           ROUND(MAX(l_extendedprice), 2) AS bucket_max
+    FROM lineitem CROSS JOIN b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def d10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets of extendedprice per return
+    flag) — the OLAP profiling aggregate behind every column-stats
+    panel. Bucketing is spelled as portable FLOOR arithmetic with the
+    top edge clamped into the last bucket (LEAST(…, 19)), identical
+    IEEE ops in both engines — deliberately NOT an engine-specific
+    width_bucket() call. Two passes: a 1-row min/max (broadcast), then
+    one map-side-combined group-by; at 100 TB the range pass can come
+    from footer stats (see a14) making the histogram single-pass.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 20.0)
+        ),
+        F.lit(19),
+    ).cast("bigint")
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy("l_returnflag", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("bucket_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bucket_max"),
+        )
+        .orderBy("l_returnflag", "bucket")
+    )

@@ -205,3 +205,58 @@ def k6_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pick_rank", F.row_number().over(w))
         .filter(F.col("pick_rank") <= 10)
     )
+
+
+@query(
+    "k6_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars, pick_rank FROM (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               ORDER BY ln(CAST(CAST('0x' ||
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE) / 1152921504606846976.0)
+                 / n_chars DESC,
+               doc_id
+             ) AS pick_rank
+      FROM documents
+    ) WHERE pick_rank <= 20
+    """,
+)
+def k6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): each doc gets key ln(u)/w for a uniform u and weight
+    w = n_chars; the top-20 keys ARE a weighted sample — longer docs
+    proportionally likelier, no sequential pass, no rejection loop.
+    The standard trick for 'sample training docs by length/quality
+    weight' at scale: one WindowGroupLimit top-k, map-side, no global
+    sort of the corpus.
+
+    Determinism: u is md5-derived (15 hex chars / 2^60 — the same
+    bigint->double rounding in both engines), so the sample is
+    reproducible across engines and re-runs, unlike rand()-seeded
+    weighted sampling. ln() may differ from libm by an ulp; adjacent
+    keys are ~1e-3 apart vs ~1e-16 ulp noise, and doc_id tie-breaks,
+    so the selected set is stable (documented, not assumed — the
+    oracle hash-checks it).
+    """
+    d = T(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    # Distributed top-k (TakeOrderedAndProject: per-partition heads,
+    # k-row exchange) — NOT a global row_number window, which would
+    # funnel the corpus through one partition. The rank is assigned
+    # afterwards on the 20 survivors.
+    top = (
+        d.select("doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(20)
+    )
+    win = Window.orderBy(F.desc("k"), "doc_id")
+    return top.select(
+        "doc_id", "n_chars", F.row_number().over(win).alias("pick_rank")
+    )

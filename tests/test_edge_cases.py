@@ -55,6 +55,8 @@ EMPTY_SAFE = [
     "k3_random_projection",
     "k5_ppm_decode",
     "k6_reservoir_per_group",
+    "k6_weighted_sample",
+    "d10_histogram",
     "k4_tfidf_terms",
     "k3_int8_quantize",
     "j_cogroup_medians",

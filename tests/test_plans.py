@@ -430,3 +430,13 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_weighted_sample_uses_distributed_topk(spark, sf_dir):
+    """The E-S weighted sample must plan as TakeOrderedAndProject
+    (per-partition top-20 then a 20-row exchange), never a global
+    single-partition sort of the corpus."""
+    from lakehouse_homeserver_spark.operators import sampling
+
+    plan = formatted_plan(sampling.k6_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
