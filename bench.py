@@ -41,11 +41,22 @@ def main() -> None:
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
 
-    # Warm up the JVM / codegen / parquet footer caches so the first
-    # timed query isn't charged for session startup.
+    # Warm up one-time process machinery so the alphabetically-first
+    # queries aren't charged for it: JVM/codegen, parquet footer
+    # caches, the Python UDF worker daemons (one per core — measured
+    # ~5 s billed to the first pandas query otherwise), the noop sink
+    # used for materialization, and the parquet write committer.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for t in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    warm = spark.range(32_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    warm.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="bench-warm-") as d:
+        spark.range(100).write.mode("overwrite").parquet(os.path.join(d, "w"))
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -420,7 +420,32 @@ def minhash_signatures(
     return sh_df.select("doc_id", sig.alias("sig"), "shingles")
 
 
-@query("k2_minhash_lsh")
+@query(
+    "k2_minhash_lsh",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(len(tk)-2),
+                         i -> array_to_string(tk[i+1:i+3], ' ')))
+                  ELSE [array_to_string(tk, ' ')] END AS sh
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+            FROM documents) t
+    ),
+    inv AS (SELECT doc_id, UNNEST(sh) AS s FROM d),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           ROUND(len(list_intersect(x.sh, y.sh)) /
+                 CAST(len(x.sh) + len(y.sh)
+                      - len(list_intersect(x.sh, y.sh)) AS DOUBLE), 4) AS jaccard
+    FROM cand JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
+    WHERE jaccard >= 0.7
+    """,
+)
 def k2_minhash_lsh(
     spark: SparkSession,
     sf_dir: str,
@@ -429,8 +454,22 @@ def k2_minhash_lsh(
     threshold: float = 0.7,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification
-    (SURVEY K2; rows-only check — LSH recall is probabilistic, so the
-    contract is verified by property tests, not a SQL oracle).
+    (SURVEY K2).
+
+    Oracle (added r3): the DuckDB side computes the EXACT pair set —
+    inverted-index candidate generation (docs sharing >=1 shingle is
+    a superset of any Jaccard>0 pair) + exact Jaccard filter. The
+    engine's LSH output is always a SUBSET of that set (candidates
+    are exact-verified before emission); hash-equality additionally
+    certifies recall == 1 on this corpus. That equality is a
+    DETERMINISTIC property of (fixed xxhash64 permutations, fixture
+    text): measured missed=0/extra=0 at sf0.001/0.01/0.1. It is NOT a
+    general LSH guarantee — a corpus with pairs sitting at the
+    s-curve's soft edge (J just above tau) could legitimately drop
+    below recall 1 (P[candidate] = 1-(1-J^4)^4 ~ 0.67 at J = 0.70);
+    `test_minhash_lsh_recall_is_total_on_fixture` pins the fixture
+    fact locally so a banding/hash change that breaks driver parity
+    fails fast in pytest first.
 
     Pipeline (all equi-joins, no cross product):
       shingle → 16 minhashes → 4 bands × 4 rows → explode bands →
@@ -815,23 +854,35 @@ def k2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = None
-    for _ in range(25):
-        nbr = edges.join(
-            labels, edges["src"] == labels["doc_id"], "inner"
-        ).select(F.col("dst").alias("doc_id"), "label")
-        labels = (
-            labels.union(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:  # pragma: no cover - 25 rounds covers diameter 25; fixture is ~2
-        raise RuntimeError("connected components did not converge in 25 rounds")
+    # Size the per-round shuffles to the EDGE list, not the corpus:
+    # the frontier is orders of magnitude smaller than the table it
+    # came from, and every wasted reducer is paid diameter-many times.
+    # ~250k edge-endpoints per partition; the conf is restored before
+    # the (corpus-sized) final join/window below executes.
+    edges_n = edges.count()  # checkpointed — a metadata-cheap job
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_parts = max(2, min(sess_parts, edges_n // 250_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        prev_sum = None
+        for _ in range(25):
+            nbr = edges.join(
+                labels, edges["src"] == labels["doc_id"], "inner"
+            ).select(F.col("dst").alias("doc_id"), "label")
+            labels = (
+                labels.union(nbr)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:  # pragma: no cover - 25 rounds covers diameter 25; fixture is ~2
+            raise RuntimeError("connected components did not converge in 25 rounds")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
 
     cc = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")

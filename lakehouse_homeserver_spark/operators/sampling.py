@@ -260,3 +260,98 @@ def k6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "n_chars", F.row_number().over(win).alias("pick_rank")
     )
+
+
+@query(
+    "k6_domain_mix",
+    oracle="""
+    WITH w AS (
+      SELECT source, COUNT(*) AS n_avail,
+             CAST(SUBSTRING(source, 4) AS BIGINT) + 1 AS wt
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(wt) AS wsum FROM w),
+    budget AS (
+      SELECT CAST(FLOOR(MIN(n_avail * wsum / CAST(wt AS DOUBLE))) AS BIGINT)
+             AS n_star
+      FROM w, tot
+    ),
+    quota AS (
+      SELECT source, n_avail,
+             CAST(FLOOR(n_star * wt / CAST(wsum AS DOUBLE)) AS BIGINT) AS n_take
+      FROM w, tot, budget
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS pick_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.pick_rank, q.n_take
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.pick_rank <= q.n_take
+    """,
+)
+def k6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling — the 'data mixing' stage of a
+    training pipeline: given a target weight per source domain,
+    downsample each domain so the output corpus matches the target
+    mixture EXACTLY, at the largest size the inventory allows
+    (no upsampling; the scarcest-relative-to-weight domain binds the
+    budget: N* = floor(min_s n_s * W / w_s)).
+
+    Weights here derive from the source name (src<i> -> i+1) so the
+    demo is self-contained; in production they are a tiny dimension
+    table — same plan either way, the quota side stays broadcast-size
+    (one row per domain).
+
+    Plan shape at 100 TB: one groupBy(source) for the inventory
+    (partial-agg, tiny result), the budget as a 1-row reduction over
+    it, then one shuffle of the corpus by source for the md5-rank
+    window, filtered by the broadcast per-domain quota. The rank
+    filter cannot use WindowGroupLimit (the limit is per-group,
+    decided at runtime), so the window shuffle is the op's one
+    corpus-sized exchange — same cost class as the groupBy a plain
+    stratified sample needs. Selection inside each domain is the
+    md5-permutation reservoir (deterministic, engine-portable,
+    uniform over the domain).
+    """
+    d = T(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_avail")).select(
+        "source",
+        "n_avail",
+        (F.substring("source", 4, 10).cast("bigint") + 1).alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").alias("wsum"))
+    quota_base = w.crossJoin(F.broadcast(tot))
+    budget = quota_base.agg(
+        F.floor(
+            F.min(F.col("n_avail") * F.col("wsum") / F.col("wt").cast("double"))
+        ).alias("n_star")
+    )
+    quota = (
+        quota_base.crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            "n_avail",
+            F.floor(
+                F.col("n_star") * F.col("wt") / F.col("wsum").cast("double")
+            ).alias("n_take"),
+        )
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("pick_rank"),
+    )
+    return ranked.join(F.broadcast(quota), "source").filter(
+        F.col("pick_rank") <= F.col("n_take")
+    ).select("doc_id", "source", "pick_rank", "n_take")

@@ -835,3 +835,53 @@ def k3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " <= scale * 0.5000001"
         ).alias("within_half_step"),
     )
+
+
+@query(
+    "k3_ivf_recall",
+    oracle=f"""
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           TRUE AS min_recall_ok,
+           TRUE AS mean_recall_ok
+    """,
+)
+def k3_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable recall certificate for the IVF index (K3).
+
+    `k3_knn_ivf` itself stays rows-only — an approximate index has no
+    SQL twin. This query makes its QUALITY contract a hash-checkable
+    fact instead: Spark computes BOTH the IVF top-k (nprobe={N_PROBE}
+    of nlist={N_LIST}) and the exact brute-force top-k, joins them,
+    and emits per-corpus recall bounds as booleans the oracle pins to
+    TRUE — the same bound-certificate pattern as
+    `d3_approx_count_distinct` / `k6_uniform_sample`. Everything is
+    deterministic: md5/xxhash seeds, fixed Lloyd iterations, id
+    tie-breaks on rank order.
+
+    Bounds (fixture-calibrated, intentionally loose so they hold at
+    any SF): min per-query recall@{TOP_K} >= 0.2 (the probe always
+    finds SOME true neighbors), mean recall >= 0.6 (the index is
+    useful). A regression that degrades the coarse quantizer or probe
+    routing trips the hash.
+
+    Cost note: runs the corpus scan twice (IVF + exact) over the
+    broadcast query set — still no corpus shuffle anywhere.
+    """
+    ivf = k3_knn_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_n")
+    )
+    exact = k3_knn_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("bf_n")
+    )
+    hits = exact.join(
+        ivf,
+        (exact["query_id"] == ivf["query_id"]) & (F.col("bf_n") == F.col("ivf_n")),
+        "left",
+    ).groupBy(exact["query_id"]).agg(
+        (F.count("ivf_n") / F.lit(float(TOP_K))).alias("recall")
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.min("recall") >= 0.2).alias("min_recall_ok"),
+        (F.avg("recall") >= 0.6).alias("mean_recall_ok"),
+    )

@@ -556,6 +556,58 @@ sql_query(
     """,
 )
 
+sql_query(
+    # Adaptation: TPC-H Q4 counts orders with at least one late line,
+    # where "late" is l_commitdate < l_receiptdate; the fixture has
+    # neither date, so lateness becomes "shipped more than 30 days
+    # after the order date" (l_shipdate > o_orderdate + 30d). The
+    # structural point of Q4 — a correlated EXISTS that Catalyst must
+    # decorrelate into a left-semi join so lineitem is scanned once,
+    # then a tiny GROUP BY on priority — is preserved verbatim. At
+    # 100 TB the semi-join shuffles only (orderkey) pairs pruned by
+    # the quarter filter; the EXISTS side is never materialized.
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL '30' DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+sql_query(
+    # Adaptation: TPC-H Q12 groups late lines by l_shipmode and splits
+    # counts by order priority; the fixture has no shipmode or
+    # commit/receipt dates, so the grouping key becomes l_linestatus
+    # and "late" is the same shipped->ordered 20-day lag used for Q4.
+    # The shape Q12 actually exercises — orders⋈lineitem with the
+    # selective predicate on the FACT side, then conditional CASE
+    # aggregation over a dimension attribute of the joined row — is
+    # intact, including the URGENT/HIGH vs other split.
+    "tpch_q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL '20' DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # Recursive CTE (Spark 4 WITH RECURSIVE == DuckDB WITH RECURSIVE)

@@ -546,3 +546,56 @@ def test_ppm_decoder_round_trips_a_known_image(spark, sf_dir):
                 iter([pd.DataFrame({"doc_id": [1], "payload": [b"JFIF..."]})])
             )
         )
+
+
+def test_domain_mix_matches_target_mixture(spark, sf_dir):
+    """k6_domain_mix: per-domain take counts are exactly
+    floor(N* * w/W), the output is a subset of the corpus, and the
+    achieved mixture tracks the target weights (error < 1 doc per
+    domain, the floor() rounding bound)."""
+    from lakehouse_homeserver_spark.operators.sampling import k6_domain_mix
+
+    rows = k6_domain_mix(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    taken = {s: len(v) for s, v in by_src.items()}
+    # every domain's rows respect its quota and ranks are 1..n_take
+    for s, v in by_src.items():
+        n_take = v[0].n_take
+        assert taken[s] == n_take
+        assert sorted(r.pick_rank for r in v) == list(range(1, n_take + 1))
+    # achieved mixture ~ weights: n_take_s / n_take_t ≈ w_s / w_t
+    wts = {s: int(s[3:]) + 1 for s in taken}
+    n_star = sum(taken.values())
+    wsum = sum(wts.values())
+    for s in taken:
+        target = n_star * wts[s] / wsum
+        assert abs(taken[s] - target) <= 1.0
+    # deterministic across invocations
+    again = {r.doc_id for r in k6_domain_mix(spark, sf_dir).collect()}
+    assert again == {r.doc_id for r in rows}
+
+
+def test_minhash_lsh_recall_is_total_on_fixture(spark, sf_dir):
+    """Pins the fixture fact the k2_minhash_lsh oracle relies on:
+    banded LSH (4x4 @ tau=0.7) finds EVERY exact-Jaccard>=0.7 pair of
+    this corpus (recall == 1, deterministic under the fixed hashes).
+    If a banding/permutation change breaks this, the driver's oracle
+    row would go red — this test catches it locally first."""
+    import duckdb
+
+    from lakehouse_homeserver_spark.operators.dedup import k2_minhash_lsh
+    from lakehouse_homeserver_spark.registry import all_oracles
+
+    lsh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in k2_minhash_lsh(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exact = {tuple(r) for r in con.execute(all_oracles()["k2_minhash_lsh"]).fetchall()}
+    assert lsh == exact
