@@ -221,3 +221,146 @@ def batch_rich_sessions(events: DataFrame) -> DataFrame:
         )
         .drop("session_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4) — the successor stateful API
+# ---------------------------------------------------------------------------
+
+SPIKE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("us", LongType()),
+        StructField("value_cents", LongType()),
+        StructField("prior_n", LongType()),
+        StructField("prior_sum_cents", LongType()),
+    ]
+)
+
+SPIKE_FACTOR = 3  # flag when value > FACTOR × user's prior mean
+
+
+def _spike_processor_cls():
+    """Deferred import/definition: StatefulProcessor subclasses are
+    pickled to the python workers; defining the class lazily keeps
+    module import safe on Spark versions without the API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SpikeProcessor(StatefulProcessor):
+        """Per-user value-spike detector on the NEW transformWithState
+        API (SPARK-49564; complements the applyInPandasWithState
+        sessionizer above): ValueState keeps (n, sum_cents) per user;
+        an event is flagged when value_cents * n > FACTOR * sum_cents
+        — pure integer arithmetic, so the stream and the batch twin
+        agree bit-for-bit with the DuckDB-checkable window form.
+        State is two longs per user, bounded; no timers needed (the
+        running mean never expires)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, sum_cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, total = (self._agg.get() or (0, 0)) if self._agg.exists() else (0, 0)
+            batch = pd.concat(list(rows))
+            batch["us"] = batch["ts"].astype("int64") // 1000
+            sort_keys = ["us", "event_id"] if "event_id" in batch else ["us"]
+            batch = batch.sort_values(sort_keys)
+            out = []
+            for eid, us, value in zip(
+                batch["event_id"], batch["us"], batch["value"]
+            ):
+                cents = int(math.floor(value * 100 + 0.5))  # HALF_UP, ≥0
+                if n > 0 and cents * n > SPIKE_FACTOR * total:
+                    out.append((user_id, int(eid), int(us), cents, n, total))
+                n += 1
+                total += cents
+            self._agg.update((n, total))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[f.name for f in SPIKE_SCHEMA],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return SpikeProcessor
+
+
+def value_spikes(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream-side transformation: watermarked events → flagged spike
+    events, via transformWithStateInPandas."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_spike_processor_cls()(),
+            outputStructType=SPIKE_SCHEMA,
+            outputMode="append",
+            timeMode="None",
+        )
+    )
+
+
+def stream_value_spikes(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: StructType,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Landing files → spike flags → parquet sink, exactly-once."""
+    from .jobs import read_file_stream
+
+    src = read_file_stream(
+        spark, landing_dir, schema, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        value_spikes(src)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def batch_value_spikes(events: DataFrame) -> DataFrame:
+    """Batch twin of `value_spikes`: the running (n, sum) pair is a
+    ROWS UNBOUNDED PRECEDING .. 1 PRECEDING window; the flag predicate
+    is the same integer comparison. Used by the stream==batch test."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select(
+        "user_id", "event_id", us.alias("us"), cents.alias("value_cents")
+    ).select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("prior_n"),
+        F.coalesce(F.sum("value_cents").over(w), F.lit(0)).alias(
+            "prior_sum_cents"
+        ),
+    )
+    return base.filter(
+        (F.col("prior_n") > 0)
+        & (
+            F.col("value_cents") * F.col("prior_n")
+            > SPIKE_FACTOR * F.col("prior_sum_cents")
+        )
+    )

@@ -302,3 +302,34 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     exp = sorted(map(tuple, enrich_events(events, profile).collect()))
     assert got == exp and len(got) > 0
+
+
+def test_transform_with_state_spikes_match_batch_twin(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API): the per-user
+    value-spike stream must emit EXACTLY the rows the window-function
+    batch twin computes — the flag predicate is integer arithmetic
+    (cents × n > 3 × sum_cents), so equality is exact, and because
+    state never expires the stream must emit every batch-twin row
+    (no watermark-horizon carve-out needed, unlike sessions)."""
+    from lakehouse_homeserver_spark.streaming import stateful
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.prepare_events_landing(spark, sf_dir, landing, slices=4)
+    _run(
+        stateful.stream_value_spikes(
+            spark, landing, out, ckpt, jobs.events_schema()
+        )
+    )
+    emitted = {
+        (r.user_id, r.event_id, r.us, r.value_cents, r.prior_n, r.prior_sum_cents)
+        for r in spark.read.parquet(out).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.user_id, r.event_id, r.us, r.value_cents, r.prior_n, r.prior_sum_cents)
+        for r in stateful.batch_value_spikes(events).collect()
+    }
+    assert emitted == expected
+    assert emitted, "fixture produced no spikes — test is vacuous"
