@@ -94,4 +94,56 @@ def tune_session(spark: SparkSession) -> SparkSession:
             # queries later with no cause attached.
             if "static" not in str(e).lower():
                 raise
+    _ship_package(spark)
     return spark
+
+
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to the executors' python workers.
+
+    Pandas-UDF closures are cloudpickled **by reference** (module +
+    qualname), so the worker process must be able to import
+    ``lakehouse_homeserver_spark`` — which fails when the driver
+    process runs from an arbitrary cwd (the harness does) and on any
+    real cluster where the package isn't pre-installed on executors.
+    ``sc.addPyFile`` of a package zip is the standard deployment path
+    (same mechanism as ``spark-submit --py-files``); content-hashed
+    filename keeps the call idempotent across sessions and edits.
+    """
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    sources = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(pkg_dir)):
+        for f in sorted(filenames):
+            if f.endswith(".py"):
+                sources.append(os.path.join(dirpath, f))
+    digest = hashlib.md5()
+    for path in sources:
+        with open(path, "rb") as fh:
+            digest.update(path.encode())
+            digest.update(fh.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_homeserver_spark-{digest.hexdigest()[:12]}.zip",
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for path in sources:
+                arc = os.path.join(
+                    "lakehouse_homeserver_spark",
+                    os.path.relpath(path, pkg_dir),
+                )
+                zf.write(path, arc)
+        os.replace(tmp, zpath)  # atomic vs concurrent test workers
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app_id)

@@ -36,14 +36,22 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-on-read parquet scan (SURVEY.md A1).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it
-    as raw nanos (``nanosAsLong``, see session.py) and we truncate to a
-    µs timestamp here — the same truncation DuckDB applies, so oracle
-    comparisons stay exact.
+    ``events.ts`` normalization: the fixture has shipped it both as
+    parquet TIMESTAMP(NANOS) (read as raw nanos via ``nanosAsLong``,
+    see session.py — truncated to µs here, matching DuckDB) and as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+    Engine code uses instant functions (``unix_micros`` etc.), so both
+    land on the session-TZ TIMESTAMP type; the session pins UTC, which
+    makes the NTZ→TZ cast value-exact and keeps DuckDB (which treats
+    the same column as a naive TIMESTAMP) hash-identical.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -225,6 +225,14 @@ def batch_rich_sessions(events: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4) — the successor stateful API
+#
+# Runtime dependency note: pyspark's transformWithState state-server
+# protocol is protobuf-encoded (pyspark.sql.streaming.proto imports
+# google.protobuf lazily in the driver worker). In environments
+# without the protobuf wheel the query fails at plan time with
+# STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE; the test suite
+# skips the TWS test there. applyInPandasWithState (the sessionizer
+# above) has no such dependency and is the portable stateful path.
 # ---------------------------------------------------------------------------
 
 SPIKE_SCHEMA = StructType(

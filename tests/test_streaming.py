@@ -8,6 +8,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakehouse_homeserver_spark.operators.timeseries import i2_tumbling_window
@@ -304,6 +306,25 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def _has_protobuf() -> bool:
+    # transformWithState's state-server protocol is protobuf-encoded;
+    # pyspark imports google.protobuf lazily inside the streaming
+    # driver worker. Without it the query crashes at plan time, so the
+    # capability is environment-gated (it is a Spark runtime dep, not
+    # one of ours — see stateful.py docstring).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas requires google.protobuf "
+    "(pyspark streaming-state runtime dep) — absent in this env",
+)
 def test_transform_with_state_spikes_match_batch_twin(spark, sf_dir, tmp_path):
     """transformWithStateInPandas (Spark 4 stateful API): the per-user
     value-spike stream must emit EXACTLY the rows the window-function
