@@ -1636,3 +1636,102 @@ def d10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "bucket")
     )
+
+
+@query(
+    "h12_higher_order_funcs",
+    oracle="""
+    SELECT vec_id,
+           LEN(list_filter(embedding, x -> x > 0)) AS n_pos,
+           ROUND(list_reduce(
+             list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             (acc, x) -> acc + x), 6) AS norm_sq,
+           ROUND(list_reduce(
+             list_transform(
+               list_zip(embedding, list_reverse(embedding)),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+             (acc, x) -> acc + x), 6) AS dot_rev
+    FROM embeddings
+    """,
+)
+def h12_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface (SURVEY H6 ext.): filter /
+    transform / aggregate(fold) / zip_with as first-class lambda
+    expressions — the declarative alternative to exploding an array
+    through a shuffle. Demonstrated on the embedding column: positive
+    count, squared norm (fold of squares), and dot(v, reverse(v)).
+
+    These run entirely inside the JVM expression interpreter — map-
+    only, no Python, no explode, no shuffle; at 100 TB this is a
+    parquet-speed scan. Float parity: both engines fold LEFT-TO-RIGHT
+    over the same element order, so the double accumulation is
+    bit-identical (unlike a SUM over rows, which reduces in engine-
+    specific order and needs the decimal contract).
+    """
+    e = T(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    prod = F.zip_with(
+        "embedding",
+        F.reverse("embedding"),
+        lambda a, b: a.cast("double") * b.cast("double"),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(fold(sq), 6).alias("norm_sq"),
+        F.round(fold(prod), 6).alias("dot_rev"),
+    )
+
+
+@query(
+    "d11_mode_median",
+    oracle="""
+    WITH vc AS (
+      SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    md AS (
+      SELECT l_returnflag, l_linestatus, l_quantity AS mode_qty,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY c DESC, l_quantity) AS rn
+      FROM vc
+    )
+    SELECT g.l_returnflag, g.l_linestatus, g.median_qty, m.mode_qty
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             MEDIAN(l_quantity) AS median_qty
+      FROM lineitem GROUP BY 1, 2
+    ) g
+    JOIN md m ON g.l_returnflag = m.l_returnflag
+            AND g.l_linestatus = m.l_linestatus AND m.rn = 1
+    """,
+)
+def d11_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIAN and MODE per group (SURVEY D7 ext.). Median uses
+    the engines' exact interpolating aggregate (both define it as
+    quantile_cont(0.5), and the even-count midpoint is a single IEEE
+    mean of identical operands). Mode is NOT the built-in: both
+    engines' mode() leaves tie-breaking unspecified, so portability
+    requires the explicit form — value-count aggregate + row_number
+    ordered (count DESC, value ASC). Two shuffles: the value-count
+    pre-aggregate (combiner-friendly: |distinct values| ≪ rows) and
+    the per-group window over the tiny distinct-value table; the
+    median aggregate rides the same group keys.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    vc = li.groupBy(*keys, "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("c"), "l_quantity")
+    mode = (
+        vc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*keys, F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy(*keys).agg(F.median("l_quantity").alias("median_qty"))
+    return med.join(mode, keys)

@@ -355,3 +355,103 @@ def k6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(quota), "source").filter(
         F.col("pick_rank") <= F.col("n_take")
     ).select("doc_id", "source", "pick_rank", "n_take")
+
+
+@query(
+    "k6_temperature_resample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_i FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_i) AS DOUBLE) AS n FROM counts),
+    w AS (
+      SELECT source, n_i, sqrt(CAST(n_i AS DOUBLE) / tot.n) AS w_i
+      FROM counts CROSS JOIN tot
+    ),
+    sw AS (SELECT SUM(w_i) AS s FROM w),
+    q AS (
+      SELECT source, n_i, w_i / sw.s AS q_i FROM w CROSS JOIN sw
+    ),
+    m AS (SELECT MIN(CAST(n_i AS DOUBLE) / q_i) AS m FROM q),
+    rates AS (
+      SELECT source, n_i, q_i,
+             LEAST(CAST(1.0 AS DOUBLE), q_i * m.m / n_i) AS rate
+      FROM q CROSS JOIN m
+    ),
+    kept AS (
+      SELECT d.source,
+             COUNT(*) FILTER (
+               CAST(CAST('0x' || SUBSTRING(
+                     md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE) / 1152921504606846976.0
+               < r.rate
+             ) AS n_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_i AS n_docs, k.n_kept,
+           ROUND(r.q_i, 6) AS target_frac,
+           ROUND(r.rate, 6) AS keep_rate
+    FROM rates r JOIN kept k ON r.source = k.source
+    """,
+)
+def k6_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain resampling (SURVEY K6 ext.) — the
+    multilingual/multi-domain rebalancing stage (α-sampling, as in
+    multilingual LM training): target share q_i ∝ p_i^α with α = 0.5
+    flattens the natural distribution so small domains aren't drowned
+    out. Complements `k6_domain_mix` (exact quota per domain via a
+    rank window) with the OTHER standard mechanism: stateless
+    Bernoulli thinning — each row is kept iff its md5-uniform u(doc)
+    < keep_rate(source), a map-only decision with a broadcast rate
+    table and NO corpus shuffle at all (the quota variant pays one).
+    The output audits per-source kept counts against the target.
+
+    Determinism across engines: α = 0.5 makes the power a sqrt (IEEE-
+    exact, unlike pow); all derived rates are identical double
+    chains in both engines, and u(doc) is the 15-hex-md5 uniform from
+    `k6_weighted_sample` — so the kept SET (not just its size) is
+    bit-reproducible, and the audit needs no tolerance bounds.
+    """
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_i"))
+    tot = counts.agg(F.sum("n_i").cast("double").alias("n"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_i",
+        F.sqrt(F.col("n_i").cast("double") / F.col("n")).alias("w_i"),
+    )
+    sw = w.agg(F.sum("w_i").alias("s"))
+    q = w.crossJoin(F.broadcast(sw)).select(
+        "source", "n_i", (F.col("w_i") / F.col("s")).alias("q_i")
+    )
+    m = q.agg(F.min(F.col("n_i").cast("double") / F.col("q_i")).alias("m"))
+    rates = q.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_i",
+        "q_i",
+        F.least(
+            F.lit(1.0), F.col("q_i") * F.col("m") / F.col("n_i")
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate")), "source")
+        .groupBy("source")
+        .agg(F.count(F.when(u < F.col("rate"), 1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source")
+        .select(
+            "source",
+            F.col("n_i").alias("n_docs"),
+            "n_kept",
+            F.round("q_i", 6).alias("target_frac"),
+            F.round("rate", 6).alias("keep_rate"),
+        )
+    )

@@ -536,3 +536,70 @@ def k4_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "tf_count", "tfidf")
     )
+
+
+@query(
+    "k4_unigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    lm AS (SELECT tok, COUNT(*) AS n_t FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n_t) AS DOUBLE) AS n FROM lm),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(-ln(CAST(lm.n_t AS DOUBLE) / tot.n), 6)
+                  AS DECIMAL(18,6)) AS nll
+      FROM toks t JOIN lm ON t.tok = lm.tok CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll,
+           ROUND(exp(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6)), 4)
+               AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def k4_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model score per document
+    (SURVEY K4 ext.) — the CCNet/Wikipedia-LM quality-filter shape:
+    train token→probability on the corpus itself, then score each
+    document by mean negative log-likelihood (and perplexity). Low
+    ppl ≈ ordinary prose; high ppl ≈ gibberish or boilerplate-free
+    outliers — the standard signal for keeping/dropping web text in a
+    training-data pipeline.
+
+    Plan shape at 100 TB: one explode→groupBy(token) aggregate for
+    the LM (combiner-heavy: vocabulary ≪ token stream) and one
+    broadcast join of the vocabulary back onto the exploded token
+    stream (vocab fits executors for natural-language corpora; if it
+    didn't, the join key is already the shuffle key). Float parity:
+    per-token -ln(p) is rounded to 6 dp and summed as DECIMAL(18,6)
+    (order-independent exact sum, same contract as common.dsum); the
+    final mean and exp() are single IEEE ops on identical operands in
+    both engines.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("tk")
+    )
+    toks = d.select("doc_id", F.explode("tk").alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    tot = lm.agg(F.sum("n_t").cast("double").alias("n"))
+    nll = F.round(
+        -F.log(F.col("n_t").cast("double") / F.col("n")), 6
+    ).cast("decimal(18,6)")
+    mean_nll = F.round(
+        F.sum(F.col("nll")).cast("double") / F.count(F.lit(1)), 6
+    )
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("nll", nll)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            mean_nll.alias("mean_nll"),
+            F.round(F.exp(mean_nll), 4).alias("ppl"),
+        )
+    )

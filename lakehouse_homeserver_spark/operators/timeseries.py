@@ -597,3 +597,130 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("value_interp"),
     ).orderBy("event_type", "hour_us")
+
+
+@query(
+    "ts_m4_downsample",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+             epoch_us(ts) AS us, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                            (epoch_us(ts) // 3600000000) * 3600000000
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                            (epoch_us(ts) // 3600000000) * 3600000000
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket_us,
+           COUNT(*) AS n,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS v_last
+    FROM b
+    GROUP BY event_type, bucket_us
+    """,
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (SURVEY ts ext.) — the visualization-lossless
+    time-series reduction (Jugel et al., VLDB'14): per (series,
+    bucket) keep min, max, first, last. Any line rendering of the
+    reduced series is pixel-identical to the full series at the
+    chosen resolution, which is why every TSDB dashboard layer
+    (M4/Grafana-style) uses exactly this reduction.
+
+    Plan shape: the two ROW_NUMBER windows and the final groupBy all
+    share the same partition key (event_type, bucket), so Catalyst
+    plans ONE exchange and sorts once per direction — no self-join,
+    no second shuffle. first/last are deterministic under the
+    (ts, event_id) total order (the ADVICE tie-break contract).
+    """
+    e = T(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    bucket = (us / F.lit(HOUR_US)).cast("bigint") * HOUR_US
+    b = e.select(
+        "event_type",
+        bucket.alias("bucket_us"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    part = ["event_type", "bucket_us"]
+    w_a = Window.partitionBy(*part).orderBy("ts", "event_id")
+    w_d = Window.partitionBy(*part).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        b.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy(*part)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias(
+                "v_first"
+            ),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias(
+                "v_last"
+            ),
+        )
+    )
+
+
+@query(
+    "ts_zscore_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value,
+             AVG(value) OVER prior AS mu,
+             STDDEV_SAMP(value) OVER prior AS sd,
+             COUNT(*) OVER prior AS n_prior
+      FROM events
+      WINDOW prior AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, us,
+           ROUND((value - mu) / sd, 4) AS z
+    FROM w
+    WHERE n_prior >= 5 AND sd > 0
+      AND ABS(ROUND((value - mu) / sd, 4)) > 3.0
+    """,
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (SURVEY ts ext.): flag an
+    event whose value deviates > 3σ from the SAME user's trailing
+    20-event window (window excludes the current row, so the anomaly
+    cannot mask itself). The classic streaming-metrics outlier gate.
+
+    One window pass, partitioned by user — scales as a single
+    shuffle on the series key. The flag predicate uses the ROUNDED
+    z (4 dp) in both engines: avg/stddev reduce in different orders
+    engine-to-engine, so raw-double thresholding could disagree in
+    the last ulp exactly at the boundary; rounding pins the
+    comparison to a shared grid.
+    """
+    e = T(spark, sf_dir, "events")
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+        F.avg("value").over(prior).alias("mu"),
+        F.stddev_samp("value").over(prior).alias("sd"),
+        F.count(F.lit(1)).over(prior).alias("n_prior"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return w.filter(
+        (F.col("n_prior") >= 5) & (F.col("sd") > 0) & (F.abs(z) > 3.0)
+    ).select("user_id", "event_id", "us", z.alias("z"))

@@ -69,6 +69,12 @@ EMPTY_SAFE = [
     "c7_asof_join",
     "d7_quantiles_approx",
     "d3_approx_count_distinct",
+    "k4_unigram_lm_score",
+    "k6_temperature_resample",
+    "ts_m4_downsample",
+    "ts_zscore_anomaly",
+    "h12_higher_order_funcs",
+    "d11_mode_median",
 ]
 
 

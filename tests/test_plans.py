@@ -440,3 +440,27 @@ def test_weighted_sample_uses_distributed_topk(spark, sf_dir):
 
     plan = formatted_plan(sampling.k6_weighted_sample(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_m4_downsample_single_exchange(spark, sf_dir):
+    """Both ROW_NUMBER windows and the final groupBy of the M4
+    reduction share (event_type, bucket) partitioning — the physical
+    plan must contain exactly ONE shuffle. A second exchange would
+    mean the window and aggregate keys diverged."""
+    from lakehouse_homeserver_spark.operators import timeseries
+
+    df = timeseries.ts_m4_downsample(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_temperature_resample_corpus_not_shuffled(spark, sf_dir):
+    """The thinning decision is map-only: the documents scan must
+    reach its per-source counting aggregate through a broadcast join
+    of the rate table, never a corpus-sized hash-partition exchange
+    keyed on source before the join."""
+    from lakehouse_homeserver_spark.operators import sampling
+
+    df = sampling.k6_temperature_resample(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
