@@ -885,3 +885,126 @@ def k3_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("recall") >= 0.2).alias("min_recall_ok"),
         (F.avg("recall") >= 0.6).alias("mean_recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K3 — product quantization (PQ codes, the FAISS-IVFPQ building block)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (64-dim embedding → 8 slices of 8 dims)
+PQ_K = 16         # centroids per subspace (4-bit codes)
+PQ_SUB = 8        # dims per subspace
+
+
+def _pq_dist_sql(m: int) -> str:
+    """Explicit left-assoc 8-term squared-L2 between embedding slice m
+    and centroid list `c` (DuckDB 1-based lists, doubles throughout) —
+    operand order matches the Spark expression bit-for-bit."""
+    terms = [
+        f"(CAST(e[{m * PQ_SUB + i + 1}] AS DOUBLE)"
+        f" - CAST(c[{m * PQ_SUB + i + 1}] AS DOUBLE))"
+        f" * (CAST(e[{m * PQ_SUB + i + 1}] AS DOUBLE)"
+        f" - CAST(c[{m * PQ_SUB + i + 1}] AS DOUBLE))"
+        for i in range(PQ_SUB)
+    ]
+    return " + ".join(terms)
+
+
+_PQ_CODE_COLS = ", ".join(
+    f"CAST(list_position(d_{m}, list_min(d_{m})) - 1 AS BIGINT) AS code_{m}"
+    for m in range(PQ_M)
+)
+_PQ_DLIST_COLS = ", ".join(
+    f"list_transform(cb.cbs, c -> {_pq_dist_sql(m)}) AS d_{m}"
+    for m in range(PQ_M)
+)
+_PQ_TOTAL = " + ".join(f"list_min(d_{m})" for m in range(PQ_M))
+
+
+@query(
+    "k3_pq_quantize",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT embedding AS c,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j
+      FROM embeddings
+      QUALIFY j <= {PQ_K}
+    ),
+    cb AS (SELECT list(c ORDER BY j) AS cbs FROM seeds),
+    d AS (
+      SELECT v.vec_id, v.label, {_PQ_DLIST_COLS}
+      FROM (SELECT vec_id, label, embedding AS e FROM embeddings) v
+      CROSS JOIN cb
+    )
+    SELECT vec_id, label, {_PQ_CODE_COLS},
+           ROUND({_PQ_TOTAL}, 6) AS distortion
+    FROM d
+    """,
+)
+def k3_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (SURVEY K3 ext.) — the PQ code assignment
+    at the heart of FAISS-style IVFPQ indexes (Jégou et al., TPAMI'11):
+    split the 64-dim embedding into 8 subspaces of 8 dims,
+    and code each slice as the index of its nearest of 16
+    per-subspace centroids → a 64-float vector compresses to 8
+    4-bit codes (64× smaller), with the per-vector quantization
+    distortion emitted as the quality certificate. Completes the
+    vector-compression family (JL projection, int8 SQ → PQ).
+
+    Codebook: the 16 corpus vectors with smallest md5(vec_id) —
+    a deterministic hash-sample (same construction as the IVF seed
+    sample, similarity.py k-means init), so both engines derive the
+    IDENTICAL codebook and the assignment is hash-checkable; a
+    k-means-refined codebook drops in without changing the plan.
+
+    Plan shape at 100 TB: the codebook is a bounded model collect
+    (16x64 floats — the IVF-centroid precedent), then assignment
+    is MAP-ONLY: 8x16 explicit left-assoc squared-L2
+    expressions against literal centroids, argmin via
+    array_position(array_min) (first occurrence = lowest index, the
+    tie-break both engines share). No join, no shuffle, no UDF —
+    parquet-scan speed, unlike the oracle's 16× cross-join blowup
+    (correct but not the production shape).
+    """
+    e = T(spark, sf_dir, "embeddings")
+    seeds = [
+        r.embedding
+        for r in e.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_K)
+        .collect()
+    ]
+    if not seeds:
+        empty = [F.lit(0).cast("bigint").alias(f"code_{m}") for m in range(PQ_M)]
+        return (
+            e.select("vec_id", "label", *empty,
+                     F.lit(0.0).alias("distortion"))
+            .filter(F.lit(False))
+        )
+
+    def dist(m: int, j: int):
+        acc = None
+        for i in range(PQ_SUB):
+            idx = m * PQ_SUB + i
+            diff = F.col("embedding")[idx].cast("double") - F.lit(
+                float(seeds[j][idx])
+            )
+            term = diff * diff
+            acc = term if acc is None else acc + term
+        return acc
+
+    cols = []
+    total = None
+    for m in range(PQ_M):
+        d_arr = F.array(*[dist(m, j) for j in range(PQ_K)])
+        d_min = F.array_min(d_arr)
+        cols.append(
+            (F.array_position(d_arr, d_min) - 1)
+            .cast("bigint")
+            .alias(f"code_{m}")
+        )
+        total = d_min if total is None else total + d_min
+    return e.select(
+        "vec_id", "label", *cols, F.round(total, 6).alias("distortion")
+    )

@@ -75,6 +75,7 @@ EMPTY_SAFE = [
     "ts_zscore_anomaly",
     "h12_higher_order_funcs",
     "d11_mode_median",
+    "k3_pq_quantize",
 ]
 
 

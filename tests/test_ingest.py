@@ -223,3 +223,67 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_pa
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+
+@pytest.fixture()
+def json_landing(tmp_path, spark, sf_dir):
+    """A landing dir with nation as 2 JSONL files (the raw-extractor
+    drop shape: Airbyte-style newline-delimited JSON)."""
+    import json as jsonlib
+
+    d = tmp_path / "landing" / "nation"
+    d.mkdir(parents=True)
+    rows = [
+        r.asDict()
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    ]
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(d / f"batch_{i}.json", "w") as fh:
+            for r in chunk:
+                fh.write(jsonlib.dumps(r) + "\n")
+        os.utime(d / f"batch_{i}.json", (1000 + i, 1000 + i))
+    return str(tmp_path / "landing"), len(rows), half
+
+
+def test_json_landing_full_and_incremental(spark, json_landing, tmp_path):
+    """A5/A6 over a JSONL landing zone: the format seam changes the
+    codec, not the load semantics — full load takes the newest file,
+    incremental appends only unseen files and re-runs are no-ops."""
+    landing, total, half = json_landing
+    lh = Lakehouse(spark, source_format="json")
+    try:
+        n_full = lh.load_full("nation", landing)
+        assert n_full == total - half  # newest file = second chunk
+        # full load recorded its file; incremental appends only the
+        # still-unseen first chunk
+        n_inc = lh.load_incremental("nation", landing)
+        assert n_inc == half
+        assert lh.table("nation").count() == total
+        assert lh.load_incremental("nation", landing) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS src.nation")
+        spark.sql("DROP TABLE IF EXISTS metadata.nation_loaded_files")
+
+
+def test_csv_landing_incremental_roundtrip(spark, sf_dir, tmp_path):
+    """A5/A6 over a CSV landing zone (header + inferSchema): values
+    survive the text round-trip and the unseen-file contract holds."""
+    d = tmp_path / "landing" / "region"
+    d.mkdir(parents=True)
+    rows = spark.read.parquet(f"{sf_dir}/region.parquet").collect()
+    with open(d / "batch_0.csv", "w") as fh:
+        fh.write("r_regionkey,r_name\n")
+        for r in rows:
+            fh.write(f"{r.r_regionkey},{r.r_name}\n")
+    lh = Lakehouse(spark, source_format="csv")
+    try:
+        assert lh.load_incremental("region", str(tmp_path / "landing")) == len(rows)
+        got = {
+            (r.r_regionkey, r.r_name) for r in lh.table("region").collect()
+        }
+        assert got == {(r.r_regionkey, r.r_name) for r in rows}
+        assert lh.load_incremental("region", str(tmp_path / "landing")) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS src.region")
+        spark.sql("DROP TABLE IF EXISTS metadata.region_loaded_files")
