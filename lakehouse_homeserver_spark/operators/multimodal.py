@@ -411,3 +411,116 @@ def k5_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     media = d.select("doc_id", ppm_payload_col().alias("payload"))
     return media.mapInPandas(decode_ppm_batches, PPM_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# K5 — audio: real 8-bit-PCM decode + frame-level features
+# ---------------------------------------------------------------------------
+
+PCM_FRAME = 256   # samples per analysis frame
+PCM_HOP = 128     # hop size (50 % overlap)
+
+PCM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("sum_amp", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("mean_amp", DoubleType()),
+    ]
+)
+
+
+def pcm_frame_batches(batches: Iterator, _nothing=None):
+    """Arrow-batched REAL audio decode: interpret the binary payload
+    as unsigned 8-bit PCM (an actual WAV sample format — no codec
+    library needed), window into overlapping frames, and emit
+    per-frame amplitude features. One input row fans out to
+    n_frames output rows — the mapInPandas contract that a
+    frame-level audio pipeline (VAD, loudness gating) needs.
+
+    Numeric contract: per-frame sums are int64 over u8 samples —
+    EXACT and order-independent — so rms/mean are single IEEE ops on
+    identical operands in any engine; no float-reduction ordering
+    anywhere.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def r6(v: float) -> float:
+        # HALF_UP at 6 dp to match DuckDB/Spark ROUND — python round()
+        # is banker's and disagrees exactly at the boundary, which
+        # sum/256 (a terminating binary fraction) hits routinely.
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "frame_idx", "sum_amp", "rms", "mean_amp")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            x = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n_frames = (len(x) - PCM_FRAME) // PCM_HOP + 1 if len(x) >= PCM_FRAME else 0
+            for fi in range(n_frames):
+                fr = x[fi * PCM_HOP : fi * PCM_HOP + PCM_FRAME]
+                s = int(fr.sum())
+                ssq = int((fr * fr).sum())
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(fi)
+                out["sum_amp"].append(s)
+                out["rms"].append(r6((ssq / PCM_FRAME) ** 0.5))
+                out["mean_amp"].append(r6(s / PCM_FRAME))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "k5_pcm_frames",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, text,
+             unnest(range((nb - {PCM_FRAME}) // {PCM_HOP} + 1)) AS frame_idx
+      FROM docs WHERE nb >= {PCM_FRAME}
+    )
+    SELECT doc_id, frame_idx,
+           list_sum(list_transform(range({PCM_FRAME}),
+             k -> CAST(ascii(substring(text,
+                    CAST(frame_idx * {PCM_HOP} + k + 1 AS INTEGER), 1))
+                  AS BIGINT))) AS sum_amp,
+           ROUND(sqrt(CAST(list_sum(list_transform(range({PCM_FRAME}),
+             k -> CAST(ascii(substring(text,
+                    CAST(frame_idx * {PCM_HOP} + k + 1 AS INTEGER), 1))
+                  AS BIGINT)
+                * CAST(ascii(substring(text,
+                    CAST(frame_idx * {PCM_HOP} + k + 1 AS INTEGER), 1))
+                  AS BIGINT))) AS DOUBLE) / {PCM_FRAME}), 6) AS rms,
+           ROUND(CAST(list_sum(list_transform(range({PCM_FRAME}),
+             k -> CAST(ascii(substring(text,
+                    CAST(frame_idx * {PCM_HOP} + k + 1 AS INTEGER), 1))
+                  AS BIGINT))) AS DOUBLE) / {PCM_FRAME}, 6) AS mean_amp
+    FROM fr
+    """,
+)
+def k5_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame features over the multimodal binary column (SURVEY
+    K5 audio rung): REAL unsigned-8-bit-PCM decode (numpy frombuffer
+    — u8 PCM is an actual WAV encoding, so unlike the compressed-
+    codec stub this path exercises true sample decode), 256-sample
+    frames at 50 % hop, per-frame sum/RMS/mean amplitude — the
+    windowing every VAD / loudness-gate / feature-extract audio
+    pipeline starts with.
+
+    Plan shape: map-only mapInPandas fan-out (1 payload row →
+    n_frames rows), Arrow-batched, no shuffle; at 100 TB the frame
+    explosion happens executor-side and never lands in an exchange.
+    The payload bytes here are the utf-8 document text (the fixture's
+    stand-in media, ASCII so byte==char — asserted by the oracle
+    deriving identical frames from the text column); real waveform
+    payloads flow through the identical plumbing.
+    """
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        pcm_frame_batches, PCM_SCHEMA
+    )

@@ -76,6 +76,7 @@ EMPTY_SAFE = [
     "h12_higher_order_funcs",
     "d11_mode_median",
     "k3_pq_quantize",
+    "k5_pcm_frames",
 ]
 
 
