@@ -988,3 +988,140 @@ def k1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
         kept.alias("kept_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K9 — graph centrality over the duplicate graph (PageRank)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+
+def _pr_stage(k: int) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE: r_{k+1}(v) =
+    (1-d)/N + d * Σ_{u→v} round(r_k(u)/deg(u), 12), the inner sum made
+    order-independent by the DECIMAL(28,12) exact-sum contract."""
+    return f"""
+    r{k + 1} AS (
+      SELECT e.dst AS node,
+             ROUND(CAST(0.15 AS DOUBLE) / nn.n
+                   + CAST(0.85 AS DOUBLE)
+                     * CAST(SUM(CAST(ROUND(r{k}.r / d.deg, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE),
+                   12) AS r
+      FROM edges e
+      JOIN r{k} ON e.src = r{k}.node
+      JOIN deg d ON e.src = d.node
+      CROSS JOIN nn
+      GROUP BY e.dst, nn.n
+    )"""
+
+
+@query(
+    "k9_pagerank_dupgraph",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split({SQL_NORM}, ' ')) AS tokens
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+              / (len(a.tokens) + len(b.tokens)
+                 - len(list_intersect(a.tokens, b.tokens))) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (
+      SELECT node, CAST(1 AS DOUBLE) / nn.n AS r FROM deg CROSS JOIN nn
+    ),
+    {", ".join(_pr_stage(k).strip() for k in range(PR_ITERS))}
+    SELECT node AS doc_id, ROUND(r, 10) AS pagerank,
+           ROW_NUMBER() OVER (ORDER BY ROUND(r, 10) DESC, node) AS rank
+    FROM r{PR_ITERS}
+    """,
+)
+def k9_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified duplicate-pair graph
+    (SURVEY graph ext.) — ranks documents by how centrally they sit
+    in a near-duplicate neighborhood, the signal used to pick
+    canonical documents (keep the hub, drop satellites) and to spot
+    template farms (whole clusters of mutually-similar boilerplate).
+    Completes the graph rung started by `k2_dup_clusters`: components
+    answer "which docs belong together", PageRank answers "which doc
+    represents the group".
+
+    Iterative-on-Spark, declarative-in-oracle: 5 fixed power
+    iterations as DataFrame joins (each round = one edge⋈rank join +
+    one groupBy, both bounded by the EDGE list like the
+    connected-components loop), hash-checked against the SAME
+    recurrence unrolled as 5 chained (non-recursive) CTEs in DuckDB.
+    Symmetrized dup edges mean no dangling nodes, so the classic
+    teleport term (1-d)/N is exact.
+
+    Float contract: the per-node in-sum is the only order-dependent
+    reduction — contributions are rounded to 12 dp and summed as
+    DECIMAL(28,12) (exact, order-free); every other op (divisions,
+    damping multiply, teleport add) is a single IEEE op on
+    bit-identical operands in both engines.
+    """
+    pairs = k2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return (
+            edges.select(
+                F.col("src").alias("doc_id"),
+                F.lit(0.0).alias("pagerank"),
+                F.lit(0).cast("bigint").alias("rank"),
+            )
+        )
+    teleport = 0.15 / float(n_nodes)
+    r = deg.select("src", F.lit(1.0 / float(n_nodes)).alias("r")).select(
+        F.col("src").alias("node"), "r"
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(r, edges["src"] == r["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.round(F.col("r") / F.col("deg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        r = (
+            contrib.groupBy("dst")
+            .agg(
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(PR_DAMP) * F.sum("c").cast("double"),
+                    12,
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+            .localCheckpoint(eager=True)
+        )
+    w = Window.orderBy(F.desc(F.round("r", 10)), "node")
+    return r.select(
+        F.col("node").alias("doc_id"),
+        F.round("r", 10).alias("pagerank"),
+        F.row_number().over(w).alias("rank"),
+    )

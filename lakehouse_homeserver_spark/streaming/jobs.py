@@ -215,6 +215,7 @@ def interval_join(
     clicks: DataFrame,
     max_gap: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (SURVEY §2.I extension): attribute
     each purchase to same-user clicks in the preceding `max_gap`.
@@ -245,12 +246,18 @@ def interval_join(
         p = p.withWatermark("p_ts", watermark)
         c = c.withWatermark("c_ts", watermark)
     gap = f"INTERVAL {max_gap}"
+    # how="leftOuter": unattributed purchases survive with NULL click
+    # columns. In streaming append mode the outer row is emitted only
+    # once the click-side watermark passes the purchase's candidate
+    # window (no click can still arrive) — the state-eviction point;
+    # until then it is withheld, not dropped. Same column contract as
+    # the inner join.
     return p.join(
         c,
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & F.expr(f"c_ts >= p_ts - {gap}"),
-        "inner",
+        how,
     ).select("user_id", "purchase_id", "click_id", "p_ts", "c_ts")
 
 
@@ -260,13 +267,14 @@ def stream_interval_join(
     out_dir: str,
     checkpoint: str,
     max_gap: str = "30 minutes",
+    how: str = "inner",
 ) -> StreamingQuery:
     """Run the attribution join with BOTH sides read as file streams
     from the same landing dir (filtered to purchases / clicks)."""
     ev = read_file_stream(spark, landing_dir, events_schema())
     purchases = ev.filter(F.col("event_type") == "purchase")
     clicks = ev.filter(F.col("event_type") == "click")
-    joined = interval_join(purchases, clicks, max_gap=max_gap)
+    joined = interval_join(purchases, clicks, max_gap=max_gap, how=how)
     return _start_parquet_sink(joined, out_dir, checkpoint)
 
 

@@ -77,6 +77,7 @@ EMPTY_SAFE = [
     "d11_mode_median",
     "k3_pq_quantize",
     "k5_pcm_frames",
+    "k9_pagerank_dupgraph",
 ]
 
 

@@ -354,3 +354,56 @@ def test_transform_with_state_spikes_match_batch_twin(spark, sf_dir, tmp_path):
     }
     assert emitted == expected
     assert emitted, "fixture produced no spikes — test is vacuous"
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
+    """Stream-stream LEFT OUTER interval join: unattributed purchases
+    must surface with NULL click columns once the watermark passes
+    their candidate-click window (state eviction = outer emission).
+
+    Horizon semantics: with AvailableNow over a finite replay the
+    final watermark trails max(ts) by the 1 h delay, and an outer row
+    for purchase p can only emit once the click watermark passes
+    p_ts (no earlier click can still arrive). Assertions therefore
+    split three ways: every emitted row (inner AND outer) must be in
+    the batch twin; every batch-outer purchase older than the safe
+    horizon MUST have been emitted; the tail may be withheld."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.prepare_events_landing(spark, sf_dir, landing, slices=3)
+
+    _run(
+        jobs.stream_interval_join(
+            spark, landing, out, ckpt, how="leftOuter"
+        )
+    )
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    batch = jobs.interval_join(purchases, clicks, how="leftOuter")
+    batch_rows = {
+        (r.purchase_id, r.click_id) for r in batch.collect()
+    }
+    got = spark.read.parquet(out)
+    got_rows = {(r.purchase_id, r.click_id) for r in got.collect()}
+    assert got_rows <= batch_rows  # nothing fabricated
+    assert len(got_rows) > 0
+
+    # Outer completeness below the safe horizon: watermark delay 1 h
+    # + 30 min candidate window + 30 min slack for batch boundaries.
+    max_us = events.agg(
+        F.max(F.unix_micros("ts"))
+    ).collect()[0][0]
+    horizon_us = max_us - 3_600_000_000 - 1_800_000_000 - 1_800_000_000
+    batch_outer_old = {
+        r.purchase_id
+        for r in batch.filter(
+            F.col("click_id").isNull()
+            & (F.unix_micros("p_ts") < horizon_us)
+        ).collect()
+    }
+    got_outer = {
+        r.purchase_id for r in got.collect() if r.click_id is None
+    }
+    assert batch_outer_old <= got_outer
