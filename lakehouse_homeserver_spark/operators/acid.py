@@ -352,3 +352,50 @@ def a16_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     v3 = t.latest_version()
     t.append(c.filter(F.col("c_custkey") % 4 == 3))
     return t.added_between(v1, v3).orderBy("c_custkey")
+
+
+@query(
+    "a17_zero_copy_clone",
+    oracle="""
+    SELECT 'source' AS tbl, 'overwrite' AS operation,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'F') AS n_rows
+    UNION ALL
+    SELECT 'clone', 'append',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey % 10 = 0
+              AND (o_orderkey % 3 IN (0, 1)
+                   OR (o_orderkey % 3 = 2 AND o_orderstatus = 'O')))
+    """,
+)
+def a17_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy clone divergence (Delta SHALLOW CLONE / Iceberg
+    branch equivalent, A-ext): create + append a source table, branch
+    it with `clone()` (hard-linked data files, no rewrite), then let
+    BOTH sides write independently — the clone appends a new slice,
+    the source overwrites itself entirely. The emitted head counts
+    prove (a) the clone saw exactly the source's state at branch
+    time, (b) neither table's subsequent writes leaked into the
+    other. The oracle recomputes both heads from `orders` directly.
+    Isolation mechanics (shared inodes, GC safety under expiry) are
+    pinned by tests/test_snapshot.py.
+    """
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    root = tempfile.mkdtemp(prefix="snap-clone-")
+    src = SnapshotTable(spark, os.path.join(root, "src"))
+    src.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    clone = src.clone(os.path.join(root, "branch"))
+    clone.append(
+        orders.filter(
+            (F.col("o_orderkey") % 3 == 2) & (F.col("o_orderstatus") == "O")
+        )
+    )
+    src.create_or_replace(orders.filter(F.col("o_orderstatus") == "F"))
+    rows = [
+        ("source", src.entry(src.latest_version())["operation"],
+         src.row_count()),
+        ("clone", clone.entry(clone.latest_version())["operation"],
+         clone.row_count()),
+    ]
+    return spark.createDataFrame(rows, "tbl string, operation string, n_rows bigint")

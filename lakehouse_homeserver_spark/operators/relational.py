@@ -1735,3 +1735,71 @@ def d11_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     med = li.groupBy(*keys).agg(F.median("l_quantity").alias("median_qty"))
     return med.join(mode, keys)
+
+
+@query(
+    "d12_corr_covar",
+    oracle="""
+    WITH mom AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * CAST(n - 1 AS DOUBLE)), 4)
+               AS covar_samp,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr
+    FROM mom
+    """,
+)
+def d12_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + Pearson correlation per group (SURVEY D7
+    ext.), quantity vs extended price. The built-in corr()/covar_samp()
+    aggregates reduce doubles in engine-specific order (different
+    last-ulp results per engine AND per partitioning) — so the moments
+    are accumulated EXACTLY instead: money-grade inputs are 2-dp
+    decimals, their pairwise products are 4-dp decimals, and decimal
+    sums are order-free. The closing algebra (n·Sxy − Sx·Sy etc.) is
+    then a fixed chain of IEEE ops on identical operands in both
+    engines — reproducible second-moment statistics, the same
+    contract common.dsum gives first moments.
+
+    One combiner-friendly aggregate; the five moment sums ride the
+    same partial-agg pass a plain SUM would — no extra shuffle.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    p = dec("l_extendedprice")
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mom.select(
+        "l_returnflag",
+        "n",
+        F.round(num / (n * (n - 1).cast("double")), 4).alias("covar_samp"),
+        F.round(
+            num
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr"),
+    )

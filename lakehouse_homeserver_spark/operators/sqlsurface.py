@@ -829,3 +829,24 @@ sql_query(
     ORDER BY s_name, s_suppkey
     """,
 )
+
+
+sql_query(
+    "sql_lateral_join",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, t.max_price, t.n_orders
+    FROM customer c,
+    LATERAL (SELECT MAX(o.o_totalprice) AS max_price,
+                    COUNT(*) AS n_orders
+             FROM orders o WHERE o.o_custkey = c.c_custkey) t
+    WHERE c.c_custkey <= 200 AND t.n_orders > 0
+    """,
+)
+# ^ LATERAL correlated derived table (SQL:1999 / Spark 3.4+ lateral
+# subquery join, SURVEY SQL-surface ext.): the per-row-subquery shape
+# users write when a correlated scalar subquery needs MULTIPLE output
+# columns. Catalyst decorrelates it into a single aggregate + join —
+# the oracle-identical text proves the dialect surface, and the plan
+# keeps the decorrelation contract of sql_scalar_subquery (asserted
+# family-wide in test_subqueries_decorrelate_to_joins). The aggregate
+# makes the lateral exactly-one-row, so the comma join is safe.

@@ -724,3 +724,57 @@ def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.filter(
         (F.col("n_prior") >= 5) & (F.col("sd") > 0) & (F.abs(z) > 3.0)
     ).select("user_id", "event_id", "us", z.alias("z"))
+
+
+EWMA_TAPS = 16
+EWMA_ALPHA = 0.5  # power-of-two decay → every weight is IEEE-exact
+
+
+def _ewma_terms() -> tuple[str, str]:
+    """Numerator/denominator of the normalized 16-tap EWMA as explicit
+    left-assoc SQL chains — identical text in both engines."""
+    num, den = [], []
+    for k in range(EWMA_TAPS):
+        w = f"CAST({(1 - EWMA_ALPHA) ** k!r} AS DOUBLE)"
+        lagv = f"lag(value, {k}) OVER w" if k else "value"
+        num.append(
+            f"(CASE WHEN {lagv} IS NOT NULL THEN {w} * {lagv}"
+            f" ELSE CAST(0.0 AS DOUBLE) END)"
+        )
+        den.append(
+            f"(CASE WHEN {lagv} IS NOT NULL THEN {w}"
+            f" ELSE CAST(0.0 AS DOUBLE) END)"
+        )
+    return " + ".join(num), " + ".join(den)
+
+
+def _ewma_sql(us_fn: str) -> str:
+    num, den = _ewma_terms()
+    return f"""
+    SELECT user_id, event_id, {us_fn}(ts) AS us, value,
+           ROUND(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("ts_ewma", oracle=_ewma_sql("epoch_us"))
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user series (SURVEY
+    ts ext.) — the normalized (pandas ewm adjust=True) form truncated
+    at 16 taps: ewma_t = Σ_k w^k·x_{t-k} / Σ_k w^k over available
+    history, w = 1-α = 0.5. The everyday smoothing primitive of
+    metrics dashboards and anomaly baselines.
+
+    Engine-exactness by construction: α = 0.5 makes every weight a
+    power of two (exact doubles); the 16-term numerator/denominator
+    chains are generated ONCE and evaluated left-assoc in both
+    engines (same SQL text modulo the epoch-µs function name), and
+    the final divide+round is a single IEEE op pair. One window
+    shuffle on user_id; 16 lags over one sorted pass, map-side after
+    the exchange — same cost class as any analytic window.
+    """
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ewma_sql("unix_micros"))

@@ -154,6 +154,17 @@ class SnapshotFormat(TableFormat):
         # deployment.
         self._table(table).expire_snapshots(keep_last=max(retain_days, 1))
 
+    def clone(
+        self, table: str, dest_table: str, version: int | None = None
+    ) -> SnapshotTable:
+        """Zero-copy clone (Delta SHALLOW CLONE shape): dest_table's
+        first snapshot references table's data files as of `version`.
+        See SnapshotTable.clone for the GC-safety argument."""
+        return self._table(table).clone(
+            os.path.join(self.warehouse_dir, *dest_table.split(".")),
+            version=version,
+        )
+
     def ingested_files(self, spark: SparkSession, table: str) -> list[str]:
         """Union of per-commit `ingested_files` properties across the
         snapshot log — the bookkeeping table, derived instead of

@@ -555,6 +555,60 @@ class SnapshotTable:
         return self.entry(v)["row_count"]
 
     # -- maintenance (A10) -------------------------------------------------
+    def clone(
+        self, dest_path: str, version: int | None = None
+    ) -> "SnapshotTable":
+        """Zero-copy table clone (Delta SHALLOW CLONE / Iceberg
+        branch-from-snapshot equivalent): a NEW table whose first
+        snapshot references the source's data files as of `version`
+        — no data is rewritten.
+
+        Local mechanism is a hard link per data file, which is what
+        makes the clone GC-SAFE in both directions: each table's
+        `expire_snapshots` unlinks only names in its own data dir, and
+        the filesystem frees an inode only when its last link is gone
+        — so expiring the source never breaks the clone (the hazard
+        Delta documents for VACUUM-after-shallow-clone simply cannot
+        happen). On an object store the seam is server-side COPY (S3
+        CopyObject is metadata-only within a bucket) or a
+        reference-counted manifest — the commit protocol is unchanged.
+
+        Subsequent writes diverge: each table appends its own files
+        under its own log. Lineage records the provenance in the clone
+        commit's properties."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        src = self.entry(v)
+        dest = SnapshotTable(self.spark, dest_path)
+        if dest.exists():
+            raise ValueError(f"{dest_path}: table already exists")
+        os.makedirs(dest._data_path, exist_ok=True)
+        os.makedirs(dest._log_path, exist_ok=True)
+        for name in src["manifest"]:
+            tgt = os.path.join(dest._data_path, name)
+            if not os.path.exists(tgt):
+                os.link(os.path.join(self._data_path, name), tgt)
+        stats = src.get("stats", {})
+        entry = {
+            "version": 1,
+            "parent": None,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "clone",
+            "manifest": list(src["manifest"]),
+            "added": [],
+            "schema": src["schema"],
+            "row_count": src["row_count"],
+            "stats": {f: stats.get(f, {}) for f in src["manifest"]},
+            "properties": {
+                "cloned_from": self.path,
+                "cloned_version": v,
+            },
+        }
+        if not dest._write_entry(entry):
+            raise ValueError(f"{dest_path}: concurrent clone won the create")
+        return dest
+
     def expire_snapshots(
         self, keep_last: int = 1, older_than_ms: int | None = None
     ) -> dict:

@@ -40,6 +40,9 @@ OPS = [
     "k6_hash_split",
     "k8_decontaminate",
     "k3_knn_bruteforce",
+    "k4_unigram_lm_score",
+    "k3_pq_quantize",
+    "k6_temperature_resample",
 ]
 
 

@@ -78,6 +78,9 @@ EMPTY_SAFE = [
     "k3_pq_quantize",
     "k5_pcm_frames",
     "k9_pagerank_dupgraph",
+    "ts_ewma",
+    "d12_corr_covar",
+    "sql_lateral_join",
 ]
 
 

@@ -748,3 +748,57 @@ def test_python_datasource_reads_snapshot_format(spark, tmp_path, nations):
     got = {r.n_nationkey for r in head.collect()}
     want = {r.n_nationkey for r in t.read().collect()}
     assert got == want
+
+
+def test_clone_is_zero_copy_and_content_exact(spark, tmp_path, nations):
+    src = _table(spark, tmp_path, "src")
+    src.create(nations.filter(F.col("n_nationkey") < 10))
+    src.append(nations.filter(F.col("n_nationkey") >= 10))
+    clone = src.clone(str(tmp_path / "clone"))
+    # content parity at the cloned version
+    assert clone.read().count() == nations.count()
+    assert sorted(r.n_nationkey for r in clone.read().collect()) == sorted(
+        r.n_nationkey for r in nations.collect()
+    )
+    # zero-copy: every cloned data file shares the source's inode
+    e = clone.entry(1)
+    assert e["operation"] == "clone"
+    assert e["properties"]["cloned_version"] == 2
+    for name in e["manifest"]:
+        s = os.stat(os.path.join(str(tmp_path / "src"), "data", name))
+        c = os.stat(os.path.join(str(tmp_path / "clone"), "data", name))
+        assert s.st_ino == c.st_ino
+
+
+def test_clone_at_old_version_and_divergence(spark, tmp_path, nations):
+    src = _table(spark, tmp_path, "src")
+    src.create(nations.filter(F.col("n_nationkey") < 10))
+    src.append(nations.filter(F.col("n_nationkey") >= 10))
+    # branch from v1, then both sides write independently
+    clone = src.clone(str(tmp_path / "clone"), version=1)
+    n_v1 = nations.filter(F.col("n_nationkey") < 10).count()
+    assert clone.read().count() == n_v1
+    clone.append(nations.filter(F.col("n_nationkey") == 10))
+    src.create_or_replace(nations.limit(3))
+    assert clone.read().count() == n_v1 + 1
+    assert src.read().count() == 3
+
+
+def test_clone_survives_source_expiry(spark, tmp_path, nations):
+    """The GC-safety contract: expiring (and file-deleting) the SOURCE
+    must not break the clone — hard links keep the shared inodes alive
+    until the last referencing table drops them."""
+    src = _table(spark, tmp_path, "src")
+    src.create(nations)
+    clone = src.clone(str(tmp_path / "clone"))
+    total = nations.count()
+    # source rewrites itself and GCs everything but the head snapshot
+    src.create_or_replace(nations.limit(2))
+    gone = src.expire_snapshots(keep_last=1)
+    assert gone["deleted_files"] >= 1
+    # clone still reads the full original content
+    assert clone.read().count() == total
+    # and the reverse: dropping the clone's files never touches source
+    clone.create_or_replace(nations.limit(1))
+    clone.expire_snapshots(keep_last=1)
+    assert src.read().count() == 2
