@@ -464,3 +464,56 @@ def test_temperature_resample_corpus_not_shuffled(spark, sf_dir):
     df = sampling.k6_temperature_resample(spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+# Queries whose physical plan legitimately contains a
+# BroadcastNestedLoopJoin — every entry is a bounded broadcast side:
+# a 1-row scalar aggregate (total counts / corpus stats / budget),
+# a ≤dozens-row model table (quotas, rates, query vectors, spines),
+# or a deliberate non-equi/cross semantic (c4, c6 bands).
+BNLJ_ALLOWED = {
+    "c4_cross_join",            # the cross join operator itself
+    "c4_theta_join",            # non-equi predicate by definition
+    "c6_range_join",            # broadcast-band variant (bucketized twin is equi)
+    "k3_knn_bruteforce",        # broadcast 10-query set over corpus scan
+    "k3_ivf_recall",            # inherits bruteforce + IVF parents
+    "k3_mmr_rerank",            # pool-sized rerank over top-k output
+    "d3_hll_sketch_merge",      # 1-row exact-side bound check
+    "d10_histogram",            # 1-row (min,max) range broadcast
+    "k4_tfidf_terms",           # 1-row n_docs broadcast
+    "k4_unigram_lm_score",      # 1-row token-total broadcast
+    "ts_funnel",                # per-stage time-window predicates (non-equi)
+    "ts_interpolate",           # hour-spine to series non-equi flank join
+    "tpch_q2_min_cost_supplier",        # 1-row min-cost scalar subquery
+    "tpch_q9_product_profit",           # partsupp CTE stride (4-row NL)
+    "tpch_q11_important_stock",         # 1-row value-threshold scalar
+    "tpch_q16_part_supplier_relationship",  # partsupp CTE stride
+    "tpch_q20_part_promotion",          # partsupp CTE stride
+    "k6_domain_mix",            # 1-row budget × per-domain quota broadcast
+    "k6_temperature_resample",  # 1-row totals feeding the rate table
+}
+
+
+def test_no_cartesian_anywhere_and_bnlj_only_where_bounded(spark, sf_dir):
+    """Global plan audit over EVERY registered query: a CartesianProduct
+    node is never acceptable (it means a join lost its keys — the
+    classic silent 100TB-killer), and BroadcastNestedLoopJoin may only
+    appear where the broadcast side is bounded by construction
+    (whitelist above, each entry justified). A new query that
+    accidentally plans a cartesian — or an edit that drops an equi-key
+    — fails here mechanically, not in a code review."""
+    from lakehouse_homeserver_spark.registry import all_queries
+
+    offenders_cart = []
+    offenders_bnlj = []
+    for name, fn in all_queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders_bnlj.append(name)
+    assert not offenders_cart, f"cartesian products in: {offenders_cart}"
+    assert not offenders_bnlj, (
+        f"unexpected BroadcastNestedLoopJoin in: {offenders_bnlj} — "
+        "either restore the equi-key or whitelist with justification"
+    )
