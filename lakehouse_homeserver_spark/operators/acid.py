@@ -230,6 +230,170 @@ def a13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().orderBy("c_custkey")
 
 
+@query(
+    "a18_rollback",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(4 AS BIGINT) AS head_version,
+           'rollback' AS head_operation
+    FROM orders
+    WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def a18_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (Iceberg `rollback_to_snapshot` / Delta
+    RESTORE, A-ext): after three commits, roll the table back to v2 —
+    a NEW head (v4) that re-references v2's files without touching
+    data. The aggregate of the post-rollback read must equal the
+    oracle's recomputation of v2's content (keys ≡0,1 mod 3: the v3
+    slice must vanish, the v1/v2 slices must all survive), and the
+    head's (version, operation) pair rides along as columns, so both
+    the restored state and the metadata-only commit are hash-checked.
+    At 100 TB this "undo" is one conditional log write — that is the
+    entire point.
+    """
+    t = _demo_table(spark, sf_dir, evolve=False)
+    t.rollback(2)
+    head = t.entry(t.latest_version())
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn("head_version", F.lit(head["version"]).cast("bigint"))
+        .withColumn("head_operation", F.lit(head["operation"]))
+    )
+
+
+@query(
+    "a19_delete_where",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(1 AS BIGINT) AS rewritten_files,
+           CAST(3 AS BIGINT) AS carried_files
+    FROM orders
+    WHERE NOT (o_orderkey BETWEEN (SELECT (n * 2) // 5 FROM n)
+                               AND (SELECT (n * 99) // 200 FROM n)
+               AND o_orderstatus = 'O')
+    """,
+)
+def a19_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level DELETE with file pruning (Iceberg CoW
+    delete / Delta DELETE, A-ext): orders is committed as four
+    key-range quartile slices, then a key-scoped delete removes open
+    orders in [0.40n, 0.495n] — a range strictly inside the second
+    slice. Footer min/max stats prove only ONE file overlaps, so
+    exactly one file is rewritten and three carry over by name — the
+    commit's (rewritten, carried) counts are emitted as columns and
+    pinned by the oracle, alongside the surviving rows' aggregate.
+    Slice bounds derive from the table's footer row count (orderkeys
+    are dense 0..n-1 in the fixture), so the construction is
+    SF-independent; the oracle repeats the same integer arithmetic.
+    This is the GDPR-erasure / retention-delete shape: at 100 TB a
+    key- or time-bounded delete rewrites the overlapping handful of
+    files, not the table.
+    """
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-del-"), "orders")
+    )
+    orders = T(spark, sf_dir, "orders")
+    n = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    bounds = [0, n // 4, n // 2, (3 * n) // 4, 10**12]
+    for i in range(4):
+        sl = orders.filter(
+            (F.col("o_orderkey") >= bounds[i])
+            & (F.col("o_orderkey") < bounds[i + 1])
+        ).coalesce(1)
+        t.create(sl) if i == 0 else t.append(sl)
+    lo, hi = (n * 2) // 5, (n * 99) // 200
+    e = t.delete_where(
+        (F.col("o_orderkey").between(lo, hi))
+        & (F.col("o_orderstatus") == "O"),
+        prune_column="o_orderkey",
+        lo=lo,
+        hi=hi,
+    )
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    ).select(
+        "n_rows",
+        "total_price",
+        F.lit(e["properties"]["rewritten_files"]).cast("bigint").alias(
+            "rewritten_files"
+        ),
+        F.lit(e["properties"]["carried_files"]).cast("bigint").alias(
+            "carried_files"
+        ),
+    )
+
+
+@query(
+    "a20_mor_delete",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM orders),
+         half AS (SELECT * FROM orders
+                  WHERE o_orderkey < (SELECT n // 2 FROM n)),
+         kept AS (SELECT * FROM half WHERE o_custkey % 7 <> 0
+                  UNION ALL
+                  SELECT * FROM orders
+                  WHERE o_orderkey >= (SELECT n // 2 FROM n))
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           (SELECT COUNT(*) FROM half WHERE o_custkey % 7 = 0) AS n_deleted,
+           CAST(1 AS BIGINT) AS n_delete_files,
+           'append' AS head_operation
+    FROM kept
+    """,
+)
+def a20_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Iceberg v2 equality-delete files,
+    A-ext; the complement of a19's copy-on-write): commit the lower
+    half of `orders`, MoR-delete every order whose customer key is
+    ≡0 mod 7 — a DELETE FILE of key tuples, zero data files touched —
+    then append the upper half. Readers anti-join the delete file
+    against only LOWER-seq data files, so the appended half keeps its
+    ≡0 mod 7 customers (Iceberg's sequencing rule), while the lower
+    half loses them. The final aggregate, the commit's deleted-row
+    count, the pending-delete-file count, and the head operation are
+    all recomputed declaratively by the oracle. At 100 TB this is the
+    O(keys)-write delete path whose read cost `rewrite_deletes()`
+    reclaims during maintenance.
+    """
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-mor-"), "orders")
+    )
+    orders = T(spark, sf_dir, "orders")
+    n = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    t.create(orders.filter(F.col("o_orderkey") < n // 2))
+    e = t.delete_where(
+        F.col("o_custkey") % 7 == 0, mode="mor", equality_on=["o_custkey"]
+    )
+    t.append(orders.filter(F.col("o_orderkey") >= n // 2))
+    head = t.entry(t.latest_version())
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    ).select(
+        "n_rows",
+        "total_price",
+        F.lit(e["properties"]["deleted_rows"]).cast("bigint").alias("n_deleted"),
+        F.lit(len(head["delete_files"])).cast("bigint").alias("n_delete_files"),
+        F.lit(head["operation"]).alias("head_operation"),
+    )
+
+
 _FIXTURE_TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

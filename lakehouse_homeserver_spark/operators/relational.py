@@ -1111,6 +1111,61 @@ def d7_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d13_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def d13_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates
+    (SURVEY D3's third rung, between exact COUNT(DISTINCT) and HLL):
+    distinct customers per order priority computed as
+
+      groupBy(priority, bitmap_bucket_number(key), slice)
+        -> bitmap_construct_agg          (partials)
+      groupBy(priority, bucket) -> bitmap_or_agg    (MERGE partials)
+      groupBy(priority) -> sum(bitmap_count)        (finalize)
+
+    The middle OR-merge is the point: bitmap partials are mergeable
+    state, so an incremental rollup can keep (priority, bucket,
+    bitmap) materialized and OR in each new day's partial WITHOUT
+    re-scanning history — exactness of HLL-style composability,
+    none of HLL's error. Per-bucket bitmaps cover 2^15 adjacent key
+    values in ≤4 KiB, so the shuffled state is bounded by the key
+    range, not the row count; expand-distinct would shuffle every
+    (priority, custkey) row instead. The `slice` stage stands in for
+    per-increment partials (here: order-year) and proves the merge
+    path; the oracle recomputes with plain COUNT(DISTINCT).
+    """
+    orders = T(spark, sf_dir, "orders")
+    partials = (
+        orders.select(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("slice"),
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+            F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+        )
+        .groupBy("o_orderpriority", "slice", "bucket")
+        .agg(
+            F.bitmap_construct_agg(F.col("pos")).alias("bm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    merged = partials.groupBy("o_orderpriority", "bucket").agg(
+        F.bitmap_or_agg(F.col("bm")).alias("bm"),
+        F.sum("n").alias("n"),
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_customers"),
+        F.sum("n").alias("n_orders"),
+    )
+
+
+@query(
     "c8_salted_skew_join",
     oracle="""
     SELECT o_orderpriority,

@@ -1025,3 +1025,167 @@ def k3_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", "embedding").mapInPandas(
         assign, out_schema
     )
+
+
+# -- SemDeDup: semantic deduplication via embedding clustering ------------
+
+SEMDEDUP_TAU = 0.28  # fixture-calibrated like k3_embedding_near_dup
+SEMDEDUP_DIV = 64  # K = max(8, n // DIV) clusters
+
+
+_SEM_COS = _sql_cosine("e", "c")
+_SEM_PAIR_COS = _sql_cosine("a.embedding", "b.embedding")
+
+
+@query(
+    "k3_semdedup",
+    oracle=f"""
+    WITH k AS (
+      SELECT GREATEST(8, COUNT(*) // {SEMDEDUP_DIV}) AS k FROM embeddings
+    ),
+    seeds AS (
+      SELECT embedding AS c,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j
+      FROM embeddings
+      QUALIFY j <= (SELECT k FROM k)
+    ),
+    cb AS (SELECT list(c ORDER BY j) AS cbs FROM seeds),
+    assigned AS (
+      SELECT vec_id, label, embedding,
+             CAST(list_position(d, list_max(d)) AS BIGINT) AS cluster,
+             list_max(d) AS csim
+      FROM (
+        SELECT vec_id, label, embedding,
+               list_transform(cb.cbs, c -> {_SEM_COS}) AS d
+        FROM (SELECT vec_id, label, embedding, embedding AS e
+              FROM embeddings) v
+        CROSS JOIN cb
+      )
+    )
+    SELECT a.vec_id, a.label, a.cluster,
+           ROUND(a.csim, 6) AS centroid_sim,
+           NOT EXISTS (
+             SELECT 1 FROM assigned b
+             WHERE b.cluster = a.cluster AND b.vec_id <> a.vec_id
+               AND {_SEM_PAIR_COS} >= {SEMDEDUP_TAU}
+               AND (b.csim < a.csim
+                    OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+           ) AS is_kept
+    FROM assigned a
+    """,
+)
+def k3_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) — semantic
+    deduplication for training corpora: cluster the embedding space,
+    then inside each cluster drop every vector that has a near-
+    duplicate (cosine >= τ) with LOWER similarity to the cluster
+    centroid (ties: lower vec_id wins). Keeping the LOW-centroid-sim
+    member of each duplicate pair is the paper's diversity heuristic:
+    survivors sit toward cluster edges, duplicates collapse toward
+    the prototype. The non-chained EXISTS form (a doc is dropped iff
+    SOME same-cluster doc beats it) makes the result order-free and
+    engine-checkable; the greedy chained variant is a documented
+    one-line change in the predicate.
+
+    Engine shape and 100 TB plan:
+    - Centroids: K = max(8, n/{SEMDEDUP_DIV}) md5-hash-sampled corpus
+      vectors (the same deterministic seeding as IVF/PQ; trained
+      k-means drops in without changing the plan). Bounded model
+      collect, broadcast into the kernel closure.
+    - Assignment: MAP-ONLY Arrow/numpy kernel (mapInPandas), the
+      BLAS shape FAISS uses — no join, no shuffle of the corpus. The
+      dot/norm folds run dimension-at-a-time (explicit left fold) so
+      every double matches the oracle's list_sum bit-for-bit; argmax
+      takes the first maximum, matching list_position(list_max).
+    - Pair stage: equi-join on cluster id — within-cluster pairs
+      only, never n². K grows with n (bounded ~{SEMDEDUP_DIV}-row
+      clusters), so the per-key block is constant-size and the join
+      is skew-free by construction; the pair cosine runs as the
+      JVM-side HOF expression shared with k3_embedding_near_dup.
+    τ={SEMDEDUP_TAU} is fixture-calibrated (the synthetic clusters
+    are loose, max pairwise cosine ≈ 0.33); production corpora use
+    τ ≈ 0.95+ on real encoder embeddings.
+    """
+    import numpy as np
+
+    import pyarrow.parquet as pq
+
+    e = T(spark, sf_dir, "embeddings")
+    n = pq.ParquetFile(
+        __import__("os").path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+    k = max(8, n // SEMDEDUP_DIV)
+    seeds = [
+        r.embedding
+        for r in e.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect()
+    ]
+    cb = np.array(seeds, dtype=np.float64)  # k × DIM
+    # Centroid norms: explicit left fold per centroid (matches the
+    # oracle's list_sum association exactly).
+    cnorm = np.zeros(len(seeds))
+    for d in range(cb.shape[1]):
+        cnorm += cb[:, d] * cb[:, d]
+    cnorm = np.sqrt(cnorm)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrow = E.shape[0]
+            dot = np.zeros((nrow, cb.shape[0]))
+            enorm = np.zeros(nrow)
+            for d in range(cb.shape[1]):  # dimension-at-a-time left fold
+                dot += E[:, d, None] * cb[None, :, d]
+                enorm += E[:, d] * E[:, d]
+            cos = dot / (np.sqrt(enorm)[:, None] * cnorm[None, :])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "embedding": pdf["embedding"],
+                    "cluster": (cos.argmax(axis=1) + 1).astype("int64"),
+                    "csim": cos.max(axis=1),
+                }
+            )
+
+    assigned = e.select("vec_id", "label", "embedding").mapInPandas(
+        assign,
+        "vec_id long, label int, embedding array<float>, "
+        "cluster long, csim double",
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (
+                cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
+                >= SEMDEDUP_TAU
+            )
+            & (
+                (F.col("b.csim") < F.col("a.csim"))
+                | (
+                    (F.col("b.csim") == F.col("a.csim"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id"))
+                )
+            ),
+            "left_semi",
+        )
+        .select(F.col("vec_id"), F.lit(True).alias("rm"))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cluster",
+            F.round("csim", 6).alias("centroid_sim"),
+            F.coalesce(~F.col("rm"), F.lit(True)).alias("is_kept"),
+        )
+    )

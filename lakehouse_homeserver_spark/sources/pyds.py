@@ -61,8 +61,11 @@ def _read_entry(table_path: str, version: int | None) -> dict:
 
 
 class SnapshotPartition(InputPartition):
-    def __init__(self, file_path: str):
+    def __init__(self, file_path: str, deletes: list[tuple[list[str], list[str]]]):
         self.file_path = file_path
+        # [(equality_columns, [delete_file_paths])] applicable to this
+        # data file (delete seq > data-file seq), resolved at plan time.
+        self.deletes = deletes
 
 
 class SnapshotReader(DataSourceReader):
@@ -73,15 +76,37 @@ class SnapshotReader(DataSourceReader):
 
     def partitions(self):
         data = os.path.join(self._table_path, _DATA_DIR)
-        return [
-            SnapshotPartition(os.path.join(data, f))
-            for f in self._entry["manifest"]
-        ]
+        e = self._entry
+        dels = e.get("delete_files", [])
+        seq = e.get("seq") or {f: e["version"] for f in e["manifest"]}
+        out = []
+        for f in e["manifest"]:
+            applicable: dict[tuple, list[str]] = {}
+            for d in dels:
+                if d["seq"] > seq.get(f, 0):
+                    applicable.setdefault(tuple(d["columns"]), []).append(
+                        os.path.join(data, d["file"])
+                    )
+            out.append(
+                SnapshotPartition(
+                    os.path.join(data, f),
+                    [(list(k), v) for k, v in applicable.items()],
+                )
+            )
+        return out
 
     def read(self, partition: SnapshotPartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # MoR equality deletes, Arrow-side: union each delete-key set
+        # once per partition, anti-join every batch against it. Key
+        # sets are small by contract (large deletes are CoW), so this
+        # stays in-memory columnar — no per-row Python.
+        del_tables = [
+            (cols, pa.concat_tables([pq.read_table(p) for p in paths]))
+            for cols, paths in partition.deletes
+        ]
         want = [f.name for f in self._schema.fields]
         pf = pq.ParquetFile(partition.file_path)
         have = set(pf.schema_arrow.names)
@@ -94,7 +119,21 @@ class SnapshotReader(DataSourceReader):
                     arrays.append(cols[c])
                 else:  # pre-evolution file: null-fill the later column
                     arrays.append(pa.nulls(batch.num_rows))
-            yield pa.RecordBatch.from_arrays(arrays, names=want)
+            out = pa.RecordBatch.from_arrays(arrays, names=want)
+            if del_tables:
+                tbl = pa.Table.from_batches([out])
+                for cols_, dtab in del_tables:
+                    tbl = tbl.join(
+                        dtab.group_by(cols_).aggregate([]),
+                        keys=cols_,
+                        join_type="left anti",
+                    )
+                tbl = tbl.select(want).combine_chunks()
+                for b in tbl.to_batches():
+                    if b.num_rows:
+                        yield b
+            else:
+                yield out
 
 
 class SnapshotDataSource(DataSource):

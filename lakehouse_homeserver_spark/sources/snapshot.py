@@ -167,6 +167,32 @@ def _footer_stats(path: str) -> tuple[int, dict]:
     return md.num_rows, {c: [mins[c], maxs[c]] for c in mins}
 
 
+def _remap_clone_seq(src: dict) -> dict:
+    """Order-preserving remap of a source snapshot's sequence numbers
+    onto non-positive integers (highest -> 0) for a clone's first
+    commit, so future clone-local commits (version >= 2) always
+    outrank carried state."""
+    seq = _file_seq(src)
+    dels = src.get("delete_files", [])
+    values = sorted({*seq.values(), *(d["seq"] for d in dels)})
+    remap = {v: i - (len(values) - 1) for i, v in enumerate(values)}
+    return {
+        "seq": {f: remap[s] for f, s in seq.items()},
+        "delete_files": [{**d, "seq": remap[d["seq"]]} for d in dels],
+    }
+
+
+def _file_seq(entry: dict) -> dict[str, int]:
+    """Per-data-file sequence number (the version that added it).
+    Entries written before the MoR-delete feature lack `seq`; default
+    every file to the entry's own version so later delete files
+    (which always carry a higher seq) still apply to them."""
+    seq = entry.get("seq")
+    if seq is None:
+        return {f: entry["version"] for f in entry["manifest"]}
+    return seq
+
+
 class SnapshotTable:
     """One table = one directory with `data/` + `_log/`. All mutation
     goes through `_commit`, all reads through `read(version=)` or the
@@ -291,11 +317,14 @@ class SnapshotTable:
                         pass
                 return self.entry(head_v)
             head = self.entry(head_v) if head_v is not None else None
+            new_v = (head_v or 0) + 1
             if head is None or replace:
                 manifest = list(added)
                 schema = df.schema
                 total = n_added
                 stats = dict(added_stats)
+                seq = {f: new_v for f in added}
+                delete_files: list[dict] = []
             else:
                 schema = df.schema
                 if merge_schema:
@@ -312,8 +341,13 @@ class SnapshotTable:
                 manifest = head["manifest"] + added
                 total = head["row_count"] + n_added
                 stats = {**head.get("stats", {}), **added_stats}
+                seq = {
+                    **_file_seq(head),
+                    **{f: new_v for f in added},
+                }
+                delete_files = list(head.get("delete_files", []))
             entry = {
-                "version": (head_v or 0) + 1,
+                "version": new_v,
                 "parent": head_v,
                 "timestamp_ms": int(time.time() * 1000),
                 "operation": operation,
@@ -322,6 +356,8 @@ class SnapshotTable:
                 "schema": json.dumps(schema.jsonValue()),
                 "row_count": total,
                 "stats": stats,
+                "seq": seq,
+                "delete_files": delete_files,
                 "properties": properties or {},
             }
             if self._write_entry(entry):
@@ -440,6 +476,294 @@ class SnapshotTable:
                 last = e
         raise last  # type: ignore[misc]
 
+    def _commit_manifest(
+        self,
+        operation: str,
+        *,
+        manifest: list[str],
+        schema_json: str,
+        row_count: int,
+        stats: dict,
+        added: list[str],
+        seq: dict[str, int],
+        delete_files: list[dict],
+        new_delete: dict | None = None,
+        properties: dict | None = None,
+        expect_parent=_ANY_PARENT,
+        max_retries: int = 20,
+    ) -> dict:
+        """Commit a snapshot whose file list was assembled by the
+        caller (rollback keeps an old manifest; delete keeps untouched
+        files + rewrites). Same CAS loop as `_commit`; no staging.
+        `new_delete` ({file, columns}) is stamped with the winning
+        commit's version as its sequence number inside the loop."""
+        os.makedirs(self._log_path, exist_ok=True)
+        for _ in range(max_retries):
+            head_v = self.latest_version()
+            if expect_parent is not _ANY_PARENT and head_v != expect_parent:
+                for f in added:
+                    try:
+                        os.remove(os.path.join(self._data_path, f))
+                    except FileNotFoundError:
+                        pass
+                if new_delete is not None:
+                    try:
+                        os.remove(
+                            os.path.join(self._data_path, new_delete["file"])
+                        )
+                    except FileNotFoundError:
+                        pass
+                raise CommitConflict(
+                    f"{self.path}: expected parent {expect_parent}, "
+                    f"head is {head_v}"
+                )
+            new_v = (head_v or 0) + 1
+            dels = list(delete_files)
+            if new_delete is not None:
+                dels.append({**new_delete, "seq": new_v})
+            entry = {
+                "version": new_v,
+                "parent": head_v,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "manifest": manifest,
+                "added": added,
+                "schema": schema_json,
+                "row_count": row_count,
+                "stats": stats,
+                "seq": seq,
+                "delete_files": dels,
+                "properties": properties or {},
+            }
+            if self._write_entry(entry):
+                return entry
+        raise CommitConflict(
+            f"{self.path}: gave up after {max_retries} commit attempts"
+        )
+
+    def rollback(self, version: int) -> dict:
+        """Iceberg `rollback_to_snapshot` / Delta RESTORE: make the
+        table's CURRENT state equal its state at `version` by
+        committing a NEW snapshot that re-references that version's
+        file list. History is preserved (the rolled-back-over commits
+        stay readable until expiry) and the operation is METADATA-ONLY
+        — no data file is read, copied, or rewritten, so restoring a
+        100 TB table is a single conditional log write. The target's
+        files must still be live, which they are as long as `version`
+        itself has not been expired (entry lookup raises otherwise)."""
+        target = self.entry(version)
+        return self._commit_manifest(
+            "rollback",
+            manifest=list(target["manifest"]),
+            schema_json=target["schema"],
+            row_count=target["row_count"],
+            stats=dict(target.get("stats", {})),
+            added=[],
+            seq=_file_seq(target),
+            delete_files=list(target.get("delete_files", [])),
+            properties={"rolled_back_to": version},
+        )
+
+    def delete_where(
+        self,
+        predicate,
+        *,
+        mode: str = "cow",
+        equality_on: list[str] | None = None,
+        prune_column: str | None = None,
+        lo=None,
+        hi=None,
+        properties: dict | None = None,
+        max_retries: int = 5,
+    ) -> dict:
+        """Row-level DELETE, both Iceberg v2 strategies.
+
+        mode="cow" (copy-on-write, Delta DELETE / Iceberg CoW): rows
+        matching `predicate` (a Column) are removed by REWRITING ONLY
+        the data files that might contain them; untouched files carry
+        over into the new manifest by name. When (`prune_column`, lo,
+        hi) bounds the predicate, candidate files come from the
+        manifest's footer min/max stats — at 100 TB a key- or
+        time-scoped delete (GDPR erasure, partition retirement)
+        rewrites the handful of overlapping files, not the table.
+        Without bounds every file is a candidate (full CoW). If the
+        table carries pending MoR delete files, CoW compacts them
+        into the rewrite (full rewrite, like Iceberg's
+        rewrite_data_files) so no resurrected row can appear.
+
+        mode="mor" (merge-on-read, Iceberg v2 equality deletes): the
+        delete is committed as a DELETE FILE — the distinct
+        `equality_on` key tuples of the matching rows — and NO data
+        file is touched. Readers anti-join data files against delete
+        files whose sequence number is higher than the data file's
+        (later appends are unaffected, exactly Iceberg's sequencing
+        rule). `predicate` must be a function of `equality_on`
+        columns: an equality delete removes EVERY row sharing a
+        deleted key. At 100 TB this makes deletes O(matched keys)
+        writes instead of O(matched files) rewrites; the read-side
+        anti-join cost is reclaimed later by `rewrite_deletes()`.
+
+        Commits pinned to the snapshot the delete was derived from
+        (`expect_parent`): a concurrent writer forces a re-derive, the
+        same serializable read-modify-write rule as `merge`."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"delete_where: unknown mode {mode!r}")
+        if mode == "mor" and not equality_on:
+            raise ValueError("delete_where(mode='mor') needs equality_on")
+        last: CommitConflict | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base is None:
+                raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+            e = self.entry(base)
+            try:
+                if mode == "mor":
+                    return self._delete_mor(e, predicate, equality_on, properties)
+                return self._delete_cow(
+                    e, predicate, prune_column, lo, hi, properties
+                )
+            except CommitConflict as err:
+                last = err
+        raise last  # type: ignore[misc]
+
+    def _delete_cow(
+        self, e: dict, predicate, prune_column, lo, hi, properties
+    ) -> dict:
+        base = e["version"]
+        pending = e.get("delete_files", [])
+        if pending:
+            # Pending MoR deletes: a pruned rewrite could resurrect
+            # deleted rows (new files outrank old delete files), so
+            # compact everything — read() applies the deletes.
+            survivors = self.read(version=base).filter(~predicate)
+            return self._commit(
+                "delete",
+                survivors,
+                replace=True,
+                properties={
+                    **(properties or {}),
+                    "compacted_delete_files": len(pending),
+                },
+                expect_parent=base,
+            )
+        schema = StructType.fromJson(json.loads(e["schema"]))
+        if prune_column is not None:
+            candidates = set(self.prune_files(prune_column, lo, hi, version=base))
+        else:
+            candidates = set(e["manifest"])
+        untouched = [f for f in e["manifest"] if f not in candidates]
+        if candidates:
+            paths = [
+                os.path.join(self._data_path, f) for f in sorted(candidates)
+            ]
+            survivors = (
+                self.spark.read.schema(schema).parquet(*paths).filter(~predicate)
+            )
+            added = self._stage(survivors)
+        else:
+            added = []
+        old_stats = e.get("stats", {})
+        old_seq = _file_seq(e)
+        stats = {f: old_stats.get(f, {}) for f in untouched}
+        seq = {f: old_seq.get(f, base) for f in untouched}
+        row_count = 0
+        for f in untouched:
+            rows, _ = _footer_stats(os.path.join(self._data_path, f))
+            row_count += rows
+        for f in added:
+            rows, st = _footer_stats(os.path.join(self._data_path, f))
+            row_count += rows
+            stats[f] = st
+            seq[f] = base + 1  # patched to the real version below
+        return self._commit_manifest(
+            "delete",
+            manifest=untouched + added,
+            schema_json=e["schema"],
+            row_count=row_count,
+            stats=stats,
+            added=added,
+            seq=seq,
+            delete_files=[],
+            properties={
+                **(properties or {}),
+                "rewritten_files": len(candidates),
+                "carried_files": len(untouched),
+            },
+            expect_parent=base,
+        )
+
+    def _delete_mor(self, e: dict, predicate, equality_on, properties) -> dict:
+        base = e["version"]
+        visible = self.read(version=base)
+        keys = (
+            visible.filter(predicate).select(*equality_on).distinct().coalesce(1)
+        )
+        staged = self._stage(keys)
+        if len(staged) > 1:
+            # keep one delete file per commit: tiny key sets coalesce
+            paths = [os.path.join(self._data_path, f) for f in staged]
+            merged = self.spark.read.parquet(*paths).coalesce(1)
+            restaged = self._stage(merged)
+            for f in staged:
+                os.remove(os.path.join(self._data_path, f))
+            staged = restaged
+        delete_file = staged[0]
+        n_deleted = visible.join(
+            self.spark.read.parquet(
+                os.path.join(self._data_path, delete_file)
+            ),
+            on=list(equality_on),
+            how="left_semi",
+        ).count()
+        try:
+            return self._commit_manifest(
+                "delete",
+                manifest=list(e["manifest"]),
+                schema_json=e["schema"],
+                row_count=e["row_count"] - n_deleted,
+                stats=dict(e.get("stats", {})),
+                added=[],
+                seq=_file_seq(e),
+                delete_files=list(e.get("delete_files", [])),
+                new_delete={"file": delete_file, "columns": list(equality_on)},
+                properties={
+                    **(properties or {}),
+                    "mode": "mor",
+                    "deleted_rows": n_deleted,
+                },
+                expect_parent=base,
+            )
+        except CommitConflict:
+            try:
+                os.remove(os.path.join(self._data_path, delete_file))
+            except FileNotFoundError:
+                pass
+            raise
+
+    def rewrite_deletes(self, properties: dict | None = None) -> dict:
+        """Maintenance: materialize pending MoR delete files into the
+        data files (Iceberg `rewrite_data_files` with delete
+        compaction / Delta OPTIMIZE over deletion vectors). After this
+        the manifest has no delete files and reads are plain scans
+        again. No-op when nothing is pending."""
+        base = self.latest_version()
+        if base is None:
+            raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        e = self.entry(base)
+        pending = e.get("delete_files", [])
+        if not pending:
+            return e
+        return self._commit(
+            "rewrite",
+            self.read(version=base),
+            replace=True,
+            properties={
+                **(properties or {}),
+                "compacted_delete_files": len(pending),
+            },
+            expect_parent=base,
+        )
+
     # -- read path ---------------------------------------------------------
     def schema(self, version: int | None = None) -> StructType:
         v = self.latest_version() if version is None else version
@@ -451,16 +775,56 @@ class SnapshotTable:
         """Scan the table as of `version` (A12/A15; Iceberg
         `VERSION AS OF`). The snapshot schema is applied explicitly so
         pre-evolution files surface NULL for later columns; pushdown /
-        pruning work as on any parquet scan."""
+        pruning work as on any parquet scan. Pending MoR delete files
+        are applied as anti-joins (see `_read_files`)."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise SnapshotNotFound(f"{self.path}: table has no snapshots")
         e = self.entry(v)
+        return self._read_files(e, e["manifest"])
+
+    def _read_files(self, e: dict, names: list[str]) -> DataFrame:
+        """Read a subset of a snapshot's data files with MoR delete
+        semantics: a delete file applies to a data file iff its
+        sequence number is higher (Iceberg's rule — appends AFTER a
+        delete are unaffected). Data files are grouped by sequence
+        number; each group anti-joins the union of the delete files
+        that outrank it, broadcast (delete key sets are small by
+        construction — large deletes belong in CoW). With no pending
+        deletes this is a plain multi-file parquet scan: zero
+        overhead on the common path."""
+        from pyspark.sql import functions as F
+
         schema = StructType.fromJson(json.loads(e["schema"]))
-        files = [os.path.join(self._data_path, f) for f in e["manifest"]]
-        if not files:
+        if not names:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        dels = e.get("delete_files", [])
+        paths = [os.path.join(self._data_path, f) for f in names]
+        if not dels:
+            return self.spark.read.schema(schema).parquet(*paths)
+        seq = _file_seq(e)
+        groups: dict[int, list[str]] = {}
+        for f in names:
+            groups.setdefault(seq.get(f, 0), []).append(f)
+        parts: list[DataFrame] = []
+        for s, group in sorted(groups.items()):
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self._data_path, f) for f in group]
+            )
+            applicable = [d for d in dels if d["seq"] > s]
+            by_cols: dict[tuple, list[str]] = {}
+            for d in applicable:
+                by_cols.setdefault(tuple(d["columns"]), []).append(d["file"])
+            for cols, dfiles in by_cols.items():
+                keys = self.spark.read.parquet(
+                    *[os.path.join(self._data_path, f) for f in dfiles]
+                ).distinct()
+                df = df.join(F.broadcast(keys), on=list(cols), how="left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def files(self, version: int | None = None) -> list[dict]:
         """The Iceberg `.files` metadata table: one dict per live data
@@ -504,13 +868,10 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise SnapshotNotFound(f"{self.path}: table has no snapshots")
-        schema = StructType.fromJson(json.loads(self.entry(v)["schema"]))
+        e = self.entry(v)
         names = self.prune_files(column, lo, hi, version=v)
         pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
-        if not names:
-            return self.spark.createDataFrame([], schema).filter(pred)
-        files = [os.path.join(self._data_path, f) for f in names]
-        return self.spark.read.schema(schema).parquet(*files).filter(pred)
+        return self._read_files(e, names).filter(pred)
 
     def added_between(
         self, from_version: int, to_version: int | None = None
@@ -585,7 +946,8 @@ class SnapshotTable:
             raise ValueError(f"{dest_path}: table already exists")
         os.makedirs(dest._data_path, exist_ok=True)
         os.makedirs(dest._log_path, exist_ok=True)
-        for name in src["manifest"]:
+        src_deletes = src.get("delete_files", [])
+        for name in src["manifest"] + [d["file"] for d in src_deletes]:
             tgt = os.path.join(dest._data_path, name)
             if not os.path.exists(tgt):
                 os.link(os.path.join(self._data_path, name), tgt)
@@ -600,6 +962,14 @@ class SnapshotTable:
             "schema": src["schema"],
             "row_count": src["row_count"],
             "stats": {f: stats.get(f, {}) for f in src["manifest"]},
+            # Seq/delete state travels with the clone so pending MoR
+            # deletes stay applied. Clone-local version numbering
+            # restarts at 1, so carried sequence numbers are remapped
+            # order-preservingly onto ..,-1,0: every carried seq stays
+            # below any future clone commit's (≥2), and the relative
+            # data-vs-delete ordering — all the delete rule uses — is
+            # intact.
+            **_remap_clone_seq(src),
             "properties": {
                 "cloned_from": self.path,
                 "cloned_version": v,
@@ -635,7 +1005,9 @@ class SnapshotTable:
             )
         live: set[str] = set()
         for v in keep:
-            live.update(self.entry(v)["manifest"])
+            e = self.entry(v)
+            live.update(e["manifest"])
+            live.update(d["file"] for d in e.get("delete_files", []))
         expired = [v for v in vs if v not in keep]
         for v in expired:
             os.remove(self._entry_path(v))

@@ -802,3 +802,211 @@ def test_clone_survives_source_expiry(spark, tmp_path, nations):
     clone.create_or_replace(nations.limit(1))
     clone.expire_snapshots(keep_last=1)
     assert src.read().count() == 2
+
+
+def test_rollback_restores_state_metadata_only(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    t.create(nations.filter(F.col("n_regionkey") == 0))
+    t.append(nations.filter(F.col("n_regionkey") == 1))
+    v2_keys = sorted(r.n_nationkey for r in t.read().collect())
+    t.create_or_replace(nations.filter(F.col("n_regionkey") == 2))
+    files_before = set(os.listdir(t._data_path))
+    e = t.rollback(2)
+    # Content is exactly v2's; the commit added zero data files.
+    assert sorted(r.n_nationkey for r in t.read().collect()) == v2_keys
+    assert e["added"] == []
+    assert set(os.listdir(t._data_path)) == files_before
+    assert e["operation"] == "rollback"
+    assert e["properties"]["rolled_back_to"] == 2
+    assert [x["operation"] for x in t.history()] == [
+        "create", "append", "overwrite", "rollback",
+    ]
+    # The table keeps working: append after rollback builds on v2.
+    t.append(nations.filter(F.col("n_regionkey") == 3))
+    n = nations.filter(F.col("n_regionkey") < 2).count() + nations.filter(
+        F.col("n_regionkey") == 3
+    ).count()
+    assert t.read().count() == n
+
+
+def test_rollback_to_expired_version_raises(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    t.create(nations.filter(F.col("n_regionkey") == 0))
+    t.create_or_replace(nations.filter(F.col("n_regionkey") == 1))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(SnapshotNotFound):
+        t.rollback(1)
+
+
+def test_delete_where_rewrites_only_overlapping_files(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    # Four single-file commits with disjoint n_nationkey ranges.
+    for i, (lo, hi) in enumerate([(0, 5), (6, 11), (12, 17), (18, 24)]):
+        sl = nations.filter(F.col("n_nationkey").between(lo, hi)).coalesce(1)
+        t.create(sl) if i == 0 else t.append(sl)
+    before = t.entry(t.latest_version())
+    inode = {
+        f: os.stat(os.path.join(t._data_path, f)).st_ino
+        for f in before["manifest"]
+    }
+    e = t.delete_where(
+        (F.col("n_nationkey").between(7, 9)),
+        prune_column="n_nationkey",
+        lo=7,
+        hi=9,
+    )
+    assert e["properties"] == {"rewritten_files": 1, "carried_files": 3}
+    # The three non-overlapping files carry over by NAME (no rewrite).
+    carried = [f for f in e["manifest"] if f in inode]
+    assert len(carried) == 3
+    for f in carried:
+        assert os.stat(os.path.join(t._data_path, f)).st_ino == inode[f]
+    got = sorted(r.n_nationkey for r in t.read().collect())
+    want = sorted(
+        r.n_nationkey
+        for r in nations.filter(~F.col("n_nationkey").between(7, 9)).collect()
+    )
+    assert got == want
+    assert t.row_count() == len(want)
+
+
+def test_delete_where_full_rewrite_without_bounds(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    t.create(nations)
+    t.delete_where(F.col("n_regionkey") == 2)
+    assert t.read().filter(F.col("n_regionkey") == 2).count() == 0
+    n = nations.filter(F.col("n_regionkey") != 2).count()
+    assert t.row_count() == n
+    # Deleting the same rows again is a no-op commit, not an error.
+    t.delete_where(F.col("n_regionkey") == 2)
+    assert t.row_count() == n
+
+
+def _four_slice_table(spark, tmp_path, nations, name="mor"):
+    t = _table(spark, tmp_path, name)
+    for i, (lo, hi) in enumerate([(0, 5), (6, 11), (12, 17), (18, 24)]):
+        sl = nations.filter(F.col("n_nationkey").between(lo, hi)).coalesce(1)
+        t.create(sl) if i == 0 else t.append(sl)
+    return t
+
+
+def test_mor_delete_writes_delete_file_not_data(spark, tmp_path, nations):
+    t = _four_slice_table(spark, tmp_path, nations)
+    before = t.entry(t.latest_version())
+    inode = {
+        f: os.stat(os.path.join(t._data_path, f)).st_ino
+        for f in before["manifest"]
+    }
+    e = t.delete_where(
+        F.col("n_nationkey") % 5 == 0, mode="mor", equality_on=["n_nationkey"]
+    )
+    # Manifest unchanged, every data file intact; one delete file.
+    assert e["manifest"] == before["manifest"]
+    for f, ino in inode.items():
+        assert os.stat(os.path.join(t._data_path, f)).st_ino == ino
+    assert len(e["delete_files"]) == 1
+    assert e["delete_files"][0]["columns"] == ["n_nationkey"]
+    got = sorted(r.n_nationkey for r in t.read().collect())
+    want = sorted(
+        r.n_nationkey
+        for r in nations.filter(F.col("n_nationkey") % 5 != 0).collect()
+    )
+    assert got == want
+    assert t.row_count() == len(want)
+    assert e["properties"]["deleted_rows"] == 25 - len(want)
+    # Time travel to the pre-delete snapshot still sees every row.
+    assert t.read(version=4).count() == 25
+
+
+def test_mor_delete_sequencing_spares_later_appends(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    t.create(nations.filter(F.col("n_nationkey") < 10).coalesce(1))
+    t.delete_where(
+        F.col("n_nationkey") % 2 == 0, mode="mor", equality_on=["n_nationkey"]
+    )
+    # Re-append some of the deleted keys AFTER the delete: the delete
+    # file's sequence number is lower, so the new rows survive.
+    t.append(nations.filter(F.col("n_nationkey").isin(0, 2, 11)).coalesce(1))
+    got = sorted(r.n_nationkey for r in t.read().collect())
+    assert got == [0, 1, 2, 3, 5, 7, 9, 11]
+    assert t.row_count() == len(got)
+
+
+def test_rewrite_deletes_compacts_to_plain_scan(spark, tmp_path, nations):
+    t = _four_slice_table(spark, tmp_path, nations)
+    t.delete_where(
+        F.col("n_nationkey") % 5 == 0, mode="mor", equality_on=["n_nationkey"]
+    )
+    want = sorted(r.n_nationkey for r in t.read().collect())
+    e = t.rewrite_deletes()
+    assert e["delete_files"] == []
+    assert e["properties"]["compacted_delete_files"] == 1
+    assert sorted(r.n_nationkey for r in t.read().collect()) == want
+    assert t.row_count() == len(want)
+    # Second call is a no-op (same head entry).
+    assert t.rewrite_deletes()["version"] == e["version"]
+
+
+def test_cow_delete_with_pending_mor_never_resurrects(spark, tmp_path, nations):
+    t = _four_slice_table(spark, tmp_path, nations)
+    t.delete_where(
+        F.col("n_nationkey") % 5 == 0, mode="mor", equality_on=["n_nationkey"]
+    )
+    e = t.delete_where(F.col("n_regionkey") == 2)  # CoW, compacts pending
+    assert e["properties"]["compacted_delete_files"] == 1
+    assert e["delete_files"] == []
+    got = sorted(r.n_nationkey for r in t.read().collect())
+    want = sorted(
+        r.n_nationkey
+        for r in nations.filter(
+            (F.col("n_nationkey") % 5 != 0) & (F.col("n_regionkey") != 2)
+        ).collect()
+    )
+    assert got == want
+
+
+def test_mor_requires_equality_columns(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    t.create(nations)
+    with pytest.raises(ValueError, match="equality_on"):
+        t.delete_where(F.col("n_nationkey") == 1, mode="mor")
+
+
+def test_clone_carries_pending_mor_deletes(spark, tmp_path, nations):
+    t = _four_slice_table(spark, tmp_path, nations)
+    t.delete_where(
+        F.col("n_nationkey") % 5 == 0, mode="mor", equality_on=["n_nationkey"]
+    )
+    c = t.clone(str(tmp_path / "branch"))
+    want = sorted(r.n_nationkey for r in t.read().collect())
+    assert sorted(r.n_nationkey for r in c.read().collect()) == want
+    # A clone-local append of a deleted key outranks the carried
+    # delete file (remapped seq <= 0 < new commit's version).
+    c.append(nations.filter(F.col("n_nationkey") == 0).coalesce(1))
+    got = sorted(r.n_nationkey for r in c.read().collect())
+    assert got == sorted(want + [0])
+
+
+def test_expire_keeps_live_delete_files(spark, tmp_path, nations):
+    t = _four_slice_table(spark, tmp_path, nations)
+    t.delete_where(
+        F.col("n_nationkey") % 5 == 0, mode="mor", equality_on=["n_nationkey"]
+    )
+    want = sorted(r.n_nationkey for r in t.read().collect())
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r.n_nationkey for r in t.read().collect()) == want
+
+
+def test_pyds_applies_mor_deletes(spark, tmp_path, nations):
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    t = _four_slice_table(spark, tmp_path, nations)
+    t.delete_where(
+        F.col("n_nationkey") % 5 == 0, mode="mor", equality_on=["n_nationkey"]
+    )
+    t.append(nations.filter(F.col("n_nationkey") == 10).coalesce(1))
+    spark.dataSource.register(SnapshotDataSource)
+    df = spark.read.format("snapshot").load(t.path)
+    got = sorted(r.n_nationkey for r in df.collect())
+    want = sorted(r.n_nationkey for r in t.read().collect())
+    assert got == want
