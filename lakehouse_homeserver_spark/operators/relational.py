@@ -1858,3 +1858,55 @@ def d12_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+@query(
+    "h13_variant",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS cnt,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           MAX(json_extract_string(props, '$.k')) AS k_str_max,
+           COUNT(json_extract_string(props, '$.nope')) AS n_missing
+    FROM events GROUP BY 1
+    """,
+)
+def h13_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (SURVEY H8 ext., Spark 4):
+    ``parse_json`` decodes the JSON string ONCE into the binary
+    VARIANT encoding, and every ``variant_get`` path extraction after
+    that is a typed lookup into that encoding — the modern engine
+    answer (Spark 4 / Snowflake / Delta variant shredding) to
+    repeatedly re-parsing JSON text per accessed field, which is what
+    ``get_json_object`` does (h8 keeps that classic path covered).
+
+    Covered semantics: typed extraction (bigint and string views of
+    the same field), missing-path → NULL (``n_missing`` pins it to 0
+    without erroring), and aggregation over extracted values. The
+    DuckDB oracle runs the identical lookups through its JSON type.
+
+    Scale: map-only scan — parse + extraction are JVM expressions
+    inside codegen, one shuffle for the final aggregate. At 100 TB the
+    parse cost is paid once per row regardless of how many fields are
+    read, vs once per field for the text-path functions.
+    """
+    e = T(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    ek = F.variant_get(v, "$.k", "bigint")
+    return (
+        e.select(
+            (ek % 10).alias("k_bucket"),
+            ek.alias("k"),
+            F.variant_get(v, "$.k", "string").alias("k_str"),
+            F.variant_get(v, "$.nope", "bigint").alias("missing"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.max("k_str").alias("k_str_max"),
+            F.count("missing").alias("n_missing"),
+        )
+    )

@@ -10,6 +10,7 @@ read surface using PySpark 4's user-defined data source API
     spark.dataSource.register(SnapshotDataSource)
     spark.read.format("snapshot").load("/path/to/table")
     spark.read.format("snapshot").option("version", 3).load(...)
+    spark.readStream.format("snapshot").load(...)   # tail the commit log
 
 Design:
 - `schema()` resolves from the snapshot log (driver-side JSON read,
@@ -35,11 +36,27 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+
+
+def _versions(table_path: str) -> list[int]:
+    log = os.path.join(table_path, _LOG_DIR)
+    if not os.path.isdir(log):
+        raise FileNotFoundError(f"{table_path}: not a snapshot table (no _log)")
+    return sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(log)
+        if f.endswith(".json") and not f.startswith(".")
+    )
 
 
 def _read_entry(table_path: str, version: int | None) -> dict:
@@ -96,44 +113,118 @@ class SnapshotReader(DataSourceReader):
         return out
 
     def read(self, partition: SnapshotPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        yield from _iter_file_batches(self._schema, partition)
 
-        # MoR equality deletes, Arrow-side: union each delete-key set
-        # once per partition, anti-join every batch against it. Key
-        # sets are small by contract (large deletes are CoW), so this
-        # stays in-memory columnar — no per-row Python.
-        del_tables = [
-            (cols, pa.concat_tables([pq.read_table(p) for p in paths]))
-            for cols, paths in partition.deletes
-        ]
-        want = [f.name for f in self._schema.fields]
-        pf = pq.ParquetFile(partition.file_path)
-        have = set(pf.schema_arrow.names)
-        present = [c for c in want if c in have]
-        for batch in pf.iter_batches(columns=present):
-            cols = {c: batch.column(batch.schema.get_field_index(c)) for c in present}
-            arrays = []
-            for c in want:
-                if c in cols:
-                    arrays.append(cols[c])
-                else:  # pre-evolution file: null-fill the later column
-                    arrays.append(pa.nulls(batch.num_rows))
-            out = pa.RecordBatch.from_arrays(arrays, names=want)
-            if del_tables:
-                tbl = pa.Table.from_batches([out])
-                for cols_, dtab in del_tables:
-                    tbl = tbl.join(
-                        dtab.group_by(cols_).aggregate([]),
-                        keys=cols_,
-                        join_type="left anti",
+
+def _iter_file_batches(schema: StructType, partition: SnapshotPartition):
+    """Arrow-batch scan of one data file, shared by the batch reader
+    and the stream reader: null-fill across schema evolution, then
+    MoR equality-delete anti-join (Arrow-side, columnar)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # MoR equality deletes, Arrow-side: union each delete-key set
+    # once per partition, anti-join every batch against it. Key
+    # sets are small by contract (large deletes are CoW), so this
+    # stays in-memory columnar — no per-row Python.
+    del_tables = [
+        (cols, pa.concat_tables([pq.read_table(p) for p in paths]))
+        for cols, paths in partition.deletes
+    ]
+    want = [f.name for f in schema.fields]
+    pf = pq.ParquetFile(partition.file_path)
+    have = set(pf.schema_arrow.names)
+    present = [c for c in want if c in have]
+    for batch in pf.iter_batches(columns=present):
+        cols = {c: batch.column(batch.schema.get_field_index(c)) for c in present}
+        arrays = []
+        for c in want:
+            if c in cols:
+                arrays.append(cols[c])
+            else:  # pre-evolution file: null-fill the later column
+                arrays.append(pa.nulls(batch.num_rows))
+        out = pa.RecordBatch.from_arrays(arrays, names=want)
+        if del_tables:
+            tbl = pa.Table.from_batches([out])
+            for cols_, dtab in del_tables:
+                tbl = tbl.join(
+                    dtab.group_by(cols_).aggregate([]),
+                    keys=cols_,
+                    join_type="left anti",
+                )
+            tbl = tbl.select(want).combine_chunks()
+            for b in tbl.to_batches():
+                if b.num_rows:
+                    yield b
+        else:
+            yield out
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Tail the commit log as a structured stream (Delta streaming
+    source / Iceberg incremental append scan): each micro-batch is
+    exactly the set of files ADDED by the snapshots committed since
+    the last batch — offsets are snapshot versions, so progress is
+    pure manifest arithmetic and restarts are exactly-once from the
+    checkpoint (same contract `SnapshotTable.added_between` gives
+    batch consumers).
+
+    Non-append commits (replace / delete / rollback) make "what
+    changed" inexpressible as added files; like Delta's source
+    without `skipChangeCommits`, the stream fails loudly rather than
+    silently missing changes. At 100 TB: offset resolution is a
+    driver-side JSON listing; data movement is one executor task per
+    new file — O(new data) per batch, never O(table).
+    """
+
+    def __init__(self, schema: StructType, table_path: str, start_version: int):
+        self._schema = schema
+        self._table_path = table_path
+        self._start = start_version
+
+    def initialOffset(self) -> dict:
+        # Offset = "consumed through snapshot N" (exclusive start of
+        # the next batch). Default 0 = replay the whole table, the
+        # file-source convention the reference's incremental loader
+        # also follows (process everything not yet bookkept).
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self._table_path)
+        return {"version": vs[-1] if vs else self._start}
+
+    def partitions(self, start: dict, end: dict):
+        data = os.path.join(self._table_path, _DATA_DIR)
+        out = []
+        for v in _versions(self._table_path):
+            if start["version"] < v <= end["version"]:
+                with open(
+                    os.path.join(self._table_path, _LOG_DIR, f"{v:020d}.json")
+                ) as fh:
+                    e = json.load(fh)
+                if e["operation"] not in ("create", "append"):
+                    raise ValueError(
+                        f"{self._table_path}: snapshot {v} is "
+                        f"{e['operation']!r}, not an append — streaming "
+                        "consumption undefined across replaces/deletes"
                     )
-                tbl = tbl.select(want).combine_chunks()
-                for b in tbl.to_batches():
-                    if b.num_rows:
-                        yield b
-            else:
-                yield out
+                out.extend(
+                    SnapshotPartition(os.path.join(data, f), [])
+                    for f in e["added"]
+                )
+        # A batch may legitimately contain zero files (e.g. offsets
+        # advanced by an empty append); Spark requires ≥1 partition.
+        return out or [SnapshotPartition("", [])]
+
+    def read(self, partition: SnapshotPartition):
+        if not partition.file_path:  # empty-batch placeholder
+            return
+        yield from _iter_file_batches(self._schema, partition)
+
+    def commit(self, end: dict) -> None:
+        # Offsets live in the stream checkpoint; the log needs no
+        # consumer-side bookkeeping (readers never write the table).
+        pass
 
 
 class SnapshotDataSource(DataSource):
@@ -158,3 +249,10 @@ class SnapshotDataSource(DataSource):
     def reader(self, schema: StructType) -> SnapshotReader:
         entry, path = self._entry()
         return SnapshotReader(schema, entry, path)
+
+    def streamReader(self, schema: StructType) -> SnapshotStreamReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot source requires a path: .load(path)")
+        start = int(self.options.get("startingVersion", 0))
+        return SnapshotStreamReader(schema, path, start)

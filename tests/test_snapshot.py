@@ -1010,3 +1010,72 @@ def test_pyds_applies_mor_deletes(spark, tmp_path, nations):
     got = sorted(r.n_nationkey for r in df.collect())
     want = sorted(r.n_nationkey for r in t.read().collect())
     assert got == want
+
+
+def test_snapshot_stream_tails_commit_log(spark, tmp_path, nations):
+    """readStream.format("snapshot"): an availableNow run replays every
+    existing snapshot; a second run off the SAME checkpoint consumes
+    ONLY the commits made in between (exactly-once via version offsets
+    in the checkpoint); with nothing new the batch is empty."""
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    path = str(tmp_path / "stream_src")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    t = SnapshotTable(spark, path)
+    t.create(nations.filter("n_nationkey < 10"))
+    t.append(nations.filter("n_nationkey >= 10 AND n_nationkey < 20"))
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    drain()
+    assert sorted(
+        r.n_nationkey for r in spark.read.parquet(out).collect()
+    ) == list(range(20))
+
+    # restart from checkpoint: only the new commit's rows arrive
+    t.append(nations.filter("n_nationkey >= 20"))
+    drain()
+    assert sorted(
+        r.n_nationkey for r in spark.read.parquet(out).collect()
+    ) == list(range(25))
+
+    # nothing new: a third drain appends zero rows (no re-consumption)
+    drain()
+    assert spark.read.parquet(out).count() == 25
+
+
+def test_snapshot_stream_rejects_replace_commits(spark, tmp_path, nations):
+    """A replace inside the consumed range fails the stream loudly
+    (Delta-source-without-skipChangeCommits contract) instead of
+    silently missing changed rows."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    path = str(tmp_path / "stream_src2")
+    t = SnapshotTable(spark, path)
+    t.create(nations.filter("n_nationkey < 5"))
+    t.create_or_replace(nations.filter("n_nationkey < 3"))
+    q = (
+        spark.readStream.format("snapshot")
+        .load(path)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="not an append"):
+        q.awaitTermination(180)
