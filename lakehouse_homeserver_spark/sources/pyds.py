@@ -59,7 +59,7 @@ def _versions(table_path: str) -> list[int]:
     )
 
 
-def _read_entry(table_path: str, version: int | None) -> dict:
+def _read_entry(table_path: str, version: int | str | None) -> dict:
     log = os.path.join(table_path, _LOG_DIR)
     if not os.path.isdir(log):
         raise FileNotFoundError(f"{table_path}: not a snapshot table (no _log)")
@@ -70,6 +70,12 @@ def _read_entry(table_path: str, version: int | None) -> dict:
     )
     if not versions:
         raise FileNotFoundError(f"{table_path}: table has no snapshots")
+    if isinstance(version, str):  # tag name (VERSION AS OF 'tag')
+        ref = os.path.join(table_path, "_refs", f"{version}.json")
+        if not os.path.isfile(ref):
+            raise ValueError(f"{table_path}: no tag {version!r}")
+        with open(ref) as fh:
+            version = json.load(fh)["version"]
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"{table_path}: no snapshot {v} (have {versions})")
@@ -229,7 +235,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
 class SnapshotDataSource(DataSource):
     """`format("snapshot")` — options: `path` (load() arg), `version`
-    (optional int, Iceberg `VERSION AS OF` / Delta `versionAsOf`)."""
+    (optional int or tag name, Iceberg `VERSION AS OF` / Delta
+    `versionAsOf`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -240,7 +247,12 @@ class SnapshotDataSource(DataSource):
         if not path:
             raise ValueError("snapshot source requires a path: .load(path)")
         v = self.options.get("version")
-        return _read_entry(path, int(v) if v is not None else None), path
+        if v is not None:
+            try:
+                v = int(v)
+            except ValueError:
+                pass  # non-numeric → tag name
+        return _read_entry(path, v), path
 
     def schema(self) -> StructType:
         entry, _ = self._entry()

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -53,6 +54,8 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_REFS_DIR = "_refs"
+_REF_NAME_RE = re.compile(r"[A-Za-z0-9._-]+")
 
 # Sentinel for `_commit(expect_parent=...)`: "commit on whatever the
 # current head is" (blind append/replace). An explicit int (or None for
@@ -776,8 +779,9 @@ class SnapshotTable:
         `VERSION AS OF`). The snapshot schema is applied explicitly so
         pre-evolution files surface NULL for later columns; pushdown /
         pruning work as on any parquet scan. Pending MoR delete files
-        are applied as anti-joins (see `_read_files`)."""
-        v = self.latest_version() if version is None else version
+        are applied as anti-joins (see `_read_files`). `version` may
+        be a tag name (Iceberg `VERSION AS OF 'tag'`)."""
+        v = self.latest_version() if version is None else self.resolve(version)
         if v is None:
             raise SnapshotNotFound(f"{self.path}: table has no snapshots")
         e = self.entry(v)
@@ -915,6 +919,78 @@ class SnapshotTable:
             return 0
         return self.entry(v)["row_count"]
 
+    # -- named refs (tags) -------------------------------------------------
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, _REFS_DIR)
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Create an immutable named ref to a snapshot (Iceberg
+        `ALTER TABLE ... CREATE TAG` / Delta does this with cloned
+        tables). Tags pin versions for reproducibility — "the corpus
+        release we trained run X on" — and `expire_snapshots` treats
+        tagged snapshots as live, so the pin survives GC. The ref is
+        one O_EXCL file write: atomic, first-writer-wins (same
+        primitive as the commit log)."""
+        if not _REF_NAME_RE.fullmatch(name):
+            raise ValueError(
+                f"invalid tag name {name!r} (want [A-Za-z0-9._-]+)"
+            )
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self.versions():
+            raise SnapshotNotFound(f"{self.path}: no snapshot {v} to tag")
+        ref = {
+            "name": name,
+            "version": v,
+            "type": "tag",
+            "created_ms": int(time.time() * 1000),
+        }
+        os.makedirs(self._refs_path, exist_ok=True)
+        target = os.path.join(self._refs_path, f"{name}.json")
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(ref, fh)
+        try:
+            os.link(tmp, target)  # atomic create-exclusive
+        except FileExistsError:
+            raise ValueError(
+                f"{self.path}: tag {name!r} already exists "
+                f"(at version {self.tags()[name]}); tags are immutable — "
+                "drop_tag first to move it"
+            ) from None
+        finally:
+            os.remove(tmp)
+        return ref
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._refs_path, f"{name}.json"))
+        except FileNotFoundError:
+            raise SnapshotNotFound(f"{self.path}: no tag {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        """name → version for every tag (Iceberg `.refs` metadata)."""
+        if not os.path.isdir(self._refs_path):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(self._refs_path)):
+            if f.endswith(".json") and not f.startswith("."):
+                with open(os.path.join(self._refs_path, f)) as fh:
+                    ref = json.load(fh)
+                out[ref["name"]] = ref["version"]
+        return out
+
+    def resolve(self, version: int | str | None) -> int | None:
+        """Resolve a version-or-tag reference to a version number."""
+        if version is None or isinstance(version, int):
+            return version
+        tags = self.tags()
+        if version not in tags:
+            raise SnapshotNotFound(
+                f"{self.path}: no tag {version!r} (have {sorted(tags)})"
+            )
+        return tags[version]
+
     # -- maintenance (A10) -------------------------------------------------
     def clone(
         self, dest_path: str, version: int | None = None
@@ -990,12 +1066,15 @@ class SnapshotTable:
         replays) and/or wall-clock (`older_than_ms`, the reference's
         `expire_snapshots(TIMESTAMP now-3d)` contract — snapshots with
         `timestamp_ms` < cutoff expire). The head snapshot is always
-        retained regardless of either rule, matching Iceberg.
+        retained regardless of either rule, matching Iceberg; so is
+        any TAGGED snapshot (Iceberg ref retention — a pinned corpus
+        release must survive GC until its tag is dropped).
         Returns {expired_snapshots, deleted_files}."""
         vs = self.versions()
         if len(vs) <= keep_last and not os.path.isdir(self._data_path):
             return {"expired_snapshots": 0, "deleted_files": 0}
         keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        keep.update(v for v in self.tags().values() if v in vs)
         if older_than_ms is not None and vs:
             keep.add(vs[-1])  # never expire the head
             keep.update(

@@ -1079,3 +1079,52 @@ def test_snapshot_stream_rejects_replace_commits(spark, tmp_path, nations):
     )
     with pytest.raises(StreamingQueryException, match="not an append"):
         q.awaitTermination(180)
+
+
+def test_tags_pin_versions_and_survive_gc(spark, tmp_path, nations):
+    """Tags (named refs): resolve in read() and the format reader,
+    are immutable (re-tag raises), and keep their snapshot + files
+    alive through expire_snapshots until dropped."""
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    t = _table(spark, tmp_path)
+    t.create(nations.filter("n_nationkey < 10"))
+    t.tag("corpus-v1")
+    t.append(nations.filter("n_nationkey >= 10"))
+    t.append(nations.limit(0))  # v3 head
+
+    assert t.tags() == {"corpus-v1": 1}
+    assert t.read("corpus-v1").count() == 10
+    spark.dataSource.register(SnapshotDataSource)
+    via_fmt = (
+        spark.read.format("snapshot")
+        .option("version", "corpus-v1")
+        .load(t.path)
+    )
+    assert via_fmt.count() == 10
+
+    with pytest.raises(ValueError, match="immutable"):
+        t.tag("corpus-v1", 2)
+    with pytest.raises(SnapshotNotFound, match="no tag"):
+        t.read("nope")
+
+    # GC keeps the tagged snapshot even though keep_last=1 would drop it
+    res = t.expire_snapshots(keep_last=1)
+    assert 1 in t.versions() and 3 in t.versions() and 2 not in t.versions()
+    assert t.read("corpus-v1").count() == 10
+    # drop the tag: the next GC really expires it
+    t.drop_tag("corpus-v1")
+    t.expire_snapshots(keep_last=1)
+    assert t.versions() == [3]
+    with pytest.raises(SnapshotNotFound):
+        t.read("corpus-v1")
+    assert res["expired_snapshots"] == 1  # only v2 went in the first pass
+
+
+def test_tag_requires_existing_snapshot(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    t.create(nations)
+    with pytest.raises(SnapshotNotFound):
+        t.tag("v9", 9)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("bad/name")
