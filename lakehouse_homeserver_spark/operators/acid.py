@@ -563,3 +563,50 @@ def a17_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
          clone.row_count()),
     ]
     return spark.createDataFrame(rows, "tbl string, operation string, n_rows bigint")
+
+
+@query(
+    "a21_bloom_skipping",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS bloom_pruned
+    FROM orders
+    WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders
+                        WHERE o_orderkey >= 100)
+    """,
+)
+def a21_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point-lookup pruning (SURVEY A-ext; Iceberg
+    `write.bloom-filter-enabled` / parquet column bloom filters):
+    orders is committed as four RESIDUE-CLASS slices (o_orderkey % 4),
+    so every file's key range spans the whole table and min/max stats
+    can never skip anything — the worst case for range pruning and the
+    exact case bloom filters exist for. Each commit harvests a 2 KiB
+    md5-double-hash bloom per file; the point lookup consults them and
+    opens only maybe-containing files (exactly 1 of 4 absent false
+    positives), with the residual predicate keeping pruning invisible.
+    The `bloom_pruned` certificate pins that skipping actually
+    happened (deterministic: md5 blooms over fixed fixture keys).
+
+    At 100 TB: this is the metadata path for needle-in-haystack id
+    lookups (doc digest, user id) over ingest-ordered tables where
+    every file overlaps every key range — manifest-resident blooms
+    answer "which files can contain key X" without opening any file.
+    """
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-bloom-"), "orders")
+    ).with_bloom_filters("o_orderkey")
+    orders = T(spark, sf_dir, "orders")
+    for i in range(4):
+        sl = orders.filter(F.col("o_orderkey") % 4 == i).coalesce(1)
+        t.create(sl) if i == 0 else t.append(sl)
+    key = orders.filter(F.col("o_orderkey") >= 100).agg(
+        F.min("o_orderkey")
+    ).collect()[0][0]
+    n_total = len(t.files())
+    n_kept = len(t.prune_files_equals("o_orderkey", key))
+    return t.scan_equals("o_orderkey", key).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit(n_kept < n_total).alias("bloom_pruned"),
+    )

@@ -42,6 +42,7 @@ manifest would move into its own parquet file per snapshot
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -170,6 +171,68 @@ def _footer_stats(path: str) -> tuple[int, dict]:
     return md.num_rows, {c: [mins[c], maxs[c]] for c in mins}
 
 
+_BLOOM_MIN_M = 1 << 13  # floor: 1 KiB per filter
+_BLOOM_BITS_PER_VALUE = 16  # m ≥ 16n → FPR ≈ 0.05% at k=7
+_BLOOM_K = 7
+
+
+def _bloom_positions(value, m: int) -> list[int]:
+    """k bit positions for a value via md5 double hashing (Kirsch-
+    Mitzenmacher): h1 + i·h2 mod m. Values are canonicalized through
+    str() — build and probe must agree on the column's type, which
+    they do (both read the same parquet column / literal)."""
+    d = hashlib.md5(str(value).encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _build_file_blooms(path: str, cols: list[str]) -> dict[str, dict]:
+    """Per-column bloom filters for one data file: {"m": bits, "b64":
+    bitmap}. m is sized to the file's DISTINCT count (≥16 bits/value,
+    power of two, floor 1 KiB) — a fixed-size filter silently
+    saturates as files grow and prunes nothing; sizing by content is
+    what parquet/Iceberg writers do (ndv-driven fpp sizing).
+    One columnar read of just the filtered columns (pyarrow) — the
+    harvest is O(new data) at commit time, like Iceberg's writer-side
+    metrics; on a cluster this would ride the writer task itself
+    (parquet's own bloom_filter_enabled), same seam as footer stats."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    present = [
+        c
+        for c in cols
+        if c in pq.ParquetFile(path).schema_arrow.names
+    ]
+    if not present:
+        return {}
+    tbl = pq.read_table(path, columns=present)
+    out = {}
+    for c in present:
+        vals = tbl.column(c).drop_null().unique().to_pylist()
+        m = _BLOOM_MIN_M
+        while m < _BLOOM_BITS_PER_VALUE * len(vals):
+            m <<= 1
+        bits = bytearray(m // 8)
+        for v in vals:
+            for pos in _bloom_positions(v, m):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        out[c] = {"m": m, "b64": base64.b64encode(bytes(bits)).decode()}
+    return out
+
+
+def _bloom_contains(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_positions(value, bloom["m"])
+    )
+
+
 def _remap_clone_seq(src: dict) -> dict:
     """Order-preserving remap of a source snapshot's sequence numbers
     onto non-positive integers (highest -> 0) for a clone's first
@@ -206,6 +269,16 @@ class SnapshotTable:
         self.path = path
         self._log_path = os.path.join(path, _LOG_DIR)
         self._data_path = os.path.join(path, _DATA_DIR)
+        self._bloom_cols: list[str] = []
+
+    def with_bloom_filters(self, *cols: str) -> "SnapshotTable":
+        """Enable per-file bloom filters for `cols` on subsequent
+        commits (Iceberg `write.bloom-filter-enabled.column.X` /
+        parquet bloom filters): point-lookup pruning for high-
+        cardinality keys whose min/max ranges overlap across every
+        file (where range stats can never skip anything). Fluent."""
+        self._bloom_cols = list(cols)
+        return self
 
     # -- log plumbing ------------------------------------------------------
     def exists(self) -> bool:
@@ -289,10 +362,14 @@ class SnapshotTable:
         # stats), consumed by `scan()`.
         n_added = 0
         added_stats: dict[str, dict] = {}
+        added_blooms: dict[str, dict] = {}
         for f in added:
-            rows, stats = _footer_stats(os.path.join(self._data_path, f))
+            path_f = os.path.join(self._data_path, f)
+            rows, stats = _footer_stats(path_f)
             n_added += rows
             added_stats[f] = stats
+            if self._bloom_cols:
+                added_blooms[f] = _build_file_blooms(path_f, self._bloom_cols)
         os.makedirs(self._log_path, exist_ok=True)
         for _ in range(max_retries):
             head_v = self.latest_version()
@@ -326,6 +403,7 @@ class SnapshotTable:
                 schema = df.schema
                 total = n_added
                 stats = dict(added_stats)
+                blooms = dict(added_blooms)
                 seq = {f: new_v for f in added}
                 delete_files: list[dict] = []
             else:
@@ -344,6 +422,7 @@ class SnapshotTable:
                 manifest = head["manifest"] + added
                 total = head["row_count"] + n_added
                 stats = {**head.get("stats", {}), **added_stats}
+                blooms = {**head.get("blooms", {}), **added_blooms}
                 seq = {
                     **_file_seq(head),
                     **{f: new_v for f in added},
@@ -359,6 +438,7 @@ class SnapshotTable:
                 "schema": json.dumps(schema.jsonValue()),
                 "row_count": total,
                 "stats": stats,
+                "blooms": blooms,
                 "seq": seq,
                 "delete_files": delete_files,
                 "properties": properties or {},
@@ -499,8 +579,22 @@ class SnapshotTable:
         caller (rollback keeps an old manifest; delete keeps untouched
         files + rewrites). Same CAS loop as `_commit`; no staging.
         `new_delete` ({file, columns}) is stamped with the winning
-        commit's version as its sequence number inside the loop."""
+        commit's version as its sequence number inside the loop.
+        Blooms: carried for manifest files that already have them,
+        built for `added` rewrites when bloom columns are enabled."""
         os.makedirs(self._log_path, exist_ok=True)
+        head_for_blooms = self.latest_version()
+        prev_blooms = (
+            self.entry(head_for_blooms).get("blooms", {})
+            if head_for_blooms is not None
+            else {}
+        )
+        blooms = {f: prev_blooms[f] for f in manifest if f in prev_blooms}
+        if self._bloom_cols:
+            for f in added:
+                blooms[f] = _build_file_blooms(
+                    os.path.join(self._data_path, f), self._bloom_cols
+                )
         for _ in range(max_retries):
             head_v = self.latest_version()
             if expect_parent is not _ANY_PARENT and head_v != expect_parent:
@@ -534,6 +628,7 @@ class SnapshotTable:
                 "schema": schema_json,
                 "row_count": row_count,
                 "stats": stats,
+                "blooms": blooms,
                 "seq": seq,
                 "delete_files": dels,
                 "properties": properties or {},
@@ -859,6 +954,39 @@ class SnapshotTable:
             if rng is None or (rng[0] <= hi and rng[1] >= lo):
                 out.append(f["file"])
         return out
+
+    def prune_files_equals(
+        self, column: str, value, version: int | None = None
+    ) -> list[str]:
+        """Point-lookup file skipping: range stats first (cheap), then
+        the per-file bloom filter — a definite NO skips the file, a
+        maybe keeps it (false positives only cost a read, never
+        correctness). This is the pruning path range stats cannot
+        serve: a high-cardinality key (user id, doc digest) whose
+        min/max spans every file."""
+        v = self.latest_version() if version is None else version
+        e = self.entry(v) if v is not None else None
+        blooms = e.get("blooms", {}) if e else {}
+        out = []
+        for f in self.prune_files(column, value, value, version=v):
+            b = blooms.get(f, {}).get(column)
+            if b is None or _bloom_contains(b, value):
+                out.append(f)
+        return out
+
+    def scan_equals(
+        self, column: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Equality scan through stats+bloom pruning, residual
+        predicate still applied (pruning is invisible)."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        e = self.entry(v)
+        names = self.prune_files_equals(column, value, version=v)
+        return self._read_files(e, names).filter(F.col(column) == F.lit(value))
 
     def scan(
         self, column: str, lo, hi, version: int | None = None

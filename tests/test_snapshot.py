@@ -1128,3 +1128,34 @@ def test_tag_requires_existing_snapshot(spark, tmp_path, nations):
         t.tag("v9", 9)
     with pytest.raises(ValueError, match="invalid tag name"):
         t.tag("bad/name")
+
+
+def test_bloom_filters_prune_point_lookups(spark, tmp_path, nations):
+    """Bloom file skipping: with per-file blooms on n_nationkey, a
+    point lookup prunes files that range stats cannot (every slice
+    spans the full key range via a wrap-around key), results stay
+    exact, and filters survive manifest-only commits (rollback)."""
+    t = _table(spark, tmp_path).with_bloom_filters("n_nationkey")
+    # two slices whose n_nationkey ranges BOTH span [0, 24]: range
+    # stats alone can never skip either file for any key.
+    t.create(nations.filter("n_nationkey % 24 = 0").coalesce(1))  # 0, 24
+    t.append(
+        nations.filter("n_nationkey > 0 AND n_nationkey < 24").coalesce(1)
+    )
+    all_files = [f["file"] for f in t.files()]
+    assert len(all_files) == 2
+    # range pruning keeps both files for key 5; bloom drops slice 1
+    assert t.prune_files("n_nationkey", 5, 5) == all_files
+    pruned = t.prune_files_equals("n_nationkey", 5)
+    assert pruned == [all_files[1]]
+    got = t.scan_equals("n_nationkey", 5)
+    assert [r.n_nationkey for r in got.collect()] == [5]
+    # a key in the first slice keeps that file
+    assert all_files[0] in t.prune_files_equals("n_nationkey", 24)
+    # absent key: bloom may keep files only on false positives; the
+    # residual filter still yields zero rows
+    assert t.scan_equals("n_nationkey", 999).count() == 0
+    # blooms ride manifest-only commits: rollback keeps pruning alive
+    t.rollback(1)
+    assert t.prune_files_equals("n_nationkey", 5) == []
+    assert t.prune_files_equals("n_nationkey", 24) != []
