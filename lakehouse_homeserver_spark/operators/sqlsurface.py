@@ -850,3 +850,53 @@ sql_query(
 # keeps the decorrelation contract of sql_scalar_subquery (asserted
 # family-wide in test_subqueries_decorrelate_to_joins). The aggregate
 # makes the lateral exactly-one-row, so the comma join is safe.
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 / SQL:202x pipe operators, SURVEY B5 ext.):
+# the linear FROM → |> WHERE → |> AGGREGATE → |> SELECT form. Spark
+# side runs the pipe text; the oracle states the identical query in
+# classic clause order — hash-equality proves the two surfaces are the
+# same plan, not a dialect fork.
+# ---------------------------------------------------------------------------
+
+PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= DATE '1994-01-01'
+|> AGGREGATE COUNT(*) AS n_items,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n_items > 0
+|> SELECT l_returnflag, l_linestatus, n_items,
+          CAST(q AS DOUBLE) AS sum_qty, CAST(rev AS DOUBLE) AS revenue
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 0
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-syntax SQL (Spark 4's `|>` operators): each stage is a
+    self-contained transformation applied top-to-bottom — the SQL
+    dialect that reads like a DataFrame chain. Catalyst parses it to
+    the SAME logical plan as the clause form (filter→agg→having→
+    project→sort), so pushdown/pruning/partial-agg all apply
+    unchanged; the DuckDB oracle is that clause form, hash-checked.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(PIPE_SQL)

@@ -603,3 +603,82 @@ def k4_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(mean_nll), 4).alias("ppl"),
         )
     )
+
+
+MD5_WEIGHT_SQL = (
+    "CAST(CAST('0x' || SUBSTRING(md5({t}), 1, 8) AS BIGINT) % 2001 - 1000"
+    " AS DOUBLE) / 1000.0"
+)
+
+
+@query(
+    "k4_hashed_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split({SQL_NORM}, ' ') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, lang,
+             toks || list_transform(
+               list_zip(toks[1:LEN(toks) - 1], toks[2:LEN(toks)]),
+               p -> p[1] || '_' || p[2]) AS feats
+      FROM t
+    )
+    SELECT doc_id, lang,
+           LEN(feats) AS n_feats,
+           ROUND(list_sum(list_transform(feats,
+                 t -> {MD5_WEIGHT_SQL.format(t="t")})) / LEN(feats), 6)
+               AS score,
+           list_sum(list_transform(feats,
+                 t -> {MD5_WEIGHT_SQL.format(t="t")})) / LEN(feats) >= 0.0
+               AS keep
+    FROM f
+    """,
+)
+def k4_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear text classifier (SURVEY K4 ext.) — the
+    fastText / Vowpal-Wabbit scoring shape used for model-based
+    quality filtering (e.g. FineWeb-Edu, CCNet's LM filter): features
+    are unigrams + word bigrams, each feature is HASHED to a weight
+    (no vocabulary table), and the document score is the mean feature
+    weight with a sign threshold. Here the weight function is
+    md5-derived ((md5(f) mod 2001 − 1000)/1000 ∈ [−1, 1]) — the
+    hashing-trick model with deterministic init, so both engines
+    reproduce the scores bit-for-bit; a TRAINED weight table drops in
+    as a broadcast join on the same bucket key without changing the
+    plan.
+
+    Plan: pure JVM lambda expressions over the token array — feature
+    construction (zip_with bigrams), hashing, and the score fold all
+    run inside whole-stage codegen, map-only, zero shuffles, no
+    explode (the (doc, feature) pairs never materialize as rows). At
+    100 TB this scores at parquet-scan speed. Float contract: the
+    score fold runs left-to-right over the same feature order in both
+    engines (the cosine-fold precedent); weights are 3-dp rationals.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(norm_text(F.col("text")), " ")
+
+    def weight(t):
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % 2001
+            - 1000
+        ).cast("double") / F.lit(1000.0)
+
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    feats = F.concat(toks, bigrams)
+    score = F.aggregate(
+        F.transform(feats, weight), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size(feats)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(feats).cast("bigint").alias("n_feats"),
+        F.round(score, 6).alias("score"),
+        (score >= 0.0).alias("keep"),
+    )

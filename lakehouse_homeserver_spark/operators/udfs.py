@@ -335,3 +335,64 @@ def j_cogroup_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey bigint, cust_median double, supp_median double, "
         "median_gap double, n_cust bigint, n_supp bigint",
     )
+
+
+@query(
+    "j_arrow_batch_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+               AS norm_sq,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6) AS comp_sum
+    FROM embeddings
+    """,
+)
+def j_arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` (SURVEY J ext., Spark 4): the pandas-FREE Arrow
+    batch path. Where mapInPandas converts every Arrow batch to a
+    pandas DataFrame and back (object headers, block consolidation,
+    NaN coercions), mapInArrow hands the RecordBatch itself to Python
+    — the kernel views the list column's values buffer as one flat
+    numpy array, ZERO copies, and emits a new batch. For dense
+    numeric kernels (vector math, audio frames, image tensors) this
+    is the lowest-overhead Python escape hatch, and the right
+    default when no pandas semantics are needed.
+
+    Float contract: the fold runs dimension-at-a-time (strided numpy
+    adds = an explicit left fold, the semdedup precedent), matching
+    DuckDB's list_sum order bit-for-bit before the 6-dp round.
+    Map-only: no shuffle, batch in → batch out.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    e = T(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+
+    def norms(batches):
+        for batch in batches:
+            emb = batch.column(batch.schema.get_field_index("embedding"))
+            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+                emb = emb.combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            E = flat.astype(np.float64).reshape(-1, dim)
+            nsq = np.zeros(len(E))
+            csum = np.zeros(len(E))
+            for d in range(dim):  # left fold == list_sum order
+                nsq += E[:, d] * E[:, d]
+                csum += E[:, d]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("vec_id")),
+                    batch.column(batch.schema.get_field_index("label")),
+                    pa.array(np.floor(nsq * 1e6 + 0.5) / 1e6),
+                    pa.array(np.floor(csum * 1e6 + 0.5) / 1e6),
+                ],
+                names=["vec_id", "label", "norm_sq", "comp_sum"],
+            )
+
+    return e.select("vec_id", "label", "embedding").mapInArrow(
+        norms, "vec_id long, label int, norm_sq double, comp_sum double"
+    )
