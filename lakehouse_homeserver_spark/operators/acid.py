@@ -610,3 +610,60 @@ def a21_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lit(n_kept < n_total).alias("bloom_pruned"),
     )
+
+
+@query(
+    "a22_wap_publish",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_custkey % 3 IN (0, 1)
+    GROUP BY c_mktsegment
+    """,
+)
+def a22_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end to end (SURVEY A-ext; Iceberg WAP /
+    `cherrypick_snapshot`): main holds the ≡0 (mod 3) customer slice;
+    the ≡1 slice is STAGED on a zero-copy branch (clone + append),
+    audited there (row count > 0, no null keys — main readers see
+    nothing during the audit), then published with `cherry_pick` — a
+    metadata-only commit that hard-links the branch's files into
+    main. A deliberately bad batch (the ≡2 slice with nulled keys) is
+    staged on a second branch, FAILS the audit, and is discarded —
+    the oracle proves main ended with exactly slices 0 and 1.
+
+    At 100 TB this is the ingest-quality gate: audits run on the real
+    committed files (not a copy), publish costs one log write, and a
+    bad batch never touches the production table's lineage.
+    """
+    root = tempfile.mkdtemp(prefix="snap-wap-")
+    cust = T(spark, sf_dir, "customer")
+    t = SnapshotTable(spark, os.path.join(root, "customer"))
+    t.create(cust.filter(F.col("c_custkey") % 3 == 0))
+
+    good = t.clone(os.path.join(root, "branch-good"))
+    good.append(cust.filter(F.col("c_custkey") % 3 == 1))
+    staged = good.added_between(1)
+    if staged.count() > 0 and staged.filter("c_custkey IS NULL").count() == 0:
+        t.cherry_pick(good, good.latest_version())
+
+    bad = t.clone(os.path.join(root, "branch-bad"))
+    bad.append(
+        cust.filter(F.col("c_custkey") % 3 == 2).withColumn(
+            "c_custkey", F.lit(None).cast("long")
+        )
+    )
+    staged = bad.added_between(1)
+    if staged.count() > 0 and staged.filter("c_custkey IS NULL").count() == 0:
+        t.cherry_pick(bad, bad.latest_version())  # pragma: no cover
+
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )

@@ -662,6 +662,89 @@ class SnapshotTable:
             properties={"rolled_back_to": version},
         )
 
+    def cherry_pick(
+        self, source: "SnapshotTable", version: int | None = None
+    ) -> dict:
+        """Publish an audited append from a branch (Iceberg
+        `cherrypick_snapshot` — the PUBLISH step of write-audit-
+        publish): take an append-operation snapshot on `source`
+        (normally a zero-copy `clone` of this table used as a staging
+        branch), and apply ITS ADDED FILES onto this table's current
+        head as a new commit. Metadata-only: the branch's data files
+        are hard-linked in (the clone mechanism in reverse; on an
+        object store, server-side copy / shared object refs), no data
+        is read or rewritten, so publishing a multi-TB audited batch
+        is one conditional log write.
+
+        The WAP flow this enables: `b = t.clone(path)` → `b.append(
+        batch)` → audit queries run on `b` (main readers see nothing)
+        → `t.cherry_pick(b, b.latest_version())` on pass, or simply
+        delete the branch directory on fail — main is untouched
+        either way. Only append snapshots can be picked (same
+        added-files-only contract as `added_between`)."""
+        v = source.latest_version() if version is None else version
+        if v is None:
+            raise SnapshotNotFound(f"{source.path}: table has no snapshots")
+        e_src = source.entry(v)
+        if e_src["operation"] != "append":
+            raise ValueError(
+                f"{source.path}: snapshot {v} is {e_src['operation']!r} — "
+                "only append snapshots can be cherry-picked"
+            )
+        added = list(e_src["added"])
+        if not added:
+            raise ValueError(f"{source.path}: snapshot {v} added no files")
+        head_v = self.latest_version()
+        head = self.entry(head_v) if head_v is not None else None
+        if head and set(added) & set(head["manifest"]):
+            raise ValueError(
+                f"{self.path}: snapshot {v} of {source.path} is already "
+                "published here"
+            )
+        n_added = 0
+        src_stats = e_src.get("stats", {})
+        stats = dict(head.get("stats", {})) if head else {}
+        for f in added:
+            tgt = os.path.join(self._data_path, f)
+            if not os.path.exists(tgt):
+                os.link(os.path.join(source._data_path, f), tgt)
+            rows, _ = _footer_stats(tgt)
+            n_added += rows
+            stats[f] = src_stats.get(f, {})
+        src_schema = StructType.fromJson(json.loads(e_src["schema"]))
+        if head:
+            schema = merge_schemas(
+                StructType.fromJson(json.loads(head["schema"])), src_schema
+            )
+            manifest = head["manifest"] + added
+            total = head["row_count"] + n_added
+            seq_base = _file_seq(head)
+            dels = list(head.get("delete_files", []))
+        else:
+            schema, manifest, total, seq_base, dels = (
+                src_schema,
+                list(added),
+                n_added,
+                {},
+                [],
+            )
+        next_v = (head_v or 0) + 1
+        return self._commit_manifest(
+            "cherry-pick",
+            manifest=manifest,
+            schema_json=json.dumps(schema.jsonValue()),
+            row_count=total,
+            stats=stats,
+            added=added,
+            seq={**seq_base, **{f: next_v for f in added}},
+            delete_files=dels,
+            properties={
+                "cherry_picked_from": source.path,
+                "cherry_picked_version": v,
+            },
+            expect_parent=head_v,
+        )
+
     def delete_where(
         self,
         predicate,

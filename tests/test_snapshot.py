@@ -1159,3 +1159,51 @@ def test_bloom_filters_prune_point_lookups(spark, tmp_path, nations):
     t.rollback(1)
     assert t.prune_files_equals("n_nationkey", 5) == []
     assert t.prune_files_equals("n_nationkey", 24) != []
+
+
+def test_wap_branch_audit_publish(spark, tmp_path, nations):
+    """Write-audit-publish: stage an append on a zero-copy branch,
+    audit it there (main readers see nothing), cherry-pick to publish
+    metadata-only; a failed audit just deletes the branch. Re-publish
+    and non-append picks raise."""
+    import shutil
+
+    t = _table(spark, tmp_path)
+    t.create(nations.filter("n_nationkey < 10"))
+
+    # -- stage on a branch
+    b = t.clone(str(tmp_path / "branch"))
+    b.append(nations.filter("n_nationkey >= 10 AND n_nationkey < 20"))
+    assert t.read().count() == 10  # main unaffected while auditing
+    # audit: the staged batch has the agreed row count and no nulls
+    staged = b.added_between(1)
+    assert staged.count() == 10
+    assert staged.filter("n_name IS NULL").count() == 0
+
+    # -- publish
+    e = t.cherry_pick(b, b.latest_version())
+    assert e["operation"] == "cherry-pick"
+    assert t.read().count() == 20
+    assert sorted(r.n_nationkey for r in t.read().collect()) == list(range(20))
+    # metadata-only: published files share inodes with the branch
+    f = e["added"][0]
+    assert os.stat(os.path.join(t.path, "data", f)).st_ino == os.stat(
+        os.path.join(b.path, "data", f)
+    ).st_ino
+    with pytest.raises(ValueError, match="already published"):
+        t.cherry_pick(b, b.latest_version())
+
+    # -- failed audit: branch with bad data is just deleted
+    b2 = t.clone(str(tmp_path / "branch2"))
+    b2.append(nations.limit(3))  # "bad" batch
+    shutil.rmtree(b2.path)
+    assert t.read().count() == 20  # main never saw it
+
+    # -- only appends are pickable
+    b3 = t.clone(str(tmp_path / "branch3"))
+    b3.create_or_replace(nations.limit(1))
+    with pytest.raises(ValueError, match="cherry-picked"):
+        t.cherry_pick(b3)
+    # publishing survives branch deletion (hard links keep inodes)
+    shutil.rmtree(b.path)
+    assert t.read().count() == 20
