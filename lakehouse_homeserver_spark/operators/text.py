@@ -682,3 +682,138 @@ def k4_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("score"),
         (score >= 0.0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K4 — BPE vocabulary training (Sennrich et al., ACL'16; the HF-
+# tokenizers training shape: merges learned from WORD COUNTS, the
+# corpus itself is touched exactly once).
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 8
+_SEP = "·"  # token boundary marker; not in the corpus alphabet
+
+
+def _bpe_oracle() -> str:
+    """The 8-round merge recurrence unrolled as chained CTEs (the
+    PageRank-oracle pattern): w0 = distinct words with counts and
+    per-char symbol strings; each round counts adjacent symbol pairs
+    weighted by word frequency, picks argmax (count DESC, pair ASC),
+    and applies the merge with the double-separator REPLACE trick."""
+    parts = [
+        f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT w AS word, COUNT(*) AS freq,
+             regexp_replace(w, '(.)', '{_SEP}\\1{_SEP}', 'g') AS sym
+      FROM (
+        SELECT UNNEST(string_split({SQL_NORM}, ' ')) AS w FROM documents
+      ) WHERE w <> '' GROUP BY w
+    )"""
+    ]
+    for i in range(1, BPE_ROUNDS + 1):
+        parts.append(f"""
+    , p{i} AS MATERIALIZED (
+      SELECT pair, SUM(freq) AS c FROM (
+        SELECT freq,
+               UNNEST(list_transform(
+                 list_zip(t[1:LEN(t) - 1], t[2:LEN(t)]),
+                 x -> x[1] || ' ' || x[2])) AS pair
+        FROM (SELECT freq,
+                     string_split(trim(sym, '{_SEP}'), '{_SEP}{_SEP}') AS t
+              FROM w{i - 1})
+      ) GROUP BY pair
+    ), b{i} AS MATERIALIZED (
+      SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1)
+    , w{i} AS MATERIALIZED (
+      SELECT word, freq,
+             REPLACE(sym,
+               '{_SEP}' || REPLACE((SELECT pair FROM b{i}), ' ',
+                                   '{_SEP}{_SEP}') || '{_SEP}',
+               '{_SEP}' || REPLACE((SELECT pair FROM b{i}), ' ', '')
+                        || '{_SEP}') AS sym
+      FROM w{i - 1}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, "
+        f"string_split(pair, ' ')[1] AS left_sym, "
+        f"string_split(pair, ' ')[2] AS right_sym, "
+        f"REPLACE(pair, ' ', '') AS merged, c AS pair_count FROM b{i}"
+        for i in range(1, BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + selects
+
+
+@query("k4_bpe_train", oracle=_bpe_oracle())
+def k4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, distributed (SURVEY K4 ext.): learn the
+    first {BPE_ROUNDS} byte-pair merges from the corpus — the
+    vocabulary-construction stage every LLM data pipeline runs before
+    token counting/packing. The algorithm is the textbook recurrence:
+    count adjacent symbol pairs over the WORD-FREQUENCY table, merge
+    the argmax pair everywhere, repeat.
+
+    Scale shape (the HF-tokenizers/SentencePiece trainer shape): the
+    100 TB corpus is read ONCE, reduced to distinct (word, count) —
+    vocabulary-sized, orders of magnitude smaller than the corpus.
+    Every merge round then runs on that bounded table: one explode +
+    one combiner-friendly agg per round, plus a 1-row argmax collect
+    (the same bounded-model-collect pattern as IVF centroids). Merges
+    apply via a single REPLACE expression per round — symbols carry a
+    double boundary marker ({_SEP}{_SEP}) so adjacent occurrences
+    sharing a delimiter both merge (leftmost-greedy within overlaps,
+    exactly BPE's scan), keeping the apply step pure string ops in
+    both engines — the oracle unrolls the identical recurrence as
+    chained CTEs, so every learned merge and its count is
+    hash-checked, ties and all (tie-break: count DESC, pair ASC).
+    """
+    d = T(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.regexp_replace("w", "(.)", f"{_SEP}$1{_SEP}").alias("sym"),
+        )
+        .cache()
+    )
+    merges = []
+    for rank in range(1, BPE_ROUNDS + 1):
+        toks = F.split(
+            F.expr(f"trim(BOTH '{_SEP}' FROM sym)"), f"{_SEP}{_SEP}"
+        )
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        best = (
+            words.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, c = best[0]["pair"], best[0]["c"]
+        left, right = pair.split(" ", 1)
+        merges.append((rank, left, right, left + right, c))
+        words = words.select(
+            "freq",
+            F.replace(
+                F.col("sym"),
+                F.lit(f"{_SEP}{left}{_SEP}{_SEP}{right}{_SEP}"),
+                F.lit(f"{_SEP}{left}{right}{_SEP}"),
+            ).alias("sym"),
+        ).cache()
+    return spark.createDataFrame(
+        merges,
+        "rank bigint, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
