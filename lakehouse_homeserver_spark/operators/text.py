@@ -817,3 +817,115 @@ def k4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank bigint, left_sym string, right_sym string, "
         "merged string, pair_count bigint",
     )
+
+
+def _bpe_tokenize_oracle() -> str:
+    """Tokenization with the learned merges: reuse the training CTE
+    chain (w0..w8 — w8's sym IS each word tokenized under all 8
+    merges), count symbols per word, then join word-level token
+    counts back onto the corpus word stream."""
+    train = _bpe_oracle().split("SELECT CAST(1 AS BIGINT)")[0]
+    return f"""{train}
+    , vocab AS MATERIALIZED (
+      SELECT word,
+             LEN(string_split(trim(sym, '{_SEP}'), '{_SEP}{_SEP}'))
+                 AS n_toks
+      FROM w{BPE_ROUNDS}
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(SUM(v.n_toks) AS BIGINT) AS n_bpe_tokens,
+           COUNT(*) AS n_words
+    FROM (
+      SELECT doc_id, lang,
+             UNNEST(string_split({SQL_NORM}, ' ')) AS word
+      FROM documents
+    ) d JOIN vocab v USING (word)
+    WHERE d.word <> ''
+    GROUP BY d.doc_id, d.lang
+    """
+
+
+@query("k4_bpe_token_count", oracle=_bpe_tokenize_oracle())
+def k4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus under the trained BPE merges (SURVEY K4
+    ext., closing the k4_bpe_train loop): exact LLM token counts per
+    document — the statistic that drives sequence packing
+    (k7_sequence_packing), mixture weighting (k6_domain_mix) and
+    training-cost accounting.
+
+    Scale shape: merges apply on the VOCABULARY table (apply all 8
+    learned REPLACEs to each distinct word — bounded work), giving a
+    word → token-count map that BROADCAST-joins back onto the corpus
+    word stream; the corpus itself is exploded once and aggregated
+    per doc. Tokenizing 100 TB is then: vocab-sized string work +
+    one map-side join + one per-doc agg — the corpus text never
+    carries through a second shuffle. The oracle re-derives the same
+    merges and map in SQL and joins identically — doc-level token
+    counts are hash-checked end to end.
+    """
+    d = T(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.col("w").alias("word"),
+            F.regexp_replace("w", "(.)", f"{_SEP}$1{_SEP}").alias("sym"),
+        )
+        .cache()
+    )
+    # re-train (same recurrence as k4_bpe_train, on the same table)
+    cur = words
+    for _ in range(BPE_ROUNDS):
+        toks = F.split(
+            F.expr(f"trim(BOTH '{_SEP}' FROM sym)"), f"{_SEP}{_SEP}"
+        )
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        best = (
+            cur.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["pair"].split(" ", 1)
+        cur = cur.select(
+            "freq",
+            "word",
+            F.replace(
+                F.col("sym"),
+                F.lit(f"{_SEP}{left}{_SEP}{_SEP}{right}{_SEP}"),
+                F.lit(f"{_SEP}{left}{right}{_SEP}"),
+            ).alias("sym"),
+        ).cache()
+    vocab = cur.select(
+        "word",
+        F.size(
+            F.split(F.expr(f"trim(BOTH '{_SEP}' FROM sym)"), f"{_SEP}{_SEP}")
+        ).alias("n_toks"),
+    )
+    corpus_words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        corpus_words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )

@@ -517,3 +517,35 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_bounded(spark, sf_dir):
         f"unexpected BroadcastNestedLoopJoin in: {offenders_bnlj} — "
         "either restore the equi-key or whitelist with justification"
     )
+
+
+def test_hashed_classifier_is_map_only(spark, sf_dir):
+    """k4_hashed_classifier: feature hashing + score fold are lambda
+    expressions over the token array — zero exchanges, no explode."""
+    from lakehouse_homeserver_spark.operators import text
+
+    plan = formatted_plan(text.k4_hashed_classifier(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+
+
+def test_bpe_token_count_broadcasts_vocab(spark, sf_dir):
+    """k4_bpe_token_count: the word→token-count map joins onto the
+    corpus word stream as a BROADCAST join (the corpus side never
+    shuffles for the join), and the only exchanges are the vocab-side
+    aggregates + the final per-doc agg."""
+    from lakehouse_homeserver_spark.operators import text
+
+    df = text.k4_bpe_token_count(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_variant_extraction_pushes_column_pruning(spark, sf_dir):
+    """h13_variant: the scan reads only the two needed columns."""
+    from lakehouse_homeserver_spark.operators import relational
+
+    scans = read_schema_columns(relational.h13_variant(spark, sf_dir))
+    assert scans and all(len(cols) <= 2 for cols in scans), scans
