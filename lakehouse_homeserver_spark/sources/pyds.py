@@ -233,10 +233,101 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass
 
 
+class MetadataPartition(InputPartition):
+    def __init__(self, rows: list[tuple]):
+        self.rows = rows
+
+
+class MetadataReader(DataSourceReader):
+    """Iceberg metadata tables (`.snapshots` / `.files` / `.refs` —
+    the `iceberg.metadata` surface the reference queries at
+    /root/reference/scripts/extract_load.py:58): the commit log
+    itself as a DataFrame. Driver-resolved (it IS metadata — O(log)
+    JSON, no data scan), shipped as one partition of plain rows."""
+
+    _SCHEMAS = {
+        "snapshots": (
+            "version bigint, parent bigint, timestamp_ms bigint, "
+            "operation string, n_files int, n_added int, row_count bigint"
+        ),
+        "files": (
+            "file string, seq bigint, row_count bigint, "
+            "n_stat_columns int, has_blooms boolean"
+        ),
+        "refs": "name string, type string, version bigint, created_ms bigint",
+    }
+
+    def __init__(self, table: str, table_path: str, version: int | str | None):
+        self._table = table
+        self._path = table_path
+        self._version = version
+
+    def schema_ddl(self) -> str:
+        return self._SCHEMAS[self._table]
+
+    def _rows(self) -> list[tuple]:
+        log = os.path.join(self._path, _LOG_DIR)
+        if self._table == "snapshots":
+            out = []
+            for v in _versions(self._path):
+                with open(os.path.join(log, f"{v:020d}.json")) as fh:
+                    e = json.load(fh)
+                out.append(
+                    (
+                        e["version"],
+                        e.get("parent"),
+                        e["timestamp_ms"],
+                        e["operation"],
+                        len(e["manifest"]),
+                        len(e.get("added", [])),
+                        e["row_count"],
+                    )
+                )
+            return out
+        if self._table == "files":
+            e = _read_entry(self._path, self._version)
+            seq = e.get("seq", {})
+            stats = e.get("stats", {})
+            blooms = e.get("blooms", {})
+            import pyarrow.parquet as pq
+
+            out = []
+            for f in e["manifest"]:
+                p = os.path.join(self._path, _DATA_DIR, f)
+                out.append(
+                    (
+                        f,
+                        seq.get(f, e["version"]),
+                        pq.ParquetFile(p).metadata.num_rows,
+                        len(stats.get(f, {})),
+                        bool(blooms.get(f)),
+                    )
+                )
+            return out
+        refs_dir = os.path.join(self._path, "_refs")
+        out = []
+        if os.path.isdir(refs_dir):
+            for f in sorted(os.listdir(refs_dir)):
+                if f.endswith(".json") and not f.startswith("."):
+                    with open(os.path.join(refs_dir, f)) as fh:
+                        r = json.load(fh)
+                    out.append(
+                        (r["name"], r["type"], r["version"], r["created_ms"])
+                    )
+        return out
+
+    def partitions(self):
+        return [MetadataPartition(self._rows())]
+
+    def read(self, partition: MetadataPartition):
+        yield from partition.rows
+
+
 class SnapshotDataSource(DataSource):
     """`format("snapshot")` — options: `path` (load() arg), `version`
     (optional int or tag name, Iceberg `VERSION AS OF` / Delta
-    `versionAsOf`)."""
+    `versionAsOf`), `metadata` ("snapshots" | "files" | "refs" — the
+    Iceberg metadata-table surface instead of the data)."""
 
     @classmethod
     def name(cls) -> str:
@@ -254,11 +345,37 @@ class SnapshotDataSource(DataSource):
                 pass  # non-numeric → tag name
         return _read_entry(path, v), path
 
-    def schema(self) -> StructType:
+    def _metadata_reader(self) -> "MetadataReader | None":
+        meta = self.options.get("metadata")
+        if meta is None:
+            return None
+        if meta not in MetadataReader._SCHEMAS:
+            raise ValueError(
+                f"unknown metadata table {meta!r} "
+                f"(have {sorted(MetadataReader._SCHEMAS)})"
+            )
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot source requires a path: .load(path)")
+        v = self.options.get("version")
+        if v is not None:
+            try:
+                v = int(v)
+            except ValueError:
+                pass
+        return MetadataReader(meta, path, v)
+
+    def schema(self) -> StructType | str:
+        mr = self._metadata_reader()
+        if mr is not None:
+            return mr.schema_ddl()
         entry, _ = self._entry()
         return StructType.fromJson(json.loads(entry["schema"]))
 
-    def reader(self, schema: StructType) -> SnapshotReader:
+    def reader(self, schema: StructType):
+        mr = self._metadata_reader()
+        if mr is not None:
+            return mr
         entry, path = self._entry()
         return SnapshotReader(schema, entry, path)
 

@@ -1207,3 +1207,44 @@ def test_wap_branch_audit_publish(spark, tmp_path, nations):
     # publishing survives branch deletion (hard links keep inodes)
     shutil.rmtree(b.path)
     assert t.read().count() == 20
+
+
+def test_metadata_tables_via_format_reader(spark, tmp_path, nations):
+    """Iceberg metadata-table surface (`iceberg.metadata` parity):
+    .snapshots lineage, .files manifest (version-aware), and .refs
+    as DataFrames through format("snapshot").option("metadata",...)."""
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    t = _table(spark, tmp_path).with_bloom_filters("n_nationkey")
+    t.create(nations.filter("n_nationkey < 10").coalesce(1))
+    t.append(nations.filter("n_nationkey >= 10").coalesce(1))
+    t.tag("rel-1", 1)
+
+    def meta(name, **opts):
+        r = spark.read.format("snapshot").option("metadata", name)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(t.path)
+
+    snaps = meta("snapshots").orderBy("version").collect()
+    assert [(s.version, s.operation, s.n_added) for s in snaps] == [
+        (1, "create", 1),
+        (2, "append", 1),
+    ]
+    assert snaps[1].row_count == 25
+
+    files = meta("files").collect()
+    assert len(files) == 2
+    assert {f.seq for f in files} == {1, 2}
+    assert all(f.has_blooms and f.n_stat_columns > 0 for f in files)
+    assert sum(f.row_count for f in files) == 25
+    # version-aware: the v1 manifest has one file
+    assert meta("files", version=1).count() == 1
+    assert meta("files", version="rel-1").count() == 1
+
+    refs = meta("refs").collect()
+    assert [(r.name, r.type, r.version) for r in refs] == [("rel-1", "tag", 1)]
+
+    with pytest.raises(Exception, match="unknown metadata table"):
+        meta("nope").count()
