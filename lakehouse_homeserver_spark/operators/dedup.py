@@ -1140,3 +1140,127 @@ def k9_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 10).alias("pagerank"),
         F.row_number().over(w).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C9 — fuzzy (edit-distance) join via deletion-neighborhood blocking
+# (SymSpell / FastSS): the data-cleaning join that never cross-joins.
+# ---------------------------------------------------------------------------
+
+_SQL_MD5_POS = (
+    "CAST(CAST('0x' || SUBSTRING(md5(w), 1, 8) AS BIGINT)"
+    " % LENGTH(w) + 1 AS INTEGER)"
+)
+# every deletion-1 variant of s, PLUS s itself (DuckDB 1-based)
+_SQL_VARIANTS = (
+    "list_append(list_transform(generate_series(1, LENGTH({s})),"
+    " i -> substr({s}, 1, i - 1) || substr({s}, i + 1)), {s})"
+)
+
+
+@query(
+    "c9_fuzzy_join",
+    oracle=f"""
+    WITH vocab AS MATERIALIZED (
+      SELECT w FROM (
+        SELECT DISTINCT UNNEST(string_split({SQL_NORM}, ' ')) AS w
+        FROM documents
+      ) WHERE LENGTH(w) >= 4
+    ),
+    probes AS MATERIALIZED (
+      SELECT w AS src,
+             substr(w, 1, {_SQL_MD5_POS} - 1)
+               || substr(w, {_SQL_MD5_POS} + 1) AS probe
+      FROM vocab
+    ),
+    pv AS (
+      SELECT src, probe, UNNEST({_SQL_VARIANTS.format(s="probe")}) AS v
+      FROM probes
+    ),
+    wv AS (
+      SELECT w, UNNEST({_SQL_VARIANTS.format(s="w")}) AS v FROM vocab
+    )
+    SELECT DISTINCT p.src, p.probe, wv.w AS matched,
+           levenshtein(p.probe, wv.w) AS dist
+    FROM pv p JOIN wv USING (v)
+    WHERE levenshtein(p.probe, wv.w) <= 1
+    """,
+)
+def c9_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy join at edit distance ≤ 1 (SURVEY C-ext): match noisy
+    strings (misspellings, OCR errors, id typos) against a vocabulary
+    WITHOUT the O(n·m) similarity cross join. Blocking is the
+    SymSpell / FastSS deletion neighborhood: a string's key set is
+    itself plus every single-character deletion; two strings within
+    edit distance 1 ALWAYS share a key (substitution → same deletion;
+    insert/delete → one side's deletion equals the other), so an
+    integer-free string EQUI-join on the variant column finds every
+    true pair, and an exact levenshtein check on the candidates kills
+    the distance-2 collisions the blocking admits. Probes are
+    deterministic md5-positioned single-char deletions of the vocab
+    itself, so both engines derive identical inputs.
+
+    Scale shape: each side explodes ×(len+1) — bounded by string
+    length, independent of corpus size — then one hash equi-join on
+    the variant key; candidates ≈ matches, so the verify filter is
+    output-sized. The same plan serves spell-correction against a
+    broadcast dictionary (dictionary side exploded once, corpus side
+    map-only) at 100 TB. Distance ≤ k generalizes with k-deletion
+    neighborhoods (keys grow ~len^k — the documented trade).
+    """
+    d = T(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(norm_text(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w") >= 4)
+        .distinct()
+    )
+    pos = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+        % F.length("w")
+        + 1
+    ).cast("int")
+    probes = (
+        vocab.withColumn("pos", pos)
+        .select(
+            F.col("w").alias("src"),
+            F.concat(
+                F.expr("substr(w, 1, pos - 1)"), F.expr("substr(w, pos + 1)")
+            ).alias("probe"),
+        )
+    )
+    pv = probes.select(
+        "src",
+        "probe",
+        F.explode(
+            F.concat(
+                F.expr(
+                    "transform(sequence(1, length(probe)),"
+                    " i -> substr(probe, 1, i - 1) || substr(probe, i + 1))"
+                ),
+                F.array(F.col("probe")),
+            )
+        ).alias("v"),
+    )
+    wv = vocab.select(
+        "w",
+        F.explode(
+            F.concat(
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> substr(w, 1, i - 1) || substr(w, i + 1))"
+                ),
+                F.array(F.col("w")),
+            )
+        ).alias("v"),
+    )
+    return (
+        pv.join(wv, "v")
+        .filter(F.levenshtein("probe", "w") <= 1)
+        .select(
+            "src",
+            "probe",
+            F.col("w").alias("matched"),
+            F.levenshtein("probe", "w").alias("dist"),
+        )
+        .distinct()
+    )

@@ -477,6 +477,7 @@ BNLJ_ALLOWED = {
     "c6_range_join",            # broadcast-band variant (bucketized twin is equi)
     "k3_knn_bruteforce",        # broadcast 10-query set over corpus scan
     "k3_ivf_recall",            # inherits bruteforce + IVF parents
+    "k3_ivfpq_search",          # certificate inherits the bruteforce side
     "k3_mmr_rerank",            # pool-sized rerank over top-k output
     "d3_hll_sketch_merge",      # 1-row exact-side bound check
     "d10_histogram",            # 1-row (min,max) range broadcast
