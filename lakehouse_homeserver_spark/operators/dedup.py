@@ -1264,3 +1264,95 @@ def c9_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "k9_triangle_count",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split({SQL_NORM}, ' ')) AS tokens
+      FROM documents
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+              / (len(a.tokens) + len(b.tokens)
+                 - len(list_intersect(a.tokens, b.tokens))) >= 0.8
+    ),
+    tris AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    members AS (
+      SELECT UNNEST([a, b, c]) AS doc_id FROM tris
+    ),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles
+    FROM deg d LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_triangles FROM members GROUP BY doc_id
+    ) t USING (doc_id)
+    """,
+)
+def k9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the verified dup-pair graph
+    (SURVEY graph ext., completing CC + PageRank): triangles measure
+    how CLIQUE-LIKE a duplicate neighborhood is — template farms form
+    dense near-cliques (every page similar to every other), while
+    chains of incidental similarity have few triangles. degree +
+    n_triangles per node is the raw form of the local clustering
+    coefficient (2T/d(d−1)), emitted as exact integers so the oracle
+    hash-checks without float contracts.
+
+    The classic distributed-triangle plan (node-ordered edge list,
+    Suri & Vassilvitskii's MR design): edges stored once with
+    doc_a < doc_b, so each triangle {a<b<c} is generated EXACTLY once
+    by joining (a,b)⋈(b,c) then closing with (a,c) — two edge-bounded
+    hash equi-joins, no direction explosion, no double counting. All
+    shuffles are edge-list-sized (the PageRank/CC precedent); at
+    100 TB the only skew risk is a super-node's wedge set, handled by
+    the same AQE skew-split as every other hot key.
+    """
+    pairs = k2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.localCheckpoint(eager=True)
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    members = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    )
+    tri_counts = members.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(tri_counts, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )

@@ -1,0 +1,178 @@
+"""Data-quality expectations — the reference's dbt-test surface
+(SURVEY §0: dbt is the reference's transformation/testing layer,
+reference README.md:79-98) as a first-class engine operator.
+
+dbt's four built-in tests (not_null, unique, accepted_values,
+relationships) compile to SQL checks over the warehouse; `expect()`
+compiles the same rules to DataFrame plans and returns one summary
+row per rule — the CI gate a lakehouse runs after every load.
+
+Scale shape: each rule is one aggregate or one join over the checked
+table — not_null/accepted_values are map-side conditional counts
+that FUSE into a single scan+agg per table; unique is a distinct
+count on the key column only; relationships is a left-anti join
+(broadcast when the parent key side is dimension-sized, exactly like
+the ingest layer's new-file anti-join). No rule ever collects data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table as T
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def expect(
+    df: DataFrame,
+    rules: list[tuple],
+    refs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Evaluate dbt-style rules against `df`; one row per rule:
+    (rule, column, n_violations, passed).
+
+    Rules:
+      ("not_null", col)                  — NULLs are violations
+      ("unique", col)                    — rows beyond the first per value
+      ("accepted_values", col, [v, ..])  — values outside the list
+      ("relationships", col, ref, refcol)— child keys missing from
+                                           refs[ref] (FK integrity)
+
+    Same-table rules share one scan: their conditional counts ride a
+    single aggregate. Cross-table rules are anti-joins.
+    """
+    refs = refs or {}
+    agg_cols: list = []
+    names: list[tuple[str, str]] = []
+    joins: list[DataFrame] = []
+    for rule in rules:
+        kind, col = rule[0], rule[1]
+        if kind == "not_null":
+            agg_cols.append(
+                F.count_if(F.col(col).isNull()).alias(f"v{len(names)}")
+            )
+            names.append((kind, col))
+        elif kind == "unique":
+            agg_cols.append(
+                (
+                    F.count(col) - F.count_distinct(F.col(col))
+                ).alias(f"v{len(names)}")
+            )
+            names.append((kind, col))
+        elif kind == "accepted_values":
+            agg_cols.append(
+                F.count_if(
+                    F.col(col).isNotNull() & ~F.col(col).isin(rule[2])
+                ).alias(f"v{len(names)}")
+            )
+            names.append((kind, col))
+        elif kind == "relationships":
+            ref_name, ref_col = rule[2], rule[3]
+            parent = refs[ref_name].select(
+                F.col(ref_col).alias(col)
+            ).distinct()
+            orphans = (
+                df.select(col)
+                .filter(F.col(col).isNotNull())
+                .join(parent, col, "left_anti")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.lit(kind).alias("rule"),
+                    F.lit(f"{col}->{ref_name}.{ref_col}").alias("column"),
+                    F.col("n").cast("bigint").alias("n_violations"),
+                )
+            )
+            joins.append(orphans)
+        else:
+            raise ValueError(f"unknown rule {kind!r}")
+    parts: list[DataFrame] = []
+    if agg_cols:
+        wide = df.agg(*agg_cols)
+        for i, (kind, col) in enumerate(names):
+            parts.append(
+                wide.select(
+                    F.lit(kind).alias("rule"),
+                    F.lit(col).alias("column"),
+                    F.col(f"v{i}").cast("bigint").alias("n_violations"),
+                )
+            )
+    parts.extend(joins)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+@query(
+    "a23_expectations",
+    oracle="""
+    SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_violations,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey),
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F', 'P')),
+           COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderpriority',
+           COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                            AND o_orderpriority NOT IN ('1-URGENT')),
+           COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                            AND o_orderpriority NOT IN ('1-URGENT')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'relationships', 'o_custkey->customer.c_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+    """,
+)
+def a23_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt test suite a reference user runs after every load
+    (README.md:79-98), natively: five rules over orders — three that
+    pass (not_null key, unique primary key, accepted order statuses),
+    one that FAILS by construction (order priority restricted to a
+    single value — the oracle counts the same violations), and one FK
+    relationship check against customer. Same-table rules fuse into
+    ONE scan+aggregate; the FK check is a broadcast anti-join.
+    """
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    return expect(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("unique", "o_orderkey"),
+            ("accepted_values", "o_orderstatus", ["O", "F", "P"]),
+            ("accepted_values", "o_orderpriority", ["1-URGENT"]),
+            ("relationships", "o_custkey", "customer", "c_custkey"),
+        ],
+        refs={"customer": customer},
+    )

@@ -107,6 +107,7 @@ def _load_modules():
         "udfs",
         "pipeline",
         "acid",
+        "quality",
     ):
         try:
             mods.append(
