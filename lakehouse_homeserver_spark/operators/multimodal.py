@@ -524,3 +524,140 @@ def k5_pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         pcm_frame_batches, PCM_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# K5 — WAV (RIFF) container round-trip: real chunk-walking parse
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+WAV_CHANNELS = 1
+WAV_BITS = 8
+
+
+def _build_wav(pcm: bytes) -> bytes:
+    """A real RIFF/WAVE container around u8 PCM: fmt chunk, a LIST
+    (INFO) chunk, then data. The LIST chunk exists so the parser must
+    genuinely WALK chunks — a fixed-44-byte-offset 'parser' would
+    read garbage."""
+    import struct
+
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ",
+        16,
+        1,  # PCM
+        WAV_CHANNELS,
+        WAV_RATE,
+        WAV_RATE * WAV_CHANNELS * WAV_BITS // 8,
+        WAV_CHANNELS * WAV_BITS // 8,
+        WAV_BITS,
+    )
+    info = b"INFOISFT\x08\x00\x00\x00lakehse\x00"
+    lst = struct.pack("<4sI", b"LIST", len(info)) + info
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    if len(pcm) % 2:  # RIFF chunks are word-aligned
+        data += b"\x00"
+    body = b"WAVE" + fmt + lst + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def _parse_wav(wav: bytes) -> tuple[int, int, int, bytes]:
+    """(sample_rate, channels, bits, pcm) via the chunk walk."""
+    import struct
+
+    if wav[:4] != b"RIFF" or wav[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, end = 12, 8 + struct.unpack("<I", wav[4:8])[0]
+    rate = channels = bits = None
+    pcm = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack("<4sI", wav[pos : pos + 8])
+        body = wav[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size % 2)  # word alignment
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, channels, bits, pcm
+
+
+def wav_roundtrip_batches(batches):
+    """Encode each payload into a WAV container, then parse it back
+    with the chunk walker and emit header fields + exact PCM stats."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = {
+            k: []
+            for k in (
+                "doc_id",
+                "sample_rate",
+                "channels",
+                "bits",
+                "n_samples",
+                "sum_amp",
+                "mean_amp",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            wav = _build_wav(bytes(payload))
+            rate, channels, bits, pcm = _parse_wav(wav)
+            x = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+            s = int(x.sum())
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(rate)
+            out["channels"].append(channels)
+            out["bits"].append(bits)
+            out["n_samples"].append(len(x))
+            out["sum_amp"].append(s)
+            out["mean_amp"].append(math.floor(s / len(x) * 1e6 + 0.5) / 1e6)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "k5_wav_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+           CAST({WAV_CHANNELS} AS INTEGER) AS channels,
+           CAST({WAV_BITS} AS INTEGER) AS bits,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+           list_sum(list_transform(range(octet_length(encode(text))),
+             k -> CAST(ascii(substring(text, CAST(k + 1 AS INTEGER), 1))
+                  AS BIGINT))) AS sum_amp,
+           ROUND(CAST(list_sum(list_transform(range(octet_length(encode(text))),
+             k -> CAST(ascii(substring(text, CAST(k + 1 AS INTEGER), 1))
+                  AS BIGINT))) AS DOUBLE)
+             / octet_length(encode(text)), 6) AS mean_amp
+    FROM documents
+    """,
+)
+def k5_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/RIFF container round-trip (SURVEY K5 audio rung #2,
+    extending raw-PCM k5_pcm_frames to the CONTAINER level): each
+    payload is wrapped in a real RIFF/WAVE file — fmt chunk, an
+    interleaved LIST(INFO) chunk, word-aligned data chunk — then
+    parsed back by an honest chunk WALKER (struct-unpack per chunk
+    header; the LIST chunk guarantees a fixed-offset cheat would
+    fail), yielding header fields and exact u8 PCM stats. The oracle
+    pins the round-trip lossless: header constants match the build
+    parameters, per-doc sums match the text bytes the payload stands
+    in for.
+
+    Same scale shape as every K5 op: Arrow-batched mapInPandas,
+    map-only, payload bytes never shuffle. Real compressed codecs
+    stay behind the documented NotImplementedError seam; container
+    parsing (RIFF here, like the P6 header parse for images) is the
+    part a 100 TB media pipeline runs BEFORE any codec."""
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        wav_roundtrip_batches,
+        "doc_id long, sample_rate int, channels int, bits int, "
+        "n_samples bigint, sum_amp bigint, mean_amp double",
+    )
