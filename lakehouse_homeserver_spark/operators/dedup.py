@@ -1356,3 +1356,93 @@ def k9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
     )
+
+
+@query(
+    "k3_contrastive_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split({SQL_NORM}, ' ')) AS tokens
+      FROM documents
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source AS src
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+              / (len(a.tokens) + len(b.tokens)
+                 - len(list_intersect(a.tokens, b.tokens))) >= 0.8
+    ),
+    cand AS (
+      SELECT p.doc_a AS anchor, p.doc_b AS positive,
+             d.doc_id AS neg,
+             md5(CAST(p.doc_a AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM pairs p
+      JOIN (SELECT doc_id, source FROM documents) d
+        ON d.source <> p.src
+    )
+    SELECT anchor, positive, negative FROM (
+      SELECT anchor, positive, neg AS negative,
+             ROW_NUMBER() OVER (PARTITION BY anchor, positive
+                                ORDER BY h, neg) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def k3_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining (SURVEY K3 ext.): (anchor, positive,
+    negative) training triplets for embedding models — positives are
+    the VERIFIED near-duplicate pairs (the same exact-Jaccard pairs
+    the dedup rung certifies), negatives are drawn deterministically
+    from a DIFFERENT source via an md5 permutation keyed on
+    (anchor, candidate) — reproducible pseudo-random negative
+    sampling, the in-batch-negatives alternative with an explicit
+    audit trail (re-running the pipeline yields the identical
+    training set, which is what makes ablations comparable).
+
+    Plan: the pair list is tiny (near-dups ≪ corpus) and broadcasts
+    over the corpus scan for negative candidates — the same
+    broadcast-small-side/scan-big-side shape as exact KNN; the
+    source≠source predicate makes it a nested-loop by definition,
+    bounded by the broadcast side. One WindowGroupLimit-style rank
+    per triplet picks the permutation minimum.
+    """
+    pairs = k2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    anchors = pairs.join(
+        src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+            "source", "src"
+        ),
+        "doc_a",
+    )
+    cand = F.broadcast(anchors).join(
+        src.alias("neg"), F.col("neg.source") != F.col("src")
+    )
+    h = F.md5(
+        F.concat(
+            F.col("doc_a").cast("string"),
+            F.lit(":"),
+            F.col("neg.doc_id").cast("string"),
+        )
+    )
+    return (
+        cand.select(
+            F.col("doc_a").alias("anchor"),
+            F.col("doc_b").alias("positive"),
+            F.col("neg.doc_id").alias("negative"),
+            h.alias("h"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("anchor", "positive").orderBy(
+                    "h", "negative"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("anchor", "positive", "negative")
+    )

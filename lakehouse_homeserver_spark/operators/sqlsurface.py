@@ -900,3 +900,24 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (SURVEY B5/D2 ext.): the DuckDB-born
+# shorthand both engines now parse — every non-aggregated select item
+# becomes a grouping key. Same text through both engines, so the
+# desugaring itself is what's hash-checked.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "sql_group_by_all",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS ship_year,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
