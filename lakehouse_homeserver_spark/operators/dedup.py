@@ -1357,6 +1357,8 @@ def k9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
     )
 
+_SQL_MD5_8 = "CAST(CAST('0x' || SUBSTRING(md5({x}), 1, 8) AS BIGINT) AS BIGINT)"
+
 
 @query(
     "k3_contrastive_pairs",
@@ -1367,82 +1369,132 @@ def k9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     pairs AS MATERIALIZED (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source AS src
+      SELECT a.doc_id AS anchor, b.doc_id AS positive, a.source AS src
       FROM toks a JOIN toks b
         ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
               / (len(a.tokens) + len(b.tokens)
                  - len(list_intersect(a.tokens, b.tokens))) >= 0.8
     ),
-    cand AS (
-      SELECT p.doc_a AS anchor, p.doc_b AS positive,
-             d.doc_id AS neg,
-             md5(CAST(p.doc_a AS VARCHAR) || ':'
-                 || CAST(d.doc_id AS VARCHAR)) AS h
+    srcs AS MATERIALIZED (
+      SELECT source, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY source) AS sid
+      FROM documents GROUP BY source
+    ),
+    ranked AS MATERIALIZED (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents
+    ),
+    pick AS (
+      SELECT p.anchor, p.positive, s2.source AS neg_source,
+             {_SQL_MD5_8.format(x="CAST(p.anchor AS VARCHAR) || ':' || CAST(p.positive AS VARCHAR)")}
+               % s2.cnt + 1 AS rk
       FROM pairs p
-      JOIN (SELECT doc_id, source FROM documents) d
-        ON d.source <> p.src
+      JOIN srcs s1 ON s1.source = p.src
+      JOIN srcs s2
+        ON s2.sid = (s1.sid % (SELECT COUNT(*) FROM srcs)) + 1
     )
-    SELECT anchor, positive, negative FROM (
-      SELECT anchor, positive, neg AS negative,
-             ROW_NUMBER() OVER (PARTITION BY anchor, positive
-                                ORDER BY h, neg) AS rn
-      FROM cand
-    ) WHERE rn = 1
+    SELECT k.anchor, k.positive, r.doc_id AS negative
+    FROM pick k JOIN ranked r
+      ON r.source = k.neg_source AND r.rk = k.rk
     """,
 )
 def k3_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive triplet mining (SURVEY K3 ext.): (anchor, positive,
     negative) training triplets for embedding models — positives are
-    the VERIFIED near-duplicate pairs (the same exact-Jaccard pairs
-    the dedup rung certifies), negatives are drawn deterministically
-    from a DIFFERENT source via an md5 permutation keyed on
-    (anchor, candidate) — reproducible pseudo-random negative
-    sampling, the in-batch-negatives alternative with an explicit
-    audit trail (re-running the pipeline yields the identical
-    training set, which is what makes ablations comparable).
+    the VERIFIED near-duplicate pairs from the dedup rung; negatives
+    are deterministic md5-permutation picks from the CYCLIC-NEXT
+    source, so re-running the pipeline yields the identical training
+    set (reproducible ablations), and every negative is guaranteed
+    cross-source (a cheap hard-negative heuristic).
 
-    Plan: the pair list is tiny (near-dups ≪ corpus) and broadcasts
-    over the corpus scan for negative candidates — the same
-    broadcast-small-side/scan-big-side shape as exact KNN; the
-    source≠source predicate makes it a nested-loop by definition,
-    bounded by the broadcast side. One WindowGroupLimit-style rank
-    per triplet picks the permutation minimum.
+    Scale shape — all equi-joins, deliberately: one corpus-sized
+    window ranks docs per source by md5 (a uniform permutation both
+    engines reproduce); the source table (id, count) is tiny and
+    broadcasts; each pair then picks its negative by (neg_source,
+    md5(anchor:positive) mod count + 1) and resolves it with an
+    integer equi-join against the ranked permutation. The first
+    version of this op broadcast the pair list over a source≠source
+    nested loop — correct at toy scale, but 148k pairs × corpus at
+    sf0.1 is a 7×10⁸-row nested loop (measured: dominated the whole
+    bench); the permutation-join form is pairs+corpus-linear. With a
+    single source the cycle degenerates to the same source
+    (documented; the fixture always has several).
     """
-    pairs = k2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = k2_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
+    )
     d = T(spark, sf_dir, "documents")
-    src = d.select("doc_id", "source")
-    anchors = pairs.join(
-        src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-            "source", "src"
-        ),
-        "doc_a",
-    )
-    cand = F.broadcast(anchors).join(
-        src.alias("neg"), F.col("neg.source") != F.col("src")
-    )
-    h = F.md5(
-        F.concat(
-            F.col("doc_a").cast("string"),
-            F.lit(":"),
-            F.col("neg.doc_id").cast("string"),
-        )
-    )
-    return (
-        cand.select(
-            F.col("doc_a").alias("anchor"),
-            F.col("doc_b").alias("positive"),
-            F.col("neg.doc_id").alias("negative"),
-            h.alias("h"),
-        )
+    srcs = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("anchor", "positive").orderBy(
-                    "h", "negative"
+            "sid", F.row_number().over(Window.orderBy("source"))
+        )
+    )
+    n_src = srcs.count()
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    anchor_src = d.select(
+        F.col("doc_id").alias("anchor"), F.col("source").alias("src")
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("positive").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    pick = (
+        pairs.join(anchor_src, "anchor")
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("src"), "sid")),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                srcs.select(
+                    F.col("sid").alias("next_sid"),
+                    F.col("source").alias("neg_source"),
+                    "cnt",
                 )
             ),
+            F.col("next_sid") == (F.col("sid") % F.lit(n_src)) + 1,
         )
-        .filter(F.col("rn") == 1)
-        .select("anchor", "positive", "negative")
+        .select(
+            "anchor",
+            "positive",
+            "neg_source",
+            (h % F.col("cnt") + 1).alias("rk"),
+        )
     )
+    return pick.join(
+        ranked.select(
+            F.col("source").alias("neg_source"),
+            "rk",
+            F.col("doc_id").alias("negative"),
+        ),
+        ["neg_source", "rk"],
+    ).select("anchor", "positive", "negative")

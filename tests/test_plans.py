@@ -479,7 +479,6 @@ BNLJ_ALLOWED = {
     "k3_ivf_recall",            # inherits bruteforce + IVF parents
     "k3_ivfpq_search",          # certificate inherits the bruteforce side
     "k3_mmr_rerank",            # pool-sized rerank over top-k output
-    "k3_contrastive_pairs",     # broadcast pair list; source<>source by def
     "d3_hll_sketch_merge",      # 1-row exact-side bound check
     "d10_histogram",            # 1-row (min,max) range broadcast
     "k4_tfidf_terms",           # 1-row n_docs broadcast
