@@ -929,3 +929,79 @@ def k4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_words"),
         )
     )
+
+
+HH_K = 64  # report every token with frequency > N / HH_K
+MG_COUNTERS = 128  # Misra-Gries counters per partition (>= HH_K)
+
+
+def mg_candidates_fn(batches):
+    """Per-partition Misra-Gries: a bounded dict of MG_COUNTERS
+    streaming counters; emits the surviving candidate tokens. Module-
+    level so tests can drive it past the decrement path directly."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for t in pdf["token"]:
+            if t in counters:
+                counters[t] += 1
+            elif len(counters) < MG_COUNTERS:
+                counters[t] = 1
+            else:  # decrement-all step, dropping zeros
+                drop = [k for k in counters if counters[k] == 1]
+                for k in counters:
+                    counters[k] -= 1
+                for k in drop:
+                    del counters[k]
+    yield pd.DataFrame({"token": list(counters.keys())})
+
+
+@query(
+    "d14_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST(string_split({SQL_NORM}, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks WHERE token <> '')
+    SELECT token, COUNT(*) AS freq
+    FROM toks, tot
+    WHERE token <> ''
+    GROUP BY token, tot.n
+    HAVING COUNT(*) * {HH_K} > tot.n
+    """,
+)
+def d14_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters by two-pass Misra-Gries (SURVEY D-ext):
+    every token whose frequency exceeds N/{HH_K}, with its EXACT
+    count. The scale problem this solves: a full token groupBy over a
+    skewed 100 TB stream shuffles the whole stream; heavy hitters
+    need only (a) a candidate pass — per-partition Misra-Gries with
+    {MG_COUNTERS} counters, a bounded-memory streaming kernel whose
+    union provably contains every global >N/{HH_K} item (the classic
+    MG guarantee survives sharding because a global heavy hitter is
+    heavy in at least one shard's residual) — then (b) an exact
+    recount of ONLY the candidate set via a broadcast semi-join.
+    Shuffled bytes: candidates × partitions, not tokens.
+
+    The output is EXACT (candidates are a superset; the recount +
+    threshold filter removes false candidates), so the oracle is the
+    plain GROUP BY ... HAVING — sketch-assisted ≠ approximate.
+    """
+    import pandas as pd
+
+    d = T(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    cands = toks.mapInPandas(mg_candidates_fn, "token string").distinct()
+    n_total = toks.count()
+    return (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * HH_K > F.lit(n_total))
+    )

@@ -599,3 +599,53 @@ def test_minhash_lsh_recall_is_total_on_fixture(spark, sf_dir):
     )
     exact = {tuple(r) for r in con.execute(all_oracles()["k2_minhash_lsh"]).fetchall()}
     assert lsh == exact
+
+
+def test_misra_gries_candidates_contain_all_heavy_hitters(spark):
+    """The MG guarantee under sharding, exercised PAST the decrement
+    path (vocabulary ≫ counters): a synthetic stream of 500 distinct
+    rare tokens + 3 heavy ones, split across 8 partitions — the
+    candidate union must contain every token with freq > N/64, and
+    the full query must return exactly the true heavy set with exact
+    counts."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakehouse_homeserver_spark.operators.text import (
+        HH_K,
+        MG_COUNTERS,
+        d14_heavy_hitters,
+    )
+
+    rows = []
+    for i in range(500):           # long tail, each appears twice
+        rows += [f"rare{i}", f"rare{i}"]
+    for t, n in (("alpha", 400), ("beta", 300), ("gamma", 200)):
+        rows += [t] * n
+    # interleave deterministically so heavy tokens hit every partition
+    rows.sort()
+    df = spark.createDataFrame(
+        [(t,) for t in rows], "token string"
+    ).repartition(8)
+    n_total = len(rows)
+    true_heavy = {
+        t: rows.count(t)
+        for t in set(rows)
+        if rows.count(t) * HH_K > n_total
+    }
+    assert set(true_heavy) == {"alpha", "beta", "gamma"}
+    assert 500 + 3 > MG_COUNTERS  # decrement path genuinely exercised
+
+    from lakehouse_homeserver_spark.operators.text import mg_candidates_fn
+
+    cands = df.mapInPandas(mg_candidates_fn, "token string").distinct()
+    cand_set = {r.token for r in cands.collect()}
+    assert set(true_heavy) <= cand_set
+    got = (
+        df.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * HH_K > F.lit(n_total))
+        .collect()
+    )
+    assert {r.token: r.freq for r in got} == true_heavy
