@@ -25,7 +25,13 @@ Design:
   `spark.read.schema(...)`.
 
 This path is the INTEGRATION surface (format-string reads, catalog
-UIs, tools that only know `spark.read.format`). `SnapshotTable.read()`
+UIs, tools that only know `spark.read.format`). Catalog DDL
+(`CREATE TABLE ... USING snapshot OPTIONS (path ...)`) resolves the
+SCHEMA correctly but Spark 4.1 hands the Python reader EMPTY options
+at scan time for DDL-registered tables (verified; the `_local` URI
+normalization below covers the schema call) — until that lands
+upstream, register tables as temp views over `SnapshotTable.read()`
+or use `spark.read.format("snapshot")` directly. `SnapshotTable.read()`
 remains the fast path: it hands the manifest straight to the native
 parquet scan (JVM vectorized reader, pushdown, pruning). Same table,
 same snapshots, two doors.
@@ -46,6 +52,17 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+
+
+def _local(path: str) -> str:
+    """Catalog DDL (`CREATE TABLE ... USING snapshot`) hands the
+    source a `file:` URI; normalize to a filesystem path. Other
+    schemes surface loudly (the object-store seam)."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path
+    return path
 
 
 def _versions(table_path: str) -> list[int]:
@@ -337,6 +354,7 @@ class SnapshotDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("snapshot source requires a path: .load(path)")
+        path = _local(path)
         v = self.options.get("version")
         if v is not None:
             try:
@@ -363,7 +381,7 @@ class SnapshotDataSource(DataSource):
                 v = int(v)
             except ValueError:
                 pass
-        return MetadataReader(meta, path, v)
+        return MetadataReader(meta, _local(path), v)
 
     def schema(self) -> StructType | str:
         mr = self._metadata_reader()
@@ -384,4 +402,4 @@ class SnapshotDataSource(DataSource):
         if not path:
             raise ValueError("snapshot source requires a path: .load(path)")
         start = int(self.options.get("startingVersion", 0))
-        return SnapshotStreamReader(schema, path, start)
+        return SnapshotStreamReader(schema, _local(path), start)
