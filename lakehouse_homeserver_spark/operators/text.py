@@ -1005,3 +1005,125 @@ def d14_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") * HH_K > F.lit(n_total))
     )
+
+
+CMS_D = 3    # hash rows
+CMS_W = 256  # buckets per row
+
+_CMS_BUCKET_SQL = (
+    "CAST(CAST('0x' || SUBSTRING(md5(CAST({r} AS VARCHAR) || ':' || {t}),"
+    " 1, 8) AS BIGINT) % {w} AS INTEGER)"
+)
+
+
+@query(
+    "d15_count_min",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t AS token FROM (
+        SELECT UNNEST(string_split({SQL_NORM}, ' ')) AS t FROM documents
+      ) WHERE t <> ''
+    ),
+    rs AS (SELECT UNNEST(range({CMS_D})) AS r),
+    sk AS MATERIALIZED (
+      SELECT r, {_CMS_BUCKET_SQL.format(r="r", t="token", w=CMS_W)} AS bucket,
+             COUNT(*) AS c
+      FROM toks CROSS JOIN rs
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+    probes AS (
+      SELECT v.token, v.freq, r,
+             {_CMS_BUCKET_SQL.format(r="r", t="v.token", w=CMS_W)} AS bucket
+      FROM vocab v CROSS JOIN rs
+    )
+    SELECT p.token, ANY_VALUE(p.freq) AS freq,
+           MIN(sk.c) AS cms_estimate,
+           MIN(sk.c) >= ANY_VALUE(p.freq) AS never_underestimates
+    FROM probes p JOIN sk USING (r, bucket)
+    GROUP BY p.token
+    """,
+)
+def d15_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (SURVEY D-ext, completing the mergeable-
+    sketch family: HLL → bitmap → CMS): {CMS_D}×{CMS_W} bucket sums
+    built in ONE pass over the token stream — each row's buckets are
+    partial-aggregated map-side, so the exchange carries ≤ D×W
+    counter rows per partition regardless of stream size, and two
+    sketches merge by entrywise ADDITION (the incremental-rollup
+    contract: sketch new data, add to the stored sketch, never
+    re-scan history). Point estimates are min-over-rows; CMS never
+    underestimates, pinned per token by the certificate column.
+
+    Everything is md5-derived and deterministic, so the oracle
+    rebuilds the IDENTICAL sketch in SQL and the estimates hash-match
+    exactly — the sketch's content, not just its bounds, is verified.
+    The exact `freq` column is the verification side (vocab-sized
+    groupBy), not part of the sketch path.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+
+    def bucket(r_col, t_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            r_col.cast("string"), F.lit(":"), t_col
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_W
+        ).cast("int")
+
+    fanned = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(F.lit(r), F.col("token")).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.r", "rb.bucket")
+    sketch = fanned.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    probes = vocab.select(
+        "token",
+        "freq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(F.lit(r), F.col("token")).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "freq", "rb.r", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.any_value("freq").alias("freq"),
+            F.min("c").alias("cms_estimate"),
+            (F.min("c") >= F.any_value("freq")).alias("never_underestimates"),
+        )
+    )
