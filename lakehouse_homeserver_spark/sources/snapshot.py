@@ -152,13 +152,19 @@ def _footer_stats(path: str) -> tuple[int, dict]:
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                if "." in name:  # nested leaves: skip (struct internals)
+                    continue
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError for types it
+                # cannot extract stats for (e.g. decimal); those
+                # columns simply have no skipping index.
                 continue
-            name = col.path_in_schema
-            if "." in name:  # nested leaves: skip (struct/array internals)
-                continue
-            lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
@@ -1111,7 +1117,9 @@ class SnapshotTable:
         for v in self.versions():
             if from_version < v <= to_v:
                 e = self.entry(v)
-                if e["operation"] != "append":
+                # add-only commits keep lineage: the initial create,
+                # appends, and cherry-picked (published) appends.
+                if e["operation"] not in ("create", "append", "cherry-pick"):
                     raise ValueError(
                         f"{self.path}: snapshot {v} is {e['operation']!r}, "
                         "not an append — incremental read undefined across "
