@@ -57,6 +57,8 @@ def expect(
     single aggregate. Cross-table rules are anti-joins.
     """
     refs = refs or {}
+    if not rules:
+        raise ValueError("expect(): empty rule list — nothing to check")
     agg_cols: list = []
     names: list[tuple[str, str]] = []
     joins: list[DataFrame] = []
@@ -83,6 +85,11 @@ def expect(
             names.append((kind, col))
         elif kind == "relationships":
             ref_name, ref_col = rule[2], rule[3]
+            if ref_name not in refs:
+                raise ValueError(
+                    f"relationships rule on {col!r} references unknown "
+                    f"table {ref_name!r} (have {sorted(refs)})"
+                )
             parent = refs[ref_name].select(
                 F.col(ref_col).alias(col)
             ).distinct()

@@ -1910,3 +1910,49 @@ def h13_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("missing").alias("n_missing"),
         )
     )
+
+
+@query(
+    "h14_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang
+               || '?id=' || CAST(doc_id AS VARCHAR) || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param
+    FROM u
+    """,
+)
+def h14_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (SURVEY H2 ext.) — the provenance-analysis
+    primitive every web-corpus pipeline needs (domain mixing, source
+    filtering, URL dedup all start with host/path/query extraction).
+    Spark side uses the BUILT-IN `parse_url` (JVM, codegen); DuckDB
+    has no URL parser, so the oracle states the same extraction as
+    anchored regexes — agreement on the constructed URLs proves the
+    two formulations coincide where both are defined. Map-only.
+    """
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&v=2"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )

@@ -1372,11 +1372,15 @@ def k3_ivfpq_search(
         )
         + ")"
     )
+    # Bind the query's 128-double LUT row ONCE (the big array-of-
+    # arrays literal appears a single time in the plan), then index
+    # the 8 code columns into it — inlining the literal per subspace
+    # made the expression tree 8x larger for identical semantics.
+    lut_row = F.expr(f"element_at({lut_sql}, cast(query_id + 1 as int))")
     adc = F.expr(
         "aggregate(array("
         + ",".join(
-            f"element_at(element_at({lut_sql}, cast(query_id + 1 as int)), "
-            f"cast({m * PQ_K} + code_{m} + 1 as int))"
+            f"element_at(__lut, cast({m * PQ_K} + code_{m} + 1 as int))"
             for m in range(PQ_M)
         )
         + "), cast(0.0 as double), (acc, x) -> acc + x)"
@@ -1393,6 +1397,7 @@ def k3_ivfpq_search(
         F.broadcast(q)
         .join(codes, "cluster_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__lut", lut_row)
         .withColumn("adc", adc)
         .withColumn("rn", F.row_number().over(w_adc))
         .filter(F.col("rn") <= shortlist_k)

@@ -743,6 +743,78 @@ def _bpe_oracle() -> str:
     return "".join(parts) + selects
 
 
+
+_BPE_MEMO: dict[tuple, tuple] = {}
+
+
+def bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the merge recurrence ONCE per (session, dataset); returns
+    (merges, final_words) where merges = [(rank, left, right, merged,
+    count)] and final_words = the cached (freq, word, sym) vocabulary
+    with all merges applied. Shared by k4_bpe_train (reports the
+    merges) and k4_bpe_token_count (tokenizes with them) — the same
+    memo pattern as dedup.verified_pairs. Each round materializes the
+    next vocabulary eagerly (vocab-sized count) and unpersists the
+    superseded one, so at most two round-tables are ever cached."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    d = T(spark, sf_dir, "documents")
+    cur = (
+        d.select(
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.col("w").alias("word"),
+            F.regexp_replace("w", "(.)", f"{_SEP}$1{_SEP}").alias("sym"),
+        )
+        .cache()
+    )
+    merges = []
+    for rank in range(1, BPE_ROUNDS + 1):
+        toks = F.split(
+            F.expr(f"trim(BOTH '{_SEP}' FROM sym)"), f"{_SEP}{_SEP}"
+        )
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        best = (
+            cur.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, c = best[0]["pair"], best[0]["c"]
+        left, right = pair.split(" ", 1)
+        merges.append((rank, left, right, left + right, c))
+        nxt = cur.select(
+            "freq",
+            "word",
+            F.replace(
+                F.col("sym"),
+                F.lit(f"{_SEP}{left}{_SEP}{_SEP}{right}{_SEP}"),
+                F.lit(f"{_SEP}{left}{right}{_SEP}"),
+            ).alias("sym"),
+        ).cache()
+        nxt.count()  # materialize before dropping the parent cache
+        cur.unpersist()
+        cur = nxt
+    _BPE_MEMO[key] = (merges, cur)
+    return merges, cur
+
+
 @query("k4_bpe_train", oracle=_bpe_oracle())
 def k4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, distributed (SURVEY K4 ext.): learn the
@@ -766,52 +838,7 @@ def k4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained CTEs, so every learned merge and its count is
     hash-checked, ties and all (tie-break: count DESC, pair ASC).
     """
-    d = T(spark, sf_dir, "documents")
-    words = (
-        d.select(
-            F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "freq",
-            F.regexp_replace("w", "(.)", f"{_SEP}$1{_SEP}").alias("sym"),
-        )
-        .cache()
-    )
-    merges = []
-    for rank in range(1, BPE_ROUNDS + 1):
-        toks = F.split(
-            F.expr(f"trim(BOTH '{_SEP}' FROM sym)"), f"{_SEP}{_SEP}"
-        )
-        n = F.size(toks)
-        pairs = F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-        best = (
-            words.select("freq", F.explode(pairs).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("c"))
-            .orderBy(F.desc("c"), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        pair, c = best[0]["pair"], best[0]["c"]
-        left, right = pair.split(" ", 1)
-        merges.append((rank, left, right, left + right, c))
-        words = words.select(
-            "freq",
-            F.replace(
-                F.col("sym"),
-                F.lit(f"{_SEP}{left}{_SEP}{_SEP}{right}{_SEP}"),
-                F.lit(f"{_SEP}{left}{right}{_SEP}"),
-            ).alias("sym"),
-        ).cache()
+    merges, _ = bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "rank bigint, left_sym string, right_sym string, "
@@ -864,52 +891,7 @@ def k4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are hash-checked end to end.
     """
     d = T(spark, sf_dir, "documents")
-    words = (
-        d.select(
-            F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "freq",
-            F.col("w").alias("word"),
-            F.regexp_replace("w", "(.)", f"{_SEP}$1{_SEP}").alias("sym"),
-        )
-        .cache()
-    )
-    # re-train (same recurrence as k4_bpe_train, on the same table)
-    cur = words
-    for _ in range(BPE_ROUNDS):
-        toks = F.split(
-            F.expr(f"trim(BOTH '{_SEP}' FROM sym)"), f"{_SEP}{_SEP}"
-        )
-        n = F.size(toks)
-        pairs = F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-        best = (
-            cur.select("freq", F.explode(pairs).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("c"))
-            .orderBy(F.desc("c"), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        left, right = best[0]["pair"].split(" ", 1)
-        cur = cur.select(
-            "freq",
-            "word",
-            F.replace(
-                F.col("sym"),
-                F.lit(f"{_SEP}{left}{_SEP}{_SEP}{right}{_SEP}"),
-                F.lit(f"{_SEP}{left}{right}{_SEP}"),
-            ).alias("sym"),
-        ).cache()
+    _, cur = bpe_train(spark, sf_dir)
     vocab = cur.select(
         "word",
         F.size(
@@ -937,13 +919,17 @@ MG_COUNTERS = 128  # Misra-Gries counters per partition (>= HH_K)
 
 def mg_candidates_fn(batches):
     """Per-partition Misra-Gries: a bounded dict of MG_COUNTERS
-    streaming counters; emits the surviving candidate tokens. Module-
-    level so tests can drive it past the decrement path directly."""
+    streaming counters; emits the surviving candidate tokens (n=0)
+    plus one NULL-token row carrying the partition's total count, so
+    N rides the same pass. Module-level so tests can drive it past
+    the decrement path directly."""
     import pandas as pd
 
     counters: dict[str, int] = {}
+    total = 0
     for pdf in batches:
         for t in pdf["token"]:
+            total += 1
             if t in counters:
                 counters[t] += 1
             elif len(counters) < MG_COUNTERS:
@@ -954,7 +940,12 @@ def mg_candidates_fn(batches):
                     counters[k] -= 1
                 for k in drop:
                     del counters[k]
-    yield pd.DataFrame({"token": list(counters.keys())})
+    yield pd.DataFrame(
+        {
+            "token": list(counters.keys()) + [None],
+            "n": [0] * len(counters) + [total],
+        }
+    )
 
 
 @query(
@@ -997,8 +988,11 @@ def d14_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("token") != "")
     )
-    cands = toks.mapInPandas(mg_candidates_fn, "token string").distinct()
-    n_total = toks.count()
+    mg = toks.mapInPandas(mg_candidates_fn, "token string, n long").cache()
+    n_total = mg.agg(F.sum("n")).collect()[0][0] or 0
+    cands = mg.filter(F.col("token").isNotNull()).select("token").distinct()
+    # two corpus passes total: the MG/candidate+count pass above, and
+    # the exact recount below — the cached mg table is candidate-sized
     return (
         toks.join(F.broadcast(cands), "token", "left_semi")
         .groupBy("token")

@@ -59,9 +59,9 @@ def _local(path: str) -> str:
     source a `file:` URI; normalize to a filesystem path. Other
     schemes surface loudly (the object-store seam)."""
     if path.startswith("file:"):
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
-        return urlparse(path).path
+        return unquote(urlparse(path).path)
     return path
 
 
@@ -219,22 +219,37 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         data = os.path.join(self._table_path, _DATA_DIR)
         out = []
-        for v in _versions(self._table_path):
-            if start["version"] < v <= end["version"]:
-                with open(
-                    os.path.join(self._table_path, _LOG_DIR, f"{v:020d}.json")
-                ) as fh:
-                    e = json.load(fh)
-                if e["operation"] not in ("create", "append"):
-                    raise ValueError(
-                        f"{self._table_path}: snapshot {v} is "
-                        f"{e['operation']!r}, not an append — streaming "
-                        "consumption undefined across replaces/deletes"
-                    )
-                out.extend(
-                    SnapshotPartition(os.path.join(data, f), [])
-                    for f in e["added"]
+        # Versions are consecutive by the commit protocol, so every
+        # version in (start, end] must still exist — a gap means
+        # expire_snapshots removed log entries the stream had not yet
+        # consumed. Fail like Delta's failOnDataLoss rather than
+        # silently skipping the expired commits' rows.
+        for v in range(start["version"] + 1, end["version"] + 1):
+            entry_path = os.path.join(
+                self._table_path, _LOG_DIR, f"{v:020d}.json"
+            )
+            if not os.path.isfile(entry_path):
+                raise ValueError(
+                    f"{self._table_path}: snapshot {v} was expired before "
+                    "the stream consumed it — data loss; restart from a "
+                    "fresh checkpoint (or retain snapshots longer than "
+                    "stream downtime)"
                 )
+            with open(entry_path) as fh:
+                e = json.load(fh)
+            # add-only commits keep lineage (same set added_between
+            # accepts): the initial create, appends, and cherry-picked
+            # (WAP-published) appends.
+            if e["operation"] not in ("create", "append", "cherry-pick"):
+                raise ValueError(
+                    f"{self._table_path}: snapshot {v} is "
+                    f"{e['operation']!r}, not an append — streaming "
+                    "consumption undefined across replaces/deletes"
+                )
+            out.extend(
+                SnapshotPartition(os.path.join(data, f), [])
+                for f in e["added"]
+            )
         # A batch may legitimately contain zero files (e.g. offsets
         # advanced by an empty append); Spark requires ≥1 partition.
         return out or [SnapshotPartition("", [])]

@@ -360,6 +360,16 @@ class SnapshotTable:
         expect_parent=_ANY_PARENT,
     ) -> dict:
         added = self._stage(df)
+        # Bloom config persists in the log (Iceberg table-property
+        # semantics): a handle that never called with_bloom_filters
+        # inherits the head's setting, so appends from other
+        # processes keep producing bloomed files.
+        if not self._bloom_cols:
+            head_v0 = self.latest_version()
+            if head_v0 is not None:
+                self._bloom_cols = list(
+                    self.entry(head_v0)["properties"].get("bloom.columns", [])
+                )
         # Row counts AND per-file column min/max come from the parquet
         # footers (driver-side pyarrow metadata read, no Spark job) —
         # at any scale this is O(files) metadata. The counts shave a
@@ -447,7 +457,10 @@ class SnapshotTable:
                 "blooms": blooms,
                 "seq": seq,
                 "delete_files": delete_files,
-                "properties": properties or {},
+                "properties": {
+                    **({"bloom.columns": self._bloom_cols} if self._bloom_cols else {}),
+                    **(properties or {}),
+                },
             }
             if self._write_entry(entry):
                 return entry
@@ -710,6 +723,7 @@ class SnapshotTable:
         n_added = 0
         src_stats = e_src.get("stats", {})
         stats = dict(head.get("stats", {})) if head else {}
+        os.makedirs(self._data_path, exist_ok=True)
         for f in added:
             tgt = os.path.join(self._data_path, f)
             if not os.path.exists(tgt):

@@ -638,7 +638,9 @@ def test_misra_gries_candidates_contain_all_heavy_hitters(spark):
 
     from lakehouse_homeserver_spark.operators.text import mg_candidates_fn
 
-    cands = df.mapInPandas(mg_candidates_fn, "token string").distinct()
+    mg = df.mapInPandas(mg_candidates_fn, "token string, n long")
+    assert sum(r.n for r in mg.collect() if r.token is None) == n_total
+    cands = mg.filter("token IS NOT NULL").select("token").distinct()
     cand_set = {r.token for r in cands.collect()}
     assert set(true_heavy) <= cand_set
     got = (
@@ -649,3 +651,18 @@ def test_misra_gries_candidates_contain_all_heavy_hitters(spark):
         .collect()
     )
     assert {r.token: r.freq for r in got} == true_heavy
+
+
+def test_expect_rejects_empty_rules_and_unknown_ref(spark, sf_dir):
+    import pytest
+    from lakehouse_homeserver_spark.operators.quality import expect
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="empty rule list"):
+        expect(orders, [])
+    with pytest.raises(ValueError, match="unknown.*typo"):
+        expect(
+            orders,
+            [("relationships", "o_custkey", "typo", "c_custkey")],
+            refs={},
+        )

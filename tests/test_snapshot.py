@@ -1293,3 +1293,65 @@ def test_incremental_aggregate_matches_full_recompute(spark, tmp_path, sf_dir):
     # replay safety: re-running the same refresh logic against an
     # already-advanced cursor consumes zero rows (no double counting)
     assert src.added_between(ivm.consumed_version()).count() == 0
+
+
+def test_bloom_columns_persist_across_handles(spark, tmp_path, nations):
+    """Bloom config is a TABLE property (rides the commit log): a
+    fresh handle that never called with_bloom_filters keeps producing
+    bloomed files on append."""
+    t = _table(spark, tmp_path).with_bloom_filters("n_nationkey")
+    t.create(nations.filter("n_nationkey < 10").coalesce(1))
+    t2 = SnapshotTable(spark, t.path)  # fresh handle, no fluent call
+    t2.append(nations.filter("n_nationkey >= 10").coalesce(1))
+    e = t2.entry(t2.latest_version())
+    assert all("n_nationkey" in b for b in e["blooms"].values())
+    assert len(e["blooms"]) == 2
+
+
+def test_stream_fails_loudly_when_snapshots_expired_mid_gap(
+    spark, tmp_path, nations
+):
+    """failOnDataLoss contract: if expire_snapshots removed commits
+    the stream had not consumed, the next batch raises instead of
+    silently skipping their rows; and cherry-pick commits stream
+    fine (they are add-only)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    path = str(tmp_path / "s")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    t = SnapshotTable(spark, path)
+    t.create(nations.filter("n_nationkey < 5"))
+
+    def drain(expect_ok=True):
+        q = (
+            spark.readStream.format("snapshot")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if expect_ok:
+            assert q.awaitTermination(180)
+        return q
+
+    drain()
+    # a WAP publish streams fine
+    b = t.clone(str(tmp_path / "br"))
+    b.append(nations.filter("n_nationkey >= 5 AND n_nationkey < 10"))
+    t.cherry_pick(b, b.latest_version())
+    drain()
+    assert spark.read.parquet(out).count() == 10
+
+    # expire unconsumed commits -> loud failure
+    t.append(nations.filter("n_nationkey >= 10 AND n_nationkey < 15"))
+    t.append(nations.filter("n_nationkey >= 15"))
+    t.expire_snapshots(keep_last=1)
+    q = drain(expect_ok=False)
+    with pytest.raises(StreamingQueryException, match="expired before"):
+        q.awaitTermination(180)
