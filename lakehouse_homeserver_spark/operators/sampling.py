@@ -455,3 +455,78 @@ def k6_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rate", 6).alias("keep_rate"),
         )
     )
+
+
+@query(
+    "k6_leakage_free_split",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS tokens
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+              / (len(a.tokens) + len(b.tokens)
+                 - len(list_intersect(a.tokens, b.tokens))) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {SQL_BUCKET.format(key="cluster_id")} < 80
+                THEN 'train' ELSE 'eval' END AS split,
+           COUNT(DISTINCT CASE WHEN {SQL_BUCKET.format(key="cluster_id")} < 80
+                THEN 'train' ELSE 'eval' END)
+             OVER (PARTITION BY cluster_id) = 1 AS leak_free
+    FROM cc
+    """,
+)
+def k6_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval split (SURVEY K6 ext.): the eval-
+    hygiene rule every LLM data pipeline needs — a document and its
+    near-duplicates must land in the SAME split, or eval examples
+    leak into training as paraphrases (the contamination mode
+    k8_decontaminate checks for n-grams, caught here at the
+    near-dup level BEFORE it happens). Split assignment hashes the
+    duplicate-CLUSTER id (from k2_dup_clusters' connected
+    components), not the doc id: cluster members share the bucket by
+    construction, singletons degenerate to the plain doc-id hash
+    split. The `leak_free` certificate pins the invariant per
+    cluster (a one-window check, trivially all-true — which is the
+    point: it is structural, not probabilistic).
+
+    Scale: inherits the edge-bounded CC; the split itself is the
+    map-only md5 bucket of k6_hash_split keyed on cluster_id.
+    """
+    from .dedup import k2_dup_clusters
+
+    cl = k2_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("eval"))
+    w = Window.partitionBy("cluster_id")
+    return cl.select(
+        "doc_id",
+        "cluster_id",
+        split.alias("split"),
+        (F.size(F.collect_set(split).over(w)) == 1).alias("leak_free"),
+    )

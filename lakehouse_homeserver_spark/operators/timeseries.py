@@ -87,6 +87,58 @@ def c7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c7_asof_tolerance",
+    oracle=f"""
+    SELECT event_id, purchase_us,
+           CASE WHEN purchase_us - last_click_us <= {60 * MIN_US}
+                THEN last_click_us END AS last_click_us
+    FROM (
+      SELECT p.event_id,
+             epoch_us(p.ts) AS purchase_us,
+             epoch_us(c.ts) AS last_click_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    """,
+)
+def c7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (SURVEY C7 ext.; pandas
+    merge_asof(tolerance=...) / kdb wj): the latest click at-or-
+    before each purchase counts only if it happened within the last
+    hour — stale matches surface as NULL instead of attributing a
+    purchase to a days-old click. Same single-shuffle union-window
+    plan as c7_asof_join; the tolerance is one post-window CASE, so
+    the bound costs nothing. The oracle applies the identical cutoff
+    to DuckDB's native ASOF JOIN (which has no tolerance clause —
+    the post-filter IS the portable encoding).
+    """
+    e = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    ts_us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    click_us = F.when(F.col("event_type") == "click", ts_us)
+    lc = F.max(click_us).over(w)
+    tol = 60 * MIN_US
+    return (
+        e.withColumn("lc", lc)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            ts_us.alias("purchase_us"),
+            F.when(ts_us - F.col("lc") <= tol, F.col("lc")).alias(
+                "last_click_us"
+            ),
+        )
+    )
+
+
+@query(
     "ts_sessionize",
     oracle=f"""
     WITH flagged AS (
