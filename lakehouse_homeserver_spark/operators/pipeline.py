@@ -238,3 +238,55 @@ def k7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "k7_incremental_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT md5({SQL_NORM}) AS digest FROM documents
+      WHERE doc_id % 3 < 2
+    ),
+    incr AS (
+      SELECT doc_id, lang, source, md5({SQL_NORM}) AS digest,
+             ROW_NUMBER() OVER (PARTITION BY md5({SQL_NORM})
+                                ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT i.doc_id, i.lang, i.source
+    FROM incr i
+    WHERE i.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM base b WHERE b.digest = i.digest)
+    """,
+)
+def k7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (SURVEY K7 ext.): dedupe a NEW batch
+    against the existing corpus without touching the old text — the
+    shape every continuously-ingesting training pipeline needs (the
+    base corpus is 100 TB; tonight's crawl is 100 GB; re-running
+    k1_dedup_exact over the union would re-shuffle everything).
+
+    Mechanism: the base side is only its DIGEST set (16 bytes/doc —
+    in production a bookkept digest table maintained exactly like
+    `metadata.<t>_loaded_files`, or the increment consumed via
+    `added_between`); the increment first dedupes within itself
+    (digest window, keep lowest doc_id) and then anti-joins the base
+    digests. Work: O(increment) scan + one digest-keyed join; the
+    base corpus text is never read. Fixture split: base = doc_id%3<2,
+    increment = the rest, derived identically in the oracle.
+    """
+    d = T(spark, sf_dir, "documents")
+    digest = F.md5(norm_text(F.col("text")))
+    base_digests = (
+        d.filter(F.col("doc_id") % 3 < 2).select(digest.alias("digest"))
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    incr = (
+        d.filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id", "lang", "source", digest.alias("digest"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return incr.join(base_digests, "digest", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
