@@ -43,6 +43,13 @@ OPS = [
     "k4_unigram_lm_score",
     "k3_pq_quantize",
     "k6_temperature_resample",
+    # round-2 additions: classifier/BPE/sketch/fuzzy families
+    "k4_hashed_classifier",
+    "k4_bpe_token_count",
+    "d14_heavy_hitters",
+    "d15_count_min",
+    "c9_fuzzy_join",
+    "k7_incremental_dedup",
 ]
 
 
