@@ -1521,3 +1521,71 @@ def k3_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["neg_source", "rk"],
     ).select("anchor", "positive", "negative")
+
+
+CONTAIN_TAU = 0.9  # |A ∩ B| / |A| — A is (nearly) contained in B
+
+
+@query(
+    "k2_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split({SQL_NORM}, ' ')) AS tokens
+      FROM documents
+    )
+    SELECT a.doc_id AS sub_doc, b.doc_id AS super_doc,
+           ROUND(CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+                 / len(a.tokens), 6) AS containment
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+            / len(a.tokens) >= {CONTAIN_TAU}
+      AND len(a.tokens) <= len(b.tokens)
+    """,
+)
+def k2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by Jaccard CONTAINMENT (SURVEY
+    K2 ext.): |A∩B|/|A| ≥ {CONTAIN_TAU} flags documents that are
+    (nearly) subsets of another — quotations, excerpts, boilerplate-
+    plus-payload pages — which symmetric Jaccard misses entirely when
+    the superset is much larger (|A∩B|/|A∪B| shrinks with |B|).
+    Directional output: (sub_doc, super_doc, containment), with the
+    shorter side as the candidate subset (ties broken by letting
+    either direction through only when |A| ≤ |B|).
+
+    Scale shape: same banded blocking as the symmetric rung (source
+    blocks here; MinHash-band keys on >63-token vocabularies — the
+    k2_ngram_jaccard fallback applies unchanged because containment
+    candidates ARE Jaccard candidates at any τ > 0), token
+    intersection JVM-side. One equi-join, no n².
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(norm_text(F.col("text")), " ")).alias(
+            "tokens"
+        ),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))
+    ).cast("double")
+    containment = inter / F.size(F.col("a.tokens"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter(
+            (containment >= CONTAIN_TAU)
+            & (F.size(F.col("a.tokens")) <= F.size(F.col("b.tokens")))
+        )
+        .select(
+            F.col("a.doc_id").alias("sub_doc"),
+            F.col("b.doc_id").alias("super_doc"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )
