@@ -1121,3 +1121,107 @@ def d15_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") >= F.any_value("freq")).alias("never_underestimates"),
         )
     )
+
+
+DSIR_BUCKETS = 1024
+
+_DSIR_BUCKET_SQL = (
+    "CAST(CAST('0x' || SUBSTRING(md5(tok), 1, 8) AS BIGINT)"
+    f" % {DSIR_BUCKETS} AS INTEGER)"
+)
+
+
+@query(
+    "k4_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(string_split({SQL_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    bt AS MATERIALIZED (
+      SELECT {_DSIR_BUCKET_SQL} AS bucket,
+             COUNT(*) AS raw_n,
+             COUNT(*) FILTER (WHERE lang = 'en') AS tgt_n
+      FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(raw_n) AS DOUBLE) AS t_raw,
+             CAST(SUM(tgt_n) AS DOUBLE) AS t_tgt
+      FROM bt
+    ),
+    w AS MATERIALIZED (
+      SELECT bucket,
+             CAST(ROUND(
+               ln((tgt_n + 1) / (t_tgt + {DSIR_BUCKETS}))
+               - ln((raw_n + 1) / (t_raw + {DSIR_BUCKETS})), 6)
+             AS DECIMAL(18,6)) AS lr
+      FROM bt CROSS JOIN tot
+    )
+    SELECT t.doc_id, ANY_VALUE(t.lang) AS lang,
+           COUNT(*) AS n_tokens,
+           CAST(FLOOR(CAST(SUM(w.lr) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                AS BIGINT) AS score_e6,
+           CAST(FLOOR(CAST(SUM(w.lr) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                AS BIGINT) / 1e6 AS dsir_score,
+           CAST(SUM(w.lr) AS DOUBLE) / COUNT(*) > 0.0 AS keep
+    FROM toks t JOIN w ON w.bucket = {_DSIR_BUCKET_SQL}
+    GROUP BY t.doc_id
+    """,
+)
+def k4_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al., NeurIPS'23 — "Data
+    Selection for Language Models via Importance Resampling"): score
+    each raw document by how much more likely its hashed-n-gram
+    features are under a TARGET distribution than under the raw
+    corpus — the principled replacement for hand-tuned quality
+    heuristics when you have exemplar target data. Here the target
+    is the corpus's own lang='en' slice (any exemplar set drops in);
+    features are unigrams hashed to {DSIR_BUCKETS} buckets
+    (the paper's hashed generative model), and the per-doc score is
+    the mean add-one-smoothed log-likelihood ratio — keep docs with
+    score > 0 (more target-like than raw-like), or importance-sample
+    on exp(score) downstream.
+
+    Plan shape (the k4_unigram_lm_score shape): ONE corpus explode →
+    one combiner-heavy bucket aggregate computing raw and target
+    counts together (count_if rides the same pass) → the
+    {DSIR_BUCKETS}-row weight table broadcasts back onto the token
+    stream → one per-doc aggregate. Float contract: per-bucket log
+    ratios are rounded to 6 dp and summed as DECIMAL(18,6)
+    (order-free); the final mean is a single IEEE division.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    ).cast("int")
+    toks = d.withColumn("bucket", bucket)
+    bt = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.count_if(F.col("lang") == "en").alias("tgt_n"),
+    )
+    tot = bt.agg(
+        F.sum("raw_n").cast("double").alias("t_raw"),
+        F.sum("tgt_n").cast("double").alias("t_tgt"),
+    )
+    lr = F.round(
+        F.log((F.col("tgt_n") + 1) / (F.col("t_tgt") + DSIR_BUCKETS))
+        - F.log((F.col("raw_n") + 1) / (F.col("t_raw") + DSIR_BUCKETS)),
+        6,
+    ).cast("decimal(18,6)")
+    w = bt.crossJoin(F.broadcast(tot)).select("bucket", lr.alias("lr"))
+    score = F.sum("lr").cast("double") / F.count(F.lit(1))
+    score_e6 = F.floor(score * 1e6 + 0.5).cast("bigint")
+    return (
+        toks.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            score_e6.alias("score_e6"),
+            (score_e6 / F.lit(1e6)).alias("dsir_score"),
+            (score > 0.0).alias("keep"),
+        )
+    )
