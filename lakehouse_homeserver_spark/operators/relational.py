@@ -1956,3 +1956,37 @@ def h14_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
     )
+
+
+@query(
+    "g_union_by_name",
+    oracle="""
+    SELECT n_nationkey AS key, n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS region, 'nation' AS src
+    FROM nation
+    UNION ALL
+    SELECT r_regionkey AS key, r_name AS name,
+           CAST(NULL AS BIGINT) AS region, 'region' AS src
+    FROM region
+    """,
+)
+def g_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union (SURVEY G ext.): `unionByName(allow
+    MissingColumns=True)` aligns by COLUMN NAME and null-fills what a
+    side lacks — the union you need when appending batches across a
+    schema evolution (positional UNION would silently misalign or
+    fail). The oracle states the same alignment explicitly with NULL
+    fills. Map-only concatenation, no shuffle.
+    """
+    n = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("bigint").alias("region"),
+        F.lit("nation").alias("src"),
+    )
+    r = T(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key"),
+        F.col("r_name").alias("name"),
+        F.lit("region").alias("src"),
+    )
+    return n.unionByName(r, allowMissingColumns=True)
