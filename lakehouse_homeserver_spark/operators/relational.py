@@ -1990,3 +1990,38 @@ def g_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("region").alias("src"),
     )
     return n.unionByName(r, allowMissingColumns=True)
+
+
+@query(
+    "h15_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, o_custkey) AS key_mix,
+           o_orderkey << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS popcount,
+           ~o_orderkey AS inverted
+    FROM orders
+    """,
+)
+def h15_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-function surface (SURVEY H4 ext.): and/or/xor, shifts,
+    popcount, complement — the primitives behind the engine's own
+    bitmask kernels (SimHash bands, ngram/containment masks, bitmap
+    distinct, bloom probes), exposed as first-class query functions.
+    Integer-exact, so parity is unconditional. Map-only.
+    """
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_mix"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).alias("inverted"),
+    )

@@ -483,6 +483,7 @@ BNLJ_ALLOWED = {
     "d10_histogram",            # 1-row (min,max) range broadcast
     "k4_tfidf_terms",           # 1-row n_docs broadcast
     "k4_unigram_lm_score",      # 1-row token-total broadcast
+    "k4_dsir_importance",       # 1-row totals broadcast into bucket weights
     "ts_funnel",                # per-stage time-window predicates (non-equi)
     "ts_interpolate",           # hour-spine to series non-equi flank join
     "tpch_q2_min_cost_supplier",        # 1-row min-cost scalar subquery
