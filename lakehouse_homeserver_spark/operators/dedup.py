@@ -1624,3 +1624,81 @@ def k2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(containment, 6).alias("containment"),
         )
     )
+
+
+@query(
+    "k1_url_dedup",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.com/docs/' || lang
+               || '/' || CAST(doc_id % 500 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '/?utm_source=feed&utm_campaign=x'
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END
+               AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+               || regexp_replace(
+                    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                    '/$', '') AS canonical
+      FROM urls
+    )
+    SELECT canonical,
+           MIN(doc_id) AS keeper_doc,
+           COUNT(*) AS n_aliases
+    FROM canon
+    GROUP BY canonical
+    """,
+)
+def k1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (SURVEY K1 ext.) — the crawl-ingest
+    stage that runs BEFORE any content dedup: the same page arrives
+    as http/https, mixed-case scheme+host, with tracking params
+    (utm_*), fragments, and trailing slashes. Canonicalize
+    (lowercase scheme+host, strip query+fragment, strip the trailing
+    slash) and keep one doc per canonical URL (lowest doc_id). The
+    fixture synthesizes the alias classes deterministically (case
+    noise + utm params on even ids + fragments on ids ≡0 mod 3, with
+    doc_id%500 forcing true collisions), and the oracle performs the
+    identical canonicalization — alias-group sizes are hash-checked.
+
+    Scale: canonicalization is map-only regex/string ops in codegen;
+    the dedup is one groupBy on the canonical string — the 16-byte-
+    digest shape of k1_dedup_exact with a URL key. At 100 TB this is
+    the cheapest dedup rung and always runs first.
+    """
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("/?utm_source=feed&utm_campaign=x"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#section-2")).otherwise(
+            F.lit("")
+        ),
+    )
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/$",
+        "",
+    )
+    return (
+        d.select("doc_id", F.concat(host, path).alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.min("doc_id").alias("keeper_doc"),
+            F.count(F.lit(1)).alias("n_aliases"),
+        )
+    )
