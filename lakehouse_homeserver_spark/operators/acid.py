@@ -667,3 +667,54 @@ def a22_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+@query(
+    "a24_schema_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'create',    6, CAST(NULL AS VARCHAR)),
+      (CAST(2 AS BIGINT), 'append',    6, CAST(NULL AS VARCHAR)),
+      (CAST(3 AS BIGINT), 'overwrite', 6, CAST(NULL AS VARCHAR)),
+      (CAST(4 AS BIGINT), 'append',    7, 'batch_tag')
+    ) AS t(version, operation, n_columns, added_columns)
+    """,
+)
+def a24_schema_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema lineage across snapshots (SURVEY A-ext; the audit view
+    of Iceberg's per-snapshot schema tracking): for each commit,
+    the column count and which columns that commit ADDED — how a
+    data team answers "when did this field appear and which load
+    introduced it" without replaying history. Pure metadata: the
+    per-snapshot schemas come from the commit log (the same
+    evolution demo as a12_time_travel: create/append/overwrite on
+    the 6-column orders slice, then an append carrying the new
+    `batch_tag` column). The oracle pins the expected lineage as
+    literal rows — the fixture's orders schema is 6 columns wide, so
+    drift in evolution handling (silently dropped or duplicated
+    columns) breaks the hash.
+    """
+    import json as _json
+
+    from pyspark.sql.types import StructType as _ST
+
+    t = _demo_table(spark, sf_dir, evolve=True)
+    rows = []
+    prev_cols: set[str] = set()
+    for e in t.history():
+        cols = [f.name for f in _ST.fromJson(_json.loads(e["schema"])).fields]
+        added = sorted(set(cols) - prev_cols) if prev_cols else []
+        rows.append(
+            (
+                e["version"],
+                e["operation"],
+                len(cols),
+                ",".join(added) if added else None,
+            )
+        )
+        prev_cols = set(cols)
+    return spark.createDataFrame(
+        rows,
+        "version bigint, operation string, n_columns int, "
+        "added_columns string",
+    )
