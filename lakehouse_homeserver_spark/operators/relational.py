@@ -2025,3 +2025,57 @@ def h15_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("popcount"),
         F.bitwise_not(k).alias("inverted"),
     )
+
+
+@query(
+    "f5_keyset_pagination",
+    oracle="""
+    WITH cursor_row AS (
+      SELECT o_orderdate AS c_date, o_orderkey AS c_key
+      FROM orders ORDER BY o_orderdate, o_orderkey
+      LIMIT 1 OFFSET 99
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+    FROM orders, cursor_row
+    WHERE (o_orderdate, o_orderkey) > (c_date, c_key)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def f5_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination (SURVEY F ext.): the page AFTER a
+    cursor row, fetched with a WHERE (sort_key, tiebreak) > (cursor)
+    predicate instead of OFFSET. The scale story is the point: OFFSET
+    n scans and discards n rows on every page (O(n²) to walk a
+    result set), while the keyset predicate PUSHES DOWN to the scan
+    (row groups whose max date precedes the cursor are skipped) and
+    each page is an independent top-k — TakeOrderedAndProject, no
+    global sort, no discarded prefix. Cursor here is the 100th row's
+    keys, derived identically in both engines; the unique tiebreak
+    column is what makes pages gap- and overlap-free.
+    """
+    o = T(spark, sf_dir, "orders")
+    cur = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .select("o_orderdate", "o_orderkey")
+        .limit(100)
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .collect()[0]
+    )
+    after = (F.col("o_orderdate") > F.lit(cur[0])) | (
+        (F.col("o_orderdate") == F.lit(cur[0]))
+        & (F.col("o_orderkey") > F.lit(cur[1]))
+    )
+    return (
+        o.filter(after)
+        .orderBy("o_orderdate", "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+        )
+        .limit(20)
+    )
