@@ -1,0 +1,246 @@
+"""Full-text retrieval operators over `documents` — §2.K extension.
+
+BM25 ranked search and a segmented inverted-index build: the search
+side of a training-data pipeline (eval-set retrieval, contamination
+probes, nearest-neighbour text lookup without embeddings). The
+reference stack exposes this shape through Trino full-scans; here it
+is a first-class bounded-shuffle operator family.
+
+Everything is built-in expressions (JVM codegen); the only shuffles
+are the (doc, term) word-count aggregate — the classic map-side-
+combine shape, skew-free because keys embed doc_id — and the tiny
+vocabulary-sized term aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table as T
+from .dedup import SQL_NORM, norm_text
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# The benchmark query workload: multi-term keyword queries over the
+# corpus vocabulary. Deterministic literals — the same set is embedded
+# in the SQL oracle.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "table scan"),
+    (2, "hash join"),
+    (3, "stream window"),
+    (4, "sort merge batch"),
+    (5, "customer query"),
+    (6, "vector filter"),
+    (7, "spark data column"),
+    (8, "slow query"),
+]
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 5
+
+
+def _bm25_values_sql() -> str:
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for term in text.split(" "):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+@query(
+    "k10_bm25",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
+    docs AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents
+    ),
+    totals AS (
+      SELECT COUNT(*) AS n_docs, SUM(LEN(toks)) AS t_dl FROM docs
+    ),
+    tok AS (
+      SELECT doc_id, LEN(toks) AS dl, t.term
+      FROM docs, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM tok JOIN (SELECT DISTINCT term FROM q) USING (term)
+      GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(ROUND(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + {BM25_K1} * (1 - {BM25_B}
+                        + {BM25_B} * dl / (CAST(t_dl AS DOUBLE) / n_docs))),
+               8) AS DECIMAL(20,8)) AS s
+      FROM tf JOIN dft USING (term) JOIN q USING (term) CROSS JOIN totals
+    ),
+    agg AS (
+      SELECT query_id, doc_id, COUNT(*) AS n_terms, SUM(s) AS score_dec
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_terms, CAST(score_dec AS DOUBLE) AS score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS rn
+      FROM agg
+    ) WHERE rn <= {BM25_TOPK}
+    """,
+)
+def k10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k keyword retrieval (Robertson-Sparck Jones / Lucene
+    default ranking; §2.K extension): score every (query, document)
+    pair under Okapi BM25 and keep the top-{k} docs per query.
+
+    100 TB design: the corpus token stream is filtered by a BROADCAST
+    hash join against the (tiny) query-term list BEFORE the tf
+    aggregate, so the shuffle is bounded by matching (doc, term)
+    pairs, not the corpus; document frequencies aggregate the already-
+    filtered tf table (vocabulary-sized); corpus-wide N/avgdl is one
+    1-row broadcast; final top-k is a WindowGroupLimit. The corpus is
+    scanned exactly once and never reshuffled whole.
+
+    Float contract: per-term scores are one fixed IEEE expression
+    rounded to 8 dp and summed as DECIMAL(20,8) (order-free), so
+    ranking ties and hashes are bit-stable across engines/partitions.
+    """
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, text in BM25_QUERIES for t in text.split(" ")],
+        "query_id int, term string",
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("toks")
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("t_dl"),
+    )
+    tok = docs.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    tf = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # Document frequency as a count-over-window on the SAME tf
+    # pipeline — a groupBy+broadcast-join here would re-execute the
+    # whole scan→explode→agg subtree as a second job (Spark does not
+    # dedupe common subtrees across a broadcast boundary; measured
+    # ~2× the query's cost). (doc, term) is unique in tf, so
+    # count(*) over the term partition IS df. Bounded by the
+    # query-vocabulary's posting sizes, not the corpus.
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    avgdl = F.col("t_dl").cast("double") / F.col("n_docs")
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    s = F.round(
+        idf
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        ),
+        8,
+    ).cast("decimal(20,8)")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(totals))
+        .select("query_id", "doc_id", s.alias("s"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("s").alias("score_dec"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms",
+            F.col("score_dec").cast("double").alias("score"),
+        )
+    )
+
+
+# Lucene-style segmentation: postings are built per (term, segment)
+# so no single output row grows with the corpus — a stopword term at
+# 100 TB otherwise produces one multi-GB postings row (the classic
+# inverted-index skew). Segment = doc_id range, the doc-partition
+# shape Lucene shards by.
+INDEX_SEGMENT_DOCS = 100
+
+
+@query(
+    "k10_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, doc_id // {INDEX_SEGMENT_DOCS} AS segment, t.term
+      FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks
+            FROM documents), UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, segment, doc_id, COUNT(*) AS tf
+      FROM tok GROUP BY 1, 2, 3
+    )
+    SELECT term, segment,
+           COUNT(*) AS df,
+           SUM(tf) AS total_tf,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY 1, 2
+    """,
+)
+def k10_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented inverted-index build (the Lucene/ES index shape;
+    §2.K extension): per (term, doc-range segment), the document
+    frequency, total term frequency, and the doc-ordered postings
+    list serialized as `doc:tf,...`.
+
+    100 TB design: one (doc, term) word-count aggregate (map-side
+    combine, doc_id in the key → skew-free), then a (term, segment)
+    aggregate whose output rows are bounded by the segment size —
+    postings for a stopword term split across segments instead of
+    concentrating in one unbounded row. Postings are emitted ordered
+    (sort_array on (doc_id, tf) structs) so the string is
+    deterministic under any partitioning.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") / INDEX_SEGMENT_DOCS).cast("bigint").alias("segment"),
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("term"),
+    )
+    tf = d.groupBy("term", "segment", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    postings = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda x: F.concat_ws(":", x["doc_id"], x["tf"]),
+        ),
+    )
+    return tf.groupBy("term", "segment").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        postings.alias("postings"),
+    )

@@ -1225,3 +1225,93 @@ def k4_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score > 0.0).alias("keep"),
         )
     )
+
+
+# Gopher document-quality rule thresholds (Rae et al. 2021, table A1
+# — public rule set). Word-count band tightened to the fixture's
+# 9–110-word documents so the gate actually discriminates; the
+# canonical 50..100k band is a config swap.
+GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 15, 80
+
+
+@query(
+    "k4_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_NORM} AS nt,
+             string_split({SQL_NORM}, ' ') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             LEN(toks) AS n_words,
+             CAST(LENGTH(nt) - LEN(toks) + 1 AS DOUBLE) / LEN(toks)
+               AS mean_word_len,
+             LEN(list_filter(list_distinct(toks),
+                 x -> list_contains([{", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)}], x)))
+               AS stopword_kinds,
+             CAST(LEN(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / LEN(toks) AS alpha_word_frac
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, stopword_kinds, alpha_word_frac,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AS r_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_word_len,
+           (stopword_kinds >= 2) AS r_stopwords,
+           (alpha_word_frac >= 0.8) AS r_alpha_words,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND stopword_kinds >= 2 AND alpha_word_frac >= 0.8) AS keep
+    FROM m
+    """,
+)
+def k4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composed quality gate (Rae et al. 2021 §A1.1, the
+    standard LLM-corpus document filter; §2.K4 extension): word-count
+    band, mean-word-length band, minimum distinct-stopword presence,
+    and alphabetic-word fraction — each emitted as its own boolean
+    next to the composed `keep`, so downstream audits can see WHICH
+    rule dropped a document (the per-rule telemetry DataTrove/Dolma
+    pipelines keep).
+
+    Complements `k4_repetition_filter` (the repetition rule group) —
+    together they are the full Gopher gate.
+
+    100 TB design: one scan, zero shuffles — every rule is an array
+    expression over the token list (JVM codegen, map-only). All
+    metrics are integer-derived, so the booleans are bit-stable
+    across engines.
+    """
+    d = T(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    toks = F.split(nt, " ")
+    stop = F.array([F.lit(w) for w in GOPHER_STOPWORDS])
+    d = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        ((F.length(nt) - F.size(toks) + 1).cast("double") / F.size(toks)).alias(
+            "mean_word_len"
+        ),
+        F.size(
+            F.filter(F.array_distinct(toks), lambda x: F.array_contains(stop, x))
+        )
+        .cast("bigint")
+        .alias("stopword_kinds"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+            / F.size(toks)
+        ).alias("alpha_word_frac"),
+    )
+    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_wl = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    r_sw = F.col("stopword_kinds") >= 2
+    r_al = F.col("alpha_word_frac") >= 0.8
+    return d.select(
+        "*",
+        r_wc.alias("r_word_count"),
+        r_wl.alias("r_word_len"),
+        r_sw.alias("r_stopwords"),
+        r_al.alias("r_alpha_words"),
+        (r_wc & r_wl & r_sw & r_al).alias("keep"),
+    )

@@ -108,6 +108,7 @@ def _load_modules():
         "pipeline",
         "acid",
         "quality",
+        "retrieval",
     ):
         try:
             mods.append(
