@@ -718,3 +718,65 @@ def a24_schema_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version bigint, operation string, n_columns int, "
         "added_columns string",
     )
+
+
+@query(
+    "a25_change_feed",
+    oracle=f"""
+    WITH s AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0)
+    SELECT CAST(1 AS INTEGER) AS version, 'insert' AS change,
+           COUNT(*) AS n_rows, {sql_dsum("o_totalprice")} AS total_price,
+           CAST(0 AS BIGINT) AS n_tagged
+    FROM s WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2, 'insert', COUNT(*), {sql_dsum("o_totalprice")}, 0
+    FROM s WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 3, 'delete', COUNT(*), {sql_dsum("o_totalprice")}, 0
+    FROM s WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 4 = 2
+    UNION ALL
+    SELECT 4, 'insert', COUNT(*), {sql_dsum("o_totalprice")}, COUNT(*)
+    FROM s WHERE o_orderkey % 3 = 2
+    """,
+)
+def a25_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (SURVEY A-ext; Delta `table_changes` /
+    Iceberg changelog scan): commit a known create → append →
+    MoR-delete → schema-evolving append sequence, then consume
+    `changes_between(0)` and aggregate the feed per (commit, change
+    type) — row counts, exact decimal-summed preimage/postimage
+    value, and how many change rows carry the post-evolution column.
+    The oracle recomputes each commit's change set directly from
+    `orders` with the identical predicates, so insert AND delete row
+    content is hash-checked, not just counted.
+
+    The feed itself is O(what each commit touched): appends read only
+    their added files, the MoR delete replays its committed delete
+    file against the parent snapshot (see
+    `SnapshotTable.changes_between`).
+    """
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    root = tempfile.mkdtemp(prefix="snap-cdf-")
+    t = SnapshotTable(spark, os.path.join(root, "orders_cdf"))
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.delete_where(
+        F.col("o_orderkey") % 4 == 2, mode="mor", equality_on=["o_orderkey"]
+    )
+    t.append(
+        orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+            "batch_tag", F.lit("b4")
+        )
+    )
+    feed = t.changes_between(0)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("version"),
+            F.col("_change_type").alias("change"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("total_price"),
+            F.count("batch_tag").alias("n_tagged"),
+        )
+    )

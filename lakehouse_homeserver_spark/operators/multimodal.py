@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
     DoubleType,
     LongType,
     StructField,
@@ -660,4 +661,162 @@ def k5_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_roundtrip_batches,
         "doc_id long, sample_rate int, channels int, bits int, "
         "n_samples bigint, sum_amp bigint, mean_amp double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# K5 — perceptual-hash image near-dup (aHash + Hamming banding)
+# ---------------------------------------------------------------------------
+
+AHASH_MAX_HAMMING = 7  # pairs with distance <= 7 are "near-dup"
+
+# Per-doc 64-bit aHash, kept as 8 band BYTES (bits 8j..8j+7) — the
+# banded representation IS the index: 8 bands guarantee any pair
+# within Hamming distance 7 agrees on at least one whole band
+# (pigeonhole), so candidate generation is an equi-join on
+# (band_idx, band_byte), never an all-pairs scan. Byte-wide bands
+# suit the fixture corpus; at larger corpus sizes widen bands
+# (k2_simhash_near_pairs uses 6x10 bits for the same guarantee at
+# distance 5) so each bucket stays small.
+_AHASH_SQL = """
+    WITH img AS (
+      SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i ->
+               ascii(substring(body, 1 + 3 * i, 1))
+               + ascii(substring(body, 2 + 3 * i, 1))
+               + ascii(substring(body, 3 + 3 * i, 1))) AS grays
+      FROM img
+    ), b AS (
+      SELECT doc_id, grays, list_sum(grays) AS total,
+             list_transform(grays, x ->
+               CASE WHEN x * 64 > list_sum(grays) THEN 1 ELSE 0 END) AS bits
+      FROM g
+    ), hashes AS (
+      SELECT doc_id,
+             list_transform(range(0, 8), j ->
+               list_sum(list_transform(range(0, 8), k ->
+                 bits[8 * j + k + 1] * (1 << k)))) AS bands
+      FROM b
+    )
+"""
+
+
+@query(
+    "k5_ahash_near_dup",
+    oracle=f"""{_AHASH_SQL},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM (SELECT doc_id, j, bands[j + 1] AS band_val
+            FROM hashes, UNNEST(range(0, 8)) AS t(j)) a
+      JOIN (SELECT doc_id, j, bands[j + 1] AS band_val
+            FROM hashes, UNNEST(range(0, 8)) AS t(j)) c
+        ON a.j = c.j AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(list_sum(list_transform(range(0, 8), j ->
+             bit_count(xor(ha.bands[j + 1], hb.bands[j + 1]))))
+             AS BIGINT) AS hamming
+    FROM pairs p
+    JOIN hashes ha ON ha.doc_id = p.doc_a
+    JOIN hashes hb ON hb.doc_id = p.doc_b
+    WHERE list_sum(list_transform(range(0, 8), j ->
+            bit_count(xor(ha.bands[j + 1], hb.bands[j + 1]))))
+          <= {AHASH_MAX_HAMMING}
+    """,
+)
+def k5_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (aHash, the classic
+    imagehash/pHash-family fingerprint): decode each row's 8x8 P6
+    image to grayscale integer sums, threshold against the image mean
+    (integer cross-multiply `g*64 > total` — no division, bit-exact
+    in any engine), pack the 64 bits into 8 band bytes, and find all
+    image pairs within Hamming distance {AHASH_MAX_HAMMING} via the
+    pigeonhole band equi-join — the image-side twin of
+    `k2_simhash_near_pairs`, and the standard image-dedup stage of a
+    multimodal training pipeline (CLIP-corpus dedup without
+    embeddings).
+
+    Completeness: 8 bands / distance 7 is exhaustive by pigeonhole —
+    every qualifying pair agrees exactly on >=1 band, so no
+    cross join and no recall loss. All arithmetic is integer; the
+    DuckDB oracle recomputes identical hashes from the same bytes.
+
+    100 TB design: hashing is a map-only Arrow-batched numpy kernel
+    over the decoded pixels (the per-pixel threshold as a Column
+    expression tree fanned out 4x through the self-join and stalled
+    Catalyst optimization — the same >10²-term lesson as
+    k3_pq_quantize); the only shuffle is the band-bucket join,
+    bounded by bucket sizes (widen bands as the corpus grows); exact
+    Hamming verification touches only candidates and is an 8-term
+    bit_count expression."""
+    d = T(spark, sf_dir, "documents")
+    media = d.select("doc_id", ppm_payload_col().alias("payload"))
+
+    def ahash_batches(batches: Iterator, _nothing=None):
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            b = bytes(b)
+            parts = b.split(b"\n", 3)
+            if parts[0] != b"P6":
+                raise ValueError("not a P6 PPM payload")
+            w, h = (int(x) for x in parts[1].split())
+            px = np.frombuffer(
+                parts[3][: w * h * 3], dtype=np.uint8
+            ).reshape(h * w, 3)
+            gray = px.astype(np.int64).sum(axis=1)
+            bits = (gray * gray.size > gray.sum()).astype(np.uint8)
+            return np.packbits(bits, bitorder="little")
+
+        for pdf in batches:
+            bands = np.stack([one(p) for p in pdf["payload"]])
+            out = {"doc_id": pdf["doc_id"]}
+            for j in range(8):
+                out[f"b{j}"] = bands[:, j].astype("int32")
+            yield pd.DataFrame(out)
+
+    hash_schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"b{j}", IntegerType()) for j in range(8)]
+    )
+    hashes = media.mapInPandas(ahash_batches, hash_schema)
+    bands = hashes.select(
+        "doc_id",
+        F.posexplode(F.array(*[f"b{j}" for j in range(8)])).alias(
+            "j", "band_val"
+        ),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("c"),
+            (F.col("a.j") == F.col("c.j"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(8)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(8)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{j} ^ c{j}")) for j in range(8)
+    ).cast("bigint")
+    return (
+        pairs.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= AHASH_MAX_HAMMING)
     )

@@ -1315,3 +1315,111 @@ def k4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_al.alias("r_alpha_words"),
         (r_wc & r_wl & r_sw & r_al).alias("keep"),
     )
+
+
+BACKOFF_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+@query(
+    "k4_bigram_lm_score",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents
+    ),
+    uni AS (
+      SELECT t.w, COUNT(*) AS c
+      FROM docs, UNNEST(toks) AS t(w) GROUP BY 1
+    ),
+    totals AS (SELECT SUM(c) AS n_tokens FROM uni),
+    bi AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM docs, UNNEST(range(1, LEN(toks))) AS r(i)
+      WHERE LEN(toks) >= 2
+    ),
+    model AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(CASE
+               WHEN m.c12 IS NOT NULL
+                 THEN ln(CAST(m.c12 AS DOUBLE) / u1.c)
+               ELSE ln({BACKOFF_ALPHA} * u2.c / n_tokens)
+             END, 6) AS DECIMAL(18,6)) AS s
+      FROM bi b
+      LEFT JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN totals
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                AS BIGINT) / 1e6 AS mean_log_score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def k4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM with stupid backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the
+    web-scale n-gram smoothing that needs NO discount tuning):
+    score each doc by its mean log bigram score, backing off to
+    alpha * unigram MLE when a bigram is unseen. The CCNet-style
+    fluency filter one rung above `k4_unigram_lm_score`.
+
+    100 TB design: the bigram stream is generated positionally from
+    the token array (explode of an index sequence — map-only, no
+    self-join); the bigram/unigram model tables aggregate to
+    vocabulary size and broadcast back onto the stream (beyond the
+    broadcast threshold they fall back to hash joins keyed on the
+    n-gram — still bounded by model size, never corpus²). Per-bigram
+    log scores are rounded to 6 dp and summed as DECIMAL(18,6), so
+    the mean is bit-stable under any partitioning.
+    """
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("toks")
+    )
+    uni = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(F.sum("c").alias("n_tokens"))
+    bi = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+    model = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    s = F.round(
+        F.when(
+            F.col("c12").isNotNull(),
+            F.log(F.col("c12").cast("double") / F.col("c1")),
+        ).otherwise(
+            F.log(BACKOFF_ALPHA * F.col("c2") / F.col("n_tokens"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        bi.join(F.broadcast(model), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", s.alias("s"))
+    )
+    mean = F.sum("s").cast("double") / F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.floor(mean * 1e6 + 0.5).cast("bigint") / F.lit(1e6)).alias(
+            "mean_log_score"
+        ),
+    )

@@ -359,7 +359,8 @@ class SnapshotTable:
         max_retries: int = 20,
         expect_parent=_ANY_PARENT,
     ) -> dict:
-        added = self._stage(df)
+        spec_props = self._spec_properties()
+        added = self._stage(self._cluster_by_spec(df))
         # Bloom config persists in the log (Iceberg table-property
         # semantics): a handle that never called with_bloom_filters
         # inherits the head's setting, so appends from other
@@ -459,6 +460,7 @@ class SnapshotTable:
                 "delete_files": delete_files,
                 "properties": {
                     **({"bloom.columns": self._bloom_cols} if self._bloom_cols else {}),
+                    **spec_props,
                     **(properties or {}),
                 },
             }
@@ -601,6 +603,7 @@ class SnapshotTable:
         commit's version as its sequence number inside the loop.
         Blooms: carried for manifest files that already have them,
         built for `added` rewrites when bloom columns are enabled."""
+        properties = {**self._spec_properties(), **(properties or {})}
         os.makedirs(self._log_path, exist_ok=True)
         head_for_blooms = self.latest_version()
         prev_blooms = (
@@ -657,6 +660,80 @@ class SnapshotTable:
         raise CommitConflict(
             f"{self.path}: gave up after {max_retries} commit attempts"
         )
+
+    # -- partition-spec evolution ------------------------------------------
+    def partition_spec(self) -> dict | None:
+        """The ACTIVE partition spec, or None. A spec is table
+        metadata carried on every commit (like bloom.columns):
+        {"columns": [...], "spec_id": n}."""
+        head_v = self.latest_version()
+        if head_v is None:
+            return None
+        props = self.entry(head_v).get("properties", {})
+        cols = props.get("partition.spec")
+        if not cols:
+            return None
+        return {"columns": list(cols), "spec_id": props.get("partition.spec.id", 1)}
+
+    def set_partition_spec(self, columns: list[str]) -> dict:
+        """Partition-spec EVOLUTION (Iceberg `ALTER TABLE ... WRITE
+        ORDERED BY` / partition-spec v2 evolution): change how FUTURE
+        writes are laid out without rewriting a single existing file.
+        Metadata-only commit — the manifest is carried as-is; from the
+        next commit on, staged data is range-clustered on `columns`,
+        so new files get tight footer min/max stats and
+        `prune_files`/`scan` skip them for selective predicates. Old
+        files keep their old layout and are simply never skipped more
+        than their stats allow — exactly Iceberg's old-spec/new-spec
+        coexistence story. Each call bumps `spec_id`; the commit log
+        is the spec history.
+
+        At 100 TB this is the difference between re-clustering a
+        table (days of rewrite) and re-clustering its FUTURE (one log
+        write + better layout from now on); `Lakehouse.optimize_layout`
+        remains the explicit rewrite for retrofitting old files."""
+        head_v = self.latest_version()
+        if head_v is None:
+            raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        e = self.entry(head_v)
+        prev = self.partition_spec()
+        spec_id = (prev["spec_id"] + 1) if prev else 1
+        return self._commit_manifest(
+            "set-spec",
+            manifest=list(e["manifest"]),
+            schema_json=e["schema"],
+            row_count=e["row_count"],
+            stats=dict(e.get("stats", {})),
+            added=[],
+            seq=_file_seq(e),
+            delete_files=list(e.get("delete_files", [])),
+            properties={
+                "partition.spec": list(columns),
+                "partition.spec.id": spec_id,
+            },
+        )
+
+    def _spec_properties(self) -> dict:
+        """Spec metadata to stamp onto a new commit (inheritance,
+        the bloom.columns pattern)."""
+        spec = self.partition_spec()
+        if not spec:
+            return {}
+        return {
+            "partition.spec": spec["columns"],
+            "partition.spec.id": spec["spec_id"],
+        }
+
+    def _cluster_by_spec(self, df: DataFrame) -> DataFrame:
+        """Range-cluster a write by the active spec so each staged
+        file covers a narrow key range (tight manifest stats → file
+        skipping). No-op without a spec or when the spec's columns
+        are absent from this DataFrame."""
+        spec = self.partition_spec()
+        if not spec or not all(c in df.columns for c in spec["columns"]):
+            return df
+        cols = spec["columns"]
+        return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
 
     def rollback(self, version: int) -> dict:
         """Iceberg `rollback_to_snapshot` / Delta RESTORE: make the
@@ -1145,6 +1222,138 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         files = [os.path.join(self._data_path, f) for f in names]
         return self.spark.read.schema(schema).parquet(*files)
+
+    def changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change-data-feed (Delta CDF / Iceberg
+        `changelog_scan`): every logical row change committed in
+        (from_version, to_version], as the to-version schema plus
+        `_change_type` ('insert' | 'delete'; an update surfaces as a
+        delete+insert pair, Delta's preimage/postimage) and
+        `_commit_version`.
+
+        Work is proportional to WHAT EACH COMMIT TOUCHED, not table
+        size, wherever the log makes that expressible:
+
+        - create/append/cherry-pick → inserts read from exactly the
+          commit's added files (O(new data), same as `added_between`);
+        - MoR delete → the committed delete file's keys semi-join the
+          parent snapshot (O(matched rows); the delete file IS the
+          change record);
+        - CoW delete → bag-difference of (rewritten ∪ removed) files
+          vs the commit's replacement files — bounded by the rewritten
+          set, which footer-stat pruning already minimized;
+        - rewrite (delete-file compaction) → logical no-op, emits
+          nothing;
+        - replace/rollback/merge → full preimage-vs-postimage bag
+          diff (`exceptAll`), the one shape where O(both versions) is
+          irreducible without per-commit change files — exactly where
+          Delta requires `delta.enableChangeDataFeed` to do better.
+
+        At 100 TB a downstream sync (search index, feature store,
+        aggregate view) consumes this instead of diffing snapshots:
+        append-heavy history costs O(changed rows) in metadata +
+        scan."""
+        to_v = self.latest_version() if to_version is None else to_version
+        if to_v is None:
+            raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        out_schema = StructType.fromJson(json.loads(self.entry(to_v)["schema"]))
+
+        def _align(df: DataFrame) -> DataFrame:
+            from pyspark.sql import functions as F
+
+            cols = [
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out_schema.fields
+            ]
+            return df.select(*cols)
+
+        def _tag(df: DataFrame, change: str, v: int) -> DataFrame:
+            from pyspark.sql import functions as F
+
+            return _align(df).select(
+                "*",
+                F.lit(change).alias("_change_type"),
+                F.lit(v).cast("int").alias("_commit_version"),
+            )
+
+        versions = [v for v in self.versions() if from_version < v <= to_v]
+        parts: list[DataFrame] = []
+        for v in versions:
+            e = self.entry(v)
+            op = e["operation"]
+            prior = [p for p in self.versions() if p < v]
+            parent = self.entry(prior[-1]) if prior else None
+            schema_v = StructType.fromJson(json.loads(e["schema"]))
+            if op in ("create", "append", "cherry-pick"):
+                if e["added"]:
+                    df = self.spark.read.schema(schema_v).parquet(
+                        *[os.path.join(self._data_path, f) for f in e["added"]]
+                    )
+                    parts.append(_tag(df, "insert", v))
+                continue
+            if op == "rewrite":
+                continue  # physical compaction, zero logical change
+            if op == "delete" and parent is not None:
+                mode = (e.get("properties") or {}).get("mode")
+                new_dels = [
+                    d
+                    for d in e.get("delete_files", [])
+                    if d["file"]
+                    not in {p["file"] for p in parent.get("delete_files", [])}
+                ]
+                if mode == "mor" and new_dels:
+                    from pyspark.sql import functions as F
+
+                    deleted = self._read_files(parent, parent["manifest"])
+                    for d in new_dels:
+                        keys = self.spark.read.parquet(
+                            os.path.join(self._data_path, d["file"])
+                        ).distinct()
+                        deleted = deleted.join(
+                            F.broadcast(keys),
+                            on=list(d["columns"]),
+                            how="left_semi",
+                        )
+                    parts.append(_tag(deleted, "delete", v))
+                    continue
+                removed = [
+                    f for f in parent["manifest"] if f not in set(e["manifest"])
+                ]
+                if removed:
+                    pre = self._read_files(parent, removed)
+                    post_files = list(e.get("added", []))
+                    if post_files:
+                        post = self.spark.read.schema(schema_v).parquet(
+                            *[
+                                os.path.join(self._data_path, f)
+                                for f in post_files
+                            ]
+                        )
+                        deleted = _align(pre).exceptAll(_align(post))
+                    else:
+                        deleted = _align(pre)
+                    parts.append(_tag(deleted, "delete", v))
+                continue
+            # replace / rollback / merge / unknown: full bag diff.
+            post = self._read_files(e, e["manifest"])
+            if parent is None:
+                parts.append(_tag(post, "insert", v))
+                continue
+            pre = self._read_files(parent, parent["manifest"])
+            parts.append(_tag(_align(pre).exceptAll(_align(post)), "delete", v))
+            parts.append(_tag(_align(post).exceptAll(_align(pre)), "insert", v))
+        if not parts:
+            meta = StructType.fromJson(json.loads(self.entry(to_v)["schema"]))
+            empty = self.spark.createDataFrame([], meta)
+            return _tag(empty, "insert", to_v).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def row_count(self, version: int | None = None) -> int:
         v = self.latest_version() if version is None else version

@@ -484,6 +484,7 @@ BNLJ_ALLOWED = {
     "k4_tfidf_terms",           # 1-row n_docs broadcast
     "k10_bm25",                 # 1-row (n_docs, total_dl) broadcast
     "k4_unigram_lm_score",      # 1-row token-total broadcast
+    "k4_bigram_lm_score",       # 1-row token-total broadcast (backoff)
     "k4_dsir_importance",       # 1-row totals broadcast into bucket weights
     "ts_funnel",                # per-stage time-window predicates (non-equi)
     "ts_interpolate",           # hour-spine to series non-equi flank join

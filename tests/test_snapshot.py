@@ -1355,3 +1355,139 @@ def test_stream_fails_loudly_when_snapshots_expired_mid_gap(
     q = drain(expect_ok=False)
     with pytest.raises(StreamingQueryException, match="expired before"):
         q.awaitTermination(180)
+
+
+def _feed_counts(feed):
+    rows = feed.groupBy("_commit_version", "_change_type").count().collect()
+    return {(r[0], r[1]): r[2] for r in rows}
+
+
+def test_change_feed_covers_every_commit_shape(spark, tmp_path, nations):
+    """changes_between: appends emit only added rows, CoW delete emits
+    the bag-diff of rewritten files, rewrite emits nothing, rollback
+    emits the full preimage/postimage diff."""
+    t = _table(spark, tmp_path)
+    t.create(nations.filter(F.col("n_regionkey") == 0))          # v1
+    t.append(nations.filter(F.col("n_regionkey") == 1))          # v2
+    t.delete_where(F.col("n_nationkey") % 2 == 0, mode="cow")    # v3
+    n0 = nations.filter(F.col("n_regionkey") == 0).count()
+    n1 = nations.filter(F.col("n_regionkey") == 1).count()
+    ndel = (
+        nations.filter(
+            (F.col("n_regionkey") < 2) & (F.col("n_nationkey") % 2 == 0)
+        ).count()
+    )
+    c = _feed_counts(t.changes_between(0))
+    assert c[(1, "insert")] == n0
+    assert c[(2, "insert")] == n1
+    assert c[(3, "delete")] == ndel
+    assert (3, "insert") not in c
+
+    # MoR delete then rewrite_deletes: the delete emits rows, the
+    # compaction emits NOTHING (physical-only commit).
+    t.delete_where(
+        F.col("n_nationkey") % 3 == 0, mode="mor", equality_on=["n_nationkey"]
+    )                                                            # v4
+    visible_pre = t.read(version=3)
+    ndel2 = visible_pre.filter(F.col("n_nationkey") % 3 == 0).count()
+    t.rewrite_deletes()                                          # v5
+    c = _feed_counts(t.changes_between(3))
+    assert c.get((4, "delete"), 0) == ndel2
+    assert all(v != 5 for (v, _) in c), "rewrite must be a logical no-op"
+
+    # Rollback: full diff — everything deleted since v2 comes back.
+    head = t.latest_version()
+    t.rollback(2)                                                # v6
+    c = _feed_counts(t.changes_between(head))
+    restored = t.read().count() - t.read(version=head).count()
+    assert sum(n for (v, ch), n in c.items() if ch == "insert") == restored
+    assert sum(n for (v, ch), n in c.items() if ch == "delete") == 0
+
+    # Row CONTENT (not just counts): replaying the feed reproduces the
+    # head state from the from-version state.
+    feed = t.changes_between(0)
+    ins = feed.filter(F.col("_change_type") == "insert").drop(
+        "_change_type", "_commit_version"
+    )
+    dels = feed.filter(F.col("_change_type") == "delete").drop(
+        "_change_type", "_commit_version"
+    )
+    replayed = ins.exceptAll(dels)
+    assert replayed.exceptAll(t.read()).count() == 0
+    assert t.read().exceptAll(replayed).count() == 0
+
+
+def test_change_feed_aligns_evolving_schema(spark, tmp_path, nations):
+    t = _table(spark, tmp_path)
+    t.create(nations.filter(F.col("n_regionkey") == 0))
+    t.append(
+        nations.filter(F.col("n_regionkey") == 1).withColumn(
+            "tag", F.lit("x")
+        )
+    )
+    feed = t.changes_between(0)
+    assert "tag" in feed.columns
+    v1 = feed.filter(F.col("_commit_version") == 1)
+    assert v1.filter(F.col("tag").isNull()).count() == v1.count()
+
+
+def test_partition_spec_evolution_clusters_future_writes_only(
+    spark, tmp_path, sf_dir
+):
+    """set_partition_spec: metadata-only commit; existing files are
+    never rewritten; subsequent appends are range-clustered on the
+    spec so their footer stats prune; the spec inherits across
+    unrelated commits and spec_id bumps on re-evolution."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = _table(spark, tmp_path)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    assert t.partition_spec() is None
+    old_files = set(t.entry(t.latest_version())["manifest"])
+    old_inodes = {
+        f: os.stat(os.path.join(t._data_path, f)).st_ino for f in old_files
+    }
+
+    t.set_partition_spec(["o_custkey"])
+    e = t.entry(t.latest_version())
+    assert e["operation"] == "set-spec" and e["added"] == []
+    assert set(e["manifest"]) == old_files
+    assert t.partition_spec() == {"columns": ["o_custkey"], "spec_id": 1}
+
+    # AQE's size-based coalesce folds this tiny fixture append into
+    # one file (the right call in production); pin it off so the
+    # range-clustering is observable across several files.
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(orders.filter(F.col("o_orderkey") % 3 == 1).repartition(8))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    e = t.entry(t.latest_version())
+    # old files carried by name, bytes untouched
+    for f in old_files:
+        assert f in e["manifest"]
+        assert os.stat(os.path.join(t._data_path, f)).st_ino == old_inodes[f]
+    # new files are range-clustered: sorted by min, ranges touch only
+    # at boundaries (RangePartitioner keeps equal keys together)
+    new = [f for f in e["added"]]
+    assert len(new) > 1, "expected multiple clustered files"
+    ranges = sorted(
+        tuple(e["stats"][f]["o_custkey"]) for f in new
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert lo2 >= hi1, f"overlapping clustered ranges {ranges}"
+
+    # pruning: a narrow key slice keeps all OLD files (unclustered,
+    # wide stats) but skips most NEW ones
+    lo, hi = ranges[0]
+    pruned = set(t.prune_files("o_custkey", lo, hi))
+    assert old_files <= pruned
+    assert len(pruned & set(new)) < len(new)
+
+    # spec survives an unrelated append; re-evolution bumps spec_id
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    assert t.partition_spec() == {"columns": ["o_custkey"], "spec_id": 1}
+    t.set_partition_spec(["o_orderdate"])
+    assert t.partition_spec() == {"columns": ["o_orderdate"], "spec_id": 2}
+    rows = orders.count()
+    assert t.read().count() == rows
