@@ -42,11 +42,15 @@ from __future__ import annotations
 import json
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -418,3 +422,75 @@ class SnapshotDataSource(DataSource):
             raise ValueError("snapshot source requires a path: .load(path)")
         start = int(self.options.get("startingVersion", 0))
         return SnapshotStreamReader(schema, _local(path), start)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot sink requires a path: .save(path)")
+        return SnapshotWriter(schema, _local(path), overwrite)
+
+
+# ---------------------------------------------------------------------------
+# Write path — df.write.format("snapshot").mode(...).save(path)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SnapshotWriteMessage(WriterCommitMessage):
+    """One staged file per non-empty task."""
+
+    file: str | None
+
+
+class SnapshotWriter(DataSourceArrowWriter):
+    """Arrow-batched writer completing the V2 write loop on the
+    format-string surface: each TASK streams its partition's record
+    batches straight into one immutable parquet file under the
+    table's `data/` directory (invisible until committed — the same
+    staging contract as `SnapshotTable._stage`), and the DRIVER
+    publishes all staged files as ONE atomic commit via
+    `SnapshotTable.commit_staged` (mode("append") → append commit,
+    mode("overwrite") → replace commit; merge/CAS semantics,
+    conflict retry, footer-stat harvesting and bloom/spec
+    inheritance all identical to the native path).
+
+    Exactly-once: a failed job calls `abort`, which unlinks the
+    staged orphans; a crash before commit leaves invisible files
+    that `expire_snapshots` GCs. No reader can observe a partial
+    write at any point."""
+
+    def __init__(self, schema: StructType, table_path: str, overwrite: bool):
+        self._schema = schema
+        self._path = table_path
+        self._data = os.path.join(table_path, _DATA_DIR)
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return SnapshotWriteMessage(file=None)
+        os.makedirs(self._data, exist_ok=True)
+        name = f"{uuid.uuid4().hex}-pyds.parquet"
+        pq.write_table(
+            pa.Table.from_batches(batches), os.path.join(self._data, name)
+        )
+        return SnapshotWriteMessage(file=name)
+
+    def commit(self, messages):
+        from .snapshot import SnapshotTable
+
+        added = [m.file for m in messages if m and m.file]
+        t = SnapshotTable(None, self._path)
+        t.commit_staged(added, self._schema, replace=self._overwrite)
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.file:
+                try:
+                    os.remove(os.path.join(self._data, m.file))
+                except FileNotFoundError:
+                    pass

@@ -359,8 +359,53 @@ class SnapshotTable:
         max_retries: int = 20,
         expect_parent=_ANY_PARENT,
     ) -> dict:
-        spec_props = self._spec_properties()
         added = self._stage(self._cluster_by_spec(df))
+        return self._commit_staged(
+            operation,
+            added,
+            df.schema,
+            replace=replace,
+            if_absent=if_absent,
+            merge_schema=merge_schema,
+            properties=properties,
+            max_retries=max_retries,
+            expect_parent=expect_parent,
+        )
+
+    def commit_staged(
+        self,
+        added: list[str],
+        schema: StructType,
+        *,
+        replace: bool = False,
+        properties: dict | None = None,
+    ) -> dict:
+        """Commit parquet files ALREADY WRITTEN into `data/` by an
+        external writer (the Python DataSource write path: executors
+        stage their partitions directly, the driver commits once).
+        Same merge/CAS semantics as `_commit`; `added` names must be
+        unique, invisible-until-now files under the data dir."""
+        op = "overwrite" if (replace and self.exists()) else (
+            "append" if self.exists() else "create"
+        )
+        return self._commit_staged(
+            op, added, schema, replace=replace, properties=properties
+        )
+
+    def _commit_staged(
+        self,
+        operation: str,
+        added: list[str],
+        df_schema: StructType,
+        *,
+        replace: bool,
+        if_absent: bool = False,
+        merge_schema: bool = True,
+        properties: dict | None = None,
+        max_retries: int = 20,
+        expect_parent=_ANY_PARENT,
+    ) -> dict:
+        spec_props = self._spec_properties()
         # Bloom config persists in the log (Iceberg table-property
         # semantics): a handle that never called with_bloom_filters
         # inherits the head's setting, so appends from other
@@ -417,21 +462,21 @@ class SnapshotTable:
             new_v = (head_v or 0) + 1
             if head is None or replace:
                 manifest = list(added)
-                schema = df.schema
+                schema = df_schema
                 total = n_added
                 stats = dict(added_stats)
                 blooms = dict(added_blooms)
                 seq = {f: new_v for f in added}
                 delete_files: list[dict] = []
             else:
-                schema = df.schema
+                schema = df_schema
                 if merge_schema:
                     schema = merge_schemas(
-                        StructType.fromJson(json.loads(head["schema"])), df.schema
+                        StructType.fromJson(json.loads(head["schema"])), df_schema
                     )
                 else:
                     prev = StructType.fromJson(json.loads(head["schema"]))
-                    if prev != df.schema:
+                    if prev != df_schema:
                         raise ValueError(
                             "append schema differs from table schema and "
                             "merge_schema=False"

@@ -1491,3 +1491,48 @@ def test_partition_spec_evolution_clusters_future_writes_only(
     assert t.partition_spec() == {"columns": ["o_orderdate"], "spec_id": 2}
     rows = orders.count()
     assert t.read().count() == rows
+
+
+def test_python_datasource_write_path(spark, tmp_path, nations):
+    """df.write.format("snapshot") — the V2 write loop on the
+    format-string surface: executors stage parquet directly, the
+    driver publishes one atomic commit; append/overwrite modes map to
+    append/replace commits; fully interoperable with SnapshotTable
+    writes on the same directory."""
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    path = str(tmp_path / "t")
+
+    n0 = nations.filter(F.col("n_regionkey") == 0)
+    n0.write.format("snapshot").mode("append").save(path)
+    t = SnapshotTable(spark, path)
+    assert t.latest_version() == 1
+    assert t.entry(1)["operation"] == "create"
+    assert t.read().count() == n0.count()
+
+    n1 = nations.filter(F.col("n_regionkey") == 1)
+    n1.write.format("snapshot").mode("append").save(path)
+    assert t.entry(2)["operation"] == "append"
+    assert t.read().count() == n0.count() + n1.count()
+    # footer stats harvested on the staged files (skipping index live)
+    e = t.entry(2)
+    assert all(e["stats"].get(f) for f in e["added"])
+
+    # native-path interop: SnapshotTable.append on the same table
+    t.append(nations.filter(F.col("n_regionkey") == 2))
+    assert t.latest_version() == 3
+
+    # overwrite → replace commit; history preserved
+    n0.write.format("snapshot").mode("overwrite").save(path)
+    assert t.entry(4)["operation"] == "overwrite"
+    assert t.read().count() == n0.count()
+    assert t.read(version=3).count() == nations.filter(
+        F.col("n_regionkey") < 3
+    ).count()
+
+    # round-trip through the format reader
+    back = spark.read.format("snapshot").load(path)
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in n0.collect()
+    )
