@@ -1702,3 +1702,166 @@ def k1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_aliases"),
         )
     )
+
+
+PPJOIN_TAU_NUM, PPJOIN_TAU_DEN = 7, 10  # tau = 0.7, kept integer-exact
+
+
+@query(
+    "k2_ppjoin",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split({SQL_NORM}, ' ')) AS tk
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, t.tok FROM toks, UNNEST(tk) AS t(tok)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM flat a JOIN flat b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT doc_a, doc_b,
+             LEN(list_intersect(ta.tk, tb.tk)) AS n_inter,
+             LEN(ta.tk) + LEN(tb.tk)
+               - LEN(list_intersect(ta.tk, tb.tk)) AS n_union
+      FROM cand
+      JOIN toks ta ON ta.doc_id = cand.doc_a
+      JOIN toks tb ON tb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(n_inter AS DOUBLE) / n_union AS jaccard
+    FROM v
+    WHERE n_inter * {PPJOIN_TAU_DEN} >= {PPJOIN_TAU_NUM} * n_union
+    """,
+)
+def k2_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-global all-pairs similarity join via prefix
+    filtering (PPJoin, Xiao et al. WWW'08 — the standard exact
+    alternative to LSH): every document pair with token-set Jaccard
+    ≥ 0.7, with ZERO false negatives and no blocking assumptions.
+
+    Prefix-filter theorem: order every token set by one global order
+    (rarest-first — document frequency, ties by token); two sets with
+    J ≥ τ MUST share a token inside their length-(|x| − ⌈τ|x|⌉ + 1)
+    prefixes. Candidate generation is therefore an equi-join on
+    PREFIX tokens only — the rare ones, whose postings are short —
+    instead of an all-pairs or full-inverted-index join. The oracle
+    verifies losslessness the hard way: it generates candidates from
+    ALL shared tokens (the exhaustive inverted index) and must
+    hash-match this query's prefix-filtered result exactly.
+
+    Verification rides the candidate join (verify-then-distinct):
+    each prefix row carries its document's 63-bit dictionary bitmask
+    (the shared ≤63-vocab kernel; larger vocabularies carry the
+    token array and verify with array_intersect — still exact), so
+    the Jaccard test is `bit_count(a & b)` codegen and only
+    surviving pairs reach the distinct. Threshold compare is the
+    integer cross-multiply i*10 ≥ 7*u — no float boundary.
+
+    100 TB design: one corpus-derived frequency table (vocab-sized,
+    broadcast), one groupBy to re-sort token arrays, prefix explode
+    bounded by ~(1-τ)·|doc| tokens, candidate join keyed on rare
+    tokens. τ directly throttles the join fan-out — the knob the
+    paper's cost model tunes.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(F.split(norm_text(F.col("text")), " ")).alias(
+            "tokens"
+        ),
+    ).withColumn("n_tok", F.size("tokens"))
+
+    vocab = [
+        r.t
+        for r in toks.select(F.explode("tokens").alias("t"))
+        .distinct()
+        .limit(64)
+        .collect()
+    ]
+    if len(vocab) <= 63:
+        bit = dict(zip(sorted(vocab), range(len(vocab))))
+        mask_map = F.create_map(
+            *[x for t, i in bit.items() for x in (F.lit(t), F.lit(1 << i))]
+        )
+        toks = toks.withColumn(
+            "sig",
+            F.aggregate(
+                F.transform("tokens", lambda t: F.element_at(mask_map, t)),
+                F.lit(0).cast("long"),
+                lambda acc, m: acc.bitwiseOR(m),
+            ),
+        )
+        inter = F.bit_count(F.col("sig_a").bitwiseAND(F.col("sig_b")))
+    else:  # exact fallback: carry the arrays, intersect per candidate
+        toks = toks.withColumn("sig", F.col("tokens"))
+        inter = F.size(F.array_intersect("sig_a", "sig_b"))
+
+    freq = (
+        toks.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        toks.select(
+            "doc_id", "n_tok", "sig", F.explode("tokens").alias("t")
+        )
+        .join(F.broadcast(freq), "t")
+        .groupBy("doc_id", "n_tok", "sig")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "t"))),
+                lambda x: x["t"],
+            ).alias("by_rarity")
+        )
+    )
+    p_len = F.expr(
+        f"n_tok - (({PPJOIN_TAU_NUM} * n_tok + {PPJOIN_TAU_DEN - 1}) "
+        f"div {PPJOIN_TAU_DEN}) + 1"
+    )
+    pref = ordered.select(
+        "doc_id",
+        "n_tok",
+        "sig",
+        F.explode(F.slice("by_rarity", 1, p_len)).alias("t"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_tok").alias("n_a"),
+        F.col("sig").alias("sig_a"),
+        "t",
+    )
+    c = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_tok").alias("n_b"),
+        F.col("sig").alias("sig_b"),
+        "t",
+    )
+    union = F.col("n_a") + F.col("n_b") - inter
+    return (
+        a.join(c, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_inter"),
+            union.cast("bigint").alias("n_union"),
+        )
+        .filter(
+            F.col("n_inter") * PPJOIN_TAU_DEN
+            >= PPJOIN_TAU_NUM * F.col("n_union")
+        )
+        .select(
+            "*",
+            (F.col("n_inter").cast("double") / F.col("n_union")).alias(
+                "jaccard"
+            ),
+        )
+        .distinct()
+    )

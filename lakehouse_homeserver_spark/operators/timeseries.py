@@ -830,3 +830,91 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ewma_sql("unix_micros"))
+
+
+@query(
+    "c11_scd2_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, version, segment, valid_from, valid_to
+      FROM (
+        SELECT c_custkey,
+               CAST(DATE '1995-01-01'
+                    + CAST(c_custkey % 2000 AS INTEGER) AS TIMESTAMP)
+                 AS split,
+               c_mktsegment
+        FROM customer
+      ), LATERAL (VALUES
+        (1, c_mktsegment, TIMESTAMP '1990-01-01', split),
+        (2, c_mktsegment || '_R', split, TIMESTAMP '2999-01-01')
+      ) AS v(version, segment, valid_from, valid_to)
+    )
+    SELECT d.version, d.segment,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o.o_totalprice")} AS revenue
+    FROM orders o
+    JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND o.o_orderdate < d.valid_to
+    GROUP BY d.version, d.segment
+    """,
+)
+def c11_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (SCD Type-2) dimension join — the warehouse-standard
+    "attribute as of the fact's date" lookup (Kimball slowly-changing
+    dimensions; Trino/dbt snapshots expose exactly this shape over
+    the reference stack). The dimension history is synthesized
+    deterministically from `customer`: version 1 holds until a
+    per-key split date, version 2 (re-branded segment) after — the
+    oracle builds the identical history, so validity-window
+    resolution is hash-checked, not assumed.
+
+    100 TB design: the join is EQUI on the dimension key with the
+    validity range as a residual filter — Catalyst plans a hash join
+    keyed on custkey (never a range cross product); each fact row
+    matches exactly one version because the windows partition the
+    timeline. Dimension history stays dimension-sized (2 rows/key) →
+    broadcast below threshold, bucketed co-location above.
+    """
+    cust = T(spark, sf_dir, "customer")
+    split = F.date_add(
+        F.lit("1995-01-01").cast("date"),
+        (F.col("c_custkey") % 2000).cast("int"),
+    ).cast("timestamp")
+    dim = (
+        cust.select("c_custkey", "c_mktsegment", split.alias("split"))
+        .select(
+            "c_custkey",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("version"),
+                        F.col("c_mktsegment").alias("segment"),
+                        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+                        F.col("split").alias("valid_to"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("version"),
+                        F.concat(F.col("c_mktsegment"), F.lit("_R")).alias(
+                            "segment"
+                        ),
+                        F.col("split").alias("valid_from"),
+                        F.lit("2999-01-01").cast("timestamp").alias("valid_to"),
+                    ),
+                )
+            ).alias("v"),
+        )
+        .select("c_custkey", "v.*")
+    )
+    o = T(spark, sf_dir, "orders")
+    joined = o.join(
+        dim,
+        (o["o_custkey"] == dim["c_custkey"])
+        & (o["o_orderdate"] >= dim["valid_from"])
+        & (o["o_orderdate"] < dim["valid_to"]),
+    )
+    return joined.groupBy("version", "segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

@@ -269,6 +269,182 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass
 
 
+def _cdc_fields():
+    from pyspark.sql.types import IntegerType, StringType, StructField
+
+    return [
+        StructField("_change_type", StringType()),
+        StructField("_commit_version", IntegerType()),
+    ]
+
+
+CDC_COLUMNS = [("_change_type", "string"), ("_commit_version", "int")]
+
+
+class ChangeFeedPartition(InputPartition):
+    """One (data file × change type) unit of a CDC micro-batch.
+    `deletes` anti-joins (prior MoR files: rows already gone before
+    this commit); `semi` keeps ONLY rows matched by this commit's
+    delete file (the rows this commit deleted)."""
+
+    def __init__(
+        self,
+        file_path: str,
+        deletes: list[tuple[list[str], list[str]]],
+        semi: tuple[list[str], list[str]] | None,
+        change: str,
+        version: int,
+    ):
+        self.file_path = file_path
+        self.deletes = deletes
+        self.semi = semi
+        self.change = change
+        self.version = version
+
+
+class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
+    """Streaming CHANGE-DATA-FEED (Delta CDF `readChangeFeed` /
+    Iceberg changelog scan as a stream): micro-batches carry
+    row-level `_change_type` / `_commit_version` for every commit in
+    (checkpointed offset, head] — inserts from exactly the added
+    files, deletes REPLAYED from the committed MoR delete file
+    against the parent snapshot's files. Physical-only commits
+    (rewrite / set-spec) emit nothing: compaction does not wake
+    downstream consumers. CoW deletes / replaces / rollbacks make
+    row-level changes inexpressible from the manifest alone, so the
+    stream fails loudly (the boundary where Delta requires persisted
+    CDC files).
+
+    This is how a downstream sync (search index, feature store,
+    aggregate) follows a mutating 100 TB table at O(changed rows):
+    offset math is driver-side JSON; every partition reads one file.
+    """
+
+    def __init__(self, schema: StructType, table_path: str, start_version: int):
+        self._schema = schema  # includes the CDC meta columns
+        self._base = StructType(
+            [f for f in schema.fields if f.name not in dict(CDC_COLUMNS)]
+        )
+        self._table_path = table_path
+        self._start = start_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self._table_path)
+        return {"version": vs[-1] if vs else self._start}
+
+    def _entry(self, v: int) -> dict:
+        entry_path = os.path.join(self._table_path, _LOG_DIR, f"{v:020d}.json")
+        if not os.path.isfile(entry_path):
+            raise ValueError(
+                f"{self._table_path}: snapshot {v} was expired before the "
+                "change feed consumed it — data loss; restart from a fresh "
+                "checkpoint"
+            )
+        with open(entry_path) as fh:
+            return json.load(fh)
+
+    def partitions(self, start: dict, end: dict):
+        data = os.path.join(self._table_path, _DATA_DIR)
+        out: list[ChangeFeedPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            e = self._entry(v)
+            op = e["operation"]
+            if op in ("create", "append", "cherry-pick"):
+                out.extend(
+                    ChangeFeedPartition(
+                        os.path.join(data, f), [], None, "insert", v
+                    )
+                    for f in e["added"]
+                )
+                continue
+            if op in ("rewrite", "set-spec"):
+                continue  # physical/metadata-only: zero logical change
+            mode = (e.get("properties") or {}).get("mode")
+            if op == "delete" and mode == "mor" and v > 1:
+                parent = self._entry(v - 1)
+                prior = {d["file"] for d in parent.get("delete_files", [])}
+                new_dels = [
+                    d
+                    for d in e.get("delete_files", [])
+                    if d["file"] not in prior
+                ]
+                seq = parent.get("seq") or {
+                    f: parent["version"] for f in parent["manifest"]
+                }
+                for f in parent["manifest"]:
+                    anti: dict[tuple, list[str]] = {}
+                    for d in parent.get("delete_files", []):
+                        if d["seq"] > seq.get(f, 0):
+                            anti.setdefault(tuple(d["columns"]), []).append(
+                                os.path.join(data, d["file"])
+                            )
+                    for nd in new_dels:
+                        out.append(
+                            ChangeFeedPartition(
+                                os.path.join(data, f),
+                                [(list(k), ps) for k, ps in anti.items()],
+                                (
+                                    list(nd["columns"]),
+                                    [os.path.join(data, nd["file"])],
+                                ),
+                                "delete",
+                                v,
+                            )
+                        )
+                continue
+            raise ValueError(
+                f"{self._table_path}: snapshot {v} is {op!r} — row-level "
+                "changes are not expressible from the manifest (CoW "
+                "delete/replace/rollback); consume via "
+                "SnapshotTable.changes_between in batch instead"
+            )
+        return out or [ChangeFeedPartition("", [], None, "insert", 0)]
+
+    def read(self, partition: ChangeFeedPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not partition.file_path:
+            return
+        semi_tab = None
+        if partition.semi is not None:
+            cols, paths = partition.semi
+            semi_tab = (
+                pa.concat_tables([pq.read_table(p) for p in paths])
+                .group_by(cols)
+                .aggregate([])
+            )
+        names = [f.name for f in self._base.fields]
+        for batch in _iter_file_batches(self._base, partition):
+            if semi_tab is not None:
+                tbl = pa.Table.from_batches([batch]).join(
+                    semi_tab,
+                    keys=partition.semi[0],
+                    join_type="left semi",
+                )
+                batches = tbl.select(names).combine_chunks().to_batches()
+            else:
+                batches = [batch]
+            for b in batches:
+                if not b.num_rows:
+                    continue
+                n = b.num_rows
+                yield pa.RecordBatch.from_arrays(
+                    list(b.columns)
+                    + [
+                        pa.array([partition.change] * n, pa.string()),
+                        pa.array([partition.version] * n, pa.int32()),
+                    ],
+                    names=names + [c for c, _ in CDC_COLUMNS],
+                )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class MetadataPartition(InputPartition):
     def __init__(self, rows: list[tuple]):
         self.rows = rows
@@ -402,12 +578,21 @@ class SnapshotDataSource(DataSource):
                 pass
         return MetadataReader(meta, _local(path), v)
 
+    def _cdc(self) -> bool:
+        return str(self.options.get("readChangeFeed", "")).lower() in (
+            "true",
+            "1",
+        )
+
     def schema(self) -> StructType | str:
         mr = self._metadata_reader()
         if mr is not None:
             return mr.schema_ddl()
         entry, _ = self._entry()
-        return StructType.fromJson(json.loads(entry["schema"]))
+        base = StructType.fromJson(json.loads(entry["schema"]))
+        if self._cdc():
+            return StructType(base.fields + _cdc_fields())
+        return base
 
     def reader(self, schema: StructType):
         mr = self._metadata_reader()
@@ -421,6 +606,8 @@ class SnapshotDataSource(DataSource):
         if not path:
             raise ValueError("snapshot source requires a path: .load(path)")
         start = int(self.options.get("startingVersion", 0))
+        if self._cdc():
+            return SnapshotChangeFeedStreamReader(schema, _local(path), start)
         return SnapshotStreamReader(schema, _local(path), start)
 
     def writer(self, schema: StructType, overwrite: bool):

@@ -1536,3 +1536,69 @@ def test_python_datasource_write_path(spark, tmp_path, nations):
     assert sorted(r.n_nationkey for r in back.collect()) == sorted(
         r.n_nationkey for r in n0.collect()
     )
+
+
+def test_snapshot_stream_change_feed(spark, tmp_path, nations):
+    """readChangeFeed streaming: inserts arrive from added files,
+    MoR deletes arrive as row-level 'delete' changes replayed from
+    the committed delete file, compaction emits nothing, and a CoW
+    delete fails the stream loudly."""
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    path = str(tmp_path / "cdc_src")
+    out = str(tmp_path / "cdc_out")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    t = SnapshotTable(spark, path)
+    t.create(nations.filter("n_nationkey < 10"))                       # v1
+    t.append(nations.filter("n_nationkey >= 10 AND n_nationkey < 20")) # v2
+    t.delete_where(
+        F.col("n_nationkey") % 3 == 0, mode="mor",
+        equality_on=["n_nationkey"],
+    )                                                                  # v3
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot")
+            .option("readChangeFeed", "true")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    drain()
+    feed = spark.read.parquet(out)
+    ins = feed.filter("_change_type = 'insert'")
+    dels = feed.filter("_change_type = 'delete'")
+    assert sorted(r.n_nationkey for r in ins.collect()) == list(range(20))
+    assert sorted(r.n_nationkey for r in dels.collect()) == [
+        k for k in range(20) if k % 3 == 0
+    ]
+    assert {r._commit_version for r in dels.collect()} == {3}
+
+    # compaction: physical-only, the feed stays silent
+    t.rewrite_deletes()                                                # v4
+    before = spark.read.parquet(out).count()
+    drain()
+    assert spark.read.parquet(out).count() == before
+
+    # CoW delete: not expressible -> loud failure on the next batch
+    t.delete_where(F.col("n_nationkey") == 1, mode="cow")              # v5
+    q = (
+        spark.readStream.format("snapshot")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="not expressible|delete"):
+        q.awaitTermination(180)
