@@ -65,14 +65,27 @@ class IncrementalAggregate:
 
     # -- refresh protocol --------------------------------------------------
     def _delta(self, frm: int, to: int) -> DataFrame:
+        """Per-key SIGNED delta from the change feed: +1/+value per
+        inserted row, −1/−value per deleted row. Consuming
+        `changes_between` instead of `added_between` makes the view
+        correct under row-level DELETEs, MERGEs, and even replaces —
+        count and sum are self-inverse aggregates, so the deletion
+        half of the feed subtracts exactly what the insertion half
+        added (the classic counting-algorithm IVM; min/max would need
+        per-key recomputation on delete and are the documented
+        boundary). Work stays O(what each commit touched) wherever
+        the feed does."""
+        feed = self.src.changes_between(frm, to)
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        m = F.col(self.measure).cast("decimal(18,2)")
         return (
-            self.src.added_between(frm, to)
+            feed.select(*self.keys, sign.alias("sign"), m.alias("m"))
             .groupBy(*self.keys)
             .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col(self.measure).cast("decimal(18,2)")).alias(
-                    "total"
-                ),
+                F.sum("sign").alias("cnt"),
+                F.sum(F.col("sign") * F.col("m"))
+                .cast("decimal(18,2)")
+                .alias("total"),
             )
         )
 
@@ -96,7 +109,7 @@ class IncrementalAggregate:
                 F.coalesce(F.col("tot_a"), F.lit(0).cast("decimal(18,2)"))
                 + F.coalesce(F.col("tot_b"), F.lit(0).cast("decimal(18,2)"))
             ).cast("decimal(18,2)").alias("total"),
-        )
+        ).filter(F.col("cnt") != 0)  # fully-deleted groups leave the view
 
     def refresh(self) -> dict:
         """Advance the view to the source head. Returns

@@ -553,3 +553,26 @@ def test_variant_extraction_pushes_column_pruning(spark, sf_dir):
 
     scans = read_schema_columns(relational.h13_variant(spark, sf_dir))
     assert scans and all(len(cols) <= 2 for cols in scans), scans
+
+
+def test_bm25_broadcasts_terms_topk_is_window_group_limit(spark, sf_dir):
+    """k10_bm25: the corpus token stream must be filtered by a
+    BROADCAST of the query-term list (the corpus never shuffles
+    whole), and the final top-k must plan as WindowGroupLimit."""
+    from lakehouse_homeserver_spark.operators import retrieval
+
+    plan = formatted_plan(retrieval.k10_bm25(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_scd2_join_keeps_the_equi_key(spark, sf_dir):
+    """c11_scd2_join: Catalyst must extract the custkey equi-key and
+    keep the validity window as a residual — a dropped key turns the
+    temporal join into a nested loop over facts x history."""
+    from lakehouse_homeserver_spark.operators import timeseries
+
+    plan = formatted_plan(timeseries.c11_scd2_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1602,3 +1602,57 @@ def test_snapshot_stream_change_feed(spark, tmp_path, nations):
 
     with pytest.raises(Exception, match="not expressible|delete"):
         q.awaitTermination(180)
+
+
+def test_incremental_aggregate_survives_deletes_and_replaces(
+    spark, tmp_path, sf_dir
+):
+    """IVM over the CHANGE FEED: the view stays equal to the full
+    recompute across MoR deletes, CoW deletes, and an overwrite —
+    and a fully-deleted group vanishes from the view."""
+    from lakehouse_homeserver_spark.sources.ivm import IncrementalAggregate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 5 == 0
+    )
+    src = _table(spark, tmp_path, "src")
+    dest = _table(spark, tmp_path, "view")
+    ivm = IncrementalAggregate(
+        spark, src, dest, keys=["o_orderstatus"], measure="o_totalprice"
+    )
+
+    def assert_in_sync():
+        got = {
+            (r.o_orderstatus, r.cnt, str(r.total))
+            for r in dest.read().collect()
+        }
+        want = {
+            (r.o_orderstatus, r.cnt, str(r.total))
+            for r in ivm.recompute().collect()
+        }
+        assert got == want
+
+    src.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    ivm.refresh(); assert_in_sync()
+
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    src.delete_where(
+        F.col("o_orderkey") % 4 == 2, mode="mor", equality_on=["o_orderkey"]
+    )
+    ivm.refresh(); assert_in_sync()
+
+    src.delete_where(F.col("o_orderkey") % 7 == 0, mode="cow")
+    ivm.refresh(); assert_in_sync()
+
+    # a whole group vanishes: delete every 'P' order (if any remain,
+    # this exercises the cnt=0 drop; otherwise it's a no-op delta)
+    src.delete_where(F.col("o_orderstatus") == "P", mode="cow")
+    ivm.refresh(); assert_in_sync()
+    assert dest.read().filter(F.col("o_orderstatus") == "P").count() == 0
+
+    # overwrite: full preimage/postimage diff through the feed
+    src.create_or_replace(orders.filter(F.col("o_orderkey") % 3 == 2))
+    ivm.refresh(); assert_in_sync()
+
+    # replay safety unchanged: blind re-run is a no-op
+    assert ivm.refresh()["refreshed"] is False
