@@ -780,3 +780,104 @@ def a25_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("batch_tag").alias("n_tagged"),
         )
     )
+
+
+@query(
+    "a26_ivm_view",
+    oracle=f"""
+    WITH s AS (
+      SELECT * FROM orders WHERE o_orderkey % 10 = 0
+    ), live AS (
+      SELECT * FROM s
+      WHERE o_orderkey % 3 IN (0, 1)      -- create + append
+        AND o_orderkey % 4 <> 2           -- minus the MoR delete
+      UNION ALL
+      SELECT * FROM s WHERE o_orderkey % 3 = 2   -- post-delete append
+    )
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice")} AS total
+    FROM live GROUP BY o_orderstatus
+    """,
+)
+def a26_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate (SURVEY A-ext;
+    Databricks materialized views / incremental dbt): the view is
+    refreshed ONLY from commit deltas — one refresh per commit here,
+    so the create, append, row-level MoR DELETE (consumed as signed
+    change-feed rows: the counting-algorithm IVM), and a post-delete
+    append each flow through `IncrementalAggregate.refresh`, never a
+    full recompute. The oracle computes the final aggregate from the
+    equivalent predicates, so a wrong delta ANYWHERE in the chain
+    (double-count on replay, missed delete, stale cursor) breaks the
+    hash.
+    """
+    from ..sources.ivm import IncrementalAggregate
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    root = tempfile.mkdtemp(prefix="snap-ivm-")
+    src = SnapshotTable(spark, os.path.join(root, "src"))
+    dest = SnapshotTable(spark, os.path.join(root, "view"))
+    ivm = IncrementalAggregate(
+        spark, src, dest, keys=["o_orderstatus"], measure="o_totalprice"
+    )
+    src.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    ivm.refresh()
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    ivm.refresh()
+    src.delete_where(
+        F.col("o_orderkey") % 4 == 2, mode="mor", equality_on=["o_orderkey"]
+    )
+    ivm.refresh()
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    ivm.refresh()
+    ivm.refresh()  # blind re-run: must be a no-op
+    return dest.read().select(
+        "o_orderstatus",
+        "cnt",
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+@query(
+    "a27_spec_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'create',   CAST(NULL AS VARCHAR), 0),
+      (CAST(2 AS BIGINT), 'set-spec', 'o_custkey',           1),
+      (CAST(3 AS BIGINT), 'append',   'o_custkey',           1),
+      (CAST(4 AS BIGINT), 'set-spec', 'o_orderdate',         2),
+      (CAST(5 AS BIGINT), 'append',   'o_orderdate',         2)
+    ) AS t(version, operation, spec_columns, spec_id)
+    """,
+)
+def a27_spec_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution lineage (SURVEY A-ext; Iceberg
+    partition-spec v2): change the table's write clustering twice
+    without rewriting a byte of existing data, and read the spec
+    history straight off the commit log — which spec every commit
+    wrote under, and the metadata-only `set-spec` commits that
+    evolved it. The oracle pins the expected lineage as literals;
+    row counts are preserved across both evolutions (asserted in
+    pytest; here the METADATA is the contract under test).
+    """
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    root = tempfile.mkdtemp(prefix="snap-spec-")
+    t = SnapshotTable(spark, os.path.join(root, "orders_spec"))
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.set_partition_spec(["o_custkey"])
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.set_partition_spec(["o_orderdate"])
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    rows = [
+        (
+            e["version"],
+            e["operation"],
+            ",".join(e["properties"].get("partition.spec", [])) or None,
+            e["properties"].get("partition.spec.id", 0),
+        )
+        for e in t.history()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version bigint, operation string, spec_columns string, spec_id int",
+    )

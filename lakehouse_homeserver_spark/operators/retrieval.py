@@ -244,3 +244,64 @@ def k10_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").alias("total_tf"),
         postings.alias("postings"),
     )
+
+
+CHUNK_TOKENS, CHUNK_STRIDE = 64, 48  # 16-token overlap between chunks
+
+
+@query(
+    "k10_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST(c.s // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(c.s AS BIGINT) AS token_start,
+           CAST(LEAST(c.s + {CHUNK_TOKENS}, LEN(tk)) - c.s AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(tk[c.s + 1 : LEAST(c.s + {CHUNK_TOKENS}, LEN(tk))], ' '))
+             AS chunk_digest
+    FROM toks,
+         UNNEST(range(0, GREATEST(LEN(tk) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+                      {CHUNK_STRIDE})) AS c(s)
+    """,
+)
+def k10_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the RAG/embedding-ingest
+    stage (LangChain/LlamaIndex token-window splitter, {CHUNK_TOKENS}
+    tokens per chunk, {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap):
+    each document explodes into its chunk spans with stable ids,
+    token offsets, and a content digest (the key an embedding/vector
+    store joins back on; also the dedup key for chunk-level caching).
+
+    Chunk-boundary contract, pinned by the digest hash in BOTH
+    engines: starts advance by the stride; the final chunk truncates
+    at the document end; a document shorter than one chunk still
+    yields its single (shorter) chunk.
+
+    100 TB design: map-only — one explode of a bounded index
+    sequence per document, no shuffle at all; chunk rows flow
+    straight to the embedding stage (`j_normalize_embeddings`) or
+    the vector index build (`k3_*`) without re-keying.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("tk")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.size("tk") - (CHUNK_TOKENS - CHUNK_STRIDE) - 1, F.lit(0)
+        ),
+        F.lit(CHUNK_STRIDE),
+    )
+    d = d.select("doc_id", "tk", F.explode(starts).alias("s"))
+    n_tokens = F.least(F.col("s") + CHUNK_TOKENS, F.size("tk")) - F.col("s")
+    chunk = F.slice(F.col("tk"), F.col("s") + 1, n_tokens)
+    return d.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("token_start"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
+    )

@@ -530,3 +530,56 @@ def k6_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         (F.size(F.collect_set(split).over(w)) == 1).alias("leak_free"),
     )
+
+
+SHUFFLE_EPOCHS = 2
+
+
+@query(
+    "k6_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT UNNEST(range(1, {SHUFFLE_EPOCHS + 1})) AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5('epoch-' || e.epoch || ':' || d.doc_id) AS k
+      FROM documents d CROSS JOIN e
+    )
+    SELECT epoch, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k) AS position
+    FROM keyed
+    """,
+)
+def k6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle (the "global
+    shuffle" stage of an LLM data loader — each epoch must visit the
+    corpus in a different but REPRODUCIBLE order, so a resumed run
+    re-derives the same order instead of checkpointing a permutation):
+    order = rank of md5(epoch, doc_id). Same md5-keyed determinism
+    contract as `k6_hash_split`/`k6_reservoir_per_group`.
+
+    100 TB design: the hash key is map-side; the rank is one
+    range-partitioned sort per epoch. Positions here are globally
+    numbered for the oracle's benefit; a production loader stops at
+    the sort (files emitted in range order ARE the permutation) or
+    numbers per range-partition and offsets by broadcast partition
+    counts — no single-partition window.
+
+    The epoch multiplier is a literal CROSS JOIN of {SHUFFLE_EPOCHS}
+    rows (broadcast, bounded); dropping it would silently reuse
+    epoch-1 order, which md5('epoch-N:...') keys make impossible.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(1, SHUFFLE_EPOCHS + 1).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("epoch-"), F.col("epoch"), F.lit(":"), F.col("doc_id"))
+        ).alias("k"),
+    )
+    w = Window.partitionBy("epoch").orderBy("k")
+    return keyed.select(
+        "epoch", "doc_id", F.row_number().over(w).alias("position")
+    )

@@ -495,6 +495,7 @@ BNLJ_ALLOWED = {
     "tpch_q20_part_promotion",          # partsupp CTE stride
     "k6_domain_mix",            # 1-row budget × per-domain quota broadcast
     "k6_temperature_resample",  # 1-row totals feeding the rate table
+    "k6_epoch_shuffle",         # literal 2-row epoch multiplier
 }
 
 
