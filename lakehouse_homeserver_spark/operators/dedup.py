@@ -1704,19 +1704,29 @@ def k1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PPJOIN_TAU_NUM, PPJOIN_TAU_DEN = 7, 10  # tau = 0.7, kept integer-exact
+PPJOIN_TAU_NUM, PPJOIN_TAU_DEN = 4, 5  # tau = 0.8, kept integer-exact
+
+# DuckDB-side 3-gram shingle-set derivation (1-based list indexing);
+# the Spark twin is `_shingle_sets` below. Word-level shingles give
+# PPJoin a sparse feature space even on this fixture's ~40-word
+# vocabulary — unigram token SETS degenerate here (most documents
+# contain most of the vocabulary, so nearly all pairs exceed any
+# Jaccard threshold; measured 965k "pairs" at sf0.1).
+SQL_SHINGLES = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, GREATEST(LEN(tk) - 1, 1)),
+             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS tk
+  FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents)
+  WHERE LEN(tk) >= 3
+"""
 
 
 @query(
     "k2_ppjoin",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_distinct(string_split({SQL_NORM}, ' ')) AS tk
-      FROM documents
-    ),
+    WITH sh AS ({SQL_SHINGLES}),
     flat AS (
-      SELECT doc_id, t.tok FROM toks, UNNEST(tk) AS t(tok)
+      SELECT doc_id, t.tok FROM sh, UNNEST(tk) AS t(tok)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1729,8 +1739,8 @@ PPJOIN_TAU_NUM, PPJOIN_TAU_DEN = 7, 10  # tau = 0.7, kept integer-exact
              LEN(ta.tk) + LEN(tb.tk)
                - LEN(list_intersect(ta.tk, tb.tk)) AS n_union
       FROM cand
-      JOIN toks ta ON ta.doc_id = cand.doc_a
-      JOIN toks tb ON tb.doc_id = cand.doc_b
+      JOIN sh ta ON ta.doc_id = cand.doc_a
+      JOIN sh tb ON tb.doc_id = cand.doc_b
     )
     SELECT doc_a, doc_b,
            CAST(n_inter AS BIGINT) AS n_inter,
@@ -1743,77 +1753,71 @@ PPJOIN_TAU_NUM, PPJOIN_TAU_DEN = 7, 10  # tau = 0.7, kept integer-exact
 def k2_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus-global all-pairs similarity join via prefix
     filtering (PPJoin, Xiao et al. WWW'08 — the standard exact
-    alternative to LSH): every document pair with token-set Jaccard
-    ≥ 0.7, with ZERO false negatives and no blocking assumptions.
+    alternative to LSH): every document pair whose 3-gram SHINGLE-set
+    Jaccard is ≥ 0.8, with ZERO false negatives and no blocking
+    assumptions.
 
-    Prefix-filter theorem: order every token set by one global order
-    (rarest-first — document frequency, ties by token); two sets with
-    J ≥ τ MUST share a token inside their length-(|x| − ⌈τ|x|⌉ + 1)
-    prefixes. Candidate generation is therefore an equi-join on
-    PREFIX tokens only — the rare ones, whose postings are short —
-    instead of an all-pairs or full-inverted-index join. The oracle
-    verifies losslessness the hard way: it generates candidates from
-    ALL shared tokens (the exhaustive inverted index) and must
-    hash-match this query's prefix-filtered result exactly.
+    Prefix-filter theorem: order every set by one global order
+    (rarest-first — document frequency, ties by shingle); two sets
+    with J ≥ τ MUST share an element inside their
+    length-(|x| − ⌈τ|x|⌉ + 1) prefixes. Candidate generation is an
+    equi-join on PREFIX shingles only — the rare ones, whose postings
+    are short. PPJoin's length filter (sizes within a τ ratio) prunes
+    the remainder before any set intersection; the threshold compare
+    is the integer cross-multiply i*5 ≥ 4*u — no float boundary. The
+    oracle verifies losslessness the hard way: it generates
+    candidates from ALL shared shingles (the exhaustive inverted
+    index) and must hash-match this query's prefix-filtered result
+    exactly.
 
-    Verification rides the candidate join (verify-then-distinct):
-    each prefix row carries its document's 63-bit dictionary bitmask
-    (the shared ≤63-vocab kernel; larger vocabularies carry the
-    token array and verify with array_intersect — still exact), so
-    the Jaccard test is `bit_count(a & b)` codegen and only
-    surviving pairs reach the distinct. Threshold compare is the
-    integer cross-multiply i*10 ≥ 7*u — no float boundary.
+    Shingles, not unigram tokens: 3-gram shingling keeps the feature
+    space sparse (16k+ distinct shingles on this corpus vs its
+    ~40-word vocabulary), so similarity means near-duplication —
+    the AllPairs/PPJoin deployment shape for near-dup mining.
 
-    100 TB design: one corpus-derived frequency table (vocab-sized,
-    broadcast), one groupBy to re-sort token arrays, prefix explode
-    bounded by ~(1-τ)·|doc| tokens, candidate join keyed on rare
-    tokens. τ directly throttles the join fan-out — the knob the
-    paper's cost model tunes.
+    100 TB design: one corpus-derived frequency table (the model
+    side — broadcast below threshold, hash-join keyed on the shingle
+    above it), one groupBy to rarity-sort each set, prefix explode
+    bounded by ~(1−τ)·|set| elements, candidate join keyed on rare
+    shingles, exact verification only on the candidate set. τ
+    directly throttles the join fan-out — the knob the paper's cost
+    model tunes.
     """
     d = T(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.array_distinct(F.split(norm_text(F.col("text")), " ")).alias(
-            "tokens"
-        ),
-    ).withColumn("n_tok", F.size("tokens"))
-
-    vocab = [
-        r.t
-        for r in toks.select(F.explode("tokens").alias("t"))
-        .distinct()
-        .limit(64)
-        .collect()
-    ]
-    if len(vocab) <= 63:
-        bit = dict(zip(sorted(vocab), range(len(vocab))))
-        mask_map = F.create_map(
-            *[x for t, i in bit.items() for x in (F.lit(t), F.lit(1 << i))]
-        )
-        toks = toks.withColumn(
-            "sig",
-            F.aggregate(
-                F.transform("tokens", lambda t: F.element_at(mask_map, t)),
-                F.lit(0).cast("long"),
-                lambda acc, m: acc.bitwiseOR(m),
+    tk = F.split(norm_text(F.col("text")), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("tk") - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("tk"), i, 3)
             ),
         )
-        inter = F.bit_count(F.col("sig_a").bitwiseAND(F.col("sig_b")))
-    else:  # exact fallback: carry the arrays, intersect per candidate
-        toks = toks.withColumn("sig", F.col("tokens"))
-        inter = F.size(F.array_intersect("sig_a", "sig_b"))
-
+    )
+    # One materialized doc -> shingle-set table (rows = corpus docs,
+    # each a pointer-sized array): every downstream branch (frequency
+    # table, rarity sort, prefix explode, verify join-backs) reads
+    # it instead of re-deriving the shingling — and, critically, the
+    # candidate join below stays NARROW (ints only). Carrying the
+    # 60-string arrays through the prefix join, or grouping with the
+    # array as a grouping KEY, measured 13-19 s at sf0.1; this form
+    # runs ~3 s. Write-once-fan-out, same precedent as the near-dup
+    # pair table.
+    sets = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", shingles.alias("tokens"))
+        .withColumn("n_tok", F.size("tokens"))
+        .localCheckpoint(eager=True)
+    )
     freq = (
-        toks.select(F.explode("tokens").alias("t"))
+        sets.select(F.explode("tokens").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
     )
     ordered = (
-        toks.select(
-            "doc_id", "n_tok", "sig", F.explode("tokens").alias("t")
-        )
+        sets.select("doc_id", "n_tok", F.explode("tokens").alias("t"))
         .join(F.broadcast(freq), "t")
-        .groupBy("doc_id", "n_tok", "sig")
+        .groupBy("doc_id", "n_tok")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("df", "t"))),
@@ -1828,25 +1832,38 @@ def k2_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = ordered.select(
         "doc_id",
         "n_tok",
-        "sig",
         F.explode(F.slice("by_rarity", 1, p_len)).alias("t"),
     )
     a = pref.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n_tok").alias("n_a"),
-        F.col("sig").alias("sig_a"),
-        "t",
+        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"), "t"
     )
     c = pref.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n_tok").alias("n_b"),
-        F.col("sig").alias("sig_b"),
-        "t",
+        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"), "t"
     )
+    size_ok = (
+        F.col("n_a") * PPJOIN_TAU_DEN >= PPJOIN_TAU_NUM * F.col("n_b")
+    ) & (F.col("n_b") * PPJOIN_TAU_DEN >= PPJOIN_TAU_NUM * F.col("n_a"))
+    cand = (
+        a.join(c, "t")
+        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokens").alias("tk_a"),
+        F.col("n_tok").alias("n_a"),
+    )
+    tb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tokens").alias("tk_b"),
+        F.col("n_tok").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
     union = F.col("n_a") + F.col("n_b") - inter
     return (
-        a.join(c, "t")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -1863,5 +1880,4 @@ def k2_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
-        .distinct()
     )

@@ -305,3 +305,89 @@ def k10_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.cast("bigint").alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
     )
+
+
+PHRASES: list[tuple[int, str]] = [
+    (1, "table scan"),
+    (2, "hash join"),
+    (3, "sort merge"),
+    (4, "the line"),
+]
+
+
+def _phrase_values_sql() -> str:
+    return ", ".join(
+        f"({pid}, '{p.split(' ')[0]}', '{p.split(' ')[1]}')"
+        for pid, p in PHRASES
+    )
+
+
+@query(
+    "k10_phrase_search",
+    oracle=f"""
+    WITH p(phrase_id, t1, t2) AS (VALUES {_phrase_values_sql()}),
+    toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+    ),
+    hits AS (
+      SELECT p.phrase_id, t.doc_id,
+             LEN(list_filter(range(1, LEN(tk)),
+                 i -> tk[i] = p.t1 AND tk[i + 1] = p.t2)) AS n_hits
+      FROM toks t CROSS JOIN p
+    )
+    SELECT phrase_id, doc_id, CAST(n_hits AS BIGINT) AS n_hits
+    FROM hits WHERE n_hits > 0
+    """,
+)
+def k10_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (the Lucene phrase-query shape; §2.K
+    extension): find every document containing an exact two-token
+    phrase, with occurrence counts, via the POSITIONAL index join —
+    postings carry (doc, position), and a phrase hit is an equi-join
+    of consecutive positions (`pos₂ = pos₁ + 1` folded into the join
+    key), the way a search engine intersects position lists. The
+    oracle recomputes hits by scanning each document's token array
+    directly, so the positional join's correctness (including
+    OVERLAPPING occurrences, which substring-replace counting would
+    miss) is hash-checked.
+
+    100 TB design: the token stream is broadcast-filtered to the
+    phrase vocabulary BEFORE any join (same gate as BM25); the
+    position intersection is then an equi-join on
+    (doc, phrase, adjusted-position) over only matching postings —
+    bounded by the phrase terms' posting sizes, never the corpus.
+    """
+    terms = spark.createDataFrame(
+        [
+            (pid, i, t)
+            for pid, p in PHRASES
+            for i, t in enumerate(p.split(" "))
+        ],
+        "phrase_id int, term_idx int, term string",
+    )
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(norm_text(F.col("text")), " ")).alias(
+            "pos", "term"
+        ),
+    )
+    # keep only postings for phrase vocabulary (broadcast gate), and
+    # normalize each posting to its phrase-START position: term i of
+    # a phrase at position p belongs to the occurrence starting at
+    # p - i. A full occurrence = one (phrase, doc, start) group with
+    # ALL term slots present.
+    hits = (
+        d.join(F.broadcast(terms), "term")
+        .select(
+            "phrase_id",
+            "doc_id",
+            (F.col("pos") - F.col("term_idx")).alias("start"),
+            "term_idx",
+        )
+        .groupBy("phrase_id", "doc_id", "start")
+        .agg(F.count_distinct("term_idx").alias("n_slots"))
+        .filter(F.col("n_slots") == 2)
+    )
+    return hits.groupBy("phrase_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )

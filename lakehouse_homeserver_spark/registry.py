@@ -21,71 +21,81 @@ _MODULES = []
 # yet, (b) the fixed/newly-oracled approx tier, (c) new round-2 ops,
 # (d) a handful of already-green relational representatives so the
 # core family keeps a fresh verdict each round.
+# Re-curated for the round-2 driver run: with ~200 oracle-backed
+# queries and a 50-slot budget, the window is chosen to put a
+# driver-green row on a representative of EVERY §2 family — the
+# relational core (re-verified fresh this round), each join variant,
+# windows/frames, set ops, scalar-function families, streaming
+# batch-twins, all four pandas-UDF forms, every K-family pipeline
+# stage, and the ACID table layer including the round-2 additions
+# (change feed, IVM view, spec history). Everything outside the
+# window keeps its exact-comparison coverage in local pytest parity
+# (the same spark-vs-DuckDB check the driver runs).
 PRIORITY: tuple[str, ...] = (
-    # -- similarity / text / multimodal (K3-K5), unverified in r1
-    "k3_knn_bruteforce",
-    "k3_centroid_by_label",
-    "k3_knn_lsh",
-    "k3_embedding_near_dup",
-    "k4_text_stats",
-    "k4_quality_score",
-    "k4_lang_id",
-    "k4_token_count",
-    "k4_fingerprint",
-    "k4_corpus_stats",
-    "k5_multimodal_features",
-    "k5_multimodal_meta",
-    "k5_frame_sample",
-    "k5_resize_stub",
-    # -- time-series / streaming batch-twins, unverified in r1
-    "c7_asof_join",
-    "ts_sessionize",
-    "i2_tumbling_window",
-    "i2_sliding_window",
-    "ts_gap_fill",
-    "ts_rollup_day_hour",
-    "ts_rich_sessions",
-    # -- TPC-H + SQL-surface forms, unverified in r1
-    "tpch_q3_shipping_priority",
+    # relational core — one per §2 row
+    "q1_pricing_summary",          # D2 grouped aggs (+A1 scan)
+    "b_filter_predicates",         # B1/B5 filters
+    "c1_join_revenue_by_nation",   # C1 inner + C5 broadcast
+    "c2_join_full_outer",          # C2 outer
+    "c3_join_anti",                # C3 semi/anti
+    "c4_theta_join",               # C4 theta
+    "c6_range_join_bucketized",    # C6 range→equi conversion
+    "d4_rollup",                   # D4 rollup/cube
+    "d7_quantiles_approx",         # D7 (r1 driver err — prove fixed)
+    "e1_window_rank",              # E1 ranking
+    "e2_window_lag_lead",          # E2 analytic
+    "e3_window_range_frame",       # E3 RANGE frame
+    "f2_sort_limit",               # F2/F3 order+limit
+    "f4_topk_per_group",           # F4 top-k
+    "g_except_all",                # G set ops (bag semantics)
+    "h1_interval_arith",           # H1 ts arithmetic
+    # scalar-function families
+    "h6_array_funcs",              # H6 arrays
+    "h8_json_funcs",               # H8 JSON (events.props, nanos ts)
+    "h13_variant",                 # H-ext VARIANT
+    # SQL surface
     "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
     "sql_exists_correlated",
-    "sql_in_subquery",
-    "sql_scalar_subquery",
     "sql_grouping_sets",
-    "d8_pivot",
-    "e3_window_range_frame",
-    "h1_interval_arith",
-    # -- sampling / UDF / pipeline, unverified in r1
-    "k6_hash_split",
-    "j_label_dispersion",
+    # time-series / streaming batch-twins
+    "c7_asof_join",
+    "i2_tumbling_window",
+    "ts_sessionize",
+    # join extensions
+    "c11_scd2_join",
+    "c9_fuzzy_join",
+    # mergeable sketches
+    "d13_bitmap_distinct",
+    "d15_count_min",
+    # pandas-UDF forms
     "j_grouped_agg_mad",
+    "j_label_dispersion",
+    "j_cogroup_medians",
+    # K1/K2 dedup
+    "k1_dedup_exact_keep",
+    "k2_minhash_lsh",
+    "k2_ppjoin",
+    # K3 similarity
+    "k3_knn_bruteforce",
+    "k3_ivfpq_search",
+    # K4 text
+    "k4_gopher_rules",
+    "k4_bpe_train",
+    # K5 multimodal
+    "k5_ppm_decode",
+    "k5_ahash_near_dup",
+    # K6/K7 sampling + composed pipeline
+    "k6_hash_split",
     "k7_training_corpus",
-    # -- new round-2 pipeline ops
-    "k7_sequence_packing",
-    "k4_redact",
-    # -- approx tier: fixed (d7) / newly oracled this round
-    "d7_quantiles_approx",
-    "d3_approx_count_distinct",
-    "k6_uniform_sample",
-    "k6_stratified_sample",
-    "j_normalize_embeddings",
-    "k2_simhash_near_pairs",
-    # -- new round-2 operators (ACID table layer + pipeline ops).
-    # These take the window slots over already-green relational
-    # representatives: with more oracle-backed queries than driver
-    # slots, first-time verification of novel machinery beats
-    # re-verification. The round-2 TPC-H additions (q7/q8/q13/q17/
-    # q21, q6/q15/q19/q22) wait for round-3 slots — they are
-    # same-text SQL, so local pytest parity already runs the exact
-    # comparison the driver would.
+    # retrieval
+    "k10_bm25",
+    # ACID table layer
     "a10_snapshot_lineage",
     "a12_time_travel",
     "a13_merge_upsert",
-    "k8_decontaminate",
-    "k4_repetition_filter",
+    "a25_change_feed",
+    "a26_ivm_view",
+    "a27_spec_history",
 )
 
 
