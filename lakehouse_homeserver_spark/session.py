@@ -69,6 +69,17 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = {**default_conf(), **(extra_conf or {})}
+    if master.startswith("local"):
+        # In local mode ONE driver heap is the whole cluster; Spark's
+        # 1g default starves 32 concurrent tasks (GC-locker stalls,
+        # then OOM on array-heavy ops at 10x corpus in the scaling
+        # smoke). On a real cluster spark-submit owns this knob, so
+        # it is only set for self-built local sessions (static conf —
+        # must be set before the JVM starts).
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -418,3 +418,109 @@ def stream_enrich_events(
 ) -> StreamingQuery:
     src = read_file_stream(spark, landing_dir, events_schema())
     return _start_parquet_sink(enrich_events(src, profile), out_dir, checkpoint)
+
+
+# ---------------------------------------------------------------------------
+# I-ext: streaming IVM — the CHANGE FEED maintaining an aggregate view
+# ---------------------------------------------------------------------------
+
+def apply_cdc_batch(
+    spark: SparkSession,
+    view_path: str,
+    keys: list[str],
+    measure: str,
+    batch: DataFrame,
+    batch_id: int,
+) -> None:
+    """Fold one CDC micro-batch (rows carrying `_change_type`) into a
+    keyed count/sum view as a SIGNED merge: +1/+value per insert,
+    −1/−value per delete — the counting-algorithm IVM from
+    `sources/ivm.py`, driven by the stream instead of a batch cursor.
+    Batch-id idempotence restores exactly-once over foreachBatch's
+    at-least-once replay (same pattern as `upsert_user_totals_batch`);
+    groups whose count reaches zero leave the view."""
+    from ..sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, view_path)
+    if t.exists() and any(
+        e.get("properties", {}).get("stream_batch_id") == batch_id
+        for e in t.history()
+    ):
+        return
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    m = F.col(measure).cast("decimal(18,2)")
+    delta = (
+        batch.select(*keys, sign.alias("sign"), m.alias("m"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("sign").alias("cnt"),
+            F.sum(F.col("sign") * F.col("m"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+    )
+    props = {"stream_batch_id": batch_id}
+    if not t.exists():
+        t.create(delta.filter(F.col("cnt") != 0), properties=props)
+        return
+    cur = t.read().select(
+        *keys, F.col("cnt").alias("cnt_a"), F.col("total").alias("tot_a")
+    )
+    d = delta.select(
+        *keys, F.col("cnt").alias("cnt_b"), F.col("total").alias("tot_b")
+    )
+    merged = (
+        cur.join(d, keys, "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce("cnt_a", F.lit(0)) + F.coalesce("cnt_b", F.lit(0))
+            ).alias("cnt"),
+            (
+                F.coalesce(F.col("tot_a"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("tot_b"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("decimal(18,2)").alias("total"),
+        )
+        .filter(F.col("cnt") != 0)
+    )
+    t.create_or_replace(merged, properties=props)
+
+
+def stream_cdc_aggregate(
+    spark: SparkSession,
+    src_table_path: str,
+    view_path: str,
+    keys: list[str],
+    measure: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming materialized view over a MUTATING table: consume the
+    snapshot table's row-level change feed
+    (`format("snapshot").option("readChangeFeed", "true")`) and fold
+    each micro-batch into the aggregate with a signed merge. Appends
+    AND row-level MoR deletes flow through; the view table is
+    dimension-sized, the source stays untouched. This is the
+    composition Delta sells as CDF → foreachBatch MERGE, closed
+    end-to-end over the commit-log format.
+
+    At 100 TB: per-trigger work = O(changed rows) + O(view); the
+    stream's offsets are snapshot versions in the checkpoint, so
+    restarts resume exactly-once mid-history."""
+    from ..sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    src = (
+        spark.readStream.format("snapshot")
+        .option("readChangeFeed", "true")
+        .load(src_table_path)
+    )
+    return (
+        src.writeStream.foreachBatch(
+            lambda batch, bid: apply_cdc_batch(
+                spark, view_path, keys, measure, batch, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

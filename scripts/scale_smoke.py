@@ -50,6 +50,13 @@ OPS = [
     "d15_count_min",
     "c9_fuzzy_join",
     "k7_incremental_dedup",
+    # round-2 continued: retrieval / exact all-pairs / image hash
+    "k10_bm25",
+    "k10_inverted_index",
+    "k2_ppjoin",
+    "k5_ahash_near_dup",
+    "k4_bigram_lm_score",
+    "k4_gopher_rules",
 ]
 
 

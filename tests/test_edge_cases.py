@@ -81,6 +81,17 @@ EMPTY_SAFE = [
     "ts_ewma",
     "d12_corr_covar",
     "sql_lateral_join",
+    # round-2 additions
+    "k4_gopher_rules",
+    "k4_bigram_lm_score",
+    "k10_bm25",
+    "k10_inverted_index",
+    "k10_phrase_search",
+    "k10_chunk_documents",
+    "k2_ppjoin",
+    "k5_ahash_near_dup",
+    "k6_epoch_shuffle",
+    "c11_scd2_join",
 ]
 
 

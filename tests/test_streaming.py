@@ -407,3 +407,68 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, sf_dir, tmp_path
         r.purchase_id for r in got.collect() if r.click_id is None
     }
     assert batch_outer_old <= got_outer
+
+
+def test_stream_cdc_aggregate_tracks_mutating_table(spark, sf_dir, tmp_path):
+    """Streaming IVM: the CDC stream maintains a keyed count/sum view
+    across appends AND row-level deletes; a second drain off the same
+    checkpoint consumes only the new commits; the view always equals
+    the batch aggregate of the CURRENT table state."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+    from lakehouse_homeserver_spark.streaming.jobs import stream_cdc_aggregate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 5 == 0
+    )
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view_path = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_cdc_aggregate(
+            spark, src.path, view_path,
+            keys=["o_orderstatus"], measure="o_totalprice",
+            checkpoint=ckpt,
+        )
+        assert q.awaitTermination(180)
+
+    def assert_in_sync():
+        got = {
+            (r.o_orderstatus, r.cnt, str(r.total))
+            for r in SnapshotTable(spark, view_path).read().collect()
+        }
+        want = {
+            (r.o_orderstatus, r.cnt, str(r.total))
+            for r in src.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "total"
+                ),
+            )
+            .collect()
+        }
+        assert got == want
+
+    src.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    drain(); assert_in_sync()
+
+    src.delete_where(
+        F.col("o_orderkey") % 4 == 0, mode="mor", equality_on=["o_orderkey"]
+    )
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    drain(); assert_in_sync()
+
+    # nothing new: drain again, view unchanged (idempotent replay)
+    before = sorted(
+        map(tuple, SnapshotTable(spark, view_path).read().collect())
+    )
+    drain()
+    after = sorted(
+        map(tuple, SnapshotTable(spark, view_path).read().collect())
+    )
+    assert before == after
