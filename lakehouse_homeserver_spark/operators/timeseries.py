@@ -918,3 +918,80 @@ def c11_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+@query(
+    "ts_sliding_hll",
+    oracle="""
+    WITH x AS (
+      SELECT date_trunc('hour', ts) AS hour, user_id FROM events
+    ),
+    h AS (SELECT DISTINCT hour FROM x)
+    SELECT h.hour, COUNT(DISTINCT x.user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM h JOIN x
+      ON x.hour BETWEEN h.hour - INTERVAL 2 HOUR AND h.hour
+    GROUP BY h.hour
+    """,
+)
+def ts_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users via MERGEABLE HLL sketches (the
+    composable-rollup pattern over time: Druid/Snowflake's
+    sketch-per-bucket design): one HLL sketch per hour, then each
+    3-hour trailing window is a UNION of three already-built sketches
+    — never a re-scan of the raw events. At 100 TB the raw stream is
+    sketched once (map-side, constant memory) and every rollup
+    granularity (3 h, day, month) derives from bucket sketches by
+    merge; exact sliding COUNT(DISTINCT) would re-shuffle the events
+    per window.
+
+    The slide is expressed as explode-to-targets (hour h's sketch
+    feeds windows h, h+1, h+2) + one union-merge aggregate — bounded
+    by buckets × window width, not by events. Oracle pattern as
+    d3_approx_count_distinct: exact counts as value columns, the HLL
+    estimate as a within-5% boolean pinned TRUE (lgConfigK=14 →
+    rsd ≈ 0.8%, 3σ well inside the bound).
+    """
+    e = T(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    )
+    hourly = e.groupBy("hour").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    offsets = F.array(*[F.lit(i) for i in range(3)])
+    shifted = hourly.select(
+        "sk", F.explode(offsets).alias("o"), "hour"
+    ).select(
+        "sk",
+        (F.col("hour") + F.col("o") * F.expr("INTERVAL 1 HOUR")).alias(
+            "target"
+        ),
+    )
+    slid = shifted.groupBy("target").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = (
+        e.select("user_id", F.explode(offsets).alias("o"), "hour")
+        .select(
+            "user_id",
+            (F.col("hour") + F.col("o") * F.expr("INTERVAL 1 HOUR")).alias(
+                "target"
+            ),
+        )
+        .distinct()
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    hours = hourly.select(F.col("hour").alias("target"))
+    return (
+        slid.join(exact, "target")
+        .join(hours, "target", "left_semi")
+        .select(
+            F.col("target").alias("hour"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+    )

@@ -80,7 +80,12 @@ def test_all_queries_run(spark, sf_dir):
 @pytest.mark.parametrize(
     "name",
     ["q1_pricing_summary", "k6_hash_split", "tpch_q5_local_supplier_volume",
-     "k3_centroid_by_label", "ts_rich_sessions"],
+     "k3_centroid_by_label", "ts_rich_sessions",
+     # round-2: decimal-summed ranking, prefix-join pairs, banded
+     # Hamming pairs, signed-feed IVM — each must be bit-identical
+     # under a co-prime partition count
+     "k10_bm25", "k2_ppjoin", "k5_ahash_near_dup", "k4_bigram_lm_score",
+     "a26_ivm_view"],
 )
 def test_results_invariant_to_partitioning(name, spark, sf_dir):
     """The order-independence contract: decimal-exact sums and
