@@ -1881,3 +1881,101 @@ def k2_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+CDC_AVG_CHUNK = 8  # expected chunk length: boundary when h(tok) % 8 == 0
+
+
+@query(
+    "k1_cdc_chunk_dedup",
+    oracle=f"""
+    WITH cdc_tok AS (
+      SELECT doc_id, r.i AS pos, tk[r.i] AS tok
+      FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk
+            FROM documents),
+           UNNEST(range(1, LEN(tk) + 1)) AS r(i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN CAST('0x' || SUBSTRING(md5(tok), 1, 8) AS BIGINT)
+                       % {CDC_AVG_CHUNK} = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM cdc_tok
+    ),
+    chunked AS (
+      SELECT doc_id, pos, tok,
+             SUM(boundary) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS digest,
+             COUNT(*) AS chunk_len
+      FROM chunked GROUP BY doc_id, chunk_id
+    )
+    SELECT digest,
+           ANY_VALUE(chunk_len) AS chunk_len,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS keeper_doc
+    FROM chunks
+    GROUP BY digest
+    HAVING COUNT(*) > 1
+    """,
+)
+def k1_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS/FastCDC
+    boundary rule applied to text): chunk boundaries fall where a
+    per-TOKEN hash hits `h % {CDC_AVG_CHUNK} == 0`, so boundaries are
+    a pure function of local content — inserting or deleting a prefix
+    SHIFTS a fixed-window chunking's every chunk (k1_span_dedup's
+    failure mode on edited near-dups) but leaves content-defined
+    boundaries downstream of the edit untouched. Duplicate chunks
+    across the corpus are then exact digest groups: the edit-tolerant
+    repeated-passage detector between exact span dedup and MinHash.
+
+    100 TB design: boundary flags are map-only; chunk assembly is one
+    per-doc window (running boundary sum — keys embed doc_id, skew-
+    free) + one (doc, chunk) groupBy; cross-corpus grouping shuffles
+    16-byte digests. Identical md5 arithmetic in both engines makes
+    every digest, boundary, and group hash-checkable.
+    """
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(norm_text(F.col("text")), " ")).alias(
+            "pos0", "tok"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    flagged = tok.withColumn(
+        "boundary", (h % CDC_AVG_CHUNK == 0).cast("int")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunked = flagged.withColumn("chunk_id", F.sum("boundary").over(w))
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("digest"),
+        F.count(F.lit(1)).alias("chunk_len"),
+    )
+    return (
+        chunks.groupBy("digest")
+        .agg(
+            F.any_value("chunk_len").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

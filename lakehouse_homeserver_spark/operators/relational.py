@@ -2079,3 +2079,147 @@ def f5_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+D16_BINS = 256
+
+
+@query(
+    "d16_histogram_quantiles",
+    oracle=f"""
+    WITH rng AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_returnflag AS f,
+             LEAST(GREATEST(CAST(FLOOR((l_extendedprice - mn)
+                 / ((mx - mn) / {D16_BINS})) AS INTEGER), 0),
+                 {D16_BINS - 1}) AS bin
+      FROM lineitem CROSS JOIN rng
+    ),
+    c AS (SELECT f, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT f, bin, n,
+             SUM(n) OVER (PARTITION BY f ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY f) AS total
+      FROM c
+    ),
+    pick AS (
+      SELECT q.q, cum.*,
+             ROW_NUMBER() OVER (
+               PARTITION BY f, q.q ORDER BY bin) AS rn
+      FROM cum CROSS JOIN (VALUES (0.5), (0.95)) AS q(q)
+      WHERE cum >= q.q * total
+    ),
+    est AS (
+      SELECT f, q,
+             ROUND(mn + (bin + (q * total - (cum - n)) / n)
+                   * ((mx - mn) / {D16_BINS}), 4) AS e
+      FROM pick CROSS JOIN rng WHERE rn = 1
+    )
+    SELECT f AS l_returnflag,
+           MAX(CASE WHEN q = 0.5 THEN e END) AS p50_est,
+           MAX(CASE WHEN q = 0.95 THEN e END) AS p95_est,
+           TRUE AS p50_within_bin,
+           TRUE AS p95_within_bin
+    FROM est GROUP BY f
+    """,
+)
+def d16_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE equi-width histogram (the
+    t-digest/KLL role played by the simplest mergeable state: per-bin
+    counts, which merge by addition — so per-partition, per-shard, or
+    per-day histograms roll up without re-scanning, the same
+    composable contract as d13's bitmaps and d15's count-min). The
+    estimate interpolates inside the quantile's bin, so its error is
+    bounded by one bin width; that bound is checked against the EXACT
+    interpolated percentile in-driver (booleans pinned TRUE), and the
+    estimate itself is integer/IEEE-deterministic — the oracle
+    rebuilds the identical histogram and interpolation, so the
+    VALUES hash-match too (stronger than the usual approx-tier
+    bound-only check).
+
+    100 TB design: one 2-value range broadcast, one combiner-heavy
+    (group, bin) count (≤ groups × {D16_BINS} rows into the
+    exchange), window over bins (bin-bounded). The raw column is
+    scanned once, never sorted — exact percentiles need a per-group
+    sort at every rollup level instead.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    rng = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / D16_BINS
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast(
+                "int"
+            ),
+            F.lit(0),
+        ),
+        F.lit(D16_BINS - 1),
+    )
+    b = li.crossJoin(F.broadcast(rng)).select(
+        F.col("l_returnflag").alias("f"), bin_.alias("bin")
+    )
+    c = b.groupBy("f", "bin").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.partitionBy("f").orderBy("bin")
+    cum = c.select(
+        "f",
+        "bin",
+        "n",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(Window.partitionBy("f")).alias("total"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.95,)], "q double")
+    picked = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("f", "q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = picked.crossJoin(F.broadcast(rng)).select(
+        "f",
+        "q",
+        F.round(
+            F.col("mn")
+            + (
+                F.col("bin")
+                + (F.col("q") * F.col("total") - (F.col("cum") - F.col("n")))
+                / F.col("n")
+            )
+            * width,
+            4,
+        ).alias("e"),
+        width.alias("w"),
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("f")).agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("x50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("x95"),
+    )
+    wide = est.groupBy("f").agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("e"))).alias("p50_est"),
+        F.max(F.when(F.col("q") == 0.95, F.col("e"))).alias("p95_est"),
+        F.any_value("w").alias("w"),
+    )
+    return (
+        wide.join(exact, "f")
+        .select(
+            F.col("f").alias("l_returnflag"),
+            "p50_est",
+            "p95_est",
+            (F.abs(F.col("p50_est") - F.col("x50")) <= F.col("w")).alias(
+                "p50_within_bin"
+            ),
+            (F.abs(F.col("p95_est") - F.col("x95")) <= F.col("w")).alias(
+                "p95_within_bin"
+            ),
+        )
+    )

@@ -666,3 +666,34 @@ def test_expect_rejects_empty_rules_and_unknown_ref(spark, sf_dir):
             [("relationships", "o_custkey", "typo", "c_custkey")],
             refs={},
         )
+
+
+def test_cdc_chunking_is_shift_robust(spark, tmp_path, sf_dir):
+    """The content-defined-chunking guarantee: prepending a prefix to
+    a document leaves the chunk boundaries AFTER the edit untouched,
+    so the original and the shifted copy still share most chunk
+    digests — exactly what fixed-offset chunking loses (every chunk
+    shifts, zero digests shared). Built on a synthetic two-doc corpus
+    so the property is exercised regardless of fixture content."""
+    import os
+
+    base_words = [f"w{i % 37}x{(i * 7) % 11}" for i in range(160)]
+    base = " ".join(base_words)
+    shifted = "zzz qqq vvv " + base  # 3-token prefix insertion
+    d = str(tmp_path / "cdc")
+    os.makedirs(d, exist_ok=True)
+    for t in ("region nation customer supplier part orders lineitem "
+              "events embeddings").split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    spark.createDataFrame(
+        [(1, base, "en", "s", len(base)), (2, shifted, "en", "s", len(shifted))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    dup = dedup.k1_cdc_chunk_dedup(spark, d)
+    shared = dup.filter(F.col("n_docs") == 2).count()
+    # per-doc chunk counts: expected ~160/8 = ~20 chunks; the shifted
+    # copy must share all but the first chunk (the edit region)
+    assert shared >= 10, f"only {shared} shared chunks — not shift-robust"
