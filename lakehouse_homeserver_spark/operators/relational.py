@@ -2223,3 +2223,138 @@ def d16_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "h16_xml_funcs",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(10,2))) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def h16_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip (H-ext; Spark 4 native `from_xml` — the last of
+    the semi-structured format rungs next to JSON/h8, VARIANT/h13 and
+    CSV landing): each event is serialized to an XML fragment, then
+    REALLY parsed back with `from_xml` into a typed struct, and the
+    parsed fields aggregate. The oracle computes the same aggregate
+    directly from the raw columns, so hash-equality proves the
+    serialize→parse round-trip is lossless (values ride as
+    DECIMAL(10,2) strings — engine-stable formatting).
+
+    Map-only + one aggregate; the XML codec runs inside the JVM row
+    pipeline, no Python."""
+    e = T(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<event><type>"),
+        F.col("event_type"),
+        F.lit("</type><value>"),
+        F.round(F.col("value"), 2).cast("decimal(10,2)").cast("string"),
+        F.lit("</value></event>"),
+    )
+    parsed = e.select(
+        F.from_xml(xml, "type STRING, value STRING").alias("p")
+    ).select(
+        F.col("p.type").alias("event_type"),
+        F.col("p.value").cast("decimal(10,2)").alias("v"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "d17_theta_sketch_setops",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END) AS b
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(SUM(a) AS BIGINT) AS exact_a,
+           CAST(SUM(b) AS BIGINT) AS exact_b,
+           COUNT(*) AS exact_union,
+           CAST(SUM(a * b) AS BIGINT) AS exact_inter,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS exact_diff,
+           TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok,
+           TRUE AS inter_ok, TRUE AS diff_ok
+    FROM m
+    """,
+)
+def d17_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET OPERATIONS on sketches (DataSketches Theta — the sketch
+    family whose point is that UNION, INTERSECTION and DIFFERENCE of
+    distinct-count states are themselves sketch operations; HLL can
+    only union): distinct customers active in the early epoch (A:
+    ≤1997), the late epoch (B: ≥1998), and every Venn region of the
+    two — estimated from two sketches built in ONE scan (conditional
+    `when()` inputs), then combined sketch-side. At 100 TB this is
+    audience-overlap / churn analysis without ever materializing the
+    key sets: per-segment sketches are built once (mergeable,
+    partial-aggregated) and ANY cross-segment overlap question is
+    answered from stored sketch state.
+
+    Oracle pattern as d3: exact Venn counts as value columns (one
+    per-key flag aggregate — DuckDB recomputes), each estimate as a
+    within-bound boolean pinned TRUE (|est−exact| ≤ 3%·exact + 8;
+    measured ≤0.7% at sf0.1, exact below sketch capacity)."""
+    o = T(spark, sf_dir, "orders")
+    sk = o.select(
+        F.theta_sketch_agg(
+            F.when(F.year("o_orderdate") <= 1997, F.col("o_custkey"))
+        ).alias("sa"),
+        F.theta_sketch_agg(
+            F.when(F.year("o_orderdate") >= 1998, F.col("o_custkey"))
+        ).alias("sb"),
+    ).select(
+        F.theta_sketch_estimate("sa").alias("est_a"),
+        F.theta_sketch_estimate("sb").alias("est_b"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("est_u"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias(
+            "est_i"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias(
+            "est_d"
+        ),
+    )
+    m = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.year("o_orderdate") <= 1997, 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.year("o_orderdate") >= 1998, 1).otherwise(0)
+        ).alias("b"),
+    )
+    exact = m.agg(
+        F.sum("a").cast("bigint").alias("exact_a"),
+        F.sum("b").cast("bigint").alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("exact_inter"),
+        F.sum(F.col("a") * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("exact_diff"),
+    )
+
+    def ok(est, ex):
+        return F.abs(F.col(est) - F.col(ex)) <= 0.03 * F.col(ex) + 8
+
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            "exact_diff",
+            ok("est_a", "exact_a").alias("a_ok"),
+            ok("est_b", "exact_b").alias("b_ok"),
+            ok("est_u", "exact_union").alias("union_ok"),
+            ok("est_i", "exact_inter").alias("inter_ok"),
+            ok("est_d", "exact_diff").alias("diff_ok"),
+        )
+    )

@@ -1423,3 +1423,69 @@ def k4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_log_score"
         ),
     )
+
+
+@query(
+    "k4_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, {SQL_NORM} AS nt,
+             string_split({SQL_NORM}, ' ') AS toks
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, source,
+             LEN(toks) AS n_words,
+             md5(nt) AS digest,
+             (LEN(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AS len_ok
+      FROM t
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT digest) AS n_unique_texts,
+           COUNT(*) - COUNT(DISTINCT digest) AS n_exact_dups,
+           CAST(COUNT(*) FILTER (len_ok) AS BIGINT) AS n_len_ok,
+           CAST(MIN(n_words) AS BIGINT) AS min_words,
+           CAST(MAX(n_words) AS BIGINT) AS max_words
+    FROM per_doc GROUP BY lang
+    """,
+)
+def k4_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics (the datasheet/data-statement summary
+    a corpus release ships with — HuggingFace dataset cards, Datasheets
+    for Datasets): per language, document and token volumes, source
+    diversity, exact-duplicate rate, and the quality-gate pass count
+    — all derived in ONE pass over per-doc metrics (map-only
+    derivations + a single language-keyed aggregate; distincts ride
+    the same shuffle). At 100 TB this is the cheap audit artifact
+    produced after every pipeline stage: all counts integer-exact,
+    so regressions diff cleanly between runs.
+    """
+    d = T(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    toks = F.split(nt, " ")
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("n_words"),
+        F.md5(nt).alias("digest"),
+        F.size(toks).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias(
+            "len_ok"
+        ),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("digest").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.count_distinct("digest")).alias(
+            "n_exact_dups"
+        ),
+        F.count_if("len_ok").cast("bigint").alias("n_len_ok"),
+        F.min("n_words").cast("bigint").alias("min_words"),
+        F.max("n_words").cast("bigint").alias("max_words"),
+    )

@@ -482,6 +482,7 @@ BNLJ_ALLOWED = {
     "d3_hll_sketch_merge",      # 1-row exact-side bound check
     "d10_histogram",            # 1-row (min,max) range broadcast
     "d16_histogram_quantiles",  # 1-row range + 2-row quantile broadcast
+    "d17_theta_sketch_setops",  # 1-row sketch x 1-row exact broadcast
     "k4_tfidf_terms",           # 1-row n_docs broadcast
     "k10_bm25",                 # 1-row (n_docs, total_dl) broadcast
     "k4_unigram_lm_score",      # 1-row token-total broadcast
