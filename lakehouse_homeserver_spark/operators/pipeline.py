@@ -290,3 +290,66 @@ def k7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incr.join(base_digests, "digest", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+MANIFEST_SHARDS = 16
+
+
+@query(
+    "k7_shard_manifest",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || SUBSTRING(md5('shard:' || doc_id), 1, 8)
+                  AS BIGINT) % {MANIFEST_SHARDS} AS INTEGER) AS shard_id,
+             LEN(string_split({SQL_NORM}, ' ')) AS n_tokens,
+             md5({SQL_NORM}) AS digest
+      FROM documents
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(digest, '' ORDER BY digest)) AS shard_digest
+    FROM per_doc GROUP BY shard_id
+    """,
+)
+def k7_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest (the webdataset/JSONL-shards
+    stage that hands a corpus to the training job): every document is
+    assigned to one of {MANIFEST_SHARDS} shards by a deterministic md5
+    bucket (the k6_hash_split contract — reproducible on re-run, no
+    global sort), and each shard's manifest row carries its document
+    count, token budget, and a CONTENT digest (md5 over the shard's
+    doc digests in digest order — arrival-order-independent). The
+    manifest is what downstream integrity checks diff: a changed
+    shard digest pinpoints exactly which shard needs re-export.
+
+    100 TB design: shard assignment is map-only; the manifest
+    aggregate shuffles 16-byte digests keyed by shard (bounded,
+    uniform); the actual payload write would ride the same
+    partitioning (`partitionBy(shard_id)`) without any extra
+    exchange. Every column is hash-checked by the oracle's identical
+    derivation.
+    """
+    d = T(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % MANIFEST_SHARDS
+    ).cast("int")
+    per_doc = d.select(
+        shard.alias("shard_id"),
+        F.size(F.split(nt, " ")).alias("n_tokens"),
+        F.md5(nt).alias("digest"),
+    )
+    return per_doc.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws("", F.sort_array(F.collect_list("digest")))
+        ).alias("shard_digest"),
+    )

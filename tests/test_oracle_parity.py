@@ -85,7 +85,8 @@ def test_all_queries_run(spark, sf_dir):
      # Hamming pairs, signed-feed IVM — each must be bit-identical
      # under a co-prime partition count
      "k10_bm25", "k2_ppjoin", "k5_ahash_near_dup", "k4_bigram_lm_score",
-     "a26_ivm_view"],
+     "a26_ivm_view", "k1_cdc_chunk_dedup", "d16_histogram_quantiles",
+     "d17_theta_sketch_setops", "ts_sliding_hll"],
 )
 def test_results_invariant_to_partitioning(name, spark, sf_dir):
     """The order-independence contract: decimal-exact sums and
