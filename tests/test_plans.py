@@ -579,3 +579,44 @@ def test_scd2_join_keeps_the_equi_key(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_kicks_in(spark, sf_dir, tmp_path):
+    """§4 optimizer row: DPP. With the fact table PARTITIONED on the
+    join key's functional image (order year), a selective dim-side
+    filter must inject a runtime subquery filter into the fact scan
+    (PartitionFilters: dynamicpruning...) so only matching partition
+    directories are read — the partition-level analogue of the
+    runtime bloom filter, and the mechanism that makes star joins
+    over date-partitioned 100 TB facts read weeks instead of years."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    fact_dir = str(tmp_path / "orders_by_year")
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # The dim predicate must be UNKNOWABLE at plan time (a static
+    # o_year=1995 constant-folds into ordinary partition pruning —
+    # verified: PartitionFilters gets the literal and DPP never
+    # fires). Filtering on a runtime aggregate keeps the qualifying
+    # years runtime-only, so the fact scan must take a
+    # dynamicpruning subquery filter instead.
+    dim_dir = str(tmp_path / "year_dim")
+    orders.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).write.mode("overwrite").parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir)
+    threshold = int(
+        dim.agg(F.max("cnt")).collect()[0][0]
+    )  # only the busiest year(s) qualify
+    joined = fact.join(
+        dim.filter(F.col("cnt") >= threshold), "o_year"
+    ).groupBy("o_year").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    picked = {r["o_year"] for r in joined.collect()}
+    want = {
+        r["o_year"]
+        for r in dim.filter(F.col("cnt") >= threshold).collect()
+    }
+    assert picked == want and picked

@@ -1656,3 +1656,51 @@ def test_incremental_aggregate_survives_deletes_and_replaces(
 
     # replay safety unchanged: blind re-run is a no-op
     assert ivm.refresh()["refreshed"] is False
+
+
+def test_python_datasource_write_abort_leaves_no_visible_state(
+    spark, tmp_path, nations
+):
+    """A failed format("snapshot") write must change NOTHING a reader
+    can see: the commit never happens, successful tasks' staged files
+    are unlinked by abort(), and any crash leftovers are invisible
+    orphans that expire_snapshots GCs."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    t.create(nations)
+    v_before = t.latest_version()
+    data_before = set(os.listdir(t._data_path))
+
+    schema = StructType([StructField("n_nationkey", LongType())])
+
+    def boom(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if (pdf["n_nationkey"] % 2 == 0).any():
+                raise RuntimeError("injected task failure")
+            yield pd.DataFrame({"n_nationkey": pdf["n_nationkey"]})
+
+    bad = nations.select("n_nationkey").repartition(4).mapInPandas(
+        boom, schema
+    )
+    with pytest.raises(Exception, match="injected task failure"):
+        bad.write.format("snapshot").mode("append").save(path)
+
+    assert t.latest_version() == v_before, "no commit may appear"
+    assert t.read().count() == nations.count()
+    leftovers = set(os.listdir(t._data_path)) - data_before
+    # leftovers (partial task files) are INVISIBLE: no manifest
+    # references them, and GC removes them
+    manifest = set(t.entry(v_before)["manifest"])
+    assert not (leftovers & manifest)
+    t.append(nations.limit(1))  # bump so expire has a retained head
+    t.expire_snapshots(keep_last=1)
+    after_gc = set(os.listdir(t._data_path)) - data_before
+    live = set(t.entry(t.latest_version())["manifest"])
+    assert after_gc <= live, f"orphans survived GC: {after_gc - live}"
