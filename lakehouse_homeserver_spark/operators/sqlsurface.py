@@ -26,6 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import datetime
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -921,3 +922,42 @@ sql_query(
     ORDER BY ALL
     """,
 )
+
+
+@query(
+    "sql_named_params",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice")} AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named markers (`:param` — the
+    SQL-injection-safe templating surface dbt/BI tools need;
+    `spark.sql(text, args=...)` binds literals at PARSE time, so
+    Catalyst still constant-folds and pushes the predicates down
+    exactly as in the inlined form). The oracle runs the same query
+    with the parameters inlined — hash-equality proves binding
+    changes nothing semantically.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "cutoff": datetime.datetime(1996, 1, 1),
+            "min_price": 1000.0,
+        },
+    )
