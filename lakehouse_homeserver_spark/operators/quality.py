@@ -52,6 +52,17 @@ def expect(
       ("accepted_values", col, [v, ..])  — values outside the list
       ("relationships", col, ref, refcol)— child keys missing from
                                            refs[ref] (FK integrity)
+      ("row_count_between", "*", lo, hi) — dbt's volume test: total
+                                           rows outside [lo, hi]
+                                           fails (n_violations 0/1)
+      ("freshness", col, cutoff)         — dbt source freshness:
+                                           max(col) older than the
+                                           caller-supplied cutoff
+                                           timestamp fails (the
+                                           cutoff is an argument so
+                                           the check is deterministic
+                                           and replayable — callers
+                                           pass now()-SLA)
 
     Same-table rules share one scan: their conditional counts ride a
     single aggregate. Cross-table rules are anti-joins.
@@ -81,6 +92,25 @@ def expect(
                 F.count_if(
                     F.col(col).isNotNull() & ~F.col(col).isin(rule[2])
                 ).alias(f"v{len(names)}")
+            )
+            names.append((kind, col))
+        elif kind == "row_count_between":
+            lo, hi = rule[2], rule[3]
+            n = F.count(F.lit(1))
+            agg_cols.append(
+                F.when((n < lo) | (n > hi), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias(f"v{len(names)}")
+            )
+            names.append((kind, f"*[{lo},{hi}]"))
+        elif kind == "freshness":
+            cutoff = rule[2]
+            agg_cols.append(
+                F.when(F.max(F.col(col)) < F.lit(cutoff), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias(f"v{len(names)}")
             )
             names.append((kind, col))
         elif kind == "relationships":
@@ -182,4 +212,50 @@ def a23_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("relationships", "o_custkey", "customer", "c_custkey"),
         ],
         refs={"customer": customer},
+    )
+
+
+@query(
+    "a28_volume_freshness",
+    oracle="""
+    SELECT 'row_count_between' AS rule, '*[1,1000000000]' AS "column",
+           CAST(CASE WHEN COUNT(*) BETWEEN 1 AND 1000000000
+                THEN 0 ELSE 1 END AS BIGINT) AS n_violations,
+           COUNT(*) BETWEEN 1 AND 1000000000 AS passed
+    FROM events
+    UNION ALL
+    SELECT 'freshness', 'ts',
+           CAST(CASE WHEN MAX(ts) < TIMESTAMP '1990-01-01'
+                THEN 1 ELSE 0 END AS BIGINT),
+           MAX(ts) >= TIMESTAMP '1990-01-01'
+    FROM events
+    UNION ALL
+    SELECT 'freshness', 'ts',
+           CAST(CASE WHEN MAX(ts) < TIMESTAMP '2030-01-01'
+                THEN 1 ELSE 0 END AS BIGINT),
+           MAX(ts) >= TIMESTAMP '2030-01-01'
+    FROM events
+    """,
+)
+def a28_volume_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt's volume + source-freshness tests over the event stream
+    (completing the expectations surface next to a23's four row
+    rules): a row-count band that passes, a freshness check against a
+    past cutoff that passes, and one against a FUTURE cutoff that
+    fails by construction (the oracle computes the same verdicts).
+    All three ride ONE fused scan+aggregate — the after-every-load CI
+    gate costs one pass regardless of how many such rules a table
+    declares. The freshness cutoff is an explicit argument (callers
+    pass now()-SLA), keeping the check deterministic and replayable.
+    """
+    import datetime as _dt
+
+    e = T(spark, sf_dir, "events")
+    return expect(
+        e,
+        [
+            ("row_count_between", "*", 1, 1_000_000_000),
+            ("freshness", "ts", _dt.datetime(1990, 1, 1)),
+            ("freshness", "ts", _dt.datetime(2030, 1, 1)),
+        ],
     )
