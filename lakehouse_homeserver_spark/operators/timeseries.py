@@ -995,3 +995,234 @@ def ts_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "ts_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS k, o_orderdate AS s,
+             o_orderdate + INTERVAL 10 DAY
+               + to_days(CAST(o_orderkey % 20 AS INTEGER)) AS e
+      FROM orders WHERE o_custkey % 50 = 0
+    ),
+    flagged AS (
+      SELECT k, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY k ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY k ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    grouped AS (
+      SELECT k, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY k ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT k AS custkey, island,
+           MIN(s) AS window_start,
+           MAX(e) AS window_end,
+           COUNT(*) AS n_intervals
+    FROM grouped GROUP BY k, island
+    """,
+)
+def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge (the gaps-and-islands classic over
+    RANGES, not points — coverage windows, on-call shifts, session
+    spans): per customer, coalesce their order-activity intervals
+    (synthesized deterministically: order date + 10-20 days) into
+    maximal disjoint windows. An interval starts a new island iff its
+    start exceeds the running MAX of all previous ends (max, not lag
+    — an interval can be swallowed by an earlier longer one, the
+    pitfall that makes the naive lag(e) version wrong); islands are
+    then a running sum of the flags, same kernel as sessionization.
+
+    100 TB design: one window + one groupBy, both keyed by the
+    interval's partition key — per-key work is sort-linear and
+    AQE-splittable; no self-join over interval pairs (the O(n²)
+    formulation this replaces).
+    """
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    iv = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("s"),
+        (
+            F.col("o_orderdate")
+            + F.expr("INTERVAL 10 DAYS")
+            + F.make_dt_interval(
+                (F.col("o_orderkey") % 20).cast("int")
+            )
+        ).alias("e"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w)
+    flagged = iv.withColumn(
+        "new_island",
+        (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("int"),
+    )
+    run = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = flagged.withColumn("island", F.sum("new_island").over(run))
+    return grouped.groupBy(
+        F.col("k").alias("custkey"), "island"
+    ).agg(
+        F.min("s").alias("window_start"),
+        F.max("e").alias("window_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+LTTB_BUCKETS = 20
+
+
+@query(
+    "ts_lttb_downsample",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type AS series,
+             epoch_us(ts) AS x,
+             CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bucketed AS (
+      SELECT *, CAST(((rn - 1) * {LTTB_BUCKETS}) // n AS INTEGER) AS b
+      FROM pts
+    ),
+    avgs AS (
+      SELECT series, b,
+             CAST(SUM(x) AS DOUBLE) / COUNT(*) AS ax,
+             CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ay
+      FROM bucketed GROUP BY series, b
+    ),
+    anchors AS (
+      SELECT series, b,
+             LAG(ax) OVER (PARTITION BY series ORDER BY b) AS px,
+             LAG(ay) OVER (PARTITION BY series ORDER BY b) AS py,
+             LEAD(ax) OVER (PARTITION BY series ORDER BY b) AS nx,
+             LEAD(ay) OVER (PARTITION BY series ORDER BY b) AS ny
+      FROM avgs
+    ),
+    scored AS (
+      SELECT p.series, p.b, p.rn, p.x, p.y,
+             ROUND(ABS((a.px - a.nx) * (p.y - a.py)
+                       - (a.px - p.x) * (a.ny - a.py)), 4) AS area
+      FROM bucketed p JOIN anchors a
+        ON a.series = p.series AND a.b = p.b
+    ),
+    picked AS (
+      SELECT series, b, rn, x, y,
+             ROW_NUMBER() OVER (
+               PARTITION BY series, b
+               ORDER BY CASE WHEN b = 0 THEN -rn
+                             WHEN b = {LTTB_BUCKETS - 1} THEN rn
+                        END DESC,
+                        area DESC, rn) AS pick
+      FROM scored
+    )
+    SELECT series, b AS bucket, x AS ts_us, y AS value
+    FROM picked WHERE pick = 1
+    """,
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Steinarsson's Largest-Triangle-Three-Buckets
+    — the other canonical visualization reducer next to `ts_m4_downsample`):
+    keep, per bucket, the point forming the largest triangle with its
+    neighbor buckets. This is the parallelizable fixed-anchor variant
+    (triangles against the ADJACENT BUCKET AVERAGES rather than the
+    sequentially-chosen previous point — the standard streaming/
+    distributed adaptation, since exact LTTB's previous-pick
+    dependency is a sequential chain); first/last buckets keep their
+    endpoint, as LTTB requires.
+
+    Determinism: x is integer µs, y a 2-dp decimal-rounded double, the
+    area one fixed IEEE expression rounded to 4 dp, ties broken by
+    row number — every engine picks the same points.
+
+    100 TB design: two windows and one aggregate, all partitioned by
+    (series[, bucket]) — per-series work is sort-linear, output is
+    {LTTB_BUCKETS} points per series regardless of input rate (the
+    dashboard contract).
+    """
+    e = T(spark, sf_dir, "events")
+    wser = Window.partitionBy("series").orderBy("ts", "event_id")
+    pts = e.select(
+        F.col("event_type").alias("series"),
+        "ts",
+        "event_id",
+        F.unix_micros("ts").alias("x"),
+        F.round(F.col("value"), 2)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("y"),
+    ).select(
+        "series",
+        "x",
+        "y",
+        F.row_number().over(wser).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("series"))
+        .alias("n"),
+    )
+    bucketed = pts.withColumn(
+        "b",
+        F.expr(f"((rn - 1) * {LTTB_BUCKETS}) div n").cast("int"),
+    )
+    avgs = bucketed.groupBy("series", "b").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("ax"),
+        (
+            F.sum(F.col("y").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ay"),
+    )
+    wb = Window.partitionBy("series").orderBy("b")
+    anchors = avgs.select(
+        "series",
+        "b",
+        F.lag("ax").over(wb).alias("px"),
+        F.lag("ay").over(wb).alias("py"),
+        F.lead("ax").over(wb).alias("nx"),
+        F.lead("ay").over(wb).alias("ny"),
+    )
+    area = F.round(
+        F.abs(
+            (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+            - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+        ),
+        4,
+    )
+    scored = bucketed.join(anchors, ["series", "b"]).select(
+        "series", "b", "rn", "x", "y", area.alias("area")
+    )
+    endpoint_rank = (
+        F.when(F.col("b") == 0, -F.col("rn"))
+        .when(F.col("b") == LTTB_BUCKETS - 1, F.col("rn"))
+    )
+    wpick = Window.partitionBy("series", "b").orderBy(
+        endpoint_rank.desc(), F.col("area").desc(), F.col("rn")
+    )
+    return (
+        scored.withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "series",
+            F.col("b").alias("bucket"),
+            F.col("x").alias("ts_us"),
+            F.col("y").alias("value"),
+        )
+    )
