@@ -2358,3 +2358,77 @@ def d17_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok("est_d", "exact_diff").alias("diff_ok"),
         )
     )
+
+
+@query(
+    "d18_topn_plus_others",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation, p.p_type AS part_type,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                  AS DECIMAL(27,4)) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY nation ORDER BY revenue DESC, part_type) AS rk
+      FROM rev
+    )
+    SELECT nation,
+           CASE WHEN rk <= 3 THEN part_type ELSE 'OTHER' END AS bucket,
+           CAST(SUM(revenue) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_part_types
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def d18_topn_plus_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N + OTHERS rollup (the BI-dashboard staple every reference
+    user builds in dbt: keep each nation's 3 biggest part types by
+    revenue, collapse the tail into one 'OTHER' bucket so the chart
+    stays readable while totals stay exact): rank inside the
+    aggregated (nation, part_type) table, then re-aggregate with the
+    rank folded into a CASE bucket.
+
+    100 TB design: ranking happens on the ALREADY-AGGREGATED rollup
+    (nation × part_type — group-cardinality-sized, not fact-sized),
+    so the window is cheap; the fact table pays only the first
+    groupBy. Revenue stays decimal-exact through BOTH aggregation
+    levels, so the OTHER bucket equals total − top-3 to the cent —
+    the reconciliation property dashboards silently rely on.
+    Deterministic top-3: revenue is exact decimal, ties broken by
+    part_type.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    p = T(spark, sf_dir, "part")
+    rev = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            n["n_name"].alias("nation"), p["p_type"].alias("part_type")
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("decimal(27,4)")
+            .alias("revenue")
+        )
+    )
+    wk = Window.partitionBy("nation").orderBy(
+        F.col("revenue").desc(), F.col("part_type")
+    )
+    ranked = rev.withColumn("rk", F.row_number().over(wk))
+    bucket = F.when(F.col("rk") <= 3, F.col("part_type")).otherwise("OTHER")
+    return ranked.groupBy(
+        "nation", bucket.alias("bucket")
+    ).agg(
+        F.sum("revenue").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_part_types"),
+    )
