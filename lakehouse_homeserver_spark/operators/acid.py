@@ -881,3 +881,102 @@ def a27_spec_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "version bigint, operation string, spec_columns string, spec_id int",
     )
+
+
+@query(
+    "a29_stream_cdc_view",
+    oracle=f"""
+    WITH s AS (
+      SELECT * FROM orders WHERE o_orderkey % 10 = 0
+    ), live AS (
+      SELECT * FROM s
+      WHERE o_orderkey % 3 IN (0, 1)      -- create + append
+        AND o_orderkey % 4 <> 2           -- minus the MoR delete
+      UNION ALL
+      SELECT * FROM s WHERE o_orderkey % 3 = 2   -- post-restart append
+    )
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice")} AS total
+    FROM live GROUP BY o_orderstatus
+    """,
+)
+def a29_stream_cdc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVM over a mutating table, driver-certified END TO
+    END (SURVEY I-ext / VERDICT r2 next-round #8): a snapshot source
+    receives create → append → row-level MoR delete, a Structured
+    Streaming change-feed reader (`format("snapshot")` +
+    `readChangeFeed`) folds every commit into a keyed aggregate view
+    via foreachBatch signed merges — then the source receives one MORE
+    append and a SECOND stream with a FRESH checkpoint (batch ids
+    restart at 0, the exact recovery the expired-snapshot error
+    recommends) must fold exactly the unseen commit: idempotence is
+    keyed on the batch's `_commit_version` span, so the replayed
+    versions are row-filtered out and only version 4 lands. The oracle
+    recomputes the final aggregate from equivalent predicates — a
+    double-fold OR a skipped batch anywhere breaks the hash.
+    """
+    from ..streaming.jobs import stream_cdc_aggregate
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    root = tempfile.mkdtemp(prefix="snap-scdc-")
+    src = SnapshotTable(spark, os.path.join(root, "src"))
+    view_path = os.path.join(root, "view")
+    src.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    src.delete_where(
+        F.col("o_orderkey") % 4 == 2, mode="mor", equality_on=["o_orderkey"]
+    )
+    q = stream_cdc_aggregate(
+        spark, src.path, view_path, ["o_orderstatus"], "o_totalprice",
+        os.path.join(root, "ck1"),
+    )
+    q.awaitTermination(300)
+    # checkpoint-loss recovery: new data, FRESH checkpoint, ids @ 0
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    q2 = stream_cdc_aggregate(
+        spark, src.path, view_path, ["o_orderstatus"], "o_totalprice",
+        os.path.join(root, "ck2"),
+    )
+    q2.awaitTermination(300)
+    view = SnapshotTable(spark, view_path)
+    return view.read().select(
+        "o_orderstatus", "cnt", F.col("total").cast("double").alias("total")
+    )
+
+
+@query(
+    "a30_stream_upsert_totals",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def a30_stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE materialized view, driver-certified (SURVEY
+    I-ext / VERDICT r2 next-round #8): the events fixture is split
+    into a 3-file landing dir, drained file-by-file by a Structured
+    Streaming file source (maxFilesPerTrigger=1, availableNow), and
+    folded into a per-user totals snapshot table by idempotent MERGE
+    commits. The oracle is the one-shot batch aggregate over the same
+    events — per-batch rounding must reassociate to the exact
+    decimal-sum total in any batch split (the dsum re-rounding
+    contract), and every row must arrive exactly once across the
+    three micro-batch commits.
+    """
+    from ..streaming.jobs import (
+        prepare_events_landing,
+        stream_upsert_user_totals,
+    )
+
+    root = tempfile.mkdtemp(prefix="snap-sup-")
+    landing = os.path.join(root, "landing")
+    table = os.path.join(root, "user_totals")
+    prepare_events_landing(spark, sf_dir, landing, slices=3)
+    q = stream_upsert_user_totals(
+        spark, landing, table, os.path.join(root, "ck")
+    )
+    q.awaitTermination(300)
+    t = SnapshotTable(spark, table)
+    return t.read().select("user_id", "n_events", "total_value")

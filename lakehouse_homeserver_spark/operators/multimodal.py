@@ -486,10 +486,10 @@ def pcm_frame_batches(batches: Iterator, _nothing=None):
       FROM docs WHERE nb >= {PCM_FRAME}
     )
     SELECT doc_id, frame_idx,
-           list_sum(list_transform(range({PCM_FRAME}),
+           CAST(list_sum(list_transform(range({PCM_FRAME}),
              k -> CAST(ascii(substring(text,
                     CAST(frame_idx * {PCM_HOP} + k + 1 AS INTEGER), 1))
-                  AS BIGINT))) AS sum_amp,
+                  AS BIGINT))) AS BIGINT) AS sum_amp,
            ROUND(sqrt(CAST(list_sum(list_transform(range({PCM_FRAME}),
              k -> CAST(ascii(substring(text,
                     CAST(frame_idx * {PCM_HOP} + k + 1 AS INTEGER), 1))
@@ -629,9 +629,9 @@ def wav_roundtrip_batches(batches):
            CAST({WAV_CHANNELS} AS INTEGER) AS channels,
            CAST({WAV_BITS} AS INTEGER) AS bits,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
-           list_sum(list_transform(range(octet_length(encode(text))),
+           CAST(list_sum(list_transform(range(octet_length(encode(text))),
              k -> CAST(ascii(substring(text, CAST(k + 1 AS INTEGER), 1))
-                  AS BIGINT))) AS sum_amp,
+                  AS BIGINT))) AS BIGINT) AS sum_amp,
            ROUND(CAST(list_sum(list_transform(range(octet_length(encode(text))),
              k -> CAST(ascii(substring(text, CAST(k + 1 AS INTEGER), 1))
                   AS BIGINT))) AS DOUBLE)

@@ -205,7 +205,7 @@ INDEX_SEGMENT_DOCS = 100
     )
     SELECT term, segment,
            COUNT(*) AS df,
-           SUM(tf) AS total_tf,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
            string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
     FROM tf GROUP BY 1, 2
     """,

@@ -65,7 +65,7 @@ SQL_BUCKET = (
                 THEN 'train' ELSE 'eval' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     """,

@@ -430,7 +430,6 @@ def ivf_train(
     return centroids
 
 
-@query("k3_knn_ivf")
 def k3_knn_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -477,6 +476,36 @@ def k3_knn_ivf(
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+@query(
+    "k3_knn_ivf",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {SQL_COSINE} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {SQL_COSINE} DESC, c.vec_id) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      JOIN embeddings c ON q.vec_id <> c.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def k3_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registered IVF search in EXACT mode (nprobe == nlist).
+
+    Probing every cluster makes the IVF result provably identical to
+    brute force — each corpus vector lives in exactly one cluster, so
+    the probe union covers the corpus once — which lets the exact
+    brute-force SQL serve as the oracle while the query still
+    exercises the full IVF machinery end-to-end: k-means training,
+    cluster assignment, the broadcast probe equi-join, and candidate
+    scoring (VERDICT r2 next-round #6). The APPROXIMATE configuration
+    (nprobe={N_PROBE} < nlist={N_LIST}) is certified separately by
+    `k3_ivf_recall`, which runs it against brute force and pins
+    recall bounds the driver hash-checks.
+    """
+    return k3_knn_ivf(spark, sf_dir, nprobe=N_LIST)
 
 
 @query(

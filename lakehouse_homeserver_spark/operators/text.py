@@ -737,7 +737,8 @@ def _bpe_oracle() -> str:
         f"SELECT CAST({i} AS BIGINT) AS rank, "
         f"string_split(pair, ' ')[1] AS left_sym, "
         f"string_split(pair, ' ')[2] AS right_sym, "
-        f"REPLACE(pair, ' ', '') AS merged, c AS pair_count FROM b{i}"
+        f"REPLACE(pair, ' ', '') AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
         for i in range(1, BPE_ROUNDS + 1)
     )
     return "".join(parts) + selects

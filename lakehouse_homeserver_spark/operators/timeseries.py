@@ -149,8 +149,8 @@ def c7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM flagged
     )
     SELECT user_id, session_idx,
@@ -349,7 +349,7 @@ def ts_rollup_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            string_agg(DISTINCT event_type, ',' ORDER BY event_type)
                AS event_types,
-           SUM(cents) AS value_cents
+           CAST(SUM(cents) AS BIGINT) AS value_cents
     FROM numbered GROUP BY user_id, sess_no
     """,
 )
@@ -1020,9 +1020,9 @@ def ts_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grouped AS (
       SELECT k, s, e,
-             SUM(new_island) OVER (
+             CAST(SUM(new_island) OVER (
                PARTITION BY k ORDER BY s, e
-               ROWS UNBOUNDED PRECEDING) AS island
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
       FROM flagged
     )
     SELECT k AS custkey, island,

@@ -21,81 +21,76 @@ _MODULES = []
 # yet, (b) the fixed/newly-oracled approx tier, (c) new round-2 ops,
 # (d) a handful of already-green relational representatives so the
 # core family keeps a fresh verdict each round.
-# Re-curated for the round-2 driver run: with ~200 oracle-backed
-# queries and a 50-slot budget, the window is chosen to put a
-# driver-green row on a representative of EVERY §2 family — the
-# relational core (re-verified fresh this round), each join variant,
-# windows/frames, set ops, scalar-function families, streaming
-# batch-twins, all four pandas-UDF forms, every K-family pipeline
-# stage, and the ACID table layer including the round-2 additions
-# (change feed, IVM view, spec history). Everything outside the
-# window keeps its exact-comparison coverage in local pytest parity
-# (the same spark-vs-DuckDB check the driver runs).
+# Re-curated for the round-3 driver run (VERDICT r2 next-round #3:
+# "rotate the window to never-verified queries"). 82 distinct queries
+# hold a driver verdict from r1+r2; this 50-slot window is built as:
+#   (a) the 10 queries whose oracles carried the HUGEINT type defect,
+#       now CAST-fixed — the 3 red r2 rows MUST re-verify green;
+#   (b) the round-3 additions (streaming-certifying ACID queries,
+#       newly-oracled exact-mode IVF);
+#   (c) 5 canaries re-verifying the already-green core;
+#   (d) 32 never-driver-verified queries spread across every family
+#       that has zero driver-green rows (scalar H*, sketch/agg D*,
+#       window/sort/set, TPC-H + SQL surface, ts_*, K-variants, ACID
+#       mutations).
+# Everything outside the window keeps exact-comparison coverage in
+# the local pytest parity suite (now routed through pandas dtypes,
+# i.e. the driver's own canonicalization).
 PRIORITY: tuple[str, ...] = (
-    # relational core — one per §2 row
-    "q1_pricing_summary",          # D2 grouped aggs (+A1 scan)
-    "b_filter_predicates",         # B1/B5 filters
-    "c1_join_revenue_by_nation",   # C1 inner + C5 broadcast
-    "c2_join_full_outer",          # C2 outer
-    "c3_join_anti",                # C3 semi/anti
-    "c4_theta_join",               # C4 theta
-    "c6_range_join_bucketized",    # C6 range→equi conversion
-    "d4_rollup",                   # D4 rollup/cube
-    "d7_quantiles_approx",         # D7 (r1 driver err — prove fixed)
-    "e1_window_rank",              # E1 ranking
-    "e2_window_lag_lead",          # E2 analytic
-    "e3_window_range_frame",       # E3 RANGE frame
-    "f2_sort_limit",               # F2/F3 order+limit
-    "f4_topk_per_group",           # F4 top-k
-    "g_except_all",                # G set ops (bag semantics)
-    "h1_interval_arith",           # H1 ts arithmetic
-    # scalar-function families
-    "h6_array_funcs",              # H6 arrays
-    "h8_json_funcs",               # H8 JSON (events.props, nanos ts)
-    "h13_variant",                 # H-ext VARIANT
-    # SQL surface
-    "tpch_q5_local_supplier_volume",
-    "sql_exists_correlated",
-    "sql_grouping_sets",
-    # time-series / streaming batch-twins
-    "c7_asof_join",
-    "i2_tumbling_window",
+    # (a) HUGEINT-defect fixes — red r2 rows first
     "ts_sessionize",
-    # join extensions
-    "c11_scd2_join",
-    "c9_fuzzy_join",
-    # mergeable sketches
-    "d13_bitmap_distinct",
-    "d15_count_min",
-    # pandas-UDF forms
-    "j_grouped_agg_mad",
-    "j_label_dispersion",
-    "j_cogroup_medians",
-    # K1/K2 dedup
-    "k1_dedup_exact_keep",
-    "k2_minhash_lsh",
-    "k2_ppjoin",
-    # K3 similarity
-    "k3_knn_bruteforce",
-    "k3_ivfpq_search",
-    # K4 text
-    "k4_gopher_rules",
     "k4_bpe_train",
-    # K5 multimodal
-    "k5_ppm_decode",
-    "k5_ahash_near_dup",
-    # K6/K7 sampling + composed pipeline
     "k6_hash_split",
-    "k7_training_corpus",
-    # retrieval
-    "k10_bm25",
-    # ACID table layer
-    "a10_snapshot_lineage",
+    "k10_inverted_index",
+    "k5_wav_decode",
+    "k5_pcm_frames",
+    "k7_sequence_packing",
+    "tpch_q12_priority_by_status",
+    "ts_interval_merge",
+    "ts_rich_sessions",
+    # (b) round-3 additions
+    "a29_stream_cdc_view",
+    "a30_stream_upsert_totals",
+    "k3_knn_ivf",
+    # (c) canaries — keep a fresh verdict on the green core
+    "q1_pricing_summary",
+    "c1_join_revenue_by_nation",
+    "e1_window_rank",
+    "k1_dedup_exact_keep",
     "a12_time_travel",
-    "a13_merge_upsert",
-    "a25_change_feed",
-    "a26_ivm_view",
-    "a27_spec_history",
+    # (d) never-driver-verified breadth
+    "h10_try_funcs",
+    "h11_null_semantics",
+    "h12_higher_order_funcs",
+    "h14_url_funcs",
+    "h16_xml_funcs",
+    "d3_hll_sketch_merge",
+    "d8_pivot",
+    "d12_corr_covar",
+    "d14_heavy_hitters",
+    "d16_histogram_quantiles",
+    "d17_theta_sketch_setops",
+    "d18_topn_plus_others",
+    "e4_analytic_suite",
+    "f5_keyset_pagination",
+    "g_union_by_name",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_product_profit",
+    "sql_recursive_month_spine",
+    "sql_lateral_join",
+    "ts_funnel",
+    "ts_cohort_retention",
+    "k2_simhash_near_pairs",
+    "k2_dup_clusters",
+    "k9_triangle_count",
+    "k3_semdedup",
+    "k3_ivf_recall",
+    "k4_lang_id",
+    "k5_frame_sample",
+    "k6_leakage_free_split",
+    "k10_phrase_search",
+    "a19_delete_where",
+    "a22_wap_publish",
 )
 
 

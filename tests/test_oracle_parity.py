@@ -45,29 +45,133 @@ def _normalize_rows(rows, colnames):
     return sorted(out)
 
 
+def _norm_pd(v):
+    """Normalize a pandas-materialized cell the way the driver's
+    value-hash sees it. Crucially does NOT coerce float -> int: a
+    DuckDB HUGEINT (un-CAST integer SUM) arrives as float64 `1.0`
+    while Spark sends int64 `1`, and the two must compare UNEQUAL
+    here exactly as they hash unequal in the driver (VERDICT r2 §
+    "What's wrong" #1/#2)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, Decimal):
+        return v
+    if isinstance(v, (np.floating, float)):
+        v = float(v)
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return int(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    # Date/timestamp unification: DuckDB's .df() materializes DATE as
+    # a midnight datetime64 while Spark's toPandas yields datetime.date
+    # — the driver hash-matches these (h1_interval_arith outputs DATE
+    # cols and was driver-green in r2), so midnight timestamps
+    # canonicalize to the bare date here too.
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is None and v == v.normalize():
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime):
+        if v.tzinfo is None and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_pd(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_pd(x) for x in v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _pd_frame_norm(pdf):
+    """(sorted-cols, sorted normalized row tuples, dtype-kind map)."""
+    import pandas as pd
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    kinds = {c: pdf[c].dtype.kind for c in cols}
+    rows = []
+    for row in pdf.itertuples(index=False, name=None):
+        rows.append(tuple(repr(_norm_pd(v)) for v in row))
+    nulls = {c: bool(pdf[c].isna().any()) for c in cols}
+    return cols, sorted(rows), kinds, nulls
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_oracle_parity(name, spark, duck, sf_dir):
+    """Driver-faithful parity: BOTH sides materialized via pandas
+    (Spark .toPandas(), DuckDB .df()) so engine-side type skews —
+    DuckDB HUGEINT -> float64 being the round-2 killer — surface
+    locally before the driver sees them."""
     sdf = QUERIES[name](spark, sf_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
+    dpdf = duck.execute(ORACLES[name]).df()
 
-    rel = duck.execute(ORACLES[name])
-    duck_cols = [d[0] for d in rel.description]
-    duck_rows = rel.fetchall()
+    s_cols, s_rows, s_kinds, s_nulls = _pd_frame_norm(spdf)
+    d_cols, d_rows, d_kinds, d_nulls = _pd_frame_norm(dpdf)
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    assert s_cols == d_cols, (
+        f"{name}: column mismatch spark={s_cols} duck={d_cols}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    # dtype-kind sweep: a NULL-free int-vs-float skew is exactly the
+    # HUGEINT defect class; nullable ints legitimately float64-ify on
+    # either side, so only NULL-free columns are held to kind parity.
+    for c in s_cols:
+        sk, dk = s_kinds[c], d_kinds[c]
+        if sk != dk and {sk, dk} == {"i", "f"}:
+            assert s_nulls[c] or d_nulls[c], (
+                f"{name}.{c}: NULL-free int-vs-float dtype skew "
+                f"(spark={sk} duck={dk}) — un-CAST integer SUM in "
+                f"oracle SQL? Wrap it in CAST(... AS BIGINT)."
+            )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
     )
-    s_norm = _normalize_rows(spark_rows, spark_cols)
-    d_norm = _normalize_rows(duck_rows, duck_cols)
-    if s_norm != d_norm:
+    if s_rows != d_rows:
         diffs = [
-            (a, b) for a, b in zip(s_norm, d_norm) if a != b
+            (a, b) for a, b in zip(s_rows, d_rows) if a != b
         ][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_parity_harness_catches_uncast_sum(spark, duck, sf_dir):
+    """Meta-test (VERDICT r2 next-round #2 'Done' criterion): a
+    deliberately-injected uncast integer SUM must FAIL the hardened
+    harness. DuckDB returns SUM(int) as HUGEINT -> pandas float64,
+    Spark returns bigint -> int64; the dtype sweep must trip."""
+    dpdf = duck.execute(
+        "SELECT l_linestatus, SUM(l_linenumber) AS s "
+        "FROM lineitem GROUP BY 1"
+    ).df()
+    assert dpdf["s"].dtype.kind == "f" and not dpdf["s"].isna().any(), (
+        "expected DuckDB SUM(int) to pandas-materialize as NULL-free "
+        "float64 — the defect class this harness exists to catch"
+    )
+    from pyspark.sql import functions as F
+
+    sdf = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_linestatus")
+        .agg(F.sum("l_linenumber").alias("s"))
+    )
+    spdf = sdf.toPandas()
+    assert spdf["s"].dtype.kind == "i"
+    # the exact comparison the parametrized test runs:
+    _, s_rows, s_kinds, _ = _pd_frame_norm(spdf)
+    _, d_rows, d_kinds, _ = _pd_frame_norm(dpdf)
+    assert s_kinds["s"] != d_kinds["s"]
+    assert s_rows != d_rows, (
+        "repr(1) vs repr(1.0) must differ or the harness is blind"
+    )
 
 
 def test_all_queries_run(spark, sf_dir):
