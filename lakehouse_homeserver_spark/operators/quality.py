@@ -106,8 +106,15 @@ def expect(
             names.append((kind, f"*[{lo},{hi}]"))
         elif kind == "freshness":
             cutoff = rule[2]
+            # NULL max (empty table / all-NULL column) is a VIOLATION,
+            # not a pass: dbt source freshness treats no-data as
+            # error/warn — a dead feed must not read as fresh.
             agg_cols.append(
-                F.when(F.max(F.col(col)) < F.lit(cutoff), 1)
+                F.when(
+                    F.max(F.col(col)).isNull()
+                    | (F.max(F.col(col)) < F.lit(cutoff)),
+                    1,
+                )
                 .otherwise(0)
                 .cast("long")
                 .alias(f"v{len(names)}")

@@ -335,9 +335,20 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
         vs = _versions(self._table_path)
         return {"version": vs[-1] if vs else self._start}
 
-    def _entry(self, v: int) -> dict:
+    def _entry(self, v: int, *, role: str = "consumed") -> dict:
         entry_path = os.path.join(self._table_path, _LOG_DIR, f"{v:020d}.json")
         if not os.path.isfile(entry_path):
+            if role == "parent":
+                # The consumed range is intact; only the commit's
+                # PARENT entry (needed to replay MoR deletes) is gone
+                # — a different failure than losing consumed offsets.
+                raise ValueError(
+                    f"{self._table_path}: parent snapshot {v} was expired, "
+                    "so this commit's row-level deletes can no longer be "
+                    "replayed; re-materialize downstream from the current "
+                    "table state (the consumed offset range itself is "
+                    "intact)"
+                )
             raise ValueError(
                 f"{self._table_path}: snapshot {v} was expired before the "
                 "change feed consumed it — data loss; restart from a fresh "
@@ -364,7 +375,13 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
                 continue  # physical/metadata-only: zero logical change
             mode = (e.get("properties") or {}).get("mode")
             if op == "delete" and mode == "mor" and v > 1:
-                parent = self._entry(v - 1)
+                # Resolve the parent from the entry's own 'parent'
+                # pointer, not an assumed-contiguous v-1: expire /
+                # rollback histories can leave version gaps.
+                parent_v = e.get("parent")
+                if parent_v is None:
+                    parent_v = v - 1
+                parent = self._entry(parent_v, role="parent")
                 prior = {d["file"] for d in parent.get("delete_files", [])}
                 new_dels = [
                     d
@@ -374,6 +391,21 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
                 seq = parent.get("seq") or {
                     f: parent["version"] for f in parent["manifest"]
                 }
+                # Union the commit's new delete-key sets per column
+                # tuple (one semi over the concatenated key files —
+                # several delete files may share a tuple), and cascade
+                # earlier tuple groups as extra anti filters so a row
+                # matching two different-column key sets is emitted
+                # exactly once. Mirrors changes_between's batch MoR
+                # branch — both now agree on multi-delete-file commits
+                # instead of relying on delete_where's current
+                # one-file-per-commit behavior.
+                new_by_cols: dict[tuple, list[str]] = {}
+                for nd in new_dels:
+                    new_by_cols.setdefault(tuple(nd["columns"]), []).append(
+                        os.path.join(data, nd["file"])
+                    )
+                groups = sorted(new_by_cols.items())
                 for f in parent["manifest"]:
                     anti: dict[tuple, list[str]] = {}
                     for d in parent.get("delete_files", []):
@@ -381,15 +413,16 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
                             anti.setdefault(tuple(d["columns"]), []).append(
                                 os.path.join(data, d["file"])
                             )
-                    for nd in new_dels:
+                    base_anti = [(list(k), ps) for k, ps in anti.items()]
+                    for i, (cols_t, paths) in enumerate(groups):
+                        earlier = [
+                            (list(k), ps) for k, ps in groups[:i]
+                        ]
                         out.append(
                             ChangeFeedPartition(
                                 os.path.join(data, f),
-                                [(list(k), ps) for k, ps in anti.items()],
-                                (
-                                    list(nd["columns"]),
-                                    [os.path.join(data, nd["file"])],
-                                ),
+                                base_anti + earlier,
+                                (list(cols_t), paths),
                                 "delete",
                                 v,
                             )
@@ -654,17 +687,29 @@ class SnapshotWriter(DataSourceArrowWriter):
     def write(self, iterator):
         import uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return SnapshotWriteMessage(file=None)
-        os.makedirs(self._data, exist_ok=True)
+        # Stream batches straight into the file (ParquetWriter opened
+        # lazily on the first non-empty batch) — peak task memory is
+        # one Arrow batch, not the whole partition, which is the
+        # difference between a 10 GB task working and OOMing at scale.
+        writer = None
         name = f"{uuid.uuid4().hex}-pyds.parquet"
-        pq.write_table(
-            pa.Table.from_batches(batches), os.path.join(self._data, name)
-        )
+        try:
+            for b in iterator:
+                if not b.num_rows:
+                    continue
+                if writer is None:
+                    os.makedirs(self._data, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(self._data, name), b.schema
+                    )
+                writer.write_batch(b)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return SnapshotWriteMessage(file=None)
         return SnapshotWriteMessage(file=name)
 
     def commit(self, messages):

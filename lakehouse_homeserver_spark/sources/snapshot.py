@@ -1353,16 +1353,44 @@ class SnapshotTable:
                 if mode == "mor" and new_dels:
                     from pyspark.sql import functions as F
 
-                    deleted = self._read_files(parent, parent["manifest"])
+                    # A row is deleted if it matches ANY of the
+                    # commit's new delete files — the UNION of the
+                    # key sets, not the intersection a chained
+                    # left_semi would compute. Union the key frames
+                    # per column tuple first (several files may share
+                    # one), then cascade semi/anti per tuple group so
+                    # a row matching two different-column key sets is
+                    # emitted exactly once (bag semantics preserved —
+                    # no distinct over data rows).
+                    by_cols: dict[tuple, list] = {}
                     for d in new_dels:
-                        keys = self.spark.read.parquet(
-                            os.path.join(self._data_path, d["file"])
-                        ).distinct()
-                        deleted = deleted.join(
-                            F.broadcast(keys),
-                            on=list(d["columns"]),
-                            how="left_semi",
+                        by_cols.setdefault(tuple(d["columns"]), []).append(
+                            d["file"]
                         )
+                    remaining = self._read_files(parent, parent["manifest"])
+                    hit_parts: list[DataFrame] = []
+                    for cols_t, files in by_cols.items():
+                        keys = self.spark.read.parquet(
+                            *[
+                                os.path.join(self._data_path, f)
+                                for f in files
+                            ]
+                        ).distinct()
+                        hit_parts.append(
+                            remaining.join(
+                                F.broadcast(keys),
+                                on=list(cols_t),
+                                how="left_semi",
+                            )
+                        )
+                        remaining = remaining.join(
+                            F.broadcast(keys),
+                            on=list(cols_t),
+                            how="left_anti",
+                        )
+                    deleted = hit_parts[0]
+                    for h in hit_parts[1:]:
+                        deleted = deleted.unionByName(h)
                     parts.append(_tag(deleted, "delete", v))
                     continue
                 removed = [

@@ -295,6 +295,16 @@ def upsert_user_totals_batch(
     carries — the idempotent-writer pattern Delta implements with
     `txnAppId`/`txnVersion`, re-expressed over the snapshot commit log
     (metadata scan, O(#snapshots), no data read).
+
+    Scope of the guarantee — same as Delta's txnVersion: batch ids are
+    monotone only WITHIN one checkpoint lineage. Recreating the
+    checkpoint restarts ids at 0 AND makes the file source re-deliver
+    every input file, so the ledger cannot (and does not try to)
+    bridge that: recover a lost checkpoint by rebuilding the totals
+    table from scratch, never by pointing a fresh checkpoint at the
+    existing table. (The change-feed consumer `apply_cdc_batch` CAN
+    survive checkpoint loss because its rows carry source offsets —
+    `_commit_version` — which a file stream's rows do not.)
     """
     from ..operators.common import dsum
     from ..sources.snapshot import SnapshotTable
@@ -436,17 +446,42 @@ def apply_cdc_batch(
     keyed count/sum view as a SIGNED merge: +1/+value per insert,
     −1/−value per delete — the counting-algorithm IVM from
     `sources/ivm.py`, driven by the stream instead of a batch cursor.
-    Batch-id idempotence restores exactly-once over foreachBatch's
-    at-least-once replay (same pattern as `upsert_user_totals_batch`);
-    groups whose count reaches zero leave the view."""
+
+    Exactly-once over foreachBatch's at-least-once replay is keyed on
+    the SOURCE offset range (the batch's `_commit_version` span), NOT
+    the raw foreachBatch batch_id: batch ids restart at 0 whenever
+    the checkpoint is recreated — the exact recovery the change-feed
+    reader's expired-snapshot error recommends — so a bare-batch_id
+    ledger would silently skip real micro-batches whose ids collide
+    with historical ones and the view would diverge without any
+    error. Source versions are monotone and each micro-batch consumes
+    a contiguous version range, so "max applied _commit_version" is a
+    complete replay filter. Groups whose count reaches zero leave the
+    view."""
     from ..sources.snapshot import SnapshotTable
 
     t = SnapshotTable(spark, view_path)
-    if t.exists() and any(
-        e.get("properties", {}).get("stream_batch_id") == batch_id
-        for e in t.history()
-    ):
-        return
+    applied_hi = -1
+    if t.exists():
+        applied_hi = max(
+            (
+                int(e["properties"]["stream_src_hi"])
+                for e in t.history()
+                if "stream_src_hi" in e.get("properties", {})
+            ),
+            default=-1,
+        )
+        # A fresh-checkpoint restart replays from version 0, so one
+        # micro-batch can MIX already-folded and new source versions;
+        # row-filter on the offset column rather than skipping whole
+        # batches, and only the genuinely-new span is folded.
+        batch = batch.filter(F.col("_commit_version") > applied_hi)
+    span = batch.agg(
+        F.min("_commit_version").alias("lo"),
+        F.max("_commit_version").alias("hi"),
+    ).collect()[0]
+    if span["hi"] is None:
+        return  # empty / fully-replayed batch — nothing new to fold
     sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
     m = F.col(measure).cast("decimal(18,2)")
     delta = (
@@ -459,7 +494,11 @@ def apply_cdc_batch(
             .alias("total"),
         )
     )
-    props = {"stream_batch_id": batch_id}
+    props = {
+        "stream_batch_id": batch_id,
+        "stream_src_lo": int(span["lo"]),
+        "stream_src_hi": int(span["hi"]),
+    }
     if not t.exists():
         t.create(delta.filter(F.col("cnt") != 0), properties=props)
         return
