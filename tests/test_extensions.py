@@ -364,6 +364,58 @@ def test_minhash_permutations_are_independent(spark):
     assert 8 <= agree <= 15, agree
 
 
+def test_minhash_kernel_matches_jvm_xxhash64(spark):
+    """The Arrow minhash kernel reimplements Spark's
+    xxhash64(bigint, int) — bit-exactness is the contract that lets
+    the numpy path inherit the fixture-pinned LSH recall property.
+    Compare against the JVM on adversarial longs × permutation
+    indices, and the full signature fold against the interpreted
+    transform/aggregate/zip_with expression it replaced."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lakehouse_homeserver_spark.functions.minhash import (
+        minhash_from_hashes,
+        minhash_sigs_udf,
+        perm_hashes,
+    )
+
+    vals = [0, 1, -1, 2**63 - 1, -(2**63), 42, -0x123456789ABCDEF0]
+    df = spark.createDataFrame([(v,) for v in vals], "h long")
+    for i in (0, 1, 5, 15):
+        jvm = [r[0] for r in df.select(F.xxhash64("h", F.lit(i))).collect()]
+        mine = perm_hashes(np.array(vals, dtype=np.int64), i).view(
+            np.int64
+        ).tolist()
+        assert jvm == mine, f"perm {i} diverged from JVM xxhash64"
+
+    rows = [(1, [7, -3, 2**62]), (2, [5]), (3, [])]
+    hdf = spark.createDataFrame(rows, "doc_id long, hs array<long>")
+    interpreted = F.aggregate(
+        F.transform(
+            "hs",
+            lambda h: F.array(
+                *[F.xxhash64(h, F.lit(i)) for i in range(16)]
+            ),
+        ),
+        F.array_repeat(F.lit(2**63 - 1).cast("long"), 16),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
+    exp = {r.doc_id: list(r.s) for r in hdf.select("doc_id", interpreted.alias("s")).collect()}
+    got = {
+        r.doc_id: list(r.s)
+        for r in hdf.select(
+            "doc_id", minhash_sigs_udf(16)(F.col("hs")).alias("s")
+        ).collect()
+    }
+    assert got == exp
+    # pure-numpy fold agrees too (incl. the empty-doc identity row)
+    mat = minhash_from_hashes(
+        [np.array(r[1], dtype=np.int64) for r in rows], 16
+    )
+    assert {rows[i][0]: mat[i].tolist() for i in range(3)} == exp
+
+
 def test_mmr_rerank_properties(spark, sf_dir):
     """MMR invariants: first pick is the exact top-1 neighbor; every
     pick comes from the top-POOL candidate set; picks are distinct;
