@@ -58,28 +58,57 @@ def main() -> None:
     with tempfile.TemporaryDirectory(prefix="bench-warm-") as d:
         spark.range(100).write.mode("overwrite").parquet(os.path.join(d, "w"))
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in sorted(queries.items()):
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Materialize every row without shipping rows to the driver.
-        df.write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - start
-        timings[name] = round(elapsed, 3)
-        total += elapsed
+    # SPARK_GRAFT_BENCH_REPEATS > 1 runs N full INTERLEAVED sweeps and
+    # reports the per-query MEDIAN (+ spread): on a co-tenant box with
+    # ±25 % noise windows (BASELINE.md), back-to-back per-query repeats
+    # share the same noise window while interleaved sweeps sample
+    # different ones — the honest way to compare rounds. Session
+    # memos (dup-pair table, BPE merges) and the DF cache are reset
+    # between sweeps so every sweep pays full cost.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(sf_dir),
-            }
-        )
-    )
+    def reset_session_state() -> None:
+        spark.catalog.clearCache()
+        from lakehouse_homeserver_spark.operators import dedup, text
+
+        dedup._PAIRS_MEMO.clear()
+        text._BPE_MEMO.clear()
+
+    sweeps: list[dict[str, float]] = []
+    for s in range(repeats):
+        if s:
+            reset_session_state()
+        timings: dict[str, float] = {}
+        for name, fn in sorted(queries.items()):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Materialize every row without shipping rows to the driver.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        sweeps.append(timings)
+
+    med = {
+        name: sorted(sw[name] for sw in sweeps)[repeats // 2]
+        for name in sweeps[0]
+    }
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(med.values()), 3),
+        "unit": "sec",
+        "queries": med,
+        "sf": sf_from_dir(sf_dir),
+    }
+    if repeats > 1:
+        out["repeats"] = repeats
+        out["spread"] = {
+            name: round(
+                max(sw[name] for sw in sweeps)
+                - min(sw[name] for sw in sweeps),
+                3,
+            )
+            for name in med
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1022,6 +1022,165 @@ def k1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K1 — rolling-window exact-substring dedup (overlapping L-grams)
+# ---------------------------------------------------------------------------
+
+SUBSTR_L = 8          # tokens per rolling window
+_POS_ENC = 1 << 20    # (doc_id, pos) -> one orderable bigint; docs are
+#                       bounded far below 2^20 tokens (fixture max ~10^3;
+#                       at 100 TB shard docs longer than 1M tokens first)
+
+
+@query(
+    "k1_substr_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+    ), sized AS (
+      SELECT doc_id, len(tk) AS n_tokens, tk FROM base
+    ), grams AS (
+      SELECT doc_id, n_tokens, i AS pos,
+             md5(array_to_string(tk[i + 1:i + {SUBSTR_L}], ' ')) AS h
+      FROM sized, UNNEST(range(n_tokens - {SUBSTR_L} + 1)) AS t(i)
+      WHERE n_tokens >= {SUBSTR_L}
+    ), canon AS (
+      SELECT h, MIN(doc_id * {_POS_ENC} + pos) AS ck, COUNT(*) AS occ
+      FROM grams GROUP BY h
+    ), dup AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g JOIN canon c USING (h)
+      WHERE c.occ > 1 AND g.doc_id * {_POS_ENC} + g.pos <> c.ck
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + {SUBSTR_L}) OVER w IS NULL
+                    OR pos > MAX(pos + {SUBSTR_L}) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM dup
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl AS (
+      SELECT doc_id, pos, new_island,
+             CAST(SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM flagged
+    ), per_isl AS (
+      SELECT doc_id, island,
+             MAX(pos + {SUBSTR_L}) - MIN(pos) AS len
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, CAST(SUM(len) AS BIGINT) AS dup_tokens
+      FROM per_isl GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / s.n_tokens,
+                 6) AS dup_frac,
+           COALESCE(p.dup_tokens, 0) * 2 < s.n_tokens AS keep
+    FROM sized s LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def k1_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with OVERLAPPING rolling windows — the
+    alignment-free upgrade of `k1_span_dedup` (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"). The
+    fixed non-overlapping chunking misses any duplicated passage that
+    straddles a chunk boundary or starts at a different offset in
+    each copy; rolling every {SUBSTR_L}-token window over every doc
+    detects repeats at ARBITRARY alignment, the property the paper
+    gets from a suffix array. Per doc: tokens covered by
+    non-canonical window occurrences (corpus-wide first occurrence by
+    (doc_id, pos) stays canonical), overlapping hits coalesced by the
+    same islands kernel as `ts_interval_merge`, reported as an exact
+    duplicated-token count + fraction and a keep flag (< 50 % dup).
+
+    100 TB design: one explode to (doc, pos, 16-byte window hash) —
+    positions ride a uniform digest key; the canonical-occurrence
+    reduce is a combiner-friendly groupBy(min, count) whose repeated-
+    only filter (occ > 1) shrinks the join-back to actual repeats; the
+    islands merge is one per-doc window pass (sort-linear, keyed by
+    doc — AQE-splittable, no pairwise span join). A stopword window
+    repeated millions of times is ONE group row here, not a hot join
+    key, because only its occurrence LIST (bounded by true repeats)
+    returns through the join.
+
+    The (doc_id, pos) canonical order is encoded as doc_id*2^20+pos in
+    BOTH engines so min() needs no struct-ordering semantics.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("tk")
+    )
+    sized = d.select("doc_id", F.size("tk").alias("n_tokens"), "tk")
+    grams = (
+        sized.filter(F.col("n_tokens") >= SUBSTR_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_tokens") - SUBSTR_L)
+            ).alias("pos"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", F.slice("tk", F.col("pos") + 1, SUBSTR_L))
+            ).alias("h"),
+        )
+    )
+    enc = F.col("doc_id") * _POS_ENC + F.col("pos")
+    canon = (
+        grams.groupBy("h")
+        .agg(F.min(enc).alias("ck"), F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+    )
+    dup = (
+        grams.join(canon, "h")
+        .filter(enc != F.col("ck"))
+        .select("doc_id", "pos")
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + SUBSTR_L).over(wprev)
+    flagged = dup.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island", F.sum("new_island").over(run).cast("bigint")
+    )
+    per_doc = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max(F.col("pos") + SUBSTR_L) - F.min("pos")).alias("len"))
+        .groupBy("doc_id")
+        .agg(F.sum("len").cast("bigint").alias("dup_tokens"))
+    )
+    dupt = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint")
+    return (
+        sized.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            dupt.alias("dup_tokens"),
+            F.round(
+                dupt.cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+            (dupt * 2 < F.col("n_tokens")).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # K9 — graph centrality over the duplicate graph (PageRank)
 # ---------------------------------------------------------------------------
 

@@ -52,9 +52,9 @@ PRIORITY: tuple[str, ...] = (
     "a29_stream_cdc_view",
     "a30_stream_upsert_totals",
     "k3_knn_ivf",
+    "k1_substr_dedup",
     # (c) canaries — keep a fresh verdict on the green core
     "q1_pricing_summary",
-    "c1_join_revenue_by_nation",
     "e1_window_rank",
     "k1_dedup_exact_keep",
     "a12_time_travel",
