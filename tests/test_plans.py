@@ -80,6 +80,20 @@ def test_simhash_pairs_no_cartesian(spark, sf_dir):
     assert_no_cartesian(dedup.k2_simhash_near_pairs(spark, sf_dir))
 
 
+def test_substr_dedup_no_cartesian_and_repeat_bounded(spark, sf_dir):
+    """Rolling-substring dedup must stay equi-join-shaped (gram-hash
+    join, never pairwise span comparison), and only REPEATED grams
+    (occ > 1) may return through the join-back — the filter that
+    keeps the join output bounded by true repeats."""
+    df = dedup.k1_substr_dedup(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "occ" in plan and "> 1" in plan, (
+        "occ>1 repeat filter missing — join-back would carry every "
+        "gram occurrence instead of only true repeats"
+    )
+
+
 def test_knn_bruteforce_broadcasts_queries(spark, sf_dir):
     """Exact KNN: the query side must broadcast (corpus never
     shuffles). A nested-loop join IS the right plan here - against a
