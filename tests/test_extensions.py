@@ -720,6 +720,28 @@ def test_expect_rejects_empty_rules_and_unknown_ref(spark, sf_dir):
         )
 
 
+def test_freshness_null_max_is_a_violation(spark):
+    """dbt treats no-data as error/warn: a dead feed (empty table or
+    all-NULL timestamp column) must FAIL the freshness rule, not pass
+    because NULL < cutoff evaluates to NULL."""
+    from datetime import datetime
+
+    from lakehouse_homeserver_spark.operators.quality import expect
+
+    cutoff = datetime(2020, 1, 1)
+    empty = spark.createDataFrame([], "ts timestamp")
+    row = expect(empty, [("freshness", "ts", cutoff)]).collect()[0]
+    assert not row.passed and row.n_violations == 1
+    all_null = spark.createDataFrame([(None,), (None,)], "ts timestamp")
+    row = expect(all_null, [("freshness", "ts", cutoff)]).collect()[0]
+    assert not row.passed and row.n_violations == 1
+    fresh = spark.createDataFrame(
+        [(datetime(2024, 6, 1),)], "ts timestamp"
+    )
+    row = expect(fresh, [("freshness", "ts", cutoff)]).collect()[0]
+    assert row.passed and row.n_violations == 0
+
+
 def test_cdc_chunking_is_shift_robust(spark, tmp_path, sf_dir):
     """The content-defined-chunking guarantee: prepending a prefix to
     a document leaves the chunk boundaries AFTER the edit untouched,

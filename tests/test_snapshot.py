@@ -1417,6 +1417,91 @@ def test_change_feed_covers_every_commit_shape(spark, tmp_path, nations):
     assert t.read().exceptAll(replayed).count() == 0
 
 
+def test_change_feed_unions_multiple_delete_files_per_commit(
+    spark, tmp_path, nations
+):
+    """A MoR commit carrying SEVERAL delete files deletes the UNION of
+    their key sets. delete_where currently coalesces to one file per
+    commit, so this surgically splits a committed delete file in two
+    (same columns, same seq) and asserts the batch feed emits each
+    deleted row exactly once — the chained-left_semi INTERSECTION bug
+    and the per-(data×delete)-partition double-emission bug both fail
+    this."""
+    import pyarrow.parquet as pq
+
+    from lakehouse_homeserver_spark.sources.snapshot import (
+        _DATA_DIR,
+        _LOG_DIR,
+    )
+
+    t = _table(spark, tmp_path)
+    t.create(nations)                                             # v1
+    t.delete_where(
+        F.col("n_nationkey") % 3 == 0, mode="mor", equality_on=["n_nationkey"]
+    )                                                             # v2
+    entry_path = os.path.join(t.path, _LOG_DIR, f"{2:020d}.json")
+    with open(entry_path) as fh:
+        e = json.load(fh)
+    (df_entry,) = e["delete_files"]
+    tab = pq.read_table(os.path.join(t.path, _DATA_DIR, df_entry["file"]))
+    assert tab.num_rows >= 2, "need >=2 keys to split the delete file"
+    half = tab.num_rows // 2
+    parts = []
+    for i, sl in enumerate((tab.slice(0, half), tab.slice(half))):
+        name = df_entry["file"].replace(".parquet", f"-split{i}.parquet")
+        pq.write_table(sl, os.path.join(t.path, _DATA_DIR, name))
+        parts.append({**df_entry, "file": name})
+    e["delete_files"] = parts
+    with open(entry_path, "w") as fh:
+        json.dump(e, fh)
+
+    expected = {
+        r.n_nationkey
+        for r in nations.filter(F.col("n_nationkey") % 3 == 0).collect()
+    }
+    # batch feed: union, each deleted row exactly once
+    dels = (
+        t.changes_between(1)
+        .filter(F.col("_change_type") == "delete")
+        .select("n_nationkey")
+        .collect()
+    )
+    got = [r.n_nationkey for r in dels]
+    assert set(got) == expected, "must delete the UNION of the key sets"
+    assert len(got) == len(expected), "each deleted row exactly once"
+    # read() visibility agrees
+    assert {
+        r.n_nationkey for r in t.read().collect()
+    }.isdisjoint(expected)
+
+    # streaming feed: same union-once contract
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    out = str(tmp_path / "feed-out")
+    ck = str(tmp_path / "feed-ck")
+    q = (
+        spark.readStream.format("snapshot")
+        .option("readChangeFeed", "true")
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    feed = spark.read.parquet(out)
+    sdels = feed.filter(F.col("_change_type") == "delete").select(
+        "n_nationkey"
+    ).collect()
+    sgot = [r.n_nationkey for r in sdels]
+    assert set(sgot) == expected
+    assert len(sgot) == len(expected), (
+        "stream double-emitted rows matched by more than one delete file"
+    )
+
+
 def test_change_feed_aligns_evolving_schema(spark, tmp_path, nations):
     t = _table(spark, tmp_path)
     t.create(nations.filter(F.col("n_regionkey") == 0))
