@@ -980,3 +980,288 @@ def a30_stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     t = SnapshotTable(spark, table)
     return t.read().select("user_id", "n_events", "total_value")
+
+
+@query(
+    "a31_compaction",
+    oracle=f"""
+    WITH slice AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+         vis AS (SELECT * FROM slice
+                 WHERE (o_orderkey % 4 IN (0, 1, 2)
+                        OR (o_orderkey % 4 = 3 AND o_orderstatus = 'O'))
+                   AND o_custkey % 5 <> 0)
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(3 AS BIGINT) AS files_before,
+           CAST(2 AS BIGINT) AS files_after,
+           CAST(2 AS BIGINT) AS compacted_files,
+           CAST(1 AS BIGINT) AS delete_files_carried
+    FROM vis
+    """,
+)
+def a31_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pack small-file compaction (Iceberg `rewrite_data_files`
+    binpack / Trino `ALTER TABLE ... EXECUTE optimize`, exposed by the
+    reference stack's Iceberg runtime, /root/reference/Dockerfile:57-78
+    + config/iceberg-template.properties:1-13).
+
+    One big create (half of a 10 % orders slice) + two drizzle appends
+    + one MoR equality delete, then `compact_files` with the threshold
+    at the largest file's size: the two small files — and ONLY them —
+    are read with the pending delete applied and rewritten as one
+    file; the big file carries into the new manifest by name, still
+    guarded by the carried delete file (its sequence number outranks
+    only the old files). The oracle pins the before/after/selected
+    file counts and recomputes the visible rows declaratively — a
+    compaction that resurrected a deleted row, dropped a row, or
+    rewrote the wrong file set breaks the hash. At 100 TB this is the
+    maintenance pass that turns per-load drizzle files into
+    512 MiB-class scan units without touching settled data.
+    """
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-opt-"), "orders")
+    )
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    t.create(orders.filter(F.col("o_orderkey") % 4 < 2).coalesce(1))
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 2).coalesce(1))
+    t.append(
+        orders.filter(
+            (F.col("o_orderkey") % 4 == 3) & (F.col("o_orderstatus") == "O")
+        ).coalesce(1)
+    )
+    t.delete_where(
+        F.col("o_custkey") % 5 == 0, mode="mor", equality_on=["o_custkey"]
+    )
+    before = t.entry(t.latest_version())
+    sizes = [
+        os.path.getsize(os.path.join(t.path, "data", f))
+        for f in before["manifest"]
+    ]
+    e = t.compact_files(small_file_bytes=max(sizes), target_files=1)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    ).select(
+        "n_rows",
+        "total_price",
+        F.lit(len(before["manifest"])).cast("bigint").alias("files_before"),
+        F.lit(len(e["manifest"])).cast("bigint").alias("files_after"),
+        F.lit(e["properties"]["compacted_files"]).cast("bigint").alias(
+            "compacted_files"
+        ),
+        F.lit(len(e["delete_files"])).cast("bigint").alias(
+            "delete_files_carried"
+        ),
+    )
+
+
+def _sql_morton(xe: str, ye: str, bits: int) -> str:
+    """DuckDB bit-interleave expression mirroring
+    `sources.ingest.zorder_key` term for term."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "a32_zorder_skipping",
+    oracle=f"""
+    WITH m AS (SELECT MAX(o_custkey) AS xm, MAX(o_orderkey) AS ym FROM orders),
+         b AS (SELECT (o_custkey * 16) // (xm + 1) AS xb,
+                      (o_orderkey * 16) // (ym + 1) AS yb
+               FROM orders, m),
+         z AS (SELECT xb, yb, ({_sql_morton('xb', 'yb', 4)}) >> 4 AS zb FROM b),
+         box AS (SELECT COUNT(*) AS n FROM b WHERE xb <= 3 AND yb <= 3),
+         zf AS (SELECT zb, MIN(xb) AS minx, MIN(yb) AS miny FROM z GROUP BY zb),
+         lf AS (SELECT xb, MIN(xb) AS minx, MIN(yb) AS miny FROM b GROUP BY xb)
+    SELECT 'zorder' AS layout,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN minx <= 3 AND miny <= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_scanned,
+           (SELECT n FROM box) AS rows_in_box
+    FROM zf
+    UNION ALL
+    SELECT 'linear',
+           COUNT(*),
+           CAST(SUM(CASE WHEN minx <= 3 AND miny <= 3 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           (SELECT n FROM box)
+    FROM lf
+    """,
+)
+def a32_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear clustering, certified relationally (Delta
+    `OPTIMIZE ZORDER BY` / Iceberg sort-order rewrite — the physical
+    rewrite path is `Lakehouse.optimize_layout_zorder`, pytest-pinned
+    in tests/test_snapshot.py; this query certifies its MATH against
+    DuckDB bit for bit).
+
+    Rows are bucketed into a 16×16 grid on (o_custkey, o_orderkey) by
+    exact integer arithmetic, files are modeled as the 16 top-nibble
+    Morton buckets (z-order layout) vs the 16 x-slices (linear sort
+    layout), and a quarter-by-quarter box predicate is pruned against
+    each file's min-stats exactly like `prune_files` prunes footer
+    stats. Z-order files cover compact rectangles, so the box touches
+    ~1 of 16; the linear layout spans the full y-range in every file,
+    so it must scan every x-overlapping slice (4 of 16) — the measured
+    counts land in the hash. At 100 TB that factor is the difference
+    between opening a rack of files and a single locality cluster for
+    2-D-selective scans; one interleave expression, no UDF, no shuffle
+    beyond the grouped min (`sources/ingest.py:450`).
+    """
+    from ..sources.ingest import zorder_key
+
+    orders = T(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.max("o_custkey").alias("xm"), F.max("o_orderkey").alias("ym")
+    )
+    b = orders.crossJoin(F.broadcast(bounds)).select(
+        F.expr("o_custkey * 16 DIV (xm + 1)").alias("xb"),
+        F.expr("o_orderkey * 16 DIV (ym + 1)").alias("yb"),
+    )
+    z = b.select(
+        "xb", "yb",
+        F.shiftright(zorder_key(F.col("xb"), F.col("yb"), bits=4), 4).alias("zb"),
+    )
+    box = b.filter((F.col("xb") <= 3) & (F.col("yb") <= 3)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scanned = F.sum(
+        F.when((F.col("minx") <= 3) & (F.col("miny") <= 3), 1).otherwise(0)
+    ).cast("bigint")
+
+    def layout(df: DataFrame, key: str, name: str) -> DataFrame:
+        files = df.groupBy(key).agg(
+            F.min("xb").alias("minx"), F.min("yb").alias("miny")
+        )
+        return files.agg(
+            F.count(F.lit(1)).alias("n_files"), scanned.alias("n_scanned")
+        ).select(
+            F.lit(name).alias("layout"),
+            "n_files",
+            "n_scanned",
+        ).crossJoin(F.broadcast(box.withColumnRenamed("n", "rows_in_box")))
+
+    return layout(z, "zb", "zorder").unionByName(layout(b, "xb", "linear"))
+
+
+@query(
+    "a33_expire_orphans",
+    oracle=f"""
+    WITH slice AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+         live AS (SELECT * FROM slice WHERE o_orderstatus = 'F')
+    SELECT CAST(2 AS BIGINT) AS expired_snapshots,
+           CAST(3 AS BIGINT) AS deleted_files,
+           CAST(1 AS BIGINT) AS versions_after,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM live
+    """,
+)
+def a33_expire_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry + orphan-file GC, driver-certified (SURVEY A10,
+    the reference's own maintenance call —
+    /root/reference/scripts/extract_load.py:167-171 and README.md:111;
+    until this round the GC path was pytest-only).
+
+    create → append → overwrite leaves two expired snapshots whose
+    files the head no longer references, plus one deliberately planted
+    ORPHAN (a staged file whose commit never happened — the crash
+    debris `expire_snapshots` exists to reap). Expiry with keep_last=1
+    must delete exactly the two unreferenced data files and the
+    orphan, keep exactly one snapshot, and leave the table's visible
+    rows bit-identical — all five numbers recomputed by the oracle.
+    At 100 TB expiry is O(files) driver metadata plus unlinks; it is
+    the ONLY path allowed to delete data, so its precision (never a
+    live file, always the debris) is the property this query pins.
+    """
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-gc-"), "orders")
+    )
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(1))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(1))
+    t.create_or_replace(
+        orders.filter(F.col("o_orderstatus") == "F").coalesce(1)
+    )
+    # crash debris: staged but never committed (invisible to readers)
+    t._stage(orders.filter(F.col("o_orderkey") % 3 == 2).coalesce(1))
+    res = t.expire_snapshots(keep_last=1)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    ).select(
+        F.lit(res["expired_snapshots"]).cast("bigint").alias(
+            "expired_snapshots"
+        ),
+        F.lit(res["deleted_files"]).cast("bigint").alias("deleted_files"),
+        F.lit(len(t.versions())).cast("bigint").alias("versions_after"),
+        "n_rows",
+        "total_price",
+    )
+
+
+@query(
+    "a35_partition_overwrite",
+    oracle=f"""
+    WITH slice AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+         restated AS (SELECT o_orderpriority,
+                             o_totalprice * 2 AS o_totalprice
+                      FROM slice
+                      WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')),
+         kept AS (SELECT o_orderpriority, o_totalprice FROM slice
+                  WHERE o_orderpriority NOT IN ('1-URGENT', '3-MEDIUM')),
+         final AS (SELECT * FROM restated UNION ALL SELECT * FROM kept)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(2 AS BIGINT) AS overwritten_partitions
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def a35_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (Spark
+    `partitionOverwriteMode=dynamic` / Iceberg `overwritePartitions`,
+    both available on the reference's Iceberg tables by construction —
+    /root/reference/Dockerfile:57-78): restate EXACTLY the partitions
+    present in the incoming batch, atomically, leaving every other
+    partition byte-identical.
+
+    The table is the 10 % orders slice under a `o_orderpriority`
+    partition spec; the batch restates two of five priorities with
+    doubled prices. `overwrite_partitions` derives the replace
+    predicate FROM THE BATCH (distinct spec tuples — O(partitions),
+    never O(rows)), prunes untouched files via manifest stats, and
+    commits one snapshot. The oracle rebuilds the expected table
+    relationally: restated partitions doubled, the rest untouched — a
+    lost partition, a half-applied batch, or a leaked old row all
+    break the hash. At 100 TB this is the daily-backfill primitive:
+    rewrite cost is O(restated partitions), and readers never observe
+    a mix of old and new."""
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-dpo-"), "orders")
+    )
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    t.create(orders.coalesce(1))
+    t.set_partition_spec(["o_orderpriority"])
+    batch = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    e = t.overwrite_partitions(batch)
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn(
+            "overwritten_partitions",
+            F.lit(e["properties"]["overwritten_partitions"]).cast("bigint"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -266,3 +266,71 @@ def a28_volume_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("freshness", "ts", _dt.datetime(2030, 1, 1)),
         ],
     )
+
+
+@query(
+    "a34_profile",
+    oracle="""
+    SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+           COUNT(DISTINCT l_orderkey) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*),
+           COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*),
+           COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate),
+           CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def a34_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the ANALYZE/dbt-docs statistics pass every
+    catalog needs (Trino `SHOW STATS` / Spark `ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS`, both exposed by the reference
+    stack's engines over its Iceberg tables): per-column row count,
+    null count, exact distinct cardinality, and min/max rendered as
+    strings, one profile row per column.
+
+    Executes as ONE aggregate over one scan — Spark plans the three
+    exact COUNT(DISTINCT)s as a single Expand (each row replicated
+    once per distinct group), so the pass stays a map-side-partial
+    shuffle, never N per-column jobs; the profile rows are then
+    unpivoted from the single 1-row result with `stack`. At 100 TB
+    profiling cost is one pass over the table regardless of how many
+    columns are profiled; swap exact distinct for approx_count_distinct
+    when a 2 % HLL estimate is acceptable and the Expand disappears
+    entirely.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("l_orderkey")).alias("nn_k"),
+        F.count_distinct("l_orderkey").alias("nd_k"),
+        F.min("l_orderkey").cast("string").alias("min_k"),
+        F.max("l_orderkey").cast("string").alias("max_k"),
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("nn_f"),
+        F.count_distinct("l_returnflag").alias("nd_f"),
+        F.min("l_returnflag").alias("min_f"),
+        F.max("l_returnflag").alias("max_f"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("nn_d"),
+        F.count_distinct("l_shipdate").alias("nd_d"),
+        F.min("l_shipdate").cast("date").cast("string").alias("min_d"),
+        F.max("l_shipdate").cast("date").cast("string").alias("max_d"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+             'l_orderkey',  n, nn_k, nd_k, min_k, max_k,
+             'l_returnflag', n, nn_f, nd_f, min_f, max_f,
+             'l_shipdate',  n, nn_d, nd_d, min_d, max_d
+           ) AS (column_name, n_rows, n_nulls, n_distinct,
+                 min_value, max_value)"""
+    )

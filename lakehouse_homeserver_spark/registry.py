@@ -27,9 +27,10 @@ _MODULES = []
 #   (a) the 10 queries whose oracles carried the HUGEINT type defect,
 #       now CAST-fixed — the 3 red r2 rows MUST re-verify green;
 #   (b) the round-3 additions (streaming-certifying ACID queries,
-#       newly-oracled exact-mode IVF);
-#   (c) 5 canaries re-verifying the already-green core;
-#   (d) 32 never-driver-verified queries spread across every family
+#       newly-oracled exact-mode IVF, compaction / z-order / GC /
+#       profiling maintenance surface);
+#   (c) 2 canaries re-verifying the already-green core;
+#   (d) 30 never-driver-verified queries spread across every family
 #       that has zero driver-green rows (scalar H*, sketch/agg D*,
 #       window/sort/set, TPC-H + SQL surface, ts_*, K-variants, ACID
 #       mutations).
@@ -53,10 +54,15 @@ PRIORITY: tuple[str, ...] = (
     "a30_stream_upsert_totals",
     "k3_knn_ivf",
     "k1_substr_dedup",
-    # (c) canaries — keep a fresh verdict on the green core
-    "q1_pricing_summary",
-    "e1_window_rank",
-    "k1_dedup_exact_keep",
+    "a31_compaction",
+    "a32_zorder_skipping",
+    "a33_expire_orphans",
+    "a34_profile",
+    "a35_partition_overwrite",
+    # (c) canary — keep a fresh verdict on the green core
+    # (e1_window_rank / k1_dedup_exact_keep / q1 rotated out after
+    # two green rounds to fund the (b) additions at a fixed 50 slots;
+    # q1 is still smoke-checked every round via entry())
     "a12_time_travel",
     # (d) never-driver-verified breadth
     "h10_try_funcs",
@@ -84,11 +90,9 @@ PRIORITY: tuple[str, ...] = (
     "k2_dup_clusters",
     "k9_triangle_count",
     "k3_semdedup",
-    "k3_ivf_recall",
     "k4_lang_id",
     "k5_frame_sample",
     "k6_leakage_free_split",
-    "k10_phrase_search",
     "a19_delete_where",
     "a22_wap_publish",
 )

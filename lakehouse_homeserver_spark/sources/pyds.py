@@ -726,3 +726,27 @@ class SnapshotWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(self._data, m.file))
                 except FileNotFoundError:
                     pass
+
+
+# --- self-contained pickling ---------------------------------------------
+# Spark serializes DataSource classes by REFERENCE (module + qualname),
+# and the driver-side Python *streaming* source runner — unlike batch
+# planner workers and executor workers — is spawned without the
+# session's addPyFile includes on sys.path (observed on PySpark 4.1:
+# `readStream.format("snapshot")` dies in
+# python_streaming_source_runner.py's read_command with
+# ModuleNotFoundError whenever the driver's cwd isn't the repo root,
+# while the identical batch read succeeds). Registering THIS module for
+# by-value pickling makes every pickled reader/partition class carry
+# its own code, so the runner never needs to import the package. The
+# module is deliberately self-contained — stdlib + pyspark at top
+# level; the single `.snapshot` import runs inside driver-side
+# commit() — which keeps the by-value payload small and closure-free.
+import sys as _sys  # noqa: E402
+
+try:  # pragma: no cover - version-gated capability probe
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except (ImportError, AttributeError):
+    pass

@@ -625,6 +625,208 @@ class SnapshotTable:
                 last = e
         raise last  # type: ignore[misc]
 
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        predicate,
+        *,
+        prune_column: str | None = None,
+        lo=None,
+        hi=None,
+        validate: bool = True,
+        properties: dict | None = None,
+        max_retries: int = 5,
+    ) -> dict:
+        """Atomic selective overwrite — Delta `replaceWhere` /
+        Iceberg `overwrite()` with a filter (both engines sit on the
+        reference's Iceberg tables, /root/reference/Dockerfile:57-78):
+        ONE commit that deletes every row matching `predicate` and
+        inserts `df`, so readers see either the old region or the new
+        region, never a mix and never a gap.
+
+        `validate=True` enforces the replaceWhere contract: every
+        incoming row must satisfy `predicate` (a row outside the
+        region would survive a later re-run of the same overwrite —
+        the classic non-idempotent-backfill bug Delta rejects at
+        write time). The check is one filtered count over the source.
+
+        Copy-on-write with file pruning: when (`prune_column`, lo,
+        hi) bounds the predicate, only manifest-stat-overlapping
+        files are rewritten (minus matching rows); untouched files
+        carry by name, and the new region is staged clustered by the
+        active partition spec. At 100 TB a daily-partition restatement
+        rewrites that day's files and touches nothing else — the
+        backfill primitive. Pending MoR delete files force a full
+        compacting rewrite (same resurrection rule as `_delete_cow`).
+
+        Commits pinned to the snapshot the survivors were read from
+        (`expect_parent`); a concurrent writer forces a re-derive."""
+        if validate:
+            n_bad = df.filter(~predicate).count()
+            if n_bad:
+                raise ValueError(
+                    f"overwrite_where: {n_bad} source rows violate the "
+                    "replace predicate (replaceWhere contract)"
+                )
+        last: CommitConflict | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base is None:
+                raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+            e = self.entry(base)
+            try:
+                return self._overwrite_where_once(
+                    e, df, predicate, prune_column, lo, hi, properties
+                )
+            except CommitConflict as err:
+                last = err
+        raise last  # type: ignore[misc]
+
+    def _overwrite_where_once(
+        self, e: dict, df: DataFrame, predicate, prune_column, lo, hi,
+        properties,
+    ) -> dict:
+        base = e["version"]
+        new_df = self._cluster_by_spec(df)
+        pending = e.get("delete_files", [])
+        if pending:
+            merged = (
+                self.read(version=base).filter(~predicate).unionByName(new_df)
+            )
+            return self._commit(
+                "overwrite",
+                merged,
+                replace=True,
+                properties={
+                    **(properties or {}),
+                    "compacted_delete_files": len(pending),
+                },
+                expect_parent=base,
+            )
+        schema = StructType.fromJson(json.loads(e["schema"]))
+        if prune_column is not None:
+            candidates = set(self.prune_files(prune_column, lo, hi, version=base))
+        else:
+            candidates = set(e["manifest"])
+        untouched = [f for f in e["manifest"] if f not in candidates]
+        added = []
+        if candidates:
+            paths = [
+                os.path.join(self._data_path, f) for f in sorted(candidates)
+            ]
+            survivors = (
+                self.spark.read.schema(schema).parquet(*paths).filter(~predicate)
+            )
+            added += self._stage(survivors)
+        added += self._stage(new_df)
+        old_stats = e.get("stats", {})
+        old_seq = _file_seq(e)
+        stats = {f: old_stats.get(f, {}) for f in untouched}
+        seq = {f: old_seq.get(f, base) for f in untouched}
+        row_count = 0
+        for f in untouched:
+            rows, _ = _footer_stats(os.path.join(self._data_path, f))
+            row_count += rows
+        for f in added:
+            rows, st = _footer_stats(os.path.join(self._data_path, f))
+            row_count += rows
+            stats[f] = st
+            seq[f] = base + 1  # patched to the real version below
+        try:
+            return self._commit_manifest(
+                "overwrite",
+                manifest=untouched + added,
+                schema_json=e["schema"],
+                row_count=row_count,
+                stats=stats,
+                added=added,
+                seq=seq,
+                delete_files=[],
+                properties={
+                    **(properties or {}),
+                    "rewritten_files": len(candidates),
+                    "carried_files": len(untouched),
+                },
+                expect_parent=base,
+            )
+        except CommitConflict:
+            for f in added:
+                try:
+                    os.remove(os.path.join(self._data_path, f))
+                except FileNotFoundError:
+                    pass
+            raise
+
+    def overwrite_partitions(
+        self, df: DataFrame, properties: dict | None = None
+    ) -> dict:
+        """Dynamic partition overwrite (Spark
+        `spark.sql.sources.partitionOverwriteMode=dynamic` / Iceberg
+        `overwritePartitions()`): replace exactly the partitions
+        PRESENT in `df` — derived from the data, not declared — and
+        leave every other partition untouched. Requires an active
+        partition spec (`set_partition_spec`).
+
+        The partition list is a bounded `distinct().collect()` — it
+        is O(partitions touched by the batch), never O(rows); a daily
+        restatement collects a handful of tuples. Single-column specs
+        compile to an `isin` predicate plus [min, max] file pruning;
+        multi-column specs OR the per-partition conjunctions (the
+        batch's partition count stays small by the same argument).
+        Validation is skipped: rows define the partition set, so
+        every row satisfies the derived predicate by construction."""
+        spec = self.partition_spec()
+        if not spec:
+            raise ValueError(
+                "overwrite_partitions requires an active partition spec"
+            )
+        cols = spec["columns"]
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"overwrite_partitions: source lacks spec columns {missing}"
+            )
+        parts = df.select(*cols).distinct().collect()
+        if not parts:
+            # Empty source replaces nothing: no-op, return the head.
+            v = self.latest_version()
+            if v is None:
+                raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+            return self.entry(v)
+        from pyspark.sql import functions as F
+
+        if len(cols) == 1:
+            vals = [r[cols[0]] for r in parts]
+            pred = F.col(cols[0]).isin(vals)
+            prune_column, plo, phi = cols[0], min(vals), max(vals)
+        else:
+            import functools
+            import operator
+
+            pred = functools.reduce(
+                operator.or_,
+                [
+                    functools.reduce(
+                        operator.and_,
+                        [F.col(c) == F.lit(r[c]) for c in cols],
+                    )
+                    for r in parts
+                ],
+            )
+            prune_column = plo = phi = None
+        return self.overwrite_where(
+            df,
+            pred,
+            prune_column=prune_column,
+            lo=plo,
+            hi=phi,
+            validate=False,
+            properties={
+                **(properties or {}),
+                "overwritten_partitions": len(parts),
+            },
+        )
+
     def _commit_manifest(
         self,
         operation: str,
@@ -1086,6 +1288,89 @@ class SnapshotTable:
             },
             expect_parent=base,
         )
+
+    def compact_files(
+        self,
+        *,
+        small_file_bytes: int | None = None,
+        target_files: int = 1,
+        properties: dict | None = None,
+    ) -> dict:
+        """Bin-pack small-file compaction — Iceberg `rewrite_data_files`
+        (binpack strategy) / Trino `ALTER TABLE ... EXECUTE optimize`.
+        The reference stack exposes both by construction
+        (/root/reference/Dockerfile:57-78 Iceberg runtime,
+        config/iceberg-template.properties:1-13 Trino Iceberg).
+
+        Selects live data files smaller than `small_file_bytes`
+        (None = every file) by on-disk size — a driver-side metadata
+        stat, no Spark job — reads ONLY those files with pending MoR
+        delete files applied, and rewrites them as `target_files`
+        files. Untouched files carry into the new manifest BY NAME:
+        compaction is manifest surgery, not a table rewrite. At 100 TB
+        this is the difference between rewriting a handful of
+        drizzle-sized append files (one bounded job) and re-shuffling
+        the table; pick target_files ≈ selected_bytes / 512 MiB.
+
+        Sequencing: rewritten files get the new commit's sequence
+        number, so existing delete files (all with seq ≤ head) no
+        longer apply to them — correct, because their deletes were
+        materialized during the rewrite read. Delete files are carried
+        for the untouched data files they still outrank;
+        `rewrite_deletes()` remains the full delete-compaction path.
+
+        Returns the new log entry; no-op (returns the head entry) when
+        fewer than two files qualify."""
+        base = self.latest_version()
+        if base is None:
+            raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        e = self.entry(base)
+        small = [
+            f
+            for f in e["manifest"]
+            if small_file_bytes is None
+            or os.path.getsize(os.path.join(self._data_path, f))
+            < small_file_bytes
+        ]
+        if len(small) <= max(target_files, 1):
+            return e
+        rewritten = self._read_files(e, small).coalesce(max(target_files, 1))
+        staged = self._stage(rewritten)
+        kept = [f for f in e["manifest"] if f not in set(small)]
+        stats = {
+            f: s for f, s in e.get("stats", {}).items() if f in set(kept)
+        }
+        for f in staged:
+            _, st = _footer_stats(os.path.join(self._data_path, f))
+            stats[f] = st
+        prev_seq = _file_seq(e)
+        try:
+            return self._commit_manifest(
+                "rewrite",
+                manifest=kept + staged,
+                schema_json=e["schema"],
+                row_count=e["row_count"],
+                stats=stats,
+                added=staged,
+                seq={
+                    **{f: prev_seq.get(f, 0) for f in kept},
+                    **{f: base + 1 for f in staged},
+                },
+                delete_files=list(e.get("delete_files", [])),
+                properties={
+                    **(properties or {}),
+                    "strategy": "binpack",
+                    "compacted_files": len(small),
+                },
+                expect_parent=base,
+            )
+        except CommitConflict:
+            for f in staged:
+                try:
+                    os.remove(os.path.join(self._data_path, f))
+                except FileNotFoundError:
+                    pass
+            raise
 
     # -- read path ---------------------------------------------------------
     def schema(self, version: int | None = None) -> StructType:

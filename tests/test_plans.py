@@ -512,6 +512,7 @@ BNLJ_ALLOWED = {
     "k6_domain_mix",            # 1-row budget × per-domain quota broadcast
     "k6_temperature_resample",  # 1-row totals feeding the rate table
     "k6_epoch_shuffle",         # literal 2-row epoch multiplier
+    "a32_zorder_skipping",      # 1-row (max x, max y) grid-bounds broadcast
 }
 
 

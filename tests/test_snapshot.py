@@ -1789,3 +1789,170 @@ def test_python_datasource_write_abort_leaves_no_visible_state(
     after_gc = set(os.listdir(t._data_path)) - data_before
     live = set(t.entry(t.latest_version())["manifest"])
     assert after_gc <= live, f"orphans survived GC: {after_gc - live}"
+
+
+def test_compact_files_binpacks_small_files_only(spark, tmp_path, nations):
+    """compact_files semantics (Iceberg rewrite_data_files binpack):
+    only sub-threshold files are rewritten, big files carry by NAME,
+    pending MoR deletes are materialized into the rewrite, and the
+    carried delete file still guards the untouched files."""
+    t = _table(spark, tmp_path, "opt")
+    # one big file (19 rows) + two small drizzle files (3 each)
+    t.create(nations.filter(F.col("n_nationkey") <= 18).coalesce(1))
+    t.append(nations.filter(F.col("n_nationkey").between(19, 21)).coalesce(1))
+    t.append(nations.filter(F.col("n_nationkey").between(22, 24)).coalesce(1))
+    t.delete_where(
+        F.col("n_nationkey") % 5 == 0, mode="mor", equality_on=["n_nationkey"]
+    )
+    before = t.entry(t.latest_version())
+    sizes = {
+        f: os.path.getsize(os.path.join(t._data_path, f))
+        for f in before["manifest"]
+    }
+    big = max(sizes, key=sizes.get)
+    want = sorted(r.n_nationkey for r in t.read().collect())
+
+    e = t.compact_files(small_file_bytes=sizes[big], target_files=1)
+    assert e["properties"]["compacted_files"] == 2
+    assert len(e["manifest"]) == 2
+    assert big in e["manifest"], "big file must carry by name"
+    assert set(e["manifest"]) - {big} == set(e["added"])
+    # delete file carried: still guards the untouched big file
+    assert e["delete_files"] == before["delete_files"]
+    # visible rows bit-identical
+    assert sorted(r.n_nationkey for r in t.read().collect()) == want
+    # deletes were MATERIALIZED into the rewritten file: reading the
+    # new file raw (no delete application) must not contain 20
+    new_file = next(iter(set(e["manifest"]) - {big}))
+    raw = spark.read.parquet(os.path.join(t._data_path, new_file))
+    raw_keys = {r.n_nationkey for r in raw.collect()}
+    assert raw_keys == {19, 21, 22, 23, 24}
+    # time travel to pre-compaction still exact
+    assert t.read(version=before["version"]).count() == len(want)
+    # second call with same threshold: only 1 small candidate -> no-op
+    assert (
+        t.compact_files(small_file_bytes=sizes[big], target_files=1)[
+            "version"
+        ]
+        == e["version"]
+    )
+
+
+def test_compact_files_full_rewrite_and_empty_table_guard(
+    spark, tmp_path, nations
+):
+    t = _table(spark, tmp_path, "opt2")
+    with pytest.raises(SnapshotNotFound):
+        t.compact_files()
+    for lo, hi in [(0, 7), (8, 15), (16, 24)]:
+        sl = nations.filter(F.col("n_nationkey").between(lo, hi)).coalesce(1)
+        t.create(sl) if lo == 0 else t.append(sl)
+    e = t.compact_files(target_files=2)  # no threshold = all files
+    assert e["properties"]["compacted_files"] == 3
+    assert len(e["manifest"]) == 2
+    assert t.read().count() == 25
+
+
+def test_overwrite_where_replaces_region_atomically(spark, tmp_path, nations):
+    """replaceWhere: one commit deletes the predicate region and
+    inserts the new rows; pruning rewrites only stat-overlapping
+    files; incoming rows outside the region are rejected."""
+    t = _table(spark, tmp_path, "ow")
+    # three key-ranged files: [0,7], [8,15], [16,24]
+    for lo, hi in [(0, 7), (8, 15), (16, 24)]:
+        sl = nations.filter(F.col("n_nationkey").between(lo, hi)).coalesce(1)
+        t.create(sl) if lo == 0 else t.append(sl)
+    base = t.latest_version()
+    # restate the middle band with remapped regions
+    new = (
+        nations.filter(F.col("n_nationkey").between(8, 15))
+        .withColumn("n_regionkey", F.lit(9))
+        .coalesce(1)
+    )
+    e = t.overwrite_where(
+        new,
+        F.col("n_nationkey").between(8, 15),
+        prune_column="n_nationkey",
+        lo=8,
+        hi=15,
+    )
+    assert e["properties"]["rewritten_files"] == 1
+    assert e["properties"]["carried_files"] == 2
+    got = t.read()
+    assert got.count() == 25
+    assert got.filter(F.col("n_regionkey") == 9).count() == 8
+    assert (
+        got.filter(
+            F.col("n_nationkey").between(8, 15) & (F.col("n_regionkey") != 9)
+        ).count()
+        == 0
+    )
+    # untouched bands bit-identical
+    assert sorted(
+        r.n_nationkey for r in got.filter(~F.col("n_nationkey").between(8, 15)).collect()
+    ) == sorted(
+        r.n_nationkey
+        for r in nations.filter(~F.col("n_nationkey").between(8, 15)).collect()
+    )
+    # pre-overwrite snapshot still readable (time travel)
+    assert t.read(version=base).filter(F.col("n_regionkey") == 9).count() == 0
+    # replaceWhere contract: out-of-region rows are rejected
+    with pytest.raises(ValueError, match="replace predicate"):
+        t.overwrite_where(
+            nations.filter(F.col("n_nationkey") == 0),
+            F.col("n_nationkey").between(8, 15),
+        )
+
+
+def test_overwrite_where_compacts_pending_mor_deletes(
+    spark, tmp_path, nations
+):
+    t = _four_slice_table(spark, tmp_path, nations)
+    t.delete_where(
+        F.col("n_nationkey") % 5 == 0, mode="mor", equality_on=["n_nationkey"]
+    )
+    new = nations.filter(F.col("n_nationkey").between(0, 5)).withColumn(
+        "n_name", F.lit("RESTATED")
+    )
+    e = t.overwrite_where(new, F.col("n_nationkey").between(0, 5))
+    assert e["delete_files"] == []
+    got = t.read()
+    # region [0,5] fully restated (6 rows, deleted keys resurrected BY
+    # THE NEW DATA, which is the replaceWhere semantic), outside rows
+    # still honor the MoR delete (10, 15, 20 gone)
+    assert got.filter(F.col("n_name") == "RESTATED").count() == 6
+    assert sorted(
+        r.n_nationkey for r in got.filter(F.col("n_nationkey") > 5).collect()
+    ) == [k for k in range(6, 25) if k % 5 != 0]
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path, nations):
+    """Dynamic partition overwrite: only partitions present in the
+    batch are replaced; the predicate is derived from the data."""
+    t = _table(spark, tmp_path, "dyn")
+    t.create(nations.coalesce(1))
+    t.set_partition_spec(["n_regionkey"])
+    # cluster the table by the spec so files are partition-pure
+    t.create_or_replace(t.read())
+    batch = (
+        nations.filter(F.col("n_regionkey").isin(1, 3))
+        .withColumn("n_name", F.lit("restated"))
+    )
+    e = t.overwrite_partitions(batch)
+    assert e["properties"]["overwritten_partitions"] == 2
+    got = t.read()
+    assert got.count() == 25
+    assert (
+        got.filter(F.col("n_name") == "restated").count()
+        == nations.filter(F.col("n_regionkey").isin(1, 3)).count()
+    )
+    assert got.filter(
+        (F.col("n_name") == "restated") & ~F.col("n_regionkey").isin(1, 3)
+    ).count() == 0
+    with pytest.raises(ValueError, match="partition spec"):
+        _table(spark, tmp_path, "nospec").overwrite_partitions(batch)
+    # empty batch = no-op
+    assert (
+        t.overwrite_partitions(batch.filter(F.lit(False)))["version"]
+        == e["version"]
+    )
