@@ -1485,3 +1485,145 @@ def k3_ivfpq_search(
         (F.min("recall") >= 0.2).alias("min_recall_ok"),
         (F.avg("recall") >= 0.5).alias("mean_recall_ok"),
     )
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB mirror of `k3_kmeans` — 3 Lloyd rounds in exact
+    fixed-point integer arithmetic, unrolled as CTEs. See the query
+    docstring for why every step is integer-exact in both engines."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))) AS BIGINT)"
+    )
+
+    def assign(points: str, cents: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT p.vec_id, p.q,
+             CAST(MIN({dist} * 1024 + c.cid) % 1024 AS INT) AS cid
+      FROM {points} p, {cents} c
+      GROUP BY p.vec_id, p.q
+    )"""
+
+    def update(assigned: str, out: str) -> str:
+        return f"""
+    {out}_pos AS (
+      SELECT cid, i.i AS i, SUM(q[i.i]) AS s, COUNT(*) AS n
+      FROM {assigned}, (SELECT UNNEST(range(1, 65)) AS i) i
+      GROUP BY cid, i.i
+    ),
+    {out} AS (
+      SELECT cid, list(s // n ORDER BY i) AS c
+      FROM {out}_pos GROUP BY cid
+    )"""
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND((CAST(x AS DOUBLE) + 2) * 1000)
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, q AS c FROM q ORDER BY vec_id LIMIT 8
+    ),{assign('q', 'c0', 'a1')},{update('a1', 'c1')},
+    {assign('q', 'c1', 'a2')},{update('a2', 'c2')},
+    {assign('q', 'c2', 'a3')},{update('a3', 'c3')}
+    SELECT a.cid,
+           COUNT(*) AS n_points,
+           CAST((SELECT list_sum(c.c) FROM c3 c WHERE c.cid = a.cid)
+                AS BIGINT) AS centroid_sum
+    FROM a3 a
+    GROUP BY a.cid
+    ORDER BY a.cid
+    """
+
+
+@query("k3_kmeans", oracle=_kmeans_oracle())
+def k3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd) over the embedding corpus — the
+    clustering pass that trains IVF coarse quantizers (k3_knn_ivf /
+    k3_ivfpq_search centroids), builds SemDeDup buckets, and drives
+    corpus domain-discovery; Spark MLlib ships it as KMeans, here it
+    is the bare DataFrame algorithm so the oracle can certify every
+    round.
+
+    Bit-exact by construction: coordinates are quantized ONCE to
+    non-negative fixed-point (`round((x+2)*1e3)` — the +2 shift makes
+    every value positive so Spark's `div` and DuckDB's `//`, both
+    truncating, agree) and ALL downstream arithmetic is
+    integer-exact — squared-L2 distances (bigint), argmin with the
+    deterministic tie-break `min(dist*1024 + cid) % 1024`, and
+    centroid updates as per-position `sum div count`. Three unrolled
+    Lloyd rounds later, both engines hold the identical clustering —
+    no FP summation-order drift anywhere, which is what makes a
+    distributed iterative algorithm hash-certifiable at all.
+
+    Scale shape (the FAISS/MLlib layout): points never leave the
+    cluster — each round is one map-side assignment (k×d literal
+    broadcast into the argmin expression, no join, no shuffle of the
+    corpus) plus one 64-column partial-aggregated groupBy whose
+    output is k rows; the driver collects only k×d centroid ints per
+    round (the bounded-codebook pattern, same as the IVF/PQ
+    operators). Rounds are O(k·d·n) compute with an O(k·d) shuffle —
+    at 100 TB the corpus scan dominates and nothing accumulates on
+    the driver."""
+    emb = T(spark, sf_dir, "embeddings")
+    k, iters = 8, 3
+    d = len(emb.select("embedding").head()[0])
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round((x + F.lit(2.0)) * 1000).cast("bigint"),
+        ).alias("q"),
+    )
+    seeds = q.orderBy("vec_id").limit(k).collect()  # k x d ints, bounded
+    cents = [(int(r["vec_id"]), list(r["q"])) for r in seeds]
+
+    def assigned_df():
+        keys = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.array(*[F.lit(int(v)) for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            * 1024
+            + F.lit(cid)
+            for cid, c in cents
+        ]
+        return q.withColumn("cid", (F.least(*keys) % 1024).cast("int"))
+
+    sums = [F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(d)]
+    for _ in range(iters - 1):
+        rows = (
+            assigned_df()
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cid"]), [int(r[f"s{i}"]) // int(r["n"]) for i in range(d)])
+            for r in rows
+        )
+    final = assigned_df().groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"), *sums
+    )
+    centroid_sum = sum(
+        (F.expr(f"s{i} div n_points") for i in range(d)),
+        start=F.lit(0).cast("bigint"),
+    )
+    return (
+        final.withColumn("n", F.col("n_points"))
+        .select(
+            "cid",
+            "n_points",
+            centroid_sum.cast("bigint").alias("centroid_sum"),
+        )
+        .orderBy("cid")
+    )

@@ -1226,3 +1226,97 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").alias("value"),
         )
     )
+
+
+@query(
+    "i7_stream_stream_join",
+    oracle=f"""
+    WITH v AS (SELECT user_id, ts AS v_ts FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts AS p_ts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           COUNT(*) AS n_pairs,
+           {sql_dsum('p.value')} AS attributed_value
+    FROM v JOIN p
+      ON p.user_id = v.user_id
+     AND p.p_ts >= v.v_ts
+     AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def i7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (SURVEY I-family; Structured
+    Streaming's stateful two-sided join — the one streaming join form
+    the engine had not yet driver-certified; Spark docs' canonical
+    ad-monetization shape).
+
+    Two REAL file streams over the same events fixture — views and
+    purchases — each with a 1-hour watermark, inner-joined on user
+    with the event-time band `v_ts <= p_ts <= v_ts + 1h`. The time
+    bound plus both watermarks is exactly what lets Spark EVICT join
+    state: a buffered view older than (watermark − 1h) can never
+    match a future purchase and is dropped, so state is
+    O(events in the watermark horizon), not O(stream) — the property
+    that makes the join runnable forever at 100 TB/day. With an
+    availableNow trigger the whole fixture fits one micro-batch, so
+    the emitted pair set equals the batch interval join the DuckDB
+    oracle runs — same rows, same per-user attribution totals, same
+    hash. Aggregation happens AFTER the sink (memory table) because a
+    streaming agg over a stream-stream join would need its own
+    output-mode semantics; the certified surface is the join itself.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from ..sources.registry import normalize_events_ts, table_path
+
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # The file stream source requires a DIRECTORY (it monitors for new
+    # files); the fixture is a single parquet file, so expose it
+    # through a symlink dir — zero copy, and exactly the landing-dir
+    # layout a production stream would tail.
+    d = tempfile.mkdtemp(prefix="i7-events-")
+    os.symlink(path, os.path.join(d, "events.parquet"))
+    ev = normalize_events_ts(spark.readStream.schema(schema).parquet(d))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    )
+    sink = f"i7_pairs_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum("value").alias("attributed_value"),
+        )
+    )

@@ -29,8 +29,8 @@ _MODULES = []
 #   (b) the round-3 additions (streaming-certifying ACID queries,
 #       newly-oracled exact-mode IVF, compaction / z-order / GC /
 #       profiling maintenance surface);
-#   (c) 2 canaries re-verifying the already-green core;
-#   (d) 30 never-driver-verified queries spread across every family
+#   (c) 1 canary re-verifying the already-green core;
+#   (d) 28 never-driver-verified queries spread across every family
 #       that has zero driver-green rows (scalar H*, sketch/agg D*,
 #       window/sort/set, TPC-H + SQL surface, ts_*, K-variants, ACID
 #       mutations).
@@ -59,6 +59,8 @@ PRIORITY: tuple[str, ...] = (
     "a33_expire_orphans",
     "a34_profile",
     "a35_partition_overwrite",
+    "i7_stream_stream_join",
+    "k3_kmeans",
     # (c) canary — keep a fresh verdict on the green core
     # (e1_window_rank / k1_dedup_exact_keep / q1 rotated out after
     # two green rounds to fund the (b) additions at a fixed 50 slots;
@@ -77,7 +79,6 @@ PRIORITY: tuple[str, ...] = (
     "d16_histogram_quantiles",
     "d17_theta_sketch_setops",
     "d18_topn_plus_others",
-    "e4_analytic_suite",
     "f5_keyset_pagination",
     "g_union_by_name",
     "tpch_q3_shipping_priority",
@@ -86,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "sql_lateral_join",
     "ts_funnel",
     "ts_cohort_retention",
-    "k2_simhash_near_pairs",
     "k2_dup_clusters",
     "k9_triangle_count",
     "k3_semdedup",

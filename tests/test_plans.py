@@ -635,3 +635,18 @@ def test_dynamic_partition_pruning_kicks_in(spark, sf_dir, tmp_path):
         for r in dim.filter(F.col("cnt") >= threshold).collect()
     }
     assert picked == want and picked
+
+
+def test_kmeans_assignment_is_map_only_update_is_partial_agg(spark, sf_dir):
+    """k3_kmeans: the Lloyd assignment is a literal-broadcast argmin
+    expression (no Join anywhere in the plan), the centroid update is
+    a partial-aggregated groupBy whose shuffle carries only k rows,
+    and the scan prunes to the embedding column."""
+    from lakehouse_homeserver_spark.operators import similarity
+
+    df = similarity.k3_kmeans(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine
+    scans = read_schema_columns(df)
+    assert scans and all(len(cols) <= 2 for cols in scans), scans
