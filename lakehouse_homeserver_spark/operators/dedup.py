@@ -760,6 +760,227 @@ def k8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_K = 3             # hash functions
+_BLOOM_BITS_PER_GRAM = 64  # m = 64 x eval grams -> ~4.7% fill, ~1e-4/gram FP
+
+
+def _sql_bloom_pos(gram: str, h: str, m: str) -> str:
+    """DuckDB twin of the Spark bloom position: md5-derived 60-bit
+    int mod m — md5 is md5 in every engine, so both sides set (and
+    probe) EXACTLY the same bits."""
+    return (
+        f"CAST('0x' || SUBSTRING(md5({gram} || '|' || CAST({h} AS VARCHAR)),"
+        f" 1, 15) AS BIGINT) % ({m})"
+    )
+
+
+_SQL_BLOOM_M = f"SELECT {_BLOOM_BITS_PER_GRAM} * GREATEST(COUNT(*), 16) FROM ev"
+
+
+@query(
+    "k8_bloom_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({{SQL_NORM}}, ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 5
+                    THEN list_distinct(list_transform(
+                           range(1, len(tk) - 3),
+                           i -> array_to_string(tk[i:i+4], ' ')))
+                    ELSE [array_to_string(tk, ' ')] END) AS gram
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0),
+    hs AS (SELECT UNNEST(range(0, {_BLOOM_K})) AS h),
+    bloom AS (
+      SELECT {_sql_bloom_pos('gram', 'h', _SQL_BLOOM_M)} // 63 AS word,
+             BIT_OR(1::BIGINT <<
+                    ({_sql_bloom_pos('gram', 'h', _SQL_BLOOM_M)} % 63)) AS bits
+      FROM ev, hs GROUP BY 1
+    ),
+    train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 29 <> 0),
+    probes AS (
+      SELECT t.doc_id, t.gram, h.h,
+             {_sql_bloom_pos('t.gram', 'h.h', _SQL_BLOOM_M)} // 63 AS word,
+             1::BIGINT <<
+               ({_sql_bloom_pos('t.gram', 'h.h', _SQL_BLOOM_M)} % 63) AS mask
+      FROM train t, hs h
+    ),
+    gram_flag AS (
+      SELECT p.doc_id, p.gram,
+             BOOL_AND(b.bits IS NOT NULL AND (b.bits & p.mask) = p.mask)
+               AS maybe
+      FROM probes p LEFT JOIN bloom b ON p.word = b.word
+      GROUP BY p.doc_id, p.gram
+    ),
+    doc_bloom AS (
+      SELECT doc_id, BOOL_OR(maybe) AS bloom_flagged
+      FROM gram_flag GROUP BY doc_id
+    ),
+    doc_exact AS (
+      SELECT doc_id, TRUE AS exact_contaminated
+      FROM train t WHERE EXISTS (SELECT 1 FROM ev e WHERE e.gram = t.gram)
+      GROUP BY doc_id
+    )
+    SELECT COUNT(*) AS n_train_docs,
+           CAST(SUM(CASE WHEN COALESCE(e.exact_contaminated, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN b.bloom_flagged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bloom_flagged,
+           BOOL_AND(NOT COALESCE(e.exact_contaminated, FALSE)
+                    OR b.bloom_flagged) AS no_false_negatives,
+           CAST(SUM(CASE WHEN b.bloom_flagged
+                          AND NOT COALESCE(e.exact_contaminated, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+    FROM doc_bloom b LEFT JOIN doc_exact e USING (doc_id)
+    """.replace("{SQL_NORM}", SQL_NORM),
+)
+def k8_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — k8_decontaminate's 100 TB scale
+    path, hash-certified END TO END. `k8` broadcasts the eval set's
+    DISTINCT GRAMS (fine for benchmark-sized evals); when the held-out
+    set is itself corpus-scale, that broadcast becomes the bottleneck.
+    The classic fix is a Bloom filter over the eval grams, built
+    DISTRIBUTEDLY: explode eval grams x k=3 md5-derived positions,
+    `bit_or` the masks per 63-bit word (bits 0..62 — bit 63 would
+    overflow DuckDB's checked shift; order-independent,
+    combiner-friendly: the build is one map-side-partial aggregate
+    emitting m/63 word rows no matter how big the eval set is). The
+    filter is sized FROM the data — m = 64 bits per eval gram
+    (~4.7 % fill, ~1e-4 per-gram false-positive rate; the first cut
+    hardcoded m=2^16, which at sf0.1 hit 42 % fill and flagged 3767
+    of 4827 docs falsely — filter sizing IS the operating point).
+
+    Probing uses the bloom as a BROADCAST VARIABLE: the word table is
+    bounded and deterministic, so it collects once (codebook pattern)
+    and re-enters the plan as a LOCAL-relation broadcast hash join
+    per hash function — the corpus gram stream never replicates and
+    never shuffles; only flagged grams (tiny) reach the per-doc
+    distinct. Rejected probe forms, all measured at sf0.1: k renamed
+    broadcasts of the bloom-build SUBTREE re-executed the build per
+    hash (8.6 s — the BM25 subtree-duplication lesson); a
+    1000-element literal array was not constant-folded (11.8 s — the
+    PQ expression-tree lesson); a packed hex-string literal column
+    was copied into every probe row by UnsafeProjection (19.7 s).
+
+    Because positions derive from md5 (not JVM-internal hashing),
+    DuckDB rebuilds the IDENTICAL bit array and flags — the oracle
+    hash pins exact counts, the structural zero-false-negative
+    guarantee, and the EXACT false-positive count at this m/k/n
+    operating point — not a probabilistic bound but the deterministic
+    value both engines must agree on. (Spark's built-in
+    bloom_filter_agg / might_contain is the same shape JVM-side but
+    is not SQL-exposed in this build and could not be cross-checked
+    bit for bit.)
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("tk")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(_shingles_from_tokens(F.col("tk"), 5)).alias("gram"),
+    )
+    hs = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    ev = grams.filter(F.col("doc_id") % 29 == 0).select("gram").distinct()
+    n_ev = ev.count()  # eval-set-sized driver scalar — sizes the filter
+    m = _BLOOM_BITS_PER_GRAM * max(n_ev, 16)
+
+    def pos(gram, h):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", gram, h.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m
+        )
+
+    ev_pos = ev.select("gram", F.explode(hs).alias("h")).select(
+        pos(F.col("gram"), F.col("h")).alias("p")
+    )
+    bloom = ev_pos.groupBy(
+        (F.col("p") / 63).cast("bigint").alias("word")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT)))")
+        .alias("bits")
+    )
+    arr = {int(r["word"]): int(r["bits"]) for r in bloom.collect()}
+    bdf = spark.createDataFrame(
+        sorted(arr.items()), "word bigint, bits bigint"
+    )
+    train = grams.filter(F.col("doc_id") % 29 != 0)
+    probes = train
+    hits = []
+    for h in range(_BLOOM_K):
+        probes = probes.withColumn(f"p{h}", pos(F.col("gram"), F.lit(h)))
+        b = F.broadcast(
+            bdf.withColumnRenamed("word", f"bw{h}").withColumnRenamed(
+                "bits", f"bb{h}"
+            )
+        )
+        probes = probes.join(
+            b,
+            F.expr(f"CAST(p{h} DIV 63 AS BIGINT)") == F.col(f"bw{h}"),
+            "left",
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p{h} % 63 AS INT))"
+        )
+        hits.append(
+            F.col(f"bb{h}").isNotNull()
+            & (F.col(f"bb{h}").bitwiseAND(mask) == mask)
+        )
+    maybe = hits[0]
+    for hh in hits[1:]:
+        maybe = maybe & hh
+    flagged = probes.filter(maybe).select("doc_id").distinct()
+    exact = (
+        train.join(F.broadcast(ev), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    n_train = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 != 0)
+        .agg(F.count(F.lit(1)).alias("n_train_docs"))
+    )
+    both = (
+        flagged.withColumn("bloom_flagged", F.lit(True))
+        .join(
+            exact.withColumn("exact", F.lit(True)), "doc_id", "full_outer"
+        )
+        .select(
+            F.coalesce("bloom_flagged", F.lit(False)).alias("bloom_flagged"),
+            F.coalesce("exact", F.lit(False)).alias("exact"),
+        )
+    )
+    agg = both.agg(
+        F.sum(F.when(F.col("exact"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("bloom_flagged"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_flagged"),
+        F.coalesce(
+            F.expr("bool_and(NOT exact OR bloom_flagged)"), F.lit(True)
+        ).alias("no_false_negatives"),
+        F.sum(F.when(F.col("bloom_flagged") & ~F.col("exact"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positives"),
+    )
+    return n_train.crossJoin(F.broadcast(agg)).select(
+        "n_train_docs",
+        "n_exact",
+        "n_bloom_flagged",
+        "no_false_negatives",
+        "n_false_positives",
+    )
+
+
 # ---------------------------------------------------------------------------
 # K2 — duplicate-cluster resolution (connected components over pairs)
 # ---------------------------------------------------------------------------

@@ -74,7 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "h16_xml_funcs",
     "d3_hll_sketch_merge",
     "d8_pivot",
-    "d12_corr_covar",
+    "k8_bloom_decontaminate",
     "d14_heavy_hitters",
     "d16_histogram_quantiles",
     "d17_theta_sketch_setops",

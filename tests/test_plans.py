@@ -513,6 +513,7 @@ BNLJ_ALLOWED = {
     "k6_temperature_resample",  # 1-row totals feeding the rate table
     "k6_epoch_shuffle",         # literal 2-row epoch multiplier
     "a32_zorder_skipping",      # 1-row (max x, max y) grid-bounds broadcast
+    "k8_bloom_decontaminate",   # 1-row n_train x 1-row agg result stitch
 }
 
 
@@ -650,3 +651,14 @@ def test_kmeans_assignment_is_map_only_update_is_partial_agg(spark, sf_dir):
     assert "partial_count" in plan, plan  # map-side combine
     scans = read_schema_columns(df)
     assert scans and all(len(cols) <= 2 for cols in scans), scans
+
+
+def test_bloom_decontaminate_broadcasts_filter_words(spark, sf_dir):
+    """k8_bloom_decontaminate: the probe side joins the <=1041-row
+    bloom word table as a BROADCAST (the corpus gram stream never
+    shuffles for the membership test)."""
+    df = dedup.k8_bloom_decontaminate(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the only nested loop is the final 1-row x 1-row result stitch
+    assert_no_cartesian(df, allow_broadcast_nl=True)
