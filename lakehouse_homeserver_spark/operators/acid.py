@@ -1265,3 +1265,147 @@ def a35_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "a36_positional_delete",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM orders),
+         lower_h AS (SELECT * FROM orders
+                     WHERE o_orderkey < (SELECT n // 2 FROM n)),
+         upper_h AS (SELECT * FROM orders
+                     WHERE o_orderkey >= (SELECT n // 2 FROM n)),
+         after_pos AS (SELECT * FROM lower_h WHERE o_custkey % 7 <> 0),
+         kept AS (SELECT * FROM after_pos WHERE o_orderstatus <> 'P'
+                  UNION ALL
+                  SELECT * FROM upper_h WHERE o_orderstatus <> 'P')
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           (SELECT COUNT(*) FROM lower_h WHERE o_custkey % 7 = 0)
+             AS n_pos_deleted,
+           CAST(2 AS BIGINT) AS n_delete_files,
+           'equality,positional' AS delete_kinds
+    FROM kept
+    """,
+)
+def a36_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITIONAL deletes / Delta deletion vectors
+    (A-ext, completing the v2 row-level-delete story next to a20's
+    equality form): the delete file records (data file, row ordinal)
+    pairs — no key columns required, so the predicate may touch any
+    column of a keyless table, and 1 recorded position == 1 deleted
+    row (the commit's row-count drop needs no matching pass).
+
+    Sequence: commit the lower half of orders → POSITIONAL-delete
+    customers ≡0 mod 7 (zero data files touched) → append the upper
+    half (unaffected: its ordinals are in a new file the delete never
+    references) → stack an EQUALITY delete (status 'P') on top, which
+    by the sequencing rule applies to BOTH data files. Readers apply
+    the two kinds together — ordinal anti-join from the parquet
+    reader's own (_metadata.file_path, row_index) for one, key
+    anti-join for the other — and the final aggregate, the positional
+    row count, the pending-file count, and the kind set are all
+    recomputed declaratively by the oracle. At 100 TB positional
+    files are the deletion-vector path engines reach for when the
+    table has no natural key and a CoW rewrite is too large; the
+    read-side cost is reclaimed by `rewrite_deletes()`.
+    """
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-pos-"), "orders")
+    )
+    orders = T(spark, sf_dir, "orders")
+    n = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    t.create(orders.filter(F.col("o_orderkey") < n // 2))
+    e1 = t.delete_where(F.col("o_custkey") % 7 == 0, mode="mor_positional")
+    t.append(orders.filter(F.col("o_orderkey") >= n // 2))
+    t.delete_where(
+        F.col("o_orderstatus") == "P", mode="mor",
+        equality_on=["o_orderstatus"],
+    )
+    head = t.entry(t.latest_version())
+    kinds = ",".join(
+        sorted(d.get("kind", "equality") for d in head["delete_files"])
+    )
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    ).select(
+        "n_rows",
+        "total_price",
+        F.lit(e1["properties"]["deleted_rows"]).cast("bigint").alias(
+            "n_pos_deleted"
+        ),
+        F.lit(len(head["delete_files"])).cast("bigint").alias(
+            "n_delete_files"
+        ),
+        F.lit(kinds).alias("delete_kinds"),
+    )
+
+
+@query(
+    "a37_check_constraints",
+    oracle=f"""
+    WITH slice AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+         final AS (SELECT * FROM slice)
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(2 AS BIGINT) AS n_constraints,
+           TRUE AS violation_rejected,
+           TRUE AS nothing_landed,
+           CAST(4 AS BIGINT) AS head_version
+    FROM final
+    """,
+)
+def a37_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints (Delta `ALTER TABLE ... ADD
+    CONSTRAINT ... CHECK` — enforced by the engine at commit time,
+    not by a post-hoc quality job; the a23/a28 expectations surface
+    is the READ-side complement).
+
+    Create half the orders slice → add two constraints (a price
+    floor and a status whitelist; adding validates EXISTING data
+    with one filtered count) → a conforming append lands → an append
+    with negated prices must raise and leave NO new snapshot and NO
+    new rows (enforcement is one fused boolean aggregate over the
+    incoming batch — O(batch), never O(table) — and all violated
+    constraints report at once with counts). The oracle recomputes
+    the final aggregate from the two good batches and pins the
+    constraint count, the rejection, the no-partial-state guarantee,
+    and the head version (create + 2 constraint commits + 1 good
+    append = 4). At 100 TB this is the difference between a corrupt
+    row costing one failed commit and costing a fleet-wide backfill.
+    """
+    from ..sources.snapshot import ConstraintViolation
+
+    t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="snap-chk-"), "orders")
+    )
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    t.create(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.add_constraint("price_floor", "o_totalprice > 0")
+    t.add_constraint("status_domain", "o_orderstatus IN ('O', 'F', 'P')")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))  # conforms
+    v_before = t.latest_version()
+    rejected = False
+    try:
+        t.append(
+            orders.limit(50).withColumn(
+                "o_totalprice", -F.col("o_totalprice")
+            )
+        )
+    except ConstraintViolation:
+        rejected = True
+    head = t.latest_version()
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    ).select(
+        "n_rows",
+        "total_price",
+        F.lit(len(t.constraints())).cast("bigint").alias("n_constraints"),
+        F.lit(rejected).alias("violation_rejected"),
+        F.lit(head == v_before).alias("nothing_landed"),
+        F.lit(head).cast("bigint").alias("head_version"),
+    )

@@ -75,8 +75,8 @@ PRIORITY: tuple[str, ...] = (
     "d3_hll_sketch_merge",
     "d8_pivot",
     "k8_bloom_decontaminate",
-    "d14_heavy_hitters",
-    "d16_histogram_quantiles",
+    "a37_check_constraints",
+    "a36_positional_delete",
     "d17_theta_sketch_setops",
     "d18_topn_plus_others",
     "f5_keyset_pagination",

@@ -128,7 +128,12 @@ class SnapshotReader(DataSourceReader):
             applicable: dict[tuple, list[str]] = {}
             for d in dels:
                 if d["seq"] > seq.get(f, 0):
-                    applicable.setdefault(tuple(d["columns"]), []).append(
+                    key = (
+                        ("__positional__",)
+                        if d.get("kind") == "positional"
+                        else tuple(d["columns"])
+                    )
+                    applicable.setdefault(key, []).append(
                         os.path.join(data, d["file"])
                     )
             out.append(
@@ -143,47 +148,90 @@ class SnapshotReader(DataSourceReader):
         yield from _iter_file_batches(self._schema, partition)
 
 
-def _iter_file_batches(schema: StructType, partition: SnapshotPartition):
+def _iter_file_batches(
+    schema: StructType, partition: SnapshotPartition, keep_ord: bool = False
+):
     """Arrow-batch scan of one data file, shared by the batch reader
     and the stream reader: null-fill across schema evolution, then
-    MoR equality-delete anti-join (Arrow-side, columnar)."""
+    MoR delete application (Arrow-side, columnar) — EQUALITY delete
+    files anti-join on their key columns; POSITIONAL delete files
+    (sentinel key `__positional__`, carrying (_file basename, _pos
+    row ordinal) pairs) mask rows by the reader's own running row
+    ordinal, numpy-vectorized. `keep_ord=True` appends the surviving
+    rows' original file ordinals as an `__ord` column (the CDC stream
+    reader's positional delete REPLAY needs them)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # MoR equality deletes, Arrow-side: union each delete-key set
-    # once per partition, anti-join every batch against it. Key
-    # sets are small by contract (large deletes are CoW), so this
-    # stays in-memory columnar — no per-row Python.
-    del_tables = [
-        (cols, pa.concat_tables([pq.read_table(p) for p in paths]))
-        for cols, paths in partition.deletes
-    ]
+    base_name = os.path.basename(partition.file_path)
+    # Union each delete-key set once per partition. Key sets are
+    # small by contract (large deletes are CoW), so this stays
+    # in-memory columnar — no per-row Python.
+    del_tables = []
+    pos_sets = []
+    for cols, paths in partition.deletes:
+        tab = pa.concat_tables([pq.read_table(p) for p in paths])
+        if list(cols) == ["__positional__"]:
+            mine = tab.filter(
+                pa.compute.equal(tab.column("_file"), pa.scalar(base_name))
+            )
+            pos_sets.append(
+                mine.column("_pos").to_numpy(zero_copy_only=False)
+            )
+        else:
+            del_tables.append((cols, tab))
+    dead = (
+        np.unique(np.concatenate(pos_sets)).astype(np.int64)
+        if pos_sets
+        else None
+    )
     want = [f.name for f in schema.fields]
     pf = pq.ParquetFile(partition.file_path)
     have = set(pf.schema_arrow.names)
     present = [c for c in want if c in have]
+    off = 0
     for batch in pf.iter_batches(columns=present):
+        n = batch.num_rows
+        ords = np.arange(off, off + n, dtype=np.int64)
+        off += n
         cols = {c: batch.column(batch.schema.get_field_index(c)) for c in present}
         arrays = []
         for c in want:
             if c in cols:
                 arrays.append(cols[c])
             else:  # pre-evolution file: null-fill the later column
-                arrays.append(pa.nulls(batch.num_rows))
+                arrays.append(pa.nulls(n))
         out = pa.RecordBatch.from_arrays(arrays, names=want)
+        if dead is not None:
+            keep = ~np.isin(ords, dead, assume_unique=False)
+            if not keep.all():
+                mask = pa.array(keep)
+                out = pa.Table.from_batches([out]).filter(mask).combine_chunks()
+                out = out.to_batches()[0] if out.num_rows else None
+                ords = ords[keep]
+                if out is None:
+                    continue
         if del_tables:
             tbl = pa.Table.from_batches([out])
+            tbl = tbl.append_column("__ord", pa.array(ords, pa.int64()))
             for cols_, dtab in del_tables:
                 tbl = tbl.join(
                     dtab.group_by(cols_).aggregate([]),
                     keys=cols_,
                     join_type="left anti",
                 )
-            tbl = tbl.select(want).combine_chunks()
+            names = want + (["__ord"] if keep_ord else [])
+            tbl = tbl.select(names).combine_chunks()
             for b in tbl.to_batches():
                 if b.num_rows:
                     yield b
         else:
+            if keep_ord:
+                out = pa.RecordBatch.from_arrays(
+                    list(out.columns) + [pa.array(ords, pa.int64())],
+                    names=want + ["__ord"],
+                )
             yield out
 
 
@@ -371,10 +419,14 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
                     for f in e["added"]
                 )
                 continue
-            if op in ("rewrite", "set-spec"):
+            if op in ("rewrite", "set-spec", "set-constraint"):
                 continue  # physical/metadata-only: zero logical change
             mode = (e.get("properties") or {}).get("mode")
-            if op == "delete" and mode == "mor" and v > 1:
+            if (
+                op == "delete"
+                and mode in ("mor", "mor_positional")
+                and v > 1
+            ):
                 # Resolve the parent from the entry's own 'parent'
                 # pointer, not an assumed-contiguous v-1: expire /
                 # rollback histories can leave version gaps.
@@ -400,9 +452,16 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
                 # branch — both now agree on multi-delete-file commits
                 # instead of relying on delete_where's current
                 # one-file-per-commit behavior.
+                def _key(d: dict) -> tuple:
+                    return (
+                        ("__positional__",)
+                        if d.get("kind") == "positional"
+                        else tuple(d["columns"])
+                    )
+
                 new_by_cols: dict[tuple, list[str]] = {}
                 for nd in new_dels:
-                    new_by_cols.setdefault(tuple(nd["columns"]), []).append(
+                    new_by_cols.setdefault(_key(nd), []).append(
                         os.path.join(data, nd["file"])
                     )
                 groups = sorted(new_by_cols.items())
@@ -410,7 +469,7 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
                     anti: dict[tuple, list[str]] = {}
                     for d in parent.get("delete_files", []):
                         if d["seq"] > seq.get(f, 0):
-                            anti.setdefault(tuple(d["columns"]), []).append(
+                            anti.setdefault(_key(d), []).append(
                                 os.path.join(data, d["file"])
                             )
                     base_anti = [(list(k), ps) for k, ps in anti.items()]
@@ -442,17 +501,48 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
 
         if not partition.file_path:
             return
+        names = [f.name for f in self._base.fields]
         semi_tab = None
+        pos_semi = None
         if partition.semi is not None:
             cols, paths = partition.semi
-            semi_tab = (
-                pa.concat_tables([pq.read_table(p) for p in paths])
-                .group_by(cols)
-                .aggregate([])
-            )
-        names = [f.name for f in self._base.fields]
-        for batch in _iter_file_batches(self._base, partition):
-            if semi_tab is not None:
+            if list(cols) == ["__positional__"]:
+                # Positional delete replay: emit the parent rows at
+                # exactly the recorded ordinals of THIS file — the
+                # scan yields surviving rows tagged with their
+                # original ordinals (__ord), and membership is a
+                # vectorized isin, no key columns involved.
+                import numpy as np
+
+                tab = pa.concat_tables([pq.read_table(p) for p in paths])
+                mine = tab.filter(
+                    pa.compute.equal(
+                        tab.column("_file"),
+                        pa.scalar(os.path.basename(partition.file_path)),
+                    )
+                )
+                pos_semi = np.unique(
+                    mine.column("_pos").to_numpy(zero_copy_only=False)
+                ).astype(np.int64)
+            else:
+                semi_tab = (
+                    pa.concat_tables([pq.read_table(p) for p in paths])
+                    .group_by(cols)
+                    .aggregate([])
+                )
+        for batch in _iter_file_batches(
+            self._base, partition, keep_ord=pos_semi is not None
+        ):
+            if pos_semi is not None:
+                import numpy as np
+
+                ords = batch.column(
+                    batch.schema.get_field_index("__ord")
+                ).to_numpy(zero_copy_only=False)
+                keep = pa.array(np.isin(ords, pos_semi))
+                tbl = pa.Table.from_batches([batch]).filter(keep)
+                batches = tbl.select(names).combine_chunks().to_batches()
+            elif semi_tab is not None:
                 tbl = pa.Table.from_batches([batch]).join(
                     semi_tab,
                     keys=partition.semi[0],

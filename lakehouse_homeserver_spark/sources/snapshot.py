@@ -71,6 +71,12 @@ class CommitConflict(RuntimeError):
     are exhausted — callers normally never see this)."""
 
 
+class ConstraintViolation(ValueError):
+    """An incoming batch broke a table CHECK constraint (Delta
+    `ALTER TABLE ADD CONSTRAINT` semantics: enforced at write time,
+    the commit never happens)."""
+
+
 class SnapshotNotFound(ValueError):
     """Requested version does not exist (never written, or expired)."""
 
@@ -359,6 +365,10 @@ class SnapshotTable:
         max_retries: int = 20,
         expect_parent=_ANY_PARENT,
     ) -> dict:
+        if operation in ("create", "append", "overwrite", "merge"):
+            # CHECK enforcement on the write path; internal rewrites
+            # (delete survivors, compaction) hold inductively.
+            self._enforce_constraints(df)
         added = self._stage(self._cluster_by_spec(df))
         return self._commit_staged(
             operation,
@@ -851,6 +861,8 @@ class SnapshotTable:
         Blooms: carried for manifest files that already have them,
         built for `added` rewrites when bloom columns are enabled."""
         properties = {**self._spec_properties(), **(properties or {})}
+        # None-valued properties are REMOVALS (drop_constraint)
+        properties = {k: v for k, v in properties.items() if v is not None}
         os.makedirs(self._log_path, exist_ok=True)
         head_for_blooms = self.latest_version()
         prev_blooms = (
@@ -961,15 +973,111 @@ class SnapshotTable:
         )
 
     def _spec_properties(self) -> dict:
-        """Spec metadata to stamp onto a new commit (inheritance,
-        the bloom.columns pattern)."""
+        """Inherited table properties to stamp onto a new commit
+        (the bloom.columns pattern): the active partition spec and
+        the active CHECK constraints."""
+        out: dict = {}
         spec = self.partition_spec()
-        if not spec:
+        if spec:
+            out["partition.spec"] = spec["columns"]
+            out["partition.spec.id"] = spec["spec_id"]
+        for name, sql in self.constraints().items():
+            out[f"constraint.{name}"] = sql
+        return out
+
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT) -------------
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints, name → SQL predicate text."""
+        v = self.latest_version()
+        if v is None:
             return {}
+        props = self.entry(v).get("properties", {})
+        pre = "constraint."
         return {
-            "partition.spec": spec["columns"],
-            "partition.spec.id": spec["spec_id"],
+            k[len(pre):]: val
+            for k, val in props.items()
+            if k.startswith(pre)
         }
+
+    def add_constraint(self, name: str, predicate_sql: str) -> dict:
+        """Delta `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`:
+        from this commit on, every incoming batch must satisfy
+        `predicate_sql` or its commit raises ConstraintViolation and
+        nothing lands. Adding the constraint first validates the
+        EXISTING table (one filtered count — Delta does the same full
+        scan), then commits it as an inherited table property; the
+        commit log is the constraint history. Enforcement costs one
+        boolean aggregate over each future incoming batch — O(batch),
+        never O(table)."""
+        head_v = self.latest_version()
+        if head_v is None:
+            raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        from pyspark.sql import functions as F
+
+        bad = self.read().filter(~F.expr(predicate_sql)).count()
+        if bad:
+            raise ConstraintViolation(
+                f"{self.path}: cannot add constraint {name!r} — {bad} "
+                f"existing rows violate ({predicate_sql})"
+            )
+        e = self.entry(head_v)
+        return self._commit_manifest(
+            "set-constraint",
+            manifest=list(e["manifest"]),
+            schema_json=e["schema"],
+            row_count=e["row_count"],
+            stats=dict(e.get("stats", {})),
+            added=[],
+            seq=_file_seq(e),
+            delete_files=list(e.get("delete_files", [])),
+            properties={f"constraint.{name}": predicate_sql},
+        )
+
+    def drop_constraint(self, name: str) -> dict:
+        head_v = self.latest_version()
+        if head_v is None:
+            raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        if name not in self.constraints():
+            raise ValueError(f"{self.path}: no constraint {name!r}")
+        e = self.entry(head_v)
+        return self._commit_manifest(
+            "set-constraint",
+            manifest=list(e["manifest"]),
+            schema_json=e["schema"],
+            row_count=e["row_count"],
+            stats=dict(e.get("stats", {})),
+            added=[],
+            seq=_file_seq(e),
+            delete_files=list(e.get("delete_files", [])),
+            properties={f"constraint.{name}": None},
+        )
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """One fused boolean aggregate over the incoming batch: every
+        violated constraint reported at once, with counts."""
+        cons = self.constraints()
+        if not cons:
+            return
+        from pyspark.sql import functions as F
+
+        names = sorted(cons)
+        agg = df.agg(
+            *[
+                F.sum(
+                    F.when(~F.coalesce(F.expr(cons[n]), F.lit(False)), 1)
+                    .otherwise(0)
+                ).alias(n)
+                for n in names
+            ]
+        ).collect()[0]
+        bad = {n: int(agg[n] or 0) for n in names if agg[n]}
+        if bad:
+            raise ConstraintViolation(
+                f"{self.path}: batch violates CHECK constraint(s) "
+                + ", ".join(
+                    f"{n} ({cons[n]}): {c} rows" for n, c in bad.items()
+                )
+            )
 
     def _cluster_by_spec(self, df: DataFrame) -> DataFrame:
         """Range-cluster a write by the active spec so each staged
@@ -1131,7 +1239,7 @@ class SnapshotTable:
         Commits pinned to the snapshot the delete was derived from
         (`expect_parent`): a concurrent writer forces a re-derive, the
         same serializable read-modify-write rule as `merge`."""
-        if mode not in ("cow", "mor"):
+        if mode not in ("cow", "mor", "mor_positional"):
             raise ValueError(f"delete_where: unknown mode {mode!r}")
         if mode == "mor" and not equality_on:
             raise ValueError("delete_where(mode='mor') needs equality_on")
@@ -1144,6 +1252,8 @@ class SnapshotTable:
             try:
                 if mode == "mor":
                     return self._delete_mor(e, predicate, equality_on, properties)
+                if mode == "mor_positional":
+                    return self._delete_mor_positional(e, predicate, properties)
                 return self._delete_cow(
                     e, predicate, prune_column, lo, hi, properties
                 )
@@ -1254,6 +1364,63 @@ class SnapshotTable:
                 properties={
                     **(properties or {}),
                     "mode": "mor",
+                    "deleted_rows": n_deleted,
+                },
+                expect_parent=base,
+            )
+        except CommitConflict:
+            try:
+                os.remove(os.path.join(self._data_path, delete_file))
+            except FileNotFoundError:
+                pass
+            raise
+
+    def _delete_mor_positional(self, e: dict, predicate, properties) -> dict:
+        """Iceberg v2 POSITIONAL delete / Delta deletion vector: the
+        delete file records (`_file` basename, `_pos` row ordinal)
+        pairs — which physical rows died, not which keys. No data file
+        is touched and no key columns are required (`predicate` may be
+        over any columns); readers anti-join on the parquet reader's
+        own (file, row_index). Positions are derived from the
+        position-annotated VISIBLE read, so rows hidden by pending
+        deletes are never re-counted, and the commit's row_count drops
+        by exactly the delete file's cardinality (1 position == 1
+        row — unlike equality deletes, no matching pass is needed)."""
+        base = e["version"]
+        visible = self._read_files(e, e["manifest"], with_positions=True)
+        keys = (
+            visible.filter(predicate).select("_file", "_pos").coalesce(1)
+        )
+        staged = self._stage(keys)
+        if len(staged) > 1:
+            paths = [os.path.join(self._data_path, f) for f in staged]
+            merged = self.spark.read.parquet(*paths).coalesce(1)
+            restaged = self._stage(merged)
+            for f in staged:
+                os.remove(os.path.join(self._data_path, f))
+            staged = restaged
+        delete_file = staged[0]
+        n_deleted, _ = _footer_stats(
+            os.path.join(self._data_path, delete_file)
+        )
+        try:
+            return self._commit_manifest(
+                "delete",
+                manifest=list(e["manifest"]),
+                schema_json=e["schema"],
+                row_count=e["row_count"] - n_deleted,
+                stats=dict(e.get("stats", {})),
+                added=[],
+                seq=_file_seq(e),
+                delete_files=list(e.get("delete_files", [])),
+                new_delete={
+                    "file": delete_file,
+                    "columns": ["_file", "_pos"],
+                    "kind": "positional",
+                },
+                properties={
+                    **(properties or {}),
+                    "mode": "mor_positional",
                     "deleted_rows": n_deleted,
                 },
                 expect_parent=base,
@@ -1392,25 +1559,56 @@ class SnapshotTable:
         e = self.entry(v)
         return self._read_files(e, e["manifest"])
 
-    def _read_files(self, e: dict, names: list[str]) -> DataFrame:
+    def _read_files(
+        self, e: dict, names: list[str], with_positions: bool = False
+    ) -> DataFrame:
         """Read a subset of a snapshot's data files with MoR delete
         semantics: a delete file applies to a data file iff its
         sequence number is higher (Iceberg's rule — appends AFTER a
         delete are unaffected). Data files are grouped by sequence
         number; each group anti-joins the union of the delete files
         that outrank it, broadcast (delete key sets are small by
-        construction — large deletes belong in CoW). With no pending
-        deletes this is a plain multi-file parquet scan: zero
-        overhead on the common path."""
+        construction — large deletes belong in CoW). Both v2 delete
+        strategies apply here: EQUALITY files anti-join on their key
+        columns, POSITIONAL files (kind="positional": `_file` basename
+        + `_pos` row ordinal, Iceberg positional deletes / Delta
+        deletion vectors) anti-join on the parquet reader's own
+        (_metadata.file_path, _metadata.row_index) — no key columns
+        needed, which is what makes them the right tool for
+        predicate-derived deletes over keyless tables.
+        `with_positions=True` keeps the `_file`/`_pos` annotation on
+        the output (the positional-delete WRITE path derives its keys
+        from exactly this read, so a delete over already-deleted rows
+        can never resurrect or double-count). With no pending deletes
+        this is a plain multi-file parquet scan: zero overhead on the
+        common path."""
         from pyspark.sql import functions as F
+
+        def annotate(df):
+            return df.select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+                "*",
+            )
 
         schema = StructType.fromJson(json.loads(e["schema"]))
         if not names:
-            return self.spark.createDataFrame([], schema)
+            empty = self.spark.createDataFrame([], schema)
+            if with_positions:
+                empty = empty.select(
+                    F.lit(None).cast("string").alias("_file"),
+                    F.lit(None).cast("bigint").alias("_pos"),
+                    "*",
+                )
+            return empty
         dels = e.get("delete_files", [])
         paths = [os.path.join(self._data_path, f) for f in names]
-        if not dels:
+        if not dels and not with_positions:
             return self.spark.read.schema(schema).parquet(*paths)
+        if not dels:
+            return annotate(self.spark.read.schema(schema).parquet(*paths))
         seq = _file_seq(e)
         groups: dict[int, list[str]] = {}
         for f in names:
@@ -1421,14 +1619,36 @@ class SnapshotTable:
                 *[os.path.join(self._data_path, f) for f in group]
             )
             applicable = [d for d in dels if d["seq"] > s]
+            positional = [
+                d for d in applicable if d.get("kind") == "positional"
+            ]
+            equality = [
+                d for d in applicable if d.get("kind") != "positional"
+            ]
+            if positional or with_positions:
+                df = annotate(df)
+            if positional:
+                keys = self.spark.read.parquet(
+                    *[
+                        os.path.join(self._data_path, d["file"])
+                        for d in positional
+                    ]
+                ).distinct()
+                df = df.join(
+                    F.broadcast(keys), on=["_file", "_pos"], how="left_anti"
+                )
             by_cols: dict[tuple, list[str]] = {}
-            for d in applicable:
+            for d in equality:
                 by_cols.setdefault(tuple(d["columns"]), []).append(d["file"])
             for cols, dfiles in by_cols.items():
                 keys = self.spark.read.parquet(
                     *[os.path.join(self._data_path, f) for f in dfiles]
                 ).distinct()
                 df = df.join(F.broadcast(keys), on=list(cols), how="left_anti")
+            if (positional) and not with_positions:
+                df = df.drop("_file", "_pos")
+            elif with_positions and not positional:
+                pass  # annotated above
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -1625,8 +1845,8 @@ class SnapshotTable:
                     )
                     parts.append(_tag(df, "insert", v))
                 continue
-            if op == "rewrite":
-                continue  # physical compaction, zero logical change
+            if op in ("rewrite", "set-constraint"):
+                continue  # physical/metadata-only, zero logical change
             if op == "delete" and parent is not None:
                 mode = (e.get("properties") or {}).get("mode")
                 new_dels = [
@@ -1635,6 +1855,28 @@ class SnapshotTable:
                     if d["file"]
                     not in {p["file"] for p in parent.get("delete_files", [])}
                 ]
+                if mode == "mor_positional" and new_dels:
+                    from pyspark.sql import functions as F
+
+                    # Positional commit: the deleted rows are the
+                    # parent's visible rows at exactly the recorded
+                    # (file, ordinal) pairs — one semi-join on the
+                    # position annotation, no key columns involved.
+                    keys = self.spark.read.parquet(
+                        *[
+                            os.path.join(self._data_path, d["file"])
+                            for d in new_dels
+                        ]
+                    ).distinct()
+                    pre = self._read_files(
+                        parent, parent["manifest"], with_positions=True
+                    )
+                    deleted = pre.join(
+                        F.broadcast(keys), on=["_file", "_pos"],
+                        how="left_semi",
+                    ).drop("_file", "_pos")
+                    parts.append(_tag(deleted, "delete", v))
+                    continue
                 if mode == "mor" and new_dels:
                     from pyspark.sql import functions as F
 

@@ -1956,3 +1956,140 @@ def test_overwrite_partitions_dynamic(spark, tmp_path, nations):
         t.overwrite_partitions(batch.filter(F.lit(False)))["version"]
         == e["version"]
     )
+
+
+def test_positional_delete_semantics(spark, tmp_path, nations):
+    """Iceberg v2 positional deletes: ordinal-addressed rows die, no
+    data file is touched, later appends are unaffected, stacking on
+    pending deletes never re-counts, and equality+positional mix."""
+    t = _table(spark, tmp_path, "pos")
+    t.create(nations.filter(F.col("n_nationkey") <= 11).coalesce(1))
+    t.append(nations.filter(F.col("n_nationkey") > 11).coalesce(1))
+    files_before = set(t.entry(t.latest_version())["manifest"])
+    e = t.delete_where(F.col("n_nationkey") % 4 == 0, mode="mor_positional")
+    assert set(e["manifest"]) == files_before, "no data file may change"
+    assert e["delete_files"][0]["kind"] == "positional"
+    assert e["properties"]["deleted_rows"] == 7
+    want = [k for k in range(25) if k % 4 != 0]
+    assert sorted(r.n_nationkey for r in t.read().collect()) == want
+    assert t.row_count() == len(want)
+    # later append of a deleted key: new file ordinals are never
+    # referenced by the old delete file
+    t.append(nations.filter(F.col("n_nationkey") == 4).coalesce(1))
+    assert t.read().filter(F.col("n_nationkey") == 4).count() == 1
+    # stacking: second positional delete derives from VISIBLE rows
+    # only (row 4's resurrected copy dies; nothing double-counts)
+    before = t.row_count()
+    e2 = t.delete_where(F.col("n_nationkey") == 4, mode="mor_positional")
+    assert e2["properties"]["deleted_rows"] == 1
+    assert t.row_count() == before - 1
+    # mix an equality delete on top; both kinds apply together
+    t.delete_where(
+        F.col("n_regionkey") == 2, mode="mor", equality_on=["n_regionkey"]
+    )
+    got = {r.n_nationkey for r in t.read().collect()}
+    reg2 = {
+        r.n_nationkey
+        for r in nations.filter(F.col("n_regionkey") == 2).collect()
+    }
+    assert got == {k for k in range(25) if k % 4 != 0 and k != 4} - reg2
+    # rewrite_deletes materializes BOTH kinds back to a plain scan
+    e3 = t.rewrite_deletes()
+    assert e3["delete_files"] == []
+    assert {r.n_nationkey for r in t.read().collect()} == got
+
+
+def test_positional_delete_pyds_and_change_feed(spark, tmp_path, nations):
+    t = _table(spark, tmp_path, "posfeed")
+    t.create(nations.coalesce(1))
+    t.delete_where(F.col("n_nationkey") % 5 == 0, mode="mor_positional")
+    want = [k for k in range(25) if k % 5 != 0]
+    # python-datasource batch read applies ordinal deletes Arrow-side
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    got = sorted(
+        r.n_nationkey
+        for r in spark.read.format("snapshot").load(t.path).collect()
+    )
+    assert got == want
+    # batch change feed emits exactly the ordinal-addressed rows
+    ch = t.changes_between(1, 2)
+    dels = sorted(
+        r.n_nationkey
+        for r in ch.collect()
+        if r["_change_type"] == "delete"
+    )
+    assert dels == [0, 5, 10, 15, 20]
+    # streaming change feed replays the same rows
+    q = (
+        spark.readStream.format("snapshot")
+        .option("readChangeFeed", "true")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName("posfeed_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select _change_type, n_nationkey from posfeed_mem"
+    ).collect()
+    sdels = sorted(
+        r.n_nationkey for r in rows if r._change_type == "delete"
+    )
+    assert sdels == [0, 5, 10, 15, 20]
+    assert (
+        sorted(r.n_nationkey for r in rows if r._change_type == "insert")
+        == list(range(25))
+    )
+
+
+def test_check_constraints_enforced_on_write(spark, tmp_path, nations):
+    from lakehouse_homeserver_spark.sources.snapshot import (
+        ConstraintViolation,
+    )
+
+    t = _table(spark, tmp_path, "chk")
+    t.create(nations.filter(F.col("n_nationkey") < 10))
+    t.add_constraint("band", "n_nationkey BETWEEN 0 AND 24")
+    t.add_constraint("named", "n_name IS NOT NULL")
+    # adding a constraint existing data violates must fail
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint("narrow", "n_nationkey < 5")
+    assert sorted(t.constraints()) == ["band", "named"]
+    v = t.latest_version()
+    t.append(nations.filter(F.col("n_nationkey").between(10, 24)))
+    with pytest.raises(ConstraintViolation, match="band"):
+        t.append(
+            nations.withColumn("n_nationkey", F.col("n_nationkey") + 30)
+        )
+    # nothing landed: no snapshot, no rows
+    assert t.latest_version() == v + 1
+    assert t.read().count() == 25
+    # NULL predicate result counts as a violation (SQL CHECK treats
+    # unknown as pass, Delta treats it as fail — we follow Delta)
+    with pytest.raises(ConstraintViolation, match="named"):
+        t.append(
+            nations.limit(1).withColumn(
+                "n_name", F.lit(None).cast("string")
+            )
+        )
+    # constraints survive via a DIFFERENT handle (log inheritance)
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+    t2 = SnapshotTable(spark, t.path)
+    assert sorted(t2.constraints()) == ["band", "named"]
+    with pytest.raises(ConstraintViolation):
+        t2.append(
+            nations.withColumn("n_nationkey", F.col("n_nationkey") + 30)
+        )
+    # drop then the same append lands; change feed skips the
+    # constraint commits (metadata-only)
+    t2.drop_constraint("band")
+    t2.append(
+        nations.limit(2).withColumn("n_nationkey", F.col("n_nationkey") + 30)
+    )
+    assert t2.read().count() == 27
+    ch = t.changes_between(1, t.latest_version())
+    assert ch.filter(F.col("_change_type") == "delete").count() == 0
