@@ -2366,3 +2366,125 @@ def k1_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+def cc_alternating(edges: DataFrame, max_rounds: int = 30):
+    """The alternating large-star/small-star loop, factored so the
+    O(log n)-round bound is testable on synthetic graphs (a 200-node
+    path). Takes an (u, v) edge DataFrame, returns (labels, rounds)
+    where labels maps every edge-touched doc_id to its component
+    minimum."""
+    edges = (
+        edges.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sym(e):  # both directions, so groupBy(u) sees the full N(u)
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def star(e, large: bool):
+        s = sym(e)
+        m = s.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        j = s.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = (
+                j.filter(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(m.select(F.col("u"), F.col("m").alias("v")))
+            )
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    def fingerprint(e):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    rounds = 0
+    for _ in range(max_rounds):
+        edges = star(star(edges, large=True), large=False)
+        rounds += 1
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:  # pragma: no cover - O(log n) bound; fixture needs ~3
+        raise RuntimeError(
+            f"large/small-star did not converge in {max_rounds} rounds"
+        )
+    labels = (
+        sym(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("mn"), F.col("u")).alias("label"),
+        )
+    )
+    return labels, rounds
+
+
+@query("k9_cc_bigstar", oracle=None)
+def k9_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    — the O(log n)-round scale path k2_dup_clusters' docstring
+    promises for adversarially long chains, implemented behind the
+    SAME interface and certified against the SAME recursive-CTE
+    oracle (attached below — both queries must produce the identical
+    clustering).
+
+    Min-label propagation needs diameter-many rounds: a 10^6-node
+    path graph (a pathological crawl chain) would need 10^6
+    iterations. The alternating algorithm rewrites the EDGE LIST
+    itself: large-star points every larger neighbor of u at
+    min(N(u) ∪ {u}); small-star points the smaller-or-equal
+    neighbors at it. Each operation is one symmetrize (map-only
+    union) + one groupBy(min) + one equi-join back — all bounded by
+    the edge list — and the pair provably halves component height,
+    so rounds are O(log n) REGARDLESS of diameter (the pytest pins a
+    200-node path converging in <=15 alternations where propagation
+    needs 200). Convergence detection compares (edge count,
+    sum(xxhash64(u, v))) across rounds: order-independent, one
+    2-value scalar agg, no join-against-previous.
+
+    At convergence the edge list IS the component assignment (every
+    edge points a node at its component minimum), so the final labels
+    are one groupBy(min) away. Same memoized `verified_pairs` table,
+    same singleton re-attachment, same output schema as
+    k2_dup_clusters."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    pairs = verified_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels, _rounds = cc_alternating(edges)
+    cc = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+# the alternating algorithm must agree with the recursive-CTE fixpoint
+ORACLES["k9_cc_bigstar"] = ORACLES["k2_dup_clusters"]

@@ -1320,3 +1320,80 @@ def i7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("attributed_value"),
         )
     )
+
+
+@query(
+    "i8_stream_static_enrich",
+    oracle=f"""
+    WITH profile AS (
+      SELECT user_id,
+             {{SQL_DAVG}} AS user_avg_value,
+             COUNT(*) AS user_n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN e.value > p.user_avg_value
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
+           {sql_dsum('e.value')} AS total_value
+    FROM events e JOIN profile p USING (user_id)
+    GROUP BY e.event_type
+    """.replace(
+        "{SQL_DAVG}",
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)",
+    ),
+)
+def i8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, driver-certified end to end
+    (I-ext; previously pytest-only via its batch twin): a REAL event
+    file stream joins a BROADCAST static per-user profile dimension —
+    the standard 100 TB/day enrichment shape. Unlike the stream-stream
+    join (i7) this needs NO state store and no watermark: each
+    micro-batch is map-only against the broadcast dim, and
+    re-broadcasting per trigger picks up slowly-changing profile
+    updates for free.
+
+    The stream (availableNow over the fixture, one micro-batch) lands
+    enriched rows in a memory sink; the certified result aggregates
+    them per event type — event counts, above-personal-average flags
+    (profile avg is the decimal-exact davg contract, so the
+    double comparison is bit-identical cross-engine), and exact value
+    totals. The oracle recomputes the identical enrichment
+    relationally."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..sources.registry import normalize_events_ts, table_path
+    from ..streaming.jobs import enrich_events, user_profile
+
+    events = T(spark, sf_dir, "events")
+    profile = user_profile(events)
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="i8-events-")
+    os.symlink(path, os.path.join(d, "events.parquet"))
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema).parquet(d)
+    )
+    sink = f"i8_enriched_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_events(stream, profile)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("above_avg"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above_avg"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "d17_theta_sketch_setops",
     "d18_topn_plus_others",
     "f5_keyset_pagination",
-    "g_union_by_name",
+    "i8_stream_static_enrich",
     "tpch_q3_shipping_priority",
     "tpch_q9_product_profit",
     "sql_recursive_month_spine",

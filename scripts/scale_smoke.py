@@ -57,6 +57,12 @@ OPS = [
     "k5_ahash_near_dup",
     "k4_bigram_lm_score",
     "k4_gopher_rules",
+    # round-3 additions: clustering / bloom decon / substring dedup /
+    # alternating connected components
+    "k3_kmeans",
+    "k8_bloom_decontaminate",
+    "k1_substr_dedup",
+    "k9_cc_bigstar",
 ]
 
 

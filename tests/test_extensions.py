@@ -771,3 +771,49 @@ def test_cdc_chunking_is_shift_robust(spark, tmp_path, sf_dir):
     # per-doc chunk counts: expected ~160/8 = ~20 chunks; the shifted
     # copy must share all but the first chunk (the edit region)
     assert shared >= 10, f"only {shared} shared chunks — not shift-robust"
+
+
+def test_cc_bigstar_logarithmic_on_path_graph(spark):
+    """The alternating large/small-star loop must collapse a 200-node
+    PATH (diameter 199 — min-label propagation would need ~200
+    rounds) in O(log n) alternations, into one component rooted at 0."""
+    from lakehouse_homeserver_spark.operators.dedup import cc_alternating
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "u bigint, v bigint"
+    )
+    labels, rounds = cc_alternating(edges)
+    assert rounds <= 15, f"needed {rounds} rounds on a 200-path"
+    got = labels.collect()
+    assert len(got) == 200
+    assert {r["label"] for r in got} == {0}
+
+
+def test_cc_bigstar_matches_min_label_on_random_graph(spark):
+    """Alternating CC and a brute union-find agree on a deterministic
+    multi-component graph (stars, a cycle, singleton-adjacent pairs)."""
+    from lakehouse_homeserver_spark.operators.dedup import cc_alternating
+
+    raw = (
+        [(0, i) for i in range(1, 6)]           # star at 0
+        + [(10, 11), (11, 12), (12, 10)]        # 3-cycle
+        + [(20, 21)]                            # pair
+        + [(30, 31), (31, 32), (33, 32), (34, 33)]  # zigzag chain
+    )
+    edges = spark.createDataFrame(raw, "u bigint, v bigint")
+    labels, _ = cc_alternating(edges)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    # union-find model
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
