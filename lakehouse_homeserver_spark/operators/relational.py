@@ -2432,3 +2432,88 @@ def d18_topn_plus_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("revenue").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_part_types"),
     )
+
+
+@query(
+    "c10_bucketed_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           TRUE AS join_zero_shuffle,
+           TRUE AS sort_merge_join
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def c10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join, driver-certified WITH its
+    physical contract (SURVEY C5-ext; previously pytest-only): both
+    sides are written `bucketBy(8, key).sortBy(key)` catalog tables,
+    so the sort-merge join needs ZERO shuffle exchanges — the
+    shuffle was paid once at WRITE time, and every subsequent join
+    on the bucket key is exchange-free. At 100 TB this is the
+    difference between re-shuffling two fact tables per query and
+    never shuffling them again; broadcast is force-disabled while
+    deriving the plan because at real scale neither fact side
+    broadcasts (that is the regime bucketing exists for).
+
+    The certified row set carries the aggregate AND two plan facts
+    extracted from the forced-SMJ join subplan — `join_zero_shuffle`
+    (no Exchange anywhere in it) and `sort_merge_join` — so a
+    regression that silently reintroduces a shuffle flips a hashed
+    boolean, not just a pytest."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed")
+    for name, df, key in (
+        (f"c10_orders_{tag}", T(spark, sf_dir, "orders"), "o_orderkey"),
+        (f"c10_lineitem_{tag}", T(spark, sf_dir, "lineitem"), "l_orderkey"),
+    ):
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(f"bucketed.{name}")
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(f"bucketed.c10_lineitem_{tag}")
+            .join(
+                spark.table(f"bucketed.c10_orders_{tag}"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_extendedprice", "l_discount", "o_orderpriority")
+        )
+        plan = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+        zero_shuffle = "Exchange" not in plan
+        smj = "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            "revenue",
+            F.lit(zero_shuffle).alias("join_zero_shuffle"),
+            F.lit(smj).alias("sort_merge_join"),
+        )
+        .orderBy("o_orderpriority")
+    )

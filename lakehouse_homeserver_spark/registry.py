@@ -82,7 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "f5_keyset_pagination",
     "i8_stream_static_enrich",
     "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
+    "c10_bucketed_join",
     "sql_recursive_month_spine",
     "sql_lateral_join",
     "ts_funnel",
