@@ -30,10 +30,13 @@ _MODULES = []
 #       newly-oracled exact-mode IVF, compaction / z-order / GC /
 #       profiling maintenance surface);
 #   (c) 1 canary re-verifying the already-green core;
-#   (d) 28 never-driver-verified queries spread across every family
+#   (d) 28 never-driver-verified slots: breadth across every family
 #       that has zero driver-green rows (scalar H*, sketch/agg D*,
-#       window/sort/set, TPC-H + SQL surface, ts_*, K-variants, ACID
-#       mutations).
+#       window/sort, TPC-H + SQL surface, ts_*, K-variants, ACID
+#       mutations) plus the late-round-3 additions (bloom decon,
+#       positional deletes, CHECK constraints, stream-static join,
+#       bucketed zero-shuffle join) — each funded by dropping an
+#       entry whose family already holds multiple green rows.
 # Everything outside the window keeps exact-comparison coverage in
 # the local pytest parity suite (now routed through pandas dtypes,
 # i.e. the driver's own canonicalization).
