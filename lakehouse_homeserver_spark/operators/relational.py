@@ -2465,28 +2465,76 @@ def c10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted from the forced-SMJ join subplan — `join_zero_shuffle`
     (no Exchange anywhere in it) and `sort_merge_join` — so a
     regression that silently reintroduces a shuffle flips a hashed
-    boolean, not just a pytest."""
-    import uuid
+    boolean, not just a pytest.
 
-    tag = uuid.uuid4().hex[:8]
+    Table hygiene (ADVICE r3): deterministic per-SF table names with
+    mode("overwrite") — never uuid-tagged — and any legacy `c10_*`
+    table for another tag is dropped on the way in, so repeated
+    bench/verify runs leave at most 2 tables per scale factor."""
+    orders_t, lineitem_t = _c10_bucketed_tables(
+        spark, sf_dir, overwrite=True
+    )
+    return _c10_join_with_plan_facts(spark, orders_t, lineitem_t)
+
+
+def _c10_sf_tag(sf_dir: str) -> str:
+    import os
+    import re
+
+    return re.sub(
+        r"[^0-9A-Za-z]", "_", os.path.basename(sf_dir.rstrip("/"))
+    ) or "default"
+
+
+# (sf_dir tag) pairs already written by THIS process — bounds writes
+# to one per table per process while keeping every process's
+# certification a real shuffle-at-write.
+_C10_WRITTEN: set = set()
+
+
+def _c10_bucketed_tables(
+    spark: SparkSession, sf_dir: str, *, overwrite: bool
+) -> tuple:
+    """Create (or reuse) the two bucketed catalog tables the c10
+    queries join. `overwrite=True` rewrites once per process (the
+    write-side certification); `overwrite=False` reuses an existing
+    table even across processes (the read-side measurement — fixture
+    parquet is immutable, so a prior run's table is byte-identical).
+    Legacy uuid-tagged tables from pre-r4 runs are dropped."""
+    tag = _c10_sf_tag(sf_dir)
     spark.sql("CREATE DATABASE IF NOT EXISTS bucketed")
-    for name, df, key in (
-        (f"c10_orders_{tag}", T(spark, sf_dir, "orders"), "o_orderkey"),
-        (f"c10_lineitem_{tag}", T(spark, sf_dir, "lineitem"), "l_orderkey"),
-    ):
-        (
-            df.write.bucketBy(8, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .saveAsTable(f"bucketed.{name}")
-        )
+    want = {f"c10_orders_{tag}", f"c10_lineitem_{tag}"}
+    for t in spark.catalog.listTables("bucketed"):
+        if t.name.startswith("c10_") and t.name not in want and not any(
+            t.name.endswith(f"_{_c10_sf_tag(d)}")
+            for d in ("sf0.001", "sf0.01", "sf0.1", "sf1")
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS bucketed.{t.name}")
+    for short, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bucketed.c10_{short}_{tag}"
+        fresh = (sf_dir, name) not in _C10_WRITTEN
+        if (overwrite and fresh) or not spark.catalog.tableExists(name):
+            (
+                T(spark, sf_dir, short)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        _C10_WRITTEN.add((sf_dir, name))
+    return f"bucketed.c10_orders_{tag}", f"bucketed.c10_lineitem_{tag}"
+
+
+def _c10_join_with_plan_facts(
+    spark: SparkSession, orders_t: str, lineitem_t: str
+) -> DataFrame:
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = (
-            spark.table(f"bucketed.c10_lineitem_{tag}")
+            spark.table(lineitem_t)
             .join(
-                spark.table(f"bucketed.c10_orders_{tag}"),
+                spark.table(orders_t),
                 F.col("l_orderkey") == F.col("o_orderkey"),
             )
             .select("l_extendedprice", "l_discount", "o_orderpriority")
@@ -2517,3 +2565,35 @@ def c10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "c10_bucketed_join_read",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           TRUE AS join_zero_shuffle,
+           TRUE AS sort_merge_join
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def c10_bucketed_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ side of the bucketed-join certification (VERDICT r3 #7):
+    identical join, aggregate, and hashed plan facts as
+    `c10_bucketed_join`, but the bucketed tables are written at most
+    once — reused across processes when they already exist in the
+    warehouse (the fixture parquet is immutable, so a prior run's
+    bucketed copy is byte-identical). This is the number that matters
+    at 100 TB: bucketing pays the shuffle ONCE at write time, and
+    every subsequent join on the bucket key runs exchange-free — the
+    bench should see that steady-state read cost, not re-measure the
+    write each sweep."""
+    orders_t, lineitem_t = _c10_bucketed_tables(
+        spark, sf_dir, overwrite=False
+    )
+    return _c10_join_with_plan_facts(spark, orders_t, lineitem_t)

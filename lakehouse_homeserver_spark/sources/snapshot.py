@@ -394,7 +394,25 @@ class SnapshotTable:
         external writer (the Python DataSource write path: executors
         stage their partitions directly, the driver commits once).
         Same merge/CAS semantics as `_commit`; `added` names must be
-        unique, invisible-until-now files under the data dir."""
+        unique, invisible-until-now files under the data dir.
+
+        CHECK constraints are enforced here too (add_constraint's
+        'every incoming batch' guarantee): the staged files are read
+        back once — O(batch), never O(table) — and a violation
+        removes them before raising, so nothing lands."""
+        if added and self.exists() and self.constraints():
+            staged = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self._data_path, f) for f in added]
+            )
+            try:
+                self._enforce_constraints(staged)
+            except ConstraintViolation:
+                for f in added:
+                    try:
+                        os.remove(os.path.join(self._data_path, f))
+                    except FileNotFoundError:
+                        pass
+                raise
         op = "overwrite" if (replace and self.exists()) else (
             "append" if self.exists() else "create"
         )
@@ -670,14 +688,25 @@ class SnapshotTable:
         compacting rewrite (same resurrection rule as `_delete_cow`).
 
         Commits pinned to the snapshot the survivors were read from
-        (`expect_parent`); a concurrent writer forces a re-derive."""
+        (`expect_parent`); a concurrent writer forces a re-derive.
+
+        NULL semantics (Delta replaceWhere contract): the replace
+        region is rows where `predicate` IS TRUE. A row where the
+        predicate evaluates NULL is OUTSIDE the region — it survives
+        the overwrite, and as an incoming row it fails validation."""
+        from pyspark.sql import functions as F
+
         if validate:
-            n_bad = df.filter(~predicate).count()
+            # NULL predicate = not in the replace region = violation.
+            n_bad = df.filter(~F.coalesce(predicate, F.lit(False))).count()
             if n_bad:
                 raise ValueError(
                     f"overwrite_where: {n_bad} source rows violate the "
                     "replace predicate (replaceWhere contract)"
                 )
+        # CHECK constraints apply to every write path, including the
+        # pruned _commit_manifest fast path which bypasses _commit.
+        self._enforce_constraints(df)
         last: CommitConflict | None = None
         for _ in range(max_retries):
             base = self.latest_version()
@@ -696,12 +725,18 @@ class SnapshotTable:
         self, e: dict, df: DataFrame, predicate, prune_column, lo, hi,
         properties,
     ) -> dict:
+        from pyspark.sql import functions as F
+
         base = e["version"]
         new_df = self._cluster_by_spec(df)
+        # Survivors = rows NOT in the replace region. NULL-predicate
+        # rows are outside the region and must survive (Delta
+        # replaceWhere deletes only predicate-IS-TRUE rows).
+        keep = ~F.coalesce(predicate, F.lit(False))
         pending = e.get("delete_files", [])
         if pending:
             merged = (
-                self.read(version=base).filter(~predicate).unionByName(new_df)
+                self.read(version=base).filter(keep).unionByName(new_df)
             )
             return self._commit(
                 "overwrite",
@@ -725,7 +760,7 @@ class SnapshotTable:
                 os.path.join(self._data_path, f) for f in sorted(candidates)
             ]
             survivors = (
-                self.spark.read.schema(schema).parquet(*paths).filter(~predicate)
+                self.spark.read.schema(schema).parquet(*paths).filter(keep)
             )
             added += self._stage(survivors)
         added += self._stage(new_df)
@@ -1014,7 +1049,14 @@ class SnapshotTable:
             raise SnapshotNotFound(f"{self.path}: table has no snapshots")
         from pyspark.sql import functions as F
 
-        bad = self.read().filter(~F.expr(predicate_sql)).count()
+        # Same null-as-violation form as _enforce_constraints: a
+        # constraint that existing NULL rows would fail on any later
+        # rewrite must not be addable over them.
+        bad = (
+            self.read()
+            .filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
+            .count()
+        )
         if bad:
             raise ConstraintViolation(
                 f"{self.path}: cannot add constraint {name!r} — {bad} "
@@ -1264,13 +1306,18 @@ class SnapshotTable:
     def _delete_cow(
         self, e: dict, predicate, prune_column, lo, hi, properties
     ) -> dict:
+        from pyspark.sql import functions as F
+
         base = e["version"]
+        # SQL DELETE removes rows where the predicate IS TRUE; a row
+        # where it evaluates NULL survives (same rule as replaceWhere).
+        keep = ~F.coalesce(predicate, F.lit(False))
         pending = e.get("delete_files", [])
         if pending:
             # Pending MoR deletes: a pruned rewrite could resurrect
             # deleted rows (new files outrank old delete files), so
             # compact everything — read() applies the deletes.
-            survivors = self.read(version=base).filter(~predicate)
+            survivors = self.read(version=base).filter(keep)
             return self._commit(
                 "delete",
                 survivors,
@@ -1292,7 +1339,7 @@ class SnapshotTable:
                 os.path.join(self._data_path, f) for f in sorted(candidates)
             ]
             survivors = (
-                self.spark.read.schema(schema).parquet(*paths).filter(~predicate)
+                self.spark.read.schema(schema).parquet(*paths).filter(keep)
             )
             added = self._stage(survivors)
         else:

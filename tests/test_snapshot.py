@@ -2093,3 +2093,134 @@ def test_check_constraints_enforced_on_write(spark, tmp_path, nations):
     assert t2.read().count() == 27
     ch = t.changes_between(1, t.latest_version())
     assert ch.filter(F.col("_change_type") == "delete").count() == 0
+
+
+def test_overwrite_where_null_predicate_rows_survive(spark, tmp_path, nations):
+    """Delta replaceWhere removes only rows where the predicate IS
+    TRUE: rows where it evaluates NULL are outside the replace region
+    and must survive (ADVICE r3 high: filter(~pred) silently deleted
+    them); as incoming rows they fail validation."""
+    t = _table(spark, tmp_path, "ownull")
+    base = nations.withColumn(
+        "n_regionkey",
+        F.when(F.col("n_nationkey") < 5, F.lit(None)).otherwise(
+            F.col("n_regionkey")
+        ),
+    )
+    t.create(base.coalesce(1))
+    assert t.read().filter(F.col("n_regionkey").isNull()).count() == 5
+    new = (
+        nations.filter(F.col("n_regionkey") == 2)
+        .withColumn("n_name", F.lit("RESTATED"))
+    )
+    # unpruned path: only the 4 non-NULL regionkey==2 rows are in the
+    # region (nationkey 2's row has a NULL key -> survives), so 25
+    # rows - 4 deleted + 5 inserted = 26
+    t.overwrite_where(new, F.col("n_regionkey") == 2)
+    got = t.read()
+    assert got.filter(F.col("n_regionkey").isNull()).count() == 5
+    assert got.count() == 26
+    # pruned path: candidates include the NULL-key rows' file
+    t.overwrite_where(
+        new, F.col("n_regionkey") == 2, prune_column="n_nationkey",
+        lo=0, hi=24,
+    )
+    assert t.read().filter(F.col("n_regionkey").isNull()).count() == 5
+    # pending-MoR compaction path
+    t.delete_where(
+        F.col("n_nationkey") == 23, mode="mor", equality_on=["n_nationkey"]
+    )
+    t.overwrite_where(new, F.col("n_regionkey") == 2)
+    assert t.read().filter(F.col("n_regionkey").isNull()).count() == 5
+    # incoming NULL-predicate row is OUTSIDE the region -> rejected
+    bad = new.limit(1).withColumn("n_regionkey", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="replace predicate"):
+        t.overwrite_where(bad, F.col("n_regionkey") == 2)
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path, nations):
+    """SQL DELETE removes rows where the predicate IS TRUE; NULL
+    evaluates to not-deleted (same null rule as replaceWhere)."""
+    t = _table(spark, tmp_path, "delnull")
+    base = nations.withColumn(
+        "n_regionkey",
+        F.when(F.col("n_nationkey") < 5, F.lit(None)).otherwise(
+            F.col("n_regionkey")
+        ),
+    )
+    t.create(base.coalesce(1))
+    t.delete_where(F.col("n_regionkey") == 2)
+    got = t.read()
+    assert got.filter(F.col("n_regionkey").isNull()).count() == 5
+    assert got.filter(F.col("n_regionkey") == 2).count() == 0
+
+
+def test_check_constraints_enforced_on_overwrite_where_and_staged(
+    spark, tmp_path, nations
+):
+    """ADVICE r3 medium: the pruned overwrite_where path committed via
+    _commit_manifest and bypassed CHECK enforcement; so did
+    commit_staged (Python DataSource write path). Both must reject."""
+    from lakehouse_homeserver_spark.sources.snapshot import (
+        ConstraintViolation,
+    )
+
+    t = _table(spark, tmp_path, "chkow")
+    t.create(nations.coalesce(1))
+    t.add_constraint("band", "n_nationkey BETWEEN 0 AND 24")
+    v = t.latest_version()
+    bad = nations.filter(F.col("n_regionkey") == 2).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 100
+    )
+    # pruned path (no pending deletes -> _commit_manifest fast path)
+    with pytest.raises(ConstraintViolation, match="band"):
+        t.overwrite_where(
+            bad,
+            F.col("n_nationkey") >= 100,
+            prune_column="n_nationkey",
+            lo=100,
+            hi=200,
+        )
+    assert t.latest_version() == v
+    assert t.read().count() == 25
+    # overwrite_partitions routes through the same gate
+    t.set_partition_spec(["n_regionkey"])
+    with pytest.raises(ConstraintViolation, match="band"):
+        t.overwrite_partitions(
+            nations.filter(F.col("n_regionkey") == 1).withColumn(
+                "n_nationkey", F.col("n_nationkey") + 100
+            )
+        )
+    # commit_staged: stage violating files directly, commit must
+    # refuse AND clean up the staged files
+    staged = t._stage(bad)
+    n_data = len(os.listdir(os.path.join(t.path, "data")))
+    with pytest.raises(ConstraintViolation, match="band"):
+        t.commit_staged(staged, bad.schema)
+    assert len(os.listdir(os.path.join(t.path, "data"))) == n_data - len(
+        staged
+    )
+    assert t.read().count() == 25
+
+
+def test_add_constraint_rejects_existing_null_rows(spark, tmp_path, nations):
+    """ADVICE r3 low: add_constraint validated with ~expr (NULL
+    passes) while enforcement treats NULL as a violation — a
+    constraint must not be addable over rows any later rewrite of the
+    same data would reject."""
+    from lakehouse_homeserver_spark.sources.snapshot import (
+        ConstraintViolation,
+    )
+
+    t = _table(spark, tmp_path, "chknull")
+    t.create(
+        nations.withColumn(
+            "n_name",
+            F.when(F.col("n_nationkey") == 0, F.lit(None)).otherwise(
+                F.col("n_name")
+            ),
+        )
+    )
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint("c", "length(n_name) > 0")
+    assert t.constraints() == {}
