@@ -817,3 +817,68 @@ def test_cc_bigstar_matches_min_label_on_random_graph(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_ahash_wide_banding_is_exact_at_every_plan(spark):
+    """Corpus-scaled banding (VERDICT r3 #3): the (9,2) and (10,3)
+    multi-index keys must produce EXACTLY the brute-force Hamming<=7
+    pair set — completeness by pigeonhole (r <= m-7), precision by
+    the in-join exact verify. Fixture: clusters of codes within the
+    threshold plus random background codes."""
+    import itertools
+    import random
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    rng = random.Random(42)
+    codes = {}
+    doc = 0
+    # 12 clusters: an anchor + 3 variants at exactly <=7 flipped bits
+    for _ in range(12):
+        anchor = rng.getrandbits(64)
+        codes[doc] = anchor
+        doc += 1
+        for _ in range(3):
+            v = anchor
+            for b in rng.sample(range(64), rng.randint(1, 7)):
+                v ^= 1 << b
+            codes[doc] = v
+            doc += 1
+    # background noise
+    for _ in range(150):
+        codes[doc] = rng.getrandbits(64)
+        doc += 1
+
+    rows = [
+        tuple([d] + [(v >> (8 * j)) & 0xFF for j in range(8)])
+        for d, v in codes.items()
+    ]
+    hashes = spark.createDataFrame(
+        rows, "doc_id long, " + ", ".join(f"b{j} int" for j in range(8))
+    )
+    expect = sorted(
+        (a, b, bin(codes[a] ^ codes[b]).count("1"))
+        for a, b in itertools.combinations(sorted(codes), 2)
+        if bin(codes[a] ^ codes[b]).count("1") <= mm.AHASH_MAX_HAMMING
+    )
+    assert expect, "fixture must contain qualifying pairs"
+    for m, r in [(8, 1), (9, 2), (10, 3)]:
+        got = sorted(
+            (row.doc_a, row.doc_b, row.hamming)
+            for row in mm._ahash_candidate_pairs(hashes, m, r).collect()
+        )
+        assert got == expect, f"banding ({m},{r}) lost or invented pairs"
+
+
+def test_ahash_band_plan_thresholds():
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    assert mm._ahash_band_plan(0) == (8, 1)
+    assert mm._ahash_band_plan(300_000) == (8, 1)
+    assert mm._ahash_band_plan(300_001) == (9, 2)
+    assert mm._ahash_band_plan(30_000_000) == (9, 2)
+    assert mm._ahash_band_plan(30_000_001) == (10, 3)
+    # completeness invariant r <= m - 7 for every plan tier
+    for n in (0, 10_000, 10_000_000):
+        m, r = mm._ahash_band_plan(n)
+        assert r <= m - 7
