@@ -2501,6 +2501,8 @@ def _c10_bucketed_tables(
     table even across processes (the read-side measurement — fixture
     parquet is immutable, so a prior run's table is byte-identical).
     Legacy uuid-tagged tables from pre-r4 runs are dropped."""
+    import os
+
     tag = _c10_sf_tag(sf_dir)
     spark.sql("CREATE DATABASE IF NOT EXISTS bucketed")
     want = {f"c10_orders_{tag}", f"c10_lineitem_{tag}"}
@@ -2514,6 +2516,22 @@ def _c10_bucketed_tables(
         name = f"bucketed.c10_{short}_{tag}"
         fresh = (sf_dir, name) not in _C10_WRITTEN
         if (overwrite and fresh) or not spark.catalog.tableExists(name):
+            if not spark.catalog.tableExists(name):
+                # The session catalog does not persist metadata across
+                # processes, but the warehouse DIRECTORY does — clear a
+                # stale location or saveAsTable fails with
+                # LOCATION_ALREADY_EXISTS. Net effect: the bucketed
+                # write happens at most once per process.
+                import shutil
+
+                wh = spark.conf.get("spark.sql.warehouse.dir")
+                wh = wh.removeprefix("file:")
+                shutil.rmtree(
+                    os.path.join(
+                        wh, "bucketed.db", name.split(".", 1)[1]
+                    ),
+                    ignore_errors=True,
+                )
             (
                 T(spark, sf_dir, short)
                 .write.bucketBy(8, key)
@@ -2597,3 +2615,238 @@ def c10_bucketed_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, overwrite=False
     )
     return _c10_join_with_plan_facts(spark, orders_t, lineitem_t)
+
+
+@query(
+    "a38_dynamic_partition_pruning",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           TRUE AS dpp_active,
+           TRUE AS broadcast_join
+    FROM orders
+    WHERE year(o_orderdate) >= 1997
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def a38_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, driver-certified with its plan
+    facts (VERDICT r3 #8 — previously pytest-only static pruning):
+    the fact table is a Hive-layout parquet write partitioned by
+    order year; the dim table carries a `recent` attribute known only
+    at runtime. Joining fact to the filtered dim on the partition
+    column must make Catalyst inject a `dynamicpruning` subquery into
+    the fact scan's PartitionFilters — the fact directories for
+    non-matching years are never opened, even though no literal year
+    predicate exists in the query.
+
+    At 100 TB this is THE mechanism that turns "join sales to the
+    dim and filter on a dim attribute" from a full-lake scan into a
+    few partitions: the broadcast of the filtered dim is reused as
+    the pruning filter (reuseBroadcastOnly, Spark's default), so
+    pruning costs nothing beyond the join's own broadcast. The two
+    booleans — `dpp_active` (dynamicpruning expression present in
+    the scan) and `broadcast_join` — ride the driver hash, so a
+    regression that silently reverts to a full scan flips a hashed
+    value, not just a pytest.
+
+    Gotcha pinned here deliberately: the dim predicate must be one
+    Catalyst's `isLikelySelective` recognizes (a comparison / IN /
+    LIKE). A bare boolean attribute filter (`WHERE recent`) is NOT
+    considered selective and silently disables DPP — measured on
+    this exact query; hence the dim carries a string `era` attribute
+    filtered with an equality.
+
+    Reference parity: partition-pruned scans over partitioned
+    Iceberg tables are the reference stack's bread and butter
+    (/root/reference/scripts/extract_load.py:95-110 writes
+    format-version=2 tables whose engines prune by partition)."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="a38-dpp-")
+    fact_path = os.path.join(base, "fact")
+    dim_path = os.path.join(base, "dim")
+    orders = T(spark, sf_dir, "orders")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(fact_path)
+    )
+    (
+        orders.select(F.year("o_orderdate").alias("o_year"))
+        .distinct()
+        .withColumn(
+            "era",
+            F.when(F.col("o_year") >= 1997, "recent").otherwise("old"),
+        )
+        .write.parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("era") == "recent")
+    j = fact.join(F.broadcast(dim), "o_year")
+    agg = (
+        j.groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    dpp = "dynamicpruning" in plan.lower()
+    bhj = "BroadcastHashJoin" in plan
+    return agg.select(
+        "o_year",
+        "n_orders",
+        "total_price",
+        F.lit(dpp).alias("dpp_active"),
+        F.lit(bhj).alias("broadcast_join"),
+    ).orderBy("o_year")
+
+
+@query(
+    "a39_runtime_bloom_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS total_price,
+           TRUE AS bloom_built,
+           TRUE AS bloom_pushed
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def a39_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning, driver-certified with its
+    plan facts (VERDICT r3 #8 — previously pytest-only): on a
+    selective shuffle join, Catalyst builds a bloom filter from the
+    FILTERED build side (`bloom_filter_agg`) and injects a
+    `might_contain` probe into the other side's scan, so probe rows
+    that cannot match die before the exchange. At 100 TB this is the
+    shuffle-join analogue of dynamic partition pruning: the probe
+    side ships O(matching) rows instead of O(table).
+
+    The fixture sits under Spark's 10 GiB application-side threshold,
+    so the thresholds are tuned down while the plan is derived
+    (broadcast also disabled — at real scale neither fact side
+    broadcasts, which is the regime the bloom path exists for), then
+    restored. The two booleans — `bloom_built` (bloom_filter_agg on
+    the build side) and `bloom_pushed` (might_contain on the probe
+    side) — ride the driver hash."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10000000",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = T(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = T(spark, sf_dir, "lineitem")
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        agg = j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        bloom_built = "bloom_filter_agg" in plan
+        bloom_pushed = "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+    return agg.select(
+        "o_orderpriority",
+        "n_items",
+        "total_price",
+        F.lit(bloom_built).alias("bloom_built"),
+        F.lit(bloom_pushed).alias("bloom_pushed"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "a40_agg_pushdown",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS lo,
+           CAST(MAX(o_orderkey) AS BIGINT) AS hi,
+           COUNT(*) AS n,
+           TRUE AS agg_pushed
+    FROM orders
+    """,
+)
+def a40_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer-statistics aggregate pushdown, driver-certified
+    with its plan fact (the third plan-certification query of the r4
+    flywheel, after a38 DPP and a39 bloom joins): an unfiltered
+    MIN/MAX/COUNT is answered entirely from parquet footer metadata —
+    the DSv2 scan shows `PushedAggregation` and no data page is ever
+    decompressed. At 100 TB this turns "how many rows, what key
+    range" from a cluster job into a planning-time metadata read —
+    the same trick the snapshot layer's manifest stats pull at commit
+    time, here certified on the raw-parquet path.
+
+    The DSv2 path and the pushdown flag are session confs, toggled
+    only while this plan is derived, then restored (the engine
+    default keeps the battle-tested V1 path for general scans). The
+    `agg_pushed` boolean rides the driver hash with the values, so
+    the certification IS the driver row."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.parquet.aggregatePushdown",
+            "spark.sql.sources.useV1SourceList",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        agg = T(spark, sf_dir, "orders").agg(
+            F.min("o_orderkey").cast("bigint").alias("lo"),
+            F.max("o_orderkey").cast("bigint").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        pushed = "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]" in plan
+        # Materialize the certified values INSIDE the conf window so
+        # the collected row really came from the pushed-down plan.
+        row = agg.first()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(row.lo, row.hi, row.n, pushed)],
+        "lo bigint, hi bigint, n bigint, agg_pushed boolean",
+    )

@@ -1265,10 +1265,15 @@ def i7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. Aggregation happens AFTER the sink (memory table) because a
     streaming agg over a stream-stream join would need its own
     output-mode semantics; the certified surface is the join itself.
+
+    The joined pair stream lands in a PARQUET sink and is read back
+    for the aggregate (VERDICT r3 #6) — the pair set never
+    materializes on the driver, which is the truthful 100 TB shape: a
+    production attribution join writes its pairs to a table that
+    downstream jobs aggregate.
     """
     import os
     import tempfile
-    import uuid
 
     from ..sources.registry import normalize_events_ts, table_path
 
@@ -1303,17 +1308,18 @@ def i7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     )
-    sink = f"i7_pairs_{uuid.uuid4().hex[:8]}"
+    sink_dir = tempfile.mkdtemp(prefix="i7-pairs-")
     q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
+        joined.writeStream.format("parquet")
+        .option("path", os.path.join(sink_dir, "data"))
+        .option("checkpointLocation", os.path.join(sink_dir, "_chk"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
     return (
-        spark.table(sink)
+        spark.read.parquet(os.path.join(sink_dir, "data"))
         .groupBy(F.col("v_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),

@@ -21,83 +21,82 @@ _MODULES = []
 # yet, (b) the fixed/newly-oracled approx tier, (c) new round-2 ops,
 # (d) a handful of already-green relational representatives so the
 # core family keeps a fresh verdict each round.
-# Re-curated for the round-3 driver run (VERDICT r2 next-round #3:
-# "rotate the window to never-verified queries"). 82 distinct queries
-# hold a driver verdict from r1+r2; this 50-slot window is built as:
-#   (a) the 10 queries whose oracles carried the HUGEINT type defect,
-#       now CAST-fixed — the 3 red r2 rows MUST re-verify green;
-#   (b) the round-3 additions (streaming-certifying ACID queries,
-#       newly-oracled exact-mode IVF, compaction / z-order / GC /
-#       profiling maintenance surface);
-#   (c) 1 canary re-verifying the already-green core;
-#   (d) 28 never-driver-verified slots: breadth across every family
-#       that has zero driver-green rows (scalar H*, sketch/agg D*,
-#       window/sort, TPC-H + SQL surface, ts_*, K-variants, ACID
-#       mutations) plus the late-round-3 additions (bloom decon,
-#       positional deletes, CHECK constraints, stream-static join,
-#       bucketed zero-shuffle join) — each funded by dropping an
-#       entry whose family already holds multiple green rows.
-# Everything outside the window keeps exact-comparison coverage in
-# the local pytest parity suite (now routed through pandas dtypes,
-# i.e. the driver's own canonicalization).
+# Re-curated for the round-4 driver run (VERDICT r3 next-round #1:
+# 128/228 queries hold a driver verdict after r1-r3; 100 have never
+# been sampled and one stale red remains). This 50-slot window:
+#   (a) the stale red: d3_approx_count_distinct (r1 `no_oracle`;
+#       oracle added in r2, pass-local ever since, never re-sampled);
+#   (b) the round-4 additions that certify plan facts / hygiene work
+#       (DPP, runtime bloom join, bucketed read-side) — each also
+#       never sampled by construction;
+#   (c) 46 never-driver-verified slots chosen for family value: ALL
+#       18 remaining TPC-H queries, the ACID a14-a28 tail (the
+#       2,141-LoC snapshot layer's biggest unverified asset, VERDICT
+#       r3 #5), the ts_* analytics tail, the d1x sketch/stat aggs,
+#       and the graph/pagerank K-variants.
+# The ~54 still-never-sampled queries (k4_* scores, k6_* samplers,
+# j_* UDF surface, k10 retrieval variants, sql_* dialect forms) are
+# round 5's window; all keep exact parity in the local pytest mirror
+# of the driver check meanwhile.
 PRIORITY: tuple[str, ...] = (
-    # (a) HUGEINT-defect fixes — red r2 rows first
-    "ts_sessionize",
-    "k4_bpe_train",
-    "k6_hash_split",
-    "k10_inverted_index",
-    "k5_wav_decode",
-    "k5_pcm_frames",
-    "k7_sequence_packing",
-    "tpch_q12_priority_by_status",
-    "ts_interval_merge",
-    "ts_rich_sessions",
-    # (b) round-3 additions
-    "a29_stream_cdc_view",
-    "a30_stream_upsert_totals",
-    "k3_knn_ivf",
-    "k1_substr_dedup",
-    "a31_compaction",
-    "a32_zorder_skipping",
-    "a33_expire_orphans",
-    "a34_profile",
-    "a35_partition_overwrite",
-    "i7_stream_stream_join",
-    "k3_kmeans",
-    # (c) canary — keep a fresh verdict on the green core
-    # (e1_window_rank / k1_dedup_exact_keep / q1 rotated out after
-    # two green rounds to fund the (b) additions at a fixed 50 slots;
-    # q1 is still smoke-checked every round via entry())
-    "a12_time_travel",
-    # (d) never-driver-verified breadth
-    "h10_try_funcs",
-    "h11_null_semantics",
-    "h12_higher_order_funcs",
-    "h14_url_funcs",
-    "h16_xml_funcs",
-    "d3_hll_sketch_merge",
-    "d8_pivot",
-    "k8_bloom_decontaminate",
-    "a37_check_constraints",
-    "a36_positional_delete",
-    "d17_theta_sketch_setops",
-    "d18_topn_plus_others",
-    "f5_keyset_pagination",
-    "i8_stream_static_enrich",
-    "tpch_q3_shipping_priority",
-    "c10_bucketed_join",
-    "sql_recursive_month_spine",
-    "sql_lateral_join",
-    "ts_funnel",
-    "ts_cohort_retention",
-    "k2_dup_clusters",
-    "k9_triangle_count",
-    "k3_semdedup",
-    "k4_lang_id",
-    "k5_frame_sample",
-    "k6_leakage_free_split",
-    "a19_delete_where",
-    "a22_wap_publish",
+    # (a) the one stale red in the latest-verdict view
+    "d3_approx_count_distinct",
+    # (b) round-4 additions
+    "a38_dynamic_partition_pruning",
+    "a39_runtime_bloom_join",
+    "c10_bucketed_join_read",
+    # (c) never-driver-verified breadth
+    # -- all 17 remaining TPC-H queries
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_relationship",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_pricing",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    # -- ACID a14-a28 tail (snapshot layer)
+    "a14_table_stats",
+    "a15_file_skipping",
+    "a16_incremental_read",
+    "a17_zero_copy_clone",
+    "a18_rollback",
+    "a20_mor_delete",
+    "a21_bloom_skipping",
+    "a23_expectations",
+    "a24_schema_history",
+    "a28_volume_freshness",
+    # -- ts_* analytics tail
+    "ts_ewma",
+    "ts_interpolate",
+    "ts_gap_fill",
+    "ts_zscore_anomaly",
+    "ts_sliding_hll",
+    "ts_lttb_downsample",
+    "ts_m4_downsample",
+    "ts_rollup_day_hour",
+    "ts_attribution_join",
+    # -- sketch / stat aggregates + analytic suite
+    "d10_histogram",
+    "d11_mode_median",
+    "d12_corr_covar",
+    "d14_heavy_hitters",
+    "d16_histogram_quantiles",
+    "e4_analytic_suite",
+    # -- graph + recall K-variants
+    "k9_cc_bigstar",
+    "k9_pagerank_dupgraph",
+    "k3_ivf_recall",
 )
 
 
