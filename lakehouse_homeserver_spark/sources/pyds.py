@@ -80,6 +80,21 @@ def _versions(table_path: str) -> list[int]:
     )
 
 
+def _resolve_manifest(table_path: str, e: dict) -> dict:
+    """Resolve manifest-list indirection (snapshot.py `_write_entry`):
+    large snapshots keep their O(files) payload — manifest, stats,
+    seq, blooms — in a sidecar under `_log/manifests/`, with the log
+    entry holding only a pointer. Every pyds read path funnels
+    through here so partition planning sees one entry shape."""
+    ref = e.pop("manifest_ref", None)
+    if ref is not None:
+        with open(
+            os.path.join(table_path, _LOG_DIR, "manifests", ref)
+        ) as fh:
+            e.update(json.load(fh))
+    return e
+
+
 def _read_entry(table_path: str, version: int | str | None) -> dict:
     log = os.path.join(table_path, _LOG_DIR)
     if not os.path.isdir(log):
@@ -101,7 +116,7 @@ def _read_entry(table_path: str, version: int | str | None) -> dict:
     if v not in versions:
         raise ValueError(f"{table_path}: no snapshot {v} (have {versions})")
     with open(os.path.join(log, f"{v:020d}.json")) as fh:
-        return json.load(fh)
+        return _resolve_manifest(table_path, json.load(fh))
 
 
 class SnapshotPartition(InputPartition):
@@ -288,7 +303,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "stream downtime)"
                 )
             with open(entry_path) as fh:
-                e = json.load(fh)
+                e = _resolve_manifest(self._table_path, json.load(fh))
             # add-only commits keep lineage (same set added_between
             # accepts): the initial create, appends, and cherry-picked
             # (WAP-published) appends.
@@ -403,7 +418,7 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
                 "checkpoint"
             )
         with open(entry_path) as fh:
-            return json.load(fh)
+            return _resolve_manifest(self._table_path, json.load(fh))
 
     def partitions(self, start: dict, end: dict):
         data = os.path.join(self._table_path, _DATA_DIR)
@@ -606,7 +621,7 @@ class MetadataReader(DataSourceReader):
             out = []
             for v in _versions(self._path):
                 with open(os.path.join(log, f"{v:020d}.json")) as fh:
-                    e = json.load(fh)
+                    e = _resolve_manifest(self._path, json.load(fh))
                 out.append(
                     (
                         e["version"],

@@ -56,6 +56,19 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _REFS_DIR = "_refs"
+_MANIFESTS_DIR = "manifests"  # under _log/: manifest-list sidecars
+
+# Entries whose live-file count exceeds this move their per-file
+# payload (manifest + stats + seq + blooms) into a sidecar file and
+# keep only a pointer in the log entry — the Iceberg manifest-list
+# model. 4096 inline files keeps every fixture-scale entry a single
+# small JSON while a million-file table's entry stays O(1): the
+# commit CAS publishes one pointer, and only readers that actually
+# plan a scan pay the (one-file) sidecar read.
+MANIFEST_INLINE_MAX = 4096
+
+# The O(files) entry keys that move to the sidecar together.
+_MANIFEST_KEYS = ("manifest", "stats", "seq", "blooms")
 _REF_NAME_RE = re.compile(r"[A-Za-z0-9._-]+")
 
 # Sentinel for `_commit(expect_parent=...)`: "commit on whatever the
@@ -276,12 +289,23 @@ class SnapshotTable:
     goes through `_commit`, all reads through `read(version=)` or the
     stats-pruned `scan(...)`."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        manifest_inline_max: int = MANIFEST_INLINE_MAX,
+    ):
         self.spark = spark
         self.path = path
         self._log_path = os.path.join(path, _LOG_DIR)
         self._data_path = os.path.join(path, _DATA_DIR)
         self._bloom_cols: list[str] = []
+        # Above this live-file count the per-file payload (manifest +
+        # stats + seq + blooms) moves to a manifest-list sidecar and
+        # the log entry holds a pointer — Iceberg's manifest-list
+        # indirection. Constructor-tunable so tests exercise the
+        # sidecar path on small fixtures.
+        self._manifest_inline_max = manifest_inline_max
 
     def with_bloom_filters(self, *cols: str) -> "SnapshotTable":
         """Enable per-file bloom filters for `cols` on subsequent
@@ -316,6 +340,21 @@ class SnapshotTable:
         return os.path.join(self._log_path, f"{version:020d}.json")
 
     def entry(self, version: int) -> dict:
+        e = self._entry_raw(version)
+        ref = e.pop("manifest_ref", None)
+        if ref is not None:
+            # Manifest-list indirection: the per-file payload lives in
+            # a sidecar; resolve it transparently so every consumer
+            # sees the same entry shape regardless of table size.
+            with open(
+                os.path.join(self._log_path, _MANIFESTS_DIR, ref)
+            ) as fh:
+                e.update(json.load(fh))
+        return e
+
+    def _entry_raw(self, version: int) -> dict:
+        """The log entry as published — a `manifest_ref` pointer stays
+        unresolved (GC needs the raw form)."""
         p = self._entry_path(version)
         if not os.path.isfile(p):
             have = self.versions()
@@ -548,8 +587,30 @@ class SnapshotTable:
         """Atomic publish: tmp file + os.link (create-if-absent CAS).
         On an object store this one call is replaced by the catalog /
         LogStore conditional-put; everything else is storage-agnostic.
-        Manifest-list seam: for >~10^5 live files, `manifest` becomes
-        a path to a parquet manifest file written in `_stage`."""
+
+        Manifest-list indirection (the r3 seam, implemented r4): past
+        `manifest_inline_max` live files the O(files) payload —
+        manifest, stats, seq, blooms — is written to ONE sidecar under
+        `_log/manifests/` first, and the published entry carries just
+        the pointer. The CAS therefore always publishes an O(1) JSON,
+        no matter how many files the snapshot holds; a crash between
+        sidecar and link (or a lost race) leaves an orphan sidecar
+        that expire_snapshots sweeps."""
+        sidecar = None
+        if len(entry.get("manifest", ())) > self._manifest_inline_max:
+            payload = {
+                k: entry[k] for k in _MANIFEST_KEYS if k in entry
+            }
+            entry = {
+                k: v for k, v in entry.items() if k not in payload
+            }
+            mdir = os.path.join(self._log_path, _MANIFESTS_DIR)
+            os.makedirs(mdir, exist_ok=True)
+            sidecar = f"{entry['version']:020d}-{uuid.uuid4().hex}.json"
+            with open(os.path.join(mdir, sidecar), "w") as fh:
+                json.dump(payload, fh)
+            entry["manifest_ref"] = sidecar
+            entry["n_files"] = len(payload["manifest"])
         tmp = os.path.join(self._log_path, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -557,6 +618,15 @@ class SnapshotTable:
             os.link(tmp, self._entry_path(entry["version"]))
             return True
         except FileExistsError:
+            if sidecar is not None:
+                # lost the CAS race: this sidecar will never be
+                # referenced — remove it now rather than waiting on GC
+                try:
+                    os.remove(
+                        os.path.join(self._log_path, _MANIFESTS_DIR, sidecar)
+                    )
+                except FileNotFoundError:
+                    pass
             return False
         finally:
             os.remove(tmp)
@@ -2172,7 +2242,11 @@ class SnapshotTable:
                 if self.entry(v)["timestamp_ms"] >= older_than_ms
             )
         live: set[str] = set()
+        live_sidecars: set[str] = set()
         for v in keep:
+            raw = self._entry_raw(v)
+            if "manifest_ref" in raw:
+                live_sidecars.add(raw["manifest_ref"])
             e = self.entry(v)
             live.update(e["manifest"])
             live.update(d["file"] for d in e.get("delete_files", []))
@@ -2185,4 +2259,11 @@ class SnapshotTable:
                 if f.endswith(".parquet") and f not in live:
                     os.remove(os.path.join(self._data_path, f))
                     deleted += 1
+        # Manifest-list sidecars referenced by no retained entry —
+        # expired snapshots' lists plus crash/race orphans.
+        mdir = os.path.join(self._log_path, _MANIFESTS_DIR)
+        if os.path.isdir(mdir):
+            for f in os.listdir(mdir):
+                if f not in live_sidecars:
+                    os.remove(os.path.join(mdir, f))
         return {"expired_snapshots": len(expired), "deleted_files": deleted}

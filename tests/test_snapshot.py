@@ -2224,3 +2224,59 @@ def test_add_constraint_rejects_existing_null_rows(spark, tmp_path, nations):
     with pytest.raises(ConstraintViolation, match="existing rows"):
         t.add_constraint("c", "length(n_name) > 0")
     assert t.constraints() == {}
+
+
+def test_manifest_list_indirection_for_many_file_tables(
+    spark, tmp_path, nations
+):
+    """Iceberg-style manifest-list indirection (the r3 documented
+    seam, implemented r4): past `manifest_inline_max` live files the
+    log entry publishes an O(1) pointer and the per-file payload
+    (manifest/stats/seq/blooms) moves to one sidecar. Everything —
+    reads, time travel, file skipping, pyds metadata tables, GC —
+    must behave identically to inline entries."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "big"), manifest_inline_max=2)
+    # 4 key-ranged files -> sidecar territory from the first commit
+    for lo, hi in [(0, 5), (6, 11), (12, 17), (18, 24)]:
+        sl = nations.filter(F.col("n_nationkey").between(lo, hi)).coalesce(1)
+        t.create(sl) if lo == 0 else t.append(sl)
+    v_mid = t.latest_version() - 1
+    # raw entry is a pointer, resolved entry is the full shape
+    raw = t._entry_raw(t.latest_version())
+    assert "manifest_ref" in raw and "manifest" not in raw
+    assert raw["n_files"] == 4
+    e = t.entry(t.latest_version())
+    assert len(e["manifest"]) == 4 and e["stats"]
+    sidecars = os.listdir(tmp_path / "big" / "_log" / "manifests")
+    assert len(sidecars) >= 2  # one per >2-file commit
+    # reads, time travel, and stat-based pruning resolve the sidecar
+    assert t.read().count() == 25
+    assert t.read(version=v_mid).count() == 18
+    pruned = t.prune_files("n_nationkey", 12, 13)
+    assert len(pruned) == 1
+    # pyds metadata tables resolve it too
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    files_df = (
+        spark.read.format("snapshot")
+        .option("metadata", "files")
+        .load(t.path)
+    )
+    assert files_df.count() == 4
+    # pyds batch read resolves it
+    assert (
+        spark.read.format("snapshot").load(t.path).count() == 25
+    )
+    # expire: old sidecars GC'd with their entries, live one retained
+    t.expire_snapshots(keep_last=1)
+    left = os.listdir(tmp_path / "big" / "_log" / "manifests")
+    assert len(left) == 1
+    assert t.read().count() == 25
+    # a small table stays inline (no sidecar dir at default threshold)
+    t2 = SnapshotTable(spark, str(tmp_path / "small"))
+    t2.create(nations)
+    assert "manifest" in t2._entry_raw(t2.latest_version())
+    assert not os.path.isdir(tmp_path / "small" / "_log" / "manifests")
