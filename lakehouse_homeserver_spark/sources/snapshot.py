@@ -306,6 +306,7 @@ class SnapshotTable:
         # indirection. Constructor-tunable so tests exercise the
         # sidecar path on small fixtures.
         self._manifest_inline_max = manifest_inline_max
+        self._manifest_cache: dict = {}
 
     def with_bloom_filters(self, *cols: str) -> "SnapshotTable":
         """Enable per-file bloom filters for `cols` on subsequent
@@ -346,10 +347,23 @@ class SnapshotTable:
             # Manifest-list indirection: the per-file payload lives in
             # a sidecar; resolve it transparently so every consumer
             # sees the same entry shape regardless of table size.
-            with open(
-                os.path.join(self._log_path, _MANIFESTS_DIR, ref)
-            ) as fh:
-                e.update(json.load(fh))
+            # Sidecars are immutable and uuid-named, so a tiny
+            # per-handle cache makes repeated planning calls (scan →
+            # prune → commit reads the head several times) one disk
+            # read instead of one per call — at a million files the
+            # sidecar is MBs.
+            payload = self._manifest_cache.get(ref)
+            if payload is None:
+                with open(
+                    os.path.join(self._log_path, _MANIFESTS_DIR, ref)
+                ) as fh:
+                    payload = json.load(fh)
+                if len(self._manifest_cache) >= 4:
+                    self._manifest_cache.pop(
+                        next(iter(self._manifest_cache))
+                    )
+                self._manifest_cache[ref] = payload
+            e.update(payload)
         return e
 
     def _entry_raw(self, version: int) -> dict:
