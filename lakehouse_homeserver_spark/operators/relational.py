@@ -2860,3 +2860,107 @@ def a40_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row.lo, row.hi, row.n, pushed)],
         "lo bigint, hi bigint, n bigint, agg_pushed boolean",
     )
+
+
+@query(
+    "a42_aqe_skew_join",
+    oracle=f"""
+    WITH lft AS (
+      SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+                  ELSE l_orderkey % 997 END AS k,
+             l_extendedprice AS v
+      FROM lineitem
+    ),
+    rgt AS (SELECT g AS k, g % 7 AS w FROM generate_series(0, 996) t(g))
+    SELECT w,
+           COUNT(*) AS n_rows,
+           {sql_dsum('v')} AS total_v,
+           TRUE AS skew_split,
+           TRUE AS sort_merge_join
+    FROM lft JOIN rgt USING (k)
+    GROUP BY w ORDER BY w
+    """,
+)
+def a42_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join splitting, driver-certified with its
+    plan facts (completing the skew story next to `c8_salted_skew_join`,
+    the manual pre-AQE weapon): ~90% of the fact rows share ONE join
+    key, so one reduce partition holds ~200x the median bytes. AQE
+    must detect this from the materialized shuffle's map statistics
+    and rewrite the sort-merge join to `SortMergeJoin(skew=true)` —
+    the hot partition is split into map-block-aligned chunks, each
+    joined against a DUPLICATED copy of the matching build partition,
+    so the straggler task becomes N parallel tasks with no semantic
+    change. The aggregate is collected while the tuned thresholds are
+    active, so the certified values really came from the
+    skew-rewritten plan; `skew_split` rides the driver hash.
+
+    Two measured Spark behaviors pinned here (cost a debugging
+    session each): (1) skew detection reads COMPRESSED shuffle sizes
+    — a shuffle of mostly-constant columns lz4-compresses below any
+    realistic threshold and never looks skewed, so the fact carries a
+    real value column into the shuffle; (2) the split granularity is
+    MAP BLOCKS — a single-mapper shuffle (this fixture's one-row-group
+    parquet) is unsplittable no matter how skewed, hence the
+    upstream repartition(8), which models the thousands of map tasks
+    any real 100 TB fact scan has. At scale this rewrite is what
+    turns the classic one-straggler-task join into even parallelism
+    without hand-salting."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "4096",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        li = T(spark, sf_dir, "lineitem").repartition(8)
+        left = li.select(
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 997)
+            .alias("k"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        right = spark.range(997).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+        )
+        agg = (
+            left.join(right, "k")
+            .groupBy("w")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("v").alias("total_v"),
+            )
+            .orderBy("w")
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        skewed = "SortMergeJoin(skew=true)" in plan
+        smj = "SortMergeJoin" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(r.w, r.n_rows, r.total_v, skewed, smj) for r in rows],
+        "w bigint, n_rows bigint, total_v double, "
+        "skew_split boolean, sort_merge_join boolean",
+    )
