@@ -2964,3 +2964,86 @@ def a42_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w bigint, n_rows bigint, total_v double, "
         "skew_split boolean, sort_merge_join boolean",
     )
+
+
+@query(
+    "a43_aqe_join_conversion",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           TRUE AS final_broadcast_join,
+           TRUE AS initial_sort_merge_join,
+           TRUE AS local_shuffle_read
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def a43_aqe_join_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime join-strategy switch, driver-certified with its
+    plan facts (the canonical AQE feature, completing the §4 set
+    next to a38 DPP / a39 bloom / a42 skew): the optimizer's STATIC
+    estimate of the filtered build side is too big to broadcast
+    (static threshold forced down), so the initial plan is a
+    sort-merge join — but once the build side's shuffle materializes,
+    its ACTUAL bytes sit under the adaptive threshold and AQE
+    replans the remaining stages into a BroadcastHashJoin with LOCAL
+    shuffle reads (probe mappers' output consumed in place, no
+    exchange network hop at all).
+
+    At 100 TB this is the difference between planning for the
+    estimate and paying for reality: selective dim filters routinely
+    beat their estimates by orders of magnitude, and AQE harvests
+    the win with zero query changes. Three plan facts ride the
+    driver hash: `final_broadcast_join`, `initial_sort_merge_join`
+    (proving the switch actually happened rather than the static
+    planner broadcasting from the start), and `local_shuffle_read`."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "33554432"
+        )
+        li = T(spark, sf_dir, "lineitem")
+        o = T(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        agg = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+            .orderBy("o_orderpriority")
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        initial = (
+            plan.split("== Initial Plan ==")[1]
+            if "== Initial Plan ==" in plan
+            else ""
+        )
+        bhj = "BroadcastHashJoin" in final
+        smj0 = "SortMergeJoin" in initial
+        local = "AQEShuffleRead local" in final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(r.o_orderpriority, r.n_items, bhj, smj0, local) for r in rows],
+        "o_orderpriority string, n_items bigint, "
+        "final_broadcast_join boolean, initial_sort_merge_join boolean, "
+        "local_shuffle_read boolean",
+    )
