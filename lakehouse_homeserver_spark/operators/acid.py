@@ -1411,10 +1411,16 @@ def a37_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# sf_dir -> cross-engine fixture table path built by THIS process
+# sf_dir -> cross-engine fixture table path built by THIS process.
+# The path is deliberately SF-independent: `nation` is the TPC-H
+# fixed 25-row table at every scale factor (asserted in
+# tests/test_edge_cases.py), so one fixture serves the driver run
+# (sf0.01) and the local parity mirror (sf0.001) alike — a tagged
+# path made the static oracle string point at a directory the
+# mirror's Spark side never wrote.
 _XENGINE_BUILT: dict = {}
 
-_XENGINE_ORACLE_BASE = "/tmp/lakehouse-xengine-sf0_01/nation"
+_XENGINE_ORACLE_BASE = "/tmp/lakehouse-xengine/nation"
 
 
 @query(
@@ -1472,11 +1478,9 @@ def a41_cross_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic content, memoized per process: repeat invocations
     (bench sweeps) measure the two-commit read, not the rebuild."""
-    import re
     import shutil
 
-    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/lakehouse-xengine-{tag}/nation"
+    base = _XENGINE_ORACLE_BASE
     if _XENGINE_BUILT.get(sf_dir) != base:
         shutil.rmtree(os.path.dirname(base), ignore_errors=True)
         nations = T(spark, sf_dir, "nation")

@@ -3047,3 +3047,175 @@ def a43_aqe_join_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final_broadcast_join boolean, initial_sort_merge_join boolean, "
         "local_shuffle_read boolean",
     )
+
+
+@query(
+    "a44_aqe_coalesce",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           TRUE AS coalesced_read
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def a44_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE shuffle-partition coalescing, driver-certified with its
+    plan fact (continuing the r4 plan-certification flywheel: a38
+    DPP, a39 bloom, a40 agg pushdown, a42 skew split, a43 join
+    conversion): the session plans the aggregation shuffle at
+    ``spark.sql.shuffle.partitions`` (32 here, thousands on a real
+    cluster), but once the map side materializes, AQE reads the
+    ACTUAL partition byte sizes and fuses adjacent tiny reduce
+    partitions into a few advisory-sized reads — the executed plan
+    carries ``AQEShuffleRead coalesced`` above the exchange.
+
+    At 100 TB the same mechanism works in reverse importance: you
+    size ``shuffle.partitions`` for the biggest stage of the job and
+    let AQE shrink every smaller stage, instead of hand-tuning a
+    per-stage constant. Without it, a 10k-partition default turns
+    every small aggregate into 10k near-empty reduce tasks whose
+    scheduling overhead dwarfs the work. The ``coalesced_read``
+    boolean rides the driver hash, so a conf regression that pins
+    the static partition count flips a hashed value.
+
+    Reference parity: the reference's engines size reducers
+    adaptively the same way (Trino's task.concurrency, Spark AQE) —
+    /root/reference/scripts/extract_load.py:32 leaves partition
+    tuning entirely to the engine."""
+    agg = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    rows = agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    coalesced = "AQEShuffleRead coalesced" in plan
+    return spark.createDataFrame(
+        [(r.o_orderpriority, r.n_orders, r.total_price, coalesced) for r in rows],
+        "o_orderpriority string, n_orders bigint, total_price double, "
+        "coalesced_read boolean",
+    )
+
+
+@query(
+    "a45_reused_exchange",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           ROUND(CAST(rev_dec AS DOUBLE)
+                 / CAST((SELECT SUM(rev_dec) FROM per) AS DOUBLE),
+                 6) AS share,
+           TRUE AS exchange_reused
+    FROM per
+    ORDER BY o_orderpriority
+    """,
+)
+def a45_reused_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-exchange reuse, driver-certified with its plan fact:
+    the per-priority revenue aggregate feeds the result twice — once
+    as the output rows, once reduced again to the global total that
+    every row's ``share`` divides by. Catalyst must recognize the two
+    identical aggregation subtrees and materialize the groupBy
+    exchange ONCE, wiring the second consumer to a ``ReusedExchange``
+    node instead of re-scanning + re-shuffling the fact table.
+
+    This is the "aggregate, then compare to the total of the same
+    aggregate" BI staple; at 100 TB exchange reuse halves the scan
+    and shuffle cost of every such query, and losing it (e.g. by
+    perturbing one subtree so the trees no longer match structurally)
+    silently doubles cost with identical results — exactly the class
+    of regression only a plan fact catches. ``exchange_reused`` rides
+    the driver hash.
+
+    Float parity: both revenue totals stay decimal-exact through both
+    aggregation levels; the share is a single IEEE double division of
+    bit-identical operands in both engines, rounded to 6 dp."""
+    per = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    total = per.agg(F.sum("rev_dec").alias("tot"))
+    j = per.crossJoin(total).select(
+        "o_orderpriority",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("share"),
+    ).orderBy("o_orderpriority")
+    rows = j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    reused = "ReusedExchange" in plan
+    return spark.createDataFrame(
+        [(r.o_orderpriority, r.revenue, r.share, reused) for r in rows],
+        "o_orderpriority string, revenue double, share double, "
+        "exchange_reused boolean",
+    )
+
+
+@query(
+    "a46_scan_pruning",
+    oracle=f"""
+    SELECT COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS revenue,
+           TRUE AS filters_pushed,
+           TRUE AS schema_pruned,
+           2 AS read_cols
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def a46_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown + column pruning, driver-certified with
+    plan facts (previously pytest-only in test_plans.py — promoted to
+    the driver hash per the flywheel pattern): the shipdate predicate
+    must reach the parquet scan as a ``PushedFilters`` row-group
+    filter, and the 16-column lineitem scan must narrow its
+    ``ReadSchema`` to exactly the two referenced columns
+    (l_extendedprice, l_shipdate).
+
+    These two properties are THE difference between "read 100 TB"
+    and "read the 2-column byte range of the matching row groups" —
+    the first thing to check on any slow scan, and the first thing a
+    refactor through a non-pushable expression silently breaks. Both
+    booleans plus the read column COUNT ride the driver hash, so a
+    widening regression flips a hashed value rather than a local
+    test."""
+    q = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate")
+            >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+    rows = q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = "GreaterThanOrEqual(l_shipdate" in plan
+    read_cols = 0
+    for ln in plan.splitlines():
+        if "ReadSchema:" in ln:
+            schema = ln.split("ReadSchema:", 1)[1].strip()
+            read_cols = schema.count(":")
+            break
+    pruned = read_cols == 2
+    return spark.createDataFrame(
+        [(rows[0].n_items, rows[0].revenue, pushed, pruned, read_cols)],
+        "n_items bigint, revenue double, filters_pushed boolean, "
+        "schema_pruned boolean, read_cols int",
+    )

@@ -1403,3 +1403,210 @@ def i8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+@query(
+    "ts_pattern_match",
+    oracle="""
+    WITH j AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS journey,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           COUNT(*) AS n_days,
+           CAST(SUM(len(regexp_extract_all(journey, 'vc*p'))) AS BIGINT)
+             AS n_funnel,
+           CAST(SUM(len(regexp_extract_all(journey, 'ee+'))) AS BIGINT)
+             AS n_error_bursts
+    FROM j GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-sequence pattern matching (ts-ext;
+    the complex-event-processing surface Trino/Flink expose as
+    ``MATCH_RECOGNIZE`` — Spark has no native equivalent, so the
+    engine re-expresses the row-pattern automaton as journey-string
+    regex matching, the classic translation for patterns without
+    measures over intermediate rows): per user and day, events are
+    ordered by (ts, event_id) and encoded one char per type
+    (v/c/p/s/e — first letters, all distinct in the fixture's
+    vocabulary); a pattern like ``PATTERN (V C* P)`` becomes the
+    regex ``vc*p`` counted non-overlapping left-to-right, which is
+    exactly SQL row-pattern ``AFTER MATCH SKIP PAST LAST ROW``
+    semantics. Two canonical patterns ride the query: the
+    view→clicks→purchase conversion funnel and the ``ee+`` error
+    burst (>=2 consecutive errors, the ops-alerting shape).
+
+    Scale design: state is bounded BY CONSTRUCTION — the journey
+    string is built per (user, day), so no group exceeds a day of
+    one user's events (the same chunking MATCH_RECOGNIZE engines
+    get from PARTITION BY + session bounds; cross-midnight matches
+    are deliberately out of contract, as documented). One shuffle on
+    (user_id, day), then a map-side regex count and a second tiny
+    per-user rollup; nothing driver-side, no self-joins. Both
+    engines build byte-identical journey strings (total order pinned
+    by the event_id tie-break), so the match counts hash-match
+    cross-engine."""
+    ev = T(spark, sf_dir, "events")
+    per_day = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["ch"]
+                ),
+                "",
+            ).alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.regexp_count("journey", F.lit("vc*p")).alias("n_funnel"),
+            F.regexp_count("journey", F.lit("ee+")).alias("n_burst"),
+        )
+    )
+    return (
+        per_day.groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n_funnel").cast("bigint").alias("n_funnel"),
+            F.sum("n_burst").cast("bigint").alias("n_error_bursts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "i9_stream_outer_join",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS v_id, ts AS v_ts FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(v_ts) FROM v),
+                             (SELECT max(p_ts) FROM p))
+                       - INTERVAL 1 HOUR AS w),
+         closed AS (SELECT * FROM v
+                    WHERE v_ts + INTERVAL 1 HOUR
+                          < (SELECT w - INTERVAL 5 MINUTE FROM wm)),
+         lj AS (SELECT c.user_id, c.v_id, p.p_ts
+                FROM closed c LEFT JOIN p
+                  ON p.user_id = c.user_id
+                 AND p.p_ts >= c.v_ts
+                 AND p.p_ts <= c.v_ts + INTERVAL 1 HOUR)
+    SELECT user_id,
+           COUNT(DISTINCT v_id) AS n_views_closed,
+           CAST(COUNT(p_ts) AS BIGINT) AS n_pairs,
+           COUNT(DISTINCT CASE WHEN p_ts IS NULL THEN v_id END)
+             AS n_unmatched
+    FROM lj GROUP BY user_id ORDER BY user_id
+    """,
+)
+def i9_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-driven
+    NULL emission (I-family; the one streaming-join semantics i7's
+    inner join does not exercise): views that never see a purchase
+    within their 1-hour window must still be emitted — but only once
+    the global watermark proves no future purchase can match, which
+    is when Spark evicts the buffered view from the state store and
+    appends its NULL-padded row. That deferred emission is THE
+    semantic difference between outer streaming joins and their
+    batch twins, and the machinery (state watermark = watermark −
+    join-interval, plus the no-data batch that advances the clock
+    after the last file) is what this query certifies end to end.
+
+    Determinism contract: rows whose eviction straddles the final
+    watermark are emission-order-sensitive, so certification is
+    restricted to the CLOSED region — views whose whole match window
+    sits a 5-minute safety margin below the terminal global
+    watermark (min of both streams' max event time, minus the
+    1-hour delay). Both engines compute the identical horizon from
+    the data, so the per-user matched/unmatched counts hash-match;
+    the boundary epsilon is excluded on both sides alike.
+
+    At 100 TB this join form powers "sessions that did NOT convert"
+    feeds; state stays O(watermark horizon) exactly as in i7, and
+    the NULL rows land in the same parquet sink as the matches (no
+    driver-side data plane)."""
+    import os
+    import tempfile
+
+    from ..sources.registry import normalize_events_ts, table_path
+
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="i9-events-")
+    os.symlink(path, os.path.join(d, "events.parquet"))
+    ev = normalize_events_ts(spark.readStream.schema(schema).parquet(d))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    sink = tempfile.mkdtemp(prefix="i9-pairs-")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", os.path.join(sink, "data"))
+        .option("checkpointLocation", os.path.join(sink, "_chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # Terminal global watermark, recomputed from the batch twin of the
+    # same fixture (identical rule to the oracle's `wm` CTE).
+    bev = T(spark, sf_dir, "events")
+    wm_row = bev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("w")
+    ).collect()[0]
+    horizon = F.lit(wm_row.w) - F.expr(
+        "INTERVAL 1 HOUR + INTERVAL 5 MINUTE + INTERVAL 1 HOUR"
+    )
+    return (
+        spark.read.parquet(os.path.join(sink, "data"))
+        .filter(F.col("v_ts") < horizon)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.countDistinct("v_id").alias("n_views_closed"),
+            F.count("p_ts").alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("p_ts").isNull(), F.col("v_id"))
+            ).alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )

@@ -132,3 +132,20 @@ def test_ivf_on_empty_corpus_raises_cleanly(spark, empty_sf_dir):
 
     with pytest.raises(ValueError, match="empty"):
         k3_knn_ivf(spark, empty_sf_dir)
+
+
+def test_nation_is_sf_invariant():
+    """a41_cross_engine_read shares ONE fixture path across scale
+    factors; that is sound only while `nation` is the TPC-H fixed
+    25-row table at every SF (the property this test pins)."""
+    import duckdb
+
+    stats = {
+        duckdb.sql(
+            f"SELECT COUNT(*), SUM(n_nationkey) "
+            f"FROM '/root/testdata/sf{sf}/nation.parquet'"
+        ).fetchone()
+        for sf in ("0.001", "0.01", "0.1")
+        if os.path.exists(f"/root/testdata/sf{sf}/nation.parquet")
+    }
+    assert len(stats) == 1
