@@ -1515,3 +1515,118 @@ def a41_cross_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# Process-global REST catalog fixture: (base path, server, uri).
+_RESTCAT: dict = {}
+
+_RESTCAT_BASE = "/tmp/lakehouse-restcat/analytics/nation"
+
+
+@query(
+    "a47_rest_catalog",
+    oracle=f"""
+    WITH head AS (
+      SELECT manifest
+      FROM read_json('{_RESTCAT_BASE}/_log/*.json', format='auto',
+                     columns={{'version': 'BIGINT',
+                               'manifest': 'VARCHAR[]'}})
+      ORDER BY version DESC LIMIT 1
+    ),
+    live AS (SELECT unnest(manifest) AS f FROM head),
+    t AS (
+      SELECT * FROM read_parquet('{_RESTCAT_BASE}/data/*.parquet',
+                                 filename=true)
+      WHERE regexp_extract(filename, '[^/]+$') IN (SELECT f FROM live)
+    )
+    SELECT CAST(n_bucket AS BIGINT) AS n_bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           TRUE AS resolved_via_http,
+           (SELECT COUNT(*) FROM live) AS n_live_files,
+           CAST(1 AS BIGINT) AS n_namespaces,
+           CAST(1 AS BIGINT) AS n_tables
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def a47_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network catalog resolution — SURVEY "missing" #1, re-expressed
+    without the infra: the reference runs an Iceberg REST catalog
+    container that both its engines resolve tables through
+    (/root/reference/docker-compose.yml:8,18,
+    scripts/extract_load.py:42-46, `type=rest`). Here the SAME
+    architecture runs in-process: a stdlib HTTP server
+    (`sources/restcat.CatalogServer`) serves the public REST-catalog
+    route shapes (config → namespaces → tables → loadTable) over the
+    snapshot commit log, and Spark resolves the table like a real
+    REST client — one HTTP round-trip per route, then a direct
+    parquet scan of exactly the live files the catalog served. Data
+    bytes never touch the catalog, the property that makes the
+    architecture scale: at 100 TB the catalog traffic is a few KB of
+    JSON while the scan goes straight to object storage.
+
+    Three facts ride the driver hash: `resolved_via_http` (every
+    route answered 200 and the manifest came off the wire),
+    `n_live_files` (the served scan plan did real work — the table's
+    CoW delete strands orphan files a naive data/*.parquet glob
+    would double-count), and the namespace/table listing counts. The
+    DuckDB oracle never talks to the server: it plans the SAME
+    commit log directly from disk (the a41 pattern), so a hash match
+    proves catalog resolution and direct log planning agree on one
+    set of files — the two-engines-one-catalog contract.
+
+    Fixture (SF-invariant `nation`, same reasoning as a41, distinct
+    ops): create 25 rows bucketed n_nationkey%4 split across 2
+    files → append the +200-shifted copy → CoW DELETE of
+    n_nationkey%7==3, stranding pre-delete files as orphans."""
+    import shutil
+
+    from ..sources.restcat import CatalogServer, RestCatalog
+
+    base = _RESTCAT_BASE
+    if _RESTCAT.get("base") != base:
+        shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+        nations = T(spark, sf_dir, "nation").withColumn(
+            "n_bucket", F.col("n_nationkey") % 4
+        )
+        t = SnapshotTable(spark, base)
+        t.create(nations.repartition(2))
+        t.append(
+            nations.withColumn(
+                "n_nationkey", F.col("n_nationkey") + 200
+            ).repartition(1)
+        )
+        t.delete_where(F.col("n_nationkey") % 7 == 3)
+        server = CatalogServer()
+        server.register("analytics", "nation", base)
+        server.start()
+        _RESTCAT.update({"base": base, "server": server})
+    server = _RESTCAT["server"]
+    cat = RestCatalog(server.uri)
+    namespaces = cat.list_namespaces()
+    tables = cat.list_tables("analytics")
+    meta = cat.load_table("analytics", "nation")
+    resolved = (
+        namespaces == ["analytics"]
+        and tables == ["nation"]
+        and isinstance(meta.get("x-manifest"), list)
+        and meta["metadata"]["location"] == base
+    )
+    return (
+        cat.read_table(spark, "analytics", "nation")
+        .groupBy(F.col("n_bucket").cast("bigint").alias("n_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+        )
+        .select(
+            "n_bucket",
+            "n_rows",
+            "sum_key",
+            F.lit(resolved).alias("resolved_via_http"),
+            F.lit(len(meta["x-manifest"])).cast("bigint").alias("n_live_files"),
+            F.lit(len(namespaces)).cast("bigint").alias("n_namespaces"),
+            F.lit(len(tables)).cast("bigint").alias("n_tables"),
+        )
+        .orderBy("n_bucket")
+    )

@@ -1610,3 +1610,138 @@ def i9_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "i10_stream_restart_exactly_once",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value,
+           CAST(3 AS BIGINT) AS n_batches,
+           (SELECT COUNT(*) FROM events WHERE event_id % 3 = 2)
+             AS phase_b_rows,
+           TRUE AS no_reprocessing
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def i10_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-micro-batch ingest with rate limiting and CHECKPOINT
+    RESTART (I-family; the property every other streaming cert here
+    leaves unexercised — i7/i8/i9 and the a29/a30 jobs all complete
+    in ONE availableNow batch, so file-offset tracking never has to
+    survive a trigger boundary, let alone a query restart):
+
+    - Phase A: a landing dir holds 2 of 3 deterministic fixture
+      slices (event_id mod 3); ``maxFilesPerTrigger=1`` forces one
+      file per micro-batch, so availableNow commits TWO batches with
+      the offset log advancing between them.
+    - Phase B: the third slice lands, and a NEW query starts over
+      the SAME checkpoint — recovery must resume from the committed
+      offsets and process exactly the new file, never re-reading
+      slices already ingested by the dead query.
+
+    Each batch appends its per-type partial sums to a snapshot
+    table (the foreachBatch pattern of a30); the certified result
+    folds the partials and rides three facts on the driver hash:
+    ``n_batches`` (2 + 1 — rate limiting and restart both really
+    happened), ``phase_b_rows`` (the restarted query's row count ==
+    the third slice exactly, which the oracle recomputes from the
+    fixture), and ``no_reprocessing`` (rows processed across all
+    batches == the fixture total — any offset-replay would break
+    BOTH this fact and the decimal-exact totals, since partials are
+    append-only).
+
+    At 100 TB/day this is the operational core of incremental
+    ingest: jobs die and restart daily, and the offset log — not
+    rereading the lake — is what makes `load_incremental` O(new
+    files). Totals stay decimal-exact so the three-batch fold is
+    bit-identical to the oracle's one-pass aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.registry import normalize_events_ts, table_path
+    from ..sources.snapshot import SnapshotTable
+
+    events = T(spark, sf_dir, "events")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    work = tempfile.mkdtemp(prefix="i10-")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+
+    def drop_slice(i: int) -> None:
+        staged = os.path.join(work, f"stage{i}")
+        (
+            spark.read.parquet(table_path(sf_dir, "events"))
+            .filter(F.col("event_id") % 3 == i)
+            .repartition(1)
+            .write.parquet(staged)
+        )
+        part = next(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(staged, part),
+            os.path.join(landing, f"slice{i}.parquet"),
+        )
+        shutil.rmtree(staged, ignore_errors=True)
+
+    totals = SnapshotTable(spark, os.path.join(work, "totals"))
+    batches: list[tuple[int, int]] = []  # driver-side control plane
+
+    def fold(bdf: DataFrame, batch_id: int) -> None:
+        part = (
+            normalize_events_ts(bdf)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("v_dec"),
+            )
+        )
+        if totals.exists():
+            totals.append(part)
+        else:
+            totals.create(part)
+        batches.append((batch_id, bdf.count()))
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(work, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drop_slice(0)
+    drop_slice(1)
+    run_stream()          # phase A: two rate-limited batches
+    phase_a_batches = len(batches)
+    drop_slice(2)
+    run_stream()          # phase B: restart from the checkpoint
+    phase_b_rows = sum(n for _, n in batches[phase_a_batches:])
+    total_rows = sum(n for _, n in batches)
+    n_fixture = events.count()
+    return (
+        totals.read()
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("v_dec").cast("double").alias("total_value"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "total_value",
+            F.lit(len(batches)).cast("bigint").alias("n_batches"),
+            F.lit(phase_b_rows).cast("bigint").alias("phase_b_rows"),
+            F.lit(total_rows == n_fixture).alias("no_reprocessing"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,97 @@
+"""REST catalog service tests: route shapes, 404 envelope, manifest
+correctness vs the snapshot log, and engine read parity."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_homeserver_spark.sources import load_table as T
+from lakehouse_homeserver_spark.sources.restcat import CatalogServer, RestCatalog
+from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+
+@pytest.fixture()
+def catalog(spark, sf_dir, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "nation"))
+    nations = T(spark, sf_dir, "nation")
+    t.create(nations.repartition(2))
+    t.delete_where(F.col("n_nationkey") % 5 == 0)
+    with CatalogServer() as server:
+        server.register("analytics", "nation", t.path)
+        yield server, t
+
+
+def test_config_and_listings(catalog):
+    server, _ = catalog
+    cat = RestCatalog(server.uri)
+    assert cat.config == {"defaults": {}, "overrides": {}}
+    assert cat.list_namespaces() == ["analytics"]
+    assert cat.list_tables("analytics") == ["nation"]
+
+
+def test_load_table_serves_live_manifest_only(catalog):
+    """The served scan plan must match the log head's manifest — NOT
+    the data directory listing, which still holds the CoW delete's
+    stranded pre-delete files."""
+    import os
+
+    server, t = catalog
+    meta = RestCatalog(server.uri).load_table("analytics", "nation")
+    head = t.entry(t.latest_version())
+    assert meta["x-manifest"] == head["manifest"]
+    assert meta["metadata"]["current-snapshot-id"] == t.latest_version()
+    assert meta["metadata"]["location"] == t.path
+    on_disk = [
+        f for f in os.listdir(os.path.join(t.path, "data"))
+        if f.endswith(".parquet")
+    ]
+    assert len(on_disk) > len(meta["x-manifest"])  # orphans exist
+    assert meta["metadata-location"].endswith(
+        f"{t.latest_version():020d}.json"
+    )
+
+
+def test_read_table_matches_native_read(spark, catalog):
+    server, t = catalog
+    via_http = (
+        RestCatalog(server.uri)
+        .read_table(spark, "analytics", "nation")
+        .groupBy()
+        .agg(F.count(F.lit(1)), F.sum("n_nationkey"))
+        .collect()
+    )
+    native = (
+        t.read().groupBy().agg(F.count(F.lit(1)), F.sum("n_nationkey")).collect()
+    )
+    assert via_http == native
+
+
+@pytest.mark.parametrize(
+    "route",
+    [
+        "/v1/namespaces/nope",
+        "/v1/namespaces/nope/tables",
+        "/v1/namespaces/analytics/tables/nope",
+        "/v2/anything",
+    ],
+)
+def test_unknown_objects_404_with_error_envelope(catalog, route):
+    server, _ = catalog
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server.uri + route, timeout=10)
+    assert ei.value.code == 404
+    body = json.loads(ei.value.read())
+    assert body["error"]["code"] == 404
+
+
+def test_server_stop_frees_port(catalog):
+    server, t = catalog
+    uri = server.uri
+    server.stop()
+    with pytest.raises(Exception):
+        urllib.request.urlopen(uri + "/v1/config", timeout=2)
+    # restart for the fixture's context-manager exit (stop is idempotent)
+    server.start()
