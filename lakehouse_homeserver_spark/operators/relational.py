@@ -3219,3 +3219,67 @@ def a46_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items bigint, revenue double, filters_pushed boolean, "
         "schema_pruned boolean, read_cols int",
     )
+
+
+@query(
+    "a48_codegen_partial_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity')} AS total_qty,
+           TRUE AS whole_stage_codegen,
+           TRUE AS map_side_partial_agg
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a48_codegen_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-stage codegen + map-side partial aggregation, driver-
+    certified with plan facts (the two JVM-side execution properties
+    the scale brief leans on hardest — every hot expression fused
+    into generated bytecode, and every aggregation shuffling partial
+    states instead of raw rows): the executed plan must show
+    `WholeStageCodegen` spans around the scan→filter→aggregate
+    pipeline and a `partial_` aggregate mode BELOW the exchange
+    (`partial_count`/`partial_sum` in the map stage, `finalmerge` /
+    final above it).
+
+    Why these ride the driver hash: both properties silently die —
+    an expression that falls off the codegen whitelist (a UDF, a
+    too-deep tree) or an aggregate rewritten without partials
+    doesn't change a single output row, it just makes the same
+    query shuffle ~rows-instead-of-groups and interpret-instead-of-
+    compile, the difference between hours and minutes at 100 TB.
+    A pytest catches it locally; the hashed fact catches it in every
+    driver round from now on."""
+    agg = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+    import re
+
+    rows = agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # In the AQE plan string a codegen span renders as a `*(n)` stage
+    # prefix on each fused operator (the WholeStageCodegen node name
+    # only appears in non-adaptive plans); require the marker on the
+    # aggregates themselves, in the FINAL plan section.
+    final = plan.split("== Initial Plan ==")[0]
+    codegen = re.search(r"\*\(\d+\) HashAggregate", final) is not None
+    partial = "partial_count" in final or "partial_sum" in final
+    return spark.createDataFrame(
+        [(r.l_returnflag, r.n_items, r.total_qty, codegen, partial) for r in rows],
+        "l_returnflag string, n_items bigint, total_qty double, "
+        "whole_stage_codegen boolean, map_side_partial_agg boolean",
+    )

@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the two hand-rolled kernels
+whose correctness is an induction argument rather than a lookup:
+the gaps-and-islands interval merge (running-MAX-of-ends) and the
+alternating large-star/small-star connected components. Each example
+ships MANY generated cases through ONE Spark job so hypothesis's
+example count doesn't multiply JVM round-trips."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+interval_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),   # start
+        st.integers(min_value=0, max_value=30),   # length
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _merge_bruteforce(ivs):
+    """Reference interval merge: sort, sweep, coalesce overlaps/touches
+    under the kernel's contract (new island iff start > max prior end)."""
+    out = []
+    for s, e in sorted(ivs):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [tuple(x) for x in out]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(interval_sets, min_size=1, max_size=20))
+def test_interval_islands_matches_bruteforce(spark, cases):
+    rows = [
+        (k, s, s + ln)
+        for k, ivs in enumerate(cases)
+        for (s, ln) in ivs
+    ]
+    df = spark.createDataFrame(rows, "k int, s int, e int")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w)
+    run = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        df.withColumn(
+            "new_island",
+            (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(run))
+        .groupBy("k", "island")
+        .agg(F.min("s").alias("ws"), F.max("e").alias("we"))
+        .collect()
+    )
+    got = {}
+    for r in merged:
+        got.setdefault(r.k, []).append((r.ws, r.we))
+    for k, ivs in enumerate(cases):
+        want = _merge_bruteforce([(s, s + ln) for s, ln in ivs])
+        assert sorted(got[k]) == want, (k, sorted(got[k]), want)
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    return {
+        n: min(members)
+        for members in comp.values()
+        for n in members
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cc_alternating_matches_union_find(spark, edge_list):
+    from lakehouse_homeserver_spark.operators.dedup import cc_alternating
+
+    edges = spark.createDataFrame(edge_list, "u long, v long")
+    labels, rounds = cc_alternating(edges)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    want = _union_find_labels(
+        [(u, v) for u, v in edge_list if u != v]
+    )
+    # Self-loop-only nodes are edge-touched but component singletons;
+    # the kernel filters self-loops, so restrict to the reference's
+    # node set (nodes with at least one real edge).
+    assert {n: got[n] for n in want} == want
+    assert rounds <= 30
