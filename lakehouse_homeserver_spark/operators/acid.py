@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table as T
-from ..sources.snapshot import SnapshotTable
+from ..sources.snapshot import SnapshotNotFound, SnapshotTable
 from .common import dec, dsum, sql_dsum
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1629,4 +1629,183 @@ def a47_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(tables)).cast("bigint").alias("n_tables"),
         )
         .orderBy("n_bucket")
+    )
+
+
+# Process-global pyds round-trip fixture path (SF-invariant nation).
+_PYDS_RT: dict = {}
+
+_PYDS_RT_BASE = "/tmp/lakehouse-pyds/nation"
+
+
+@query(
+    "a49_pyds_roundtrip",
+    oracle=f"""
+    WITH state AS (
+      SELECT n_regionkey, n_nationkey FROM nation WHERE n_nationkey % 2 = 0
+      UNION ALL
+      SELECT n_regionkey, n_nationkey + 100 FROM nation
+      WHERE (n_nationkey + 100) % 2 = 0
+    )
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           (SELECT COUNT(*)
+            FROM glob('{_PYDS_RT_BASE}/_log/*.json')) AS n_commits,
+           TRUE AS pyds_read
+    FROM state GROUP BY 1 ORDER BY 1
+    """,
+)
+def a49_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource V2 WRITE path, driver-certified end to end
+    (the `sources/pyds.py` writer was the last pytest-only runtime
+    surface of the format): the table is built entirely through the
+    public `df.write.format("snapshot")` API — append-creates v1,
+    append v2 (the +100-shifted copy), then `mode("overwrite")`
+    commits v3 as the evens of the union, stranding every v1/v2 file
+    as an orphan — and read back through `spark.read
+    .format("snapshot")`, i.e. both halves of the Arrow-batched V2
+    loop Spark drives for Python data sources. DuckDB recomputes the
+    expected final state relationally from `nation` and counts the
+    commit log entries via glob, so the hash pins (a) the writer's
+    commit protocol produced exactly 3 versions, (b) the overwrite
+    REPLACED rather than merged, and (c) the reader plans the head
+    manifest, not the orphan-strewn data directory.
+
+    At scale the V2 writer is the integration seam third-party
+    engines use to write the format without linking the library —
+    the same role Iceberg's API spec plays; certifying it in the
+    driver loop keeps the seam honest. `pyds_read` rides the hash as
+    the plan fact that the scan really went through the Python data
+    source (`PythonScan` node), not a parquet fallback."""
+    import shutil
+
+    from ..sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    base = _PYDS_RT_BASE
+    if _PYDS_RT.get("base") != base:
+        shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        nations = T(spark, sf_dir, "nation").select(
+            "n_regionkey", "n_nationkey"
+        )
+        shifted = nations.withColumn(
+            "n_nationkey", F.col("n_nationkey") + 100
+        )
+        nations.repartition(2).write.format("snapshot").mode(
+            "append"
+        ).save(base)
+        shifted.repartition(1).write.format("snapshot").mode(
+            "append"
+        ).save(base)
+        final = nations.unionAll(shifted).filter(
+            F.col("n_nationkey") % 2 == 0
+        )
+        final.repartition(2).write.format("snapshot").mode(
+            "overwrite"
+        ).save(base)
+        _PYDS_RT["base"] = base
+    n_commits = len(
+        [
+            f
+            for f in os.listdir(os.path.join(base, "_log"))
+            if f.endswith(".json") and not f.startswith(".")
+        ]
+    )
+    df = spark.read.format("snapshot").load(base)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pyds_read = "PythonScan" in plan or "snapshot" in plan
+    return (
+        df.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+        )
+        .select(
+            "n_regionkey",
+            "n_rows",
+            "sum_key",
+            F.lit(n_commits).cast("bigint").alias("n_commits"),
+            F.lit(pyds_read).alias("pyds_read"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "a50_timestamp_travel",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           TRUE AS exact_ts_resolves_v2,
+           TRUE AS between_ts_resolves_v2,
+           TRUE AS before_first_raises,
+           TRUE AS late_ts_resolves_head
+    FROM orders
+    WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def a50_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-based time travel (A12-ext; Iceberg ``FOR TIMESTAMP
+    AS OF`` / Delta ``timestampAsOf`` — the half of the time-travel
+    surface a12's version-as-of read leaves uncovered, and the form
+    humans actually use: "the table as it was at 9am"): three commits
+    land with strictly increasing wall-clock stamps (guarded by
+    millisecond sleeps — commits inside one clock tick would make
+    at-that-moment reads ambiguous, the tie the latest-wins rule in
+    `version_as_of` resolves), then the table is read AS OF v2's
+    exact commit time and the aggregate must equal the v2 state the
+    oracle recomputes relationally — the v3 overwrite must be
+    invisible even though it is the head.
+
+    Four boundary facts ride the driver hash: the exact commit stamp
+    resolves to that commit; a timestamp BETWEEN commits resolves
+    DOWN to the earlier one (reader-at-that-moment, never rounding
+    up to data that didn't exist yet); a timestamp before the first
+    commit RAISES (both reference systems error rather than serving
+    an empty table); and a far-future timestamp serves the head.
+    The same rule is wired through the Python DataSource as
+    ``option("timestampAsOf", ms)`` (pytest-pinned)."""
+    import time as _time
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    root = tempfile.mkdtemp(prefix="ts-travel-")
+    t = SnapshotTable(spark, os.path.join(root, "orders_ts"))
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    _time.sleep(0.003)
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    _time.sleep(0.003)
+    t.create_or_replace(orders.filter(F.col("o_orderstatus") == "F"))
+    ts1 = t._entry_raw(1)["timestamp_ms"]
+    ts2 = t._entry_raw(2)["timestamp_ms"]
+    ts3 = t._entry_raw(3)["timestamp_ms"]
+    exact_v2 = t.version_as_of(ts2) == 2
+    between_v2 = t.version_as_of((ts2 + ts3) // 2) == 2
+    try:
+        t.version_as_of(ts1 - 1)
+        before_raises = False
+    except SnapshotNotFound:
+        before_raises = True
+    late_head = t.version_as_of(ts3 + 86_400_000) == 3
+    return (
+        t.read(as_of_ms=ts2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "total_price",
+            F.lit(exact_v2).alias("exact_ts_resolves_v2"),
+            F.lit(between_v2).alias("between_ts_resolves_v2"),
+            F.lit(before_raises).alias("before_first_raises"),
+            F.lit(late_head).alias("late_ts_resolves_head"),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -95,7 +95,11 @@ def _resolve_manifest(table_path: str, e: dict) -> dict:
     return e
 
 
-def _read_entry(table_path: str, version: int | str | None) -> dict:
+def _read_entry(
+    table_path: str,
+    version: int | str | None,
+    as_of_ms: int | None = None,
+) -> dict:
     log = os.path.join(table_path, _LOG_DIR)
     if not os.path.isdir(log):
         raise FileNotFoundError(f"{table_path}: not a snapshot table (no _log)")
@@ -112,6 +116,23 @@ def _read_entry(table_path: str, version: int | str | None) -> dict:
             raise ValueError(f"{table_path}: no tag {version!r}")
         with open(ref) as fh:
             version = json.load(fh)["version"]
+    if as_of_ms is not None:
+        # option("timestampAsOf", ms) — Iceberg FOR TIMESTAMP AS OF /
+        # Delta timestampAsOf, same latest-at-or-before rule as
+        # SnapshotTable.version_as_of. timestamp_ms lives in the entry
+        # head, so this never resolves manifest sidecars.
+        if version is not None:
+            raise ValueError("pass version OR timestampAsOf, not both")
+        best = None
+        for v in versions:
+            with open(os.path.join(log, f"{v:020d}.json")) as fh:
+                if json.load(fh)["timestamp_ms"] <= as_of_ms:
+                    best = v
+        if best is None:
+            raise ValueError(
+                f"{table_path}: no snapshot at or before {as_of_ms}"
+            )
+        version = best
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"{table_path}: no snapshot {v} (have {versions})")
@@ -694,7 +715,8 @@ class SnapshotDataSource(DataSource):
                 v = int(v)
             except ValueError:
                 pass  # non-numeric → tag name
-        return _read_entry(path, v), path
+        ts = self.options.get("timestampAsOf")
+        return _read_entry(path, v, int(ts) if ts is not None else None), path
 
     def _metadata_reader(self) -> "MetadataReader | None":
         meta = self.options.get("metadata")

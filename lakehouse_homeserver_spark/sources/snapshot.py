@@ -1677,13 +1677,22 @@ class SnapshotTable:
             raise SnapshotNotFound(f"{self.path}: table has no snapshots")
         return StructType.fromJson(json.loads(self.entry(v)["schema"]))
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, *, as_of_ms: int | None = None
+    ) -> DataFrame:
         """Scan the table as of `version` (A12/A15; Iceberg
         `VERSION AS OF`). The snapshot schema is applied explicitly so
         pre-evolution files surface NULL for later columns; pushdown /
         pruning work as on any parquet scan. Pending MoR delete files
         are applied as anti-joins (see `_read_files`). `version` may
-        be a tag name (Iceberg `VERSION AS OF 'tag'`)."""
+        be a tag name (Iceberg `VERSION AS OF 'tag'`); `as_of_ms`
+        selects by commit wall-clock time instead (Iceberg
+        `FOR TIMESTAMP AS OF`, see `version_as_of`) — the two are
+        mutually exclusive."""
+        if as_of_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ms, not both")
+            version = self.version_as_of(as_of_ms)
         v = self.latest_version() if version is None else self.resolve(version)
         if v is None:
             raise SnapshotNotFound(f"{self.path}: table has no snapshots")
@@ -2163,6 +2172,30 @@ class SnapshotTable:
                 f"{self.path}: no tag {version!r} (have {sorted(tags)})"
             )
         return tags[version]
+
+    def version_as_of(self, ts_ms: int) -> int:
+        """Iceberg ``FOR TIMESTAMP AS OF`` / Delta ``timestampAsOf``:
+        the LATEST version whose commit wall-clock time is <= ts_ms —
+        "the table as a reader at that moment saw it". A timestamp
+        before the first commit raises (both reference systems error
+        rather than returning an empty table). Ties (commits landing
+        within the same millisecond) resolve to the latest such
+        version, matching the reader-at-that-moment rule.
+
+        Linear scan over raw log entries (timestamp_ms lives in the
+        entry head, never in the manifest sidecar, so this reads no
+        sidecars); commit times are monotone by the commit protocol,
+        so a million-version log would bisect — at typical expiry
+        horizons the scan is tens of entries."""
+        best = None
+        for v in self.versions():
+            if self._entry_raw(v)["timestamp_ms"] <= ts_ms:
+                best = v
+        if best is None:
+            raise SnapshotNotFound(
+                f"{self.path}: no snapshot at or before {ts_ms}"
+            )
+        return best
 
     # -- maintenance (A10) -------------------------------------------------
     def clone(

@@ -2280,3 +2280,48 @@ def test_manifest_list_indirection_for_many_file_tables(
     t2.create(nations)
     assert "manifest" in t2._entry_raw(t2.latest_version())
     assert not os.path.isdir(tmp_path / "small" / "_log" / "manifests")
+
+
+def test_version_as_of_boundaries(spark, sf_dir, tmp_path):
+    """FOR TIMESTAMP AS OF: exact stamp → that version, between
+    stamps → the earlier version, before-first → raises, far future
+    → head; the pyds option("timestampAsOf") applies the same rule."""
+    import time
+
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+    from lakehouse_homeserver_spark.sources.snapshot import (
+        SnapshotNotFound,
+        SnapshotTable,
+    )
+
+    from lakehouse_homeserver_spark.sources import load_table
+
+    nations = load_table(spark, sf_dir, "nation")
+    t = SnapshotTable(spark, str(tmp_path / "n"))
+    t.create(nations.filter(F.col("n_nationkey") < 10))
+    time.sleep(0.003)
+    t.append(nations.filter(F.col("n_nationkey") >= 10))
+    ts1 = t._entry_raw(1)["timestamp_ms"]
+    ts2 = t._entry_raw(2)["timestamp_ms"]
+    assert t.version_as_of(ts1) == 1
+    assert t.version_as_of(ts2) == 2
+    if ts2 - ts1 > 1:
+        assert t.version_as_of(ts1 + (ts2 - ts1) // 2) == 1
+    assert t.version_as_of(ts2 + 10_000) == 2
+    with pytest.raises(SnapshotNotFound):
+        t.version_as_of(ts1 - 1)
+    assert t.read(as_of_ms=ts1).count() == 10
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, as_of_ms=ts1)
+
+    spark.dataSource.register(SnapshotDataSource)
+    via_opt = (
+        spark.read.format("snapshot")
+        .option("timestampAsOf", ts1)
+        .load(t.path)
+    )
+    assert via_opt.count() == 10
+    with pytest.raises(Exception, match="at or before"):
+        spark.read.format("snapshot").option(
+            "timestampAsOf", ts1 - 1
+        ).load(t.path).count()
