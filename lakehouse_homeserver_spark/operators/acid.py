@@ -1418,9 +1418,40 @@ def a37_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sf0.01) and the local parity mirror (sf0.001) alike — a tagged
 # path made the static oracle string point at a directory the
 # mirror's Spark side never wrote.
-_XENGINE_BUILT: dict = {}
-
 _XENGINE_ORACLE_BASE = "/tmp/lakehouse-xengine/nation"
+
+
+def _build_fixture_once(base: str, tag: str, build) -> None:
+    """Cross-process-safe build-once for the fixed-path /tmp fixtures
+    (a41/a47/a49): their content is deterministic and SF-invariant,
+    so a fixture already built by ANY process is valid — never
+    destroy it. Validity is an on-disk sentinel written after a
+    successful build; builds run under an exclusive flock with a
+    double-check inside, so when the driver cert and the parity
+    mirror start concurrently (the ADVICE r4 race: one process
+    rmtree's the table while the other reads it) the first caller
+    builds and the second reuses the winner's files. A crashed
+    half-build leaves no sentinel and is rebuilt under the lock."""
+    import fcntl
+    import shutil
+
+    root = os.path.dirname(base)
+    sentinel = os.path.join(root, f".fixture-ok-{tag}")
+    if os.path.exists(sentinel):
+        return
+    lock_dir = "/tmp/lakehouse-fixture-locks"
+    os.makedirs(lock_dir, exist_ok=True)
+    with open(os.path.join(lock_dir, f"{tag}.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(sentinel):
+                return
+            shutil.rmtree(root, ignore_errors=True)
+            build()
+            with open(sentinel, "w") as s:
+                s.write("ok")
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 @query(
@@ -1478,11 +1509,9 @@ def a41_cross_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic content, memoized per process: repeat invocations
     (bench sweeps) measure the two-commit read, not the rebuild."""
-    import shutil
-
     base = _XENGINE_ORACLE_BASE
-    if _XENGINE_BUILT.get(sf_dir) != base:
-        shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+
+    def build() -> None:
         nations = T(spark, sf_dir, "nation")
         t = SnapshotTable(spark, base)
         t.create(nations.repartition(2))
@@ -1492,7 +1521,8 @@ def a41_cross_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_nationkey", F.col("n_nationkey") + 100
             )
         )
-        _XENGINE_BUILT[sf_dir] = base
+
+    _build_fixture_once(base, "xengine-v1", build)
     t = SnapshotTable(spark, base)
     n_live = len(t.entry(t.latest_version())["manifest"])
     n_data = len(
@@ -1579,13 +1609,11 @@ def a47_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops): create 25 rows bucketed n_nationkey%4 split across 2
     files → append the +200-shifted copy → CoW DELETE of
     n_nationkey%7==3, stranding pre-delete files as orphans."""
-    import shutil
-
     from ..sources.restcat import CatalogServer, RestCatalog
 
     base = _RESTCAT_BASE
-    if _RESTCAT.get("base") != base:
-        shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+
+    def build() -> None:
         nations = T(spark, sf_dir, "nation").withColumn(
             "n_bucket", F.col("n_nationkey") % 4
         )
@@ -1597,6 +1625,11 @@ def a47_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).repartition(1)
         )
         t.delete_where(F.col("n_nationkey") % 7 == 3)
+
+    _build_fixture_once(base, "restcat-v1", build)
+    if _RESTCAT.get("base") != base:
+        # The HTTP server is per-process state over the (possibly
+        # pre-existing) on-disk fixture; only it is memoized here.
         server = CatalogServer()
         server.register("analytics", "nation", base)
         server.start()
@@ -1633,8 +1666,6 @@ def a47_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Process-global pyds round-trip fixture path (SF-invariant nation).
-_PYDS_RT: dict = {}
-
 _PYDS_RT_BASE = "/tmp/lakehouse-pyds/nation"
 
 
@@ -1678,14 +1709,12 @@ def a49_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop keeps the seam honest. `pyds_read` rides the hash as
     the plan fact that the scan really went through the Python data
     source (`PythonScan` node), not a parquet fallback."""
-    import shutil
-
     from ..sources.pyds import SnapshotDataSource
 
     spark.dataSource.register(SnapshotDataSource)
     base = _PYDS_RT_BASE
-    if _PYDS_RT.get("base") != base:
-        shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+
+    def build() -> None:
         os.makedirs(os.path.dirname(base), exist_ok=True)
         nations = T(spark, sf_dir, "nation").select(
             "n_regionkey", "n_nationkey"
@@ -1705,7 +1734,8 @@ def a49_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.repartition(2).write.format("snapshot").mode(
             "overwrite"
         ).save(base)
-        _PYDS_RT["base"] = base
+
+    _build_fixture_once(base, "pyds-rt-v1", build)
     n_commits = len(
         [
             f
@@ -1715,7 +1745,11 @@ def a49_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = spark.read.format("snapshot").load(base)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    pyds_read = "PythonScan" in plan or "snapshot" in plan
+    # Exact V2 node for a Python data source scan in this Spark
+    # version: `BatchScan snapshot[...] (Python)`. The r4 version
+    # accepted any plan containing the substring "snapshot" — a
+    # fallback incidental path text could satisfy (ADVICE r4).
+    pyds_read = "BatchScan snapshot[" in plan and "(Python)" in plan
     return (
         df.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
         .agg(
@@ -1772,14 +1806,27 @@ def a50_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``option("timestampAsOf", ms)`` (pytest-pinned)."""
     import time as _time
 
+    # Memoized at a per-SF fixed path (the fixture derives from
+    # `orders`, which differs by SF — unlike the SF-invariant nation
+    # fixtures, so the path must be SF-tagged): the r4 version
+    # rebuilt the 3-commit table + sleeps into a fresh leaked
+    # mkdtemp on EVERY call, so bench sweeps measured table build,
+    # not the timestamp-travel read (ADVICE r4). Commit timestamps
+    # persist in the log, so re-reads stay valid across processes.
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = f"/tmp/lakehouse-tstravel-{sf_tag}/orders_ts"
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    root = tempfile.mkdtemp(prefix="ts-travel-")
-    t = SnapshotTable(spark, os.path.join(root, "orders_ts"))
-    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
-    _time.sleep(0.003)
-    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
-    _time.sleep(0.003)
-    t.create_or_replace(orders.filter(F.col("o_orderstatus") == "F"))
+
+    def build() -> None:
+        t = SnapshotTable(spark, base)
+        t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+        _time.sleep(0.003)
+        t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+        _time.sleep(0.003)
+        t.create_or_replace(orders.filter(F.col("o_orderstatus") == "F"))
+
+    _build_fixture_once(base, f"tstravel-{sf_tag}-v1", build)
+    t = SnapshotTable(spark, base)
     ts1 = t._entry_raw(1)["timestamp_ms"]
     ts2 = t._entry_raw(2)["timestamp_ms"]
     ts3 = t._entry_raw(3)["timestamp_ms"]
@@ -1808,4 +1855,124 @@ def a50_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(late_head).alias("late_ts_resolves_head"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "a51_ingest_lifecycle",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           (SELECT COUNT(*) FROM nation WHERE n_nationkey % 3 = 0)
+             AS full1_rows,
+           (SELECT COUNT(*) FROM nation WHERE n_nationkey % 3 = 2)
+             AS full2_rows,
+           (SELECT COUNT(*) FROM nation WHERE n_nationkey % 3 IN (0, 1))
+             AS incr_rows,
+           CAST(0 AS BIGINT) AS noop_rows,
+           CAST(0 AS BIGINT) AS absent_rows,
+           CAST(3 AS BIGINT) AS n_bookkept
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def a51_ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL program, driver-certified end to end
+    (SURVEY §3.1; previously pytest-only via tests/test_ingest.py):
+    `sources/ingest.Lakehouse` re-expresses extract_load.py's ELT
+    loop — landing-prefix discovery (:136-139), full-replace of the
+    newest file (:145-152), incremental append of never-seen files
+    via the bookkeeping anti-join (:55-66,154-165), and the
+    empty-source no-op (:141-143).
+
+    Lifecycle exercised here, on an SF-invariant `nation` landing
+    fixture (3 single-file slices by n_nationkey % 3, mtimes strictly
+    increasing):
+      1. landing holds slice-0 only → `load_full` loads it (9 rows);
+      2. slices 1 and 2 land (newer) → `load_full` REPLACES the
+         table with ONLY the newest file (slice-2, 8 rows) and resets
+         bookkeeping to exactly that file — replace-not-merge is the
+         (table went 9 → 8 rows) fact `full2_rows` pins;
+      3. `load_incremental` appends the two never-seen files
+         (slices 0+1, 17 rows) — the anti-join against bookkeeping;
+      4. `load_incremental` again → 0-row NO-OP (idempotent re-run,
+         the contract the reference's read-modify-write races on);
+      5. `load_incremental` of a table with no landing prefix → 0.
+    Afterwards the table is the full 25-row nation and the atomic
+    commit-property bookkeeping holds exactly 3 file paths
+    (SnapshotFormat folds ingest bookkeeping into the commit — no
+    separate-write crash window). Per-region aggregates of the FINAL
+    table state plus all five lifecycle facts ride the driver hash;
+    DuckDB recomputes every one relationally from `nation`.
+
+    Everything runs eagerly into a per-call mkdtemp that is removed
+    before returning (the certified rows are collected first), so
+    concurrent driver/mirror runs never share mutable state."""
+    import shutil
+
+    from ..sources.ingest import Lakehouse, SnapshotFormat
+
+    root = tempfile.mkdtemp(prefix="a51-ingest-")
+    try:
+        landing = os.path.join(root, "landing")
+        prefix = os.path.join(landing, "nation_ing")
+        os.makedirs(prefix)
+        nation = T(spark, sf_dir, "nation")
+
+        def land(slice_mod: int, mtime: float) -> None:
+            tmp = os.path.join(root, f"stage{slice_mod}")
+            nation.filter(
+                F.col("n_nationkey") % 3 == slice_mod
+            ).repartition(1).write.parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            dst = os.path.join(prefix, f"slice{slice_mod}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))
+            shutil.rmtree(tmp)
+
+        lh = Lakehouse(
+            spark, fmt=SnapshotFormat(spark, os.path.join(root, "wh"))
+        )
+        land(0, 1_000_000.0)
+        full1 = lh.load_full("nation_ing", landing)
+        land(1, 1_000_001.0)
+        land(2, 1_000_002.0)
+        full2 = lh.load_full("nation_ing", landing)
+        incr = lh.load_incremental("nation_ing", landing)
+        noop = lh.load_incremental("nation_ing", landing)
+        absent = lh.load_incremental("never_landed", landing)
+        n_bookkept = lh.loaded_files("nation_ing").count()
+        rows = (
+            lh.table("nation_ing")
+            .groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+            )
+            .orderBy("n_regionkey")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r.n_regionkey,
+                r.n_rows,
+                r.sum_key,
+                full1,
+                full2,
+                incr,
+                noop,
+                absent,
+                n_bookkept,
+            )
+            for r in rows
+        ],
+        "n_regionkey bigint, n_rows bigint, sum_key bigint, "
+        "full1_rows bigint, full2_rows bigint, incr_rows bigint, "
+        "noop_rows bigint, absent_rows bigint, n_bookkept bigint",
     )

@@ -3085,18 +3085,43 @@ def a44_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptively the same way (Trino's task.concurrency, Spark AQE) —
     /root/reference/scripts/extract_load.py:32 leaves partition
     tuning entirely to the engine."""
-    agg = (
-        T(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("total_price"),
+    # Host-independent thresholds, set/restored like a42/a43's tuned
+    # confs (ADVICE r4): the session default shuffle.partitions is
+    # the local core count, and on a low-core host AQE with
+    # parallelismFirst may decline to coalesce — flipping a hashed
+    # boolean on a correct engine. Pin a deliberately-too-high static
+    # plan (64 partitions), a small advisory size, and size-first
+    # coalescing so the fact certifies the MECHANISM on any host.
+    confs = {
+        "spark.sql.shuffle.partitions": "64",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8MB",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = (
+            T(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
         )
-        .orderBy("o_orderpriority")
-    )
-    rows = agg.collect()
-    plan = agg._jdf.queryExecution().executedPlan().toString()
-    coalesced = "AQEShuffleRead coalesced" in plan
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        coalesced = "AQEShuffleRead coalesced" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
     return spark.createDataFrame(
         [(r.o_orderpriority, r.n_orders, r.total_price, coalesced) for r in rows],
         "o_orderpriority string, n_orders bigint, total_price double, "

@@ -1360,15 +1360,17 @@ def i8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates for free.
 
     The stream (availableNow over the fixture, one micro-batch) lands
-    enriched rows in a memory sink; the certified result aggregates
-    them per event type — event counts, above-personal-average flags
-    (profile avg is the decimal-exact davg contract, so the
-    double comparison is bit-identical cross-engine), and exact value
-    totals. The oracle recomputes the identical enrichment
-    relationally."""
+    enriched rows in a PARQUET sink (r5: the r3 version used a memory
+    sink — the full enriched stream held in driver memory, the exact
+    hazard class the r3 brief flagged for i7; same fix as i7/:1313 and
+    i9/:1580 — executor-side files, zero driver residency) and the
+    certified result aggregates the read-back per event type — event
+    counts, above-personal-average flags (profile avg is the
+    decimal-exact davg contract, so the double comparison is
+    bit-identical cross-engine), and exact value totals. The oracle
+    recomputes the identical enrichment relationally."""
     import os
     import tempfile
-    import uuid
 
     from ..sources.registry import normalize_events_ts, table_path
     from ..streaming.jobs import enrich_events, user_profile
@@ -1382,18 +1384,19 @@ def i8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = normalize_events_ts(
         spark.readStream.schema(schema).parquet(d)
     )
-    sink = f"i8_enriched_{uuid.uuid4().hex[:8]}"
+    sink_dir = tempfile.mkdtemp(prefix="i8-enriched-")
     q = (
         enrich_events(stream, profile)
-        .writeStream.format("memory")
-        .queryName(sink)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(sink_dir, "data"))
+        .option("checkpointLocation", os.path.join(sink_dir, "_chk"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
     return (
-        spark.table(sink)
+        spark.read.parquet(os.path.join(sink_dir, "data"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

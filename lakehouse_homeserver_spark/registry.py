@@ -13,90 +13,83 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = []
 
 # Driver-verification priority. The correctness harness budgets ~50
-# entries per round, taken in registry order; round 1 burned the whole
-# budget on `relational` and left every other family unverified
-# (VERDICT.md "Next round" item 1). Names listed here are emitted
-# first, in this order; everything else follows in module order.
-# Window design: (a) every oracle-backed query with no driver verdict
-# yet, (b) the fixed/newly-oracled approx tier, (c) new round-2 ops,
-# (d) a handful of already-green relational representatives so the
-# core family keeps a fresh verdict each round.
-# Re-curated for the round-4 driver run (VERDICT r3 next-round #1:
-# 128/228 queries hold a driver verdict after r1-r3; 100 have never
-# been sampled and one stale red remains). This 50-slot window:
-#   (a) the stale red: d3_approx_count_distinct (r1 `no_oracle`;
-#       oracle added in r2, pass-local ever since, never re-sampled);
-#   (b) the round-4 additions that certify plan facts / hygiene work
-#       (DPP, runtime bloom join, bucketed read-side) — each also
-#       never sampled by construction;
-#   (c) 46 never-driver-verified slots chosen for family value: ALL
-#       18 remaining TPC-H queries, the ACID a14-a28 tail (the
-#       2,141-LoC snapshot layer's biggest unverified asset, VERDICT
-#       r3 #5), the ts_* analytics tail, the d1x sketch/stat aggs,
-#       and the graph/pagerank K-variants.
-# The ~54 still-never-sampled queries (k4_* scores, k6_* samplers,
-# j_* UDF surface, k10 retrieval variants, sql_* dialect forms) are
-# round 5's window; all keep exact parity in the local pytest mirror
-# of the driver check meanwhile.
+# entries per round, taken in registry order; names listed here are
+# emitted first, in this order; everything else follows in module
+# order.
+# Re-curated for the round-5 driver run (VERDICT r4 next-round #1:
+# 177/245 queries hold a driver verdict after r1-r4; 68 have never
+# been sampled). This 50-slot window:
+#   (a) the ten a41-a50 plan-fact/format certifications whose SURVEY
+#       rows claimed driver status they did not have (top of the r4
+#       brief), plus a40 (same family, also never sampled) and the
+#       NEW a51 ingest-lifecycle cert (r4 brief #7);
+#   (b) re-samples of the two queries r5 CHANGED, whose r3 verdicts
+#       are stale against the new code: k3_semdedup (bounded trained
+#       codebook, r4 brief #3) and i8_stream_static_enrich (parquet
+#       sink, r4 brief #4);
+#   (c) the streaming/temporal certs i9/i10/i2_sliding/ts_pattern/
+#       c7_asof_tolerance named by the brief;
+#   (d) the sql_* dialect forms, j_* UDF surface, the whole k4 text
+#       tier, the k6 sampler tier, and the k7 pipeline pair.
+# The 18 still-never-sampled queries (k1/k2/k3 variants whose
+# families hold multiple driver verdicts, k5 metadata stubs, k8's
+# exact twin, g/h one-liners, k10 pair) are round 6's window; all
+# keep exact parity in the local pytest mirror meanwhile.
 PRIORITY: tuple[str, ...] = (
-    # (a) the one stale red in the latest-verdict view
-    "d3_approx_count_distinct",
-    # (b) round-4 additions
-    "a38_dynamic_partition_pruning",
-    "a39_runtime_bloom_join",
-    "c10_bucketed_join_read",
-    # (c) never-driver-verified breadth
-    # -- all 17 remaining TPC-H queries
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_relationship",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_pricing",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    # -- ACID a14-a28 tail (snapshot layer)
-    "a14_table_stats",
-    "a15_file_skipping",
-    "a16_incremental_read",
-    "a17_zero_copy_clone",
-    "a18_rollback",
-    "a20_mor_delete",
-    "a21_bloom_skipping",
-    "a23_expectations",
-    "a24_schema_history",
-    "a28_volume_freshness",
-    # -- ts_* analytics tail
-    "ts_ewma",
-    "ts_interpolate",
-    "ts_gap_fill",
-    "ts_zscore_anomaly",
-    "ts_sliding_hll",
-    "ts_lttb_downsample",
-    "ts_m4_downsample",
-    "ts_rollup_day_hour",
-    "ts_attribution_join",
-    # -- sketch / stat aggregates + analytic suite
-    "d10_histogram",
-    "d11_mode_median",
-    "d12_corr_covar",
-    "d14_heavy_hitters",
-    "d16_histogram_quantiles",
-    "e4_analytic_suite",
-    # -- graph + recall K-variants
-    "k9_cc_bigstar",
-    "k9_pagerank_dupgraph",
-    "k3_ivf_recall",
+    # (a) plan-fact / format / lifecycle certifications
+    "a40_agg_pushdown",
+    "a41_cross_engine_read",
+    "a42_aqe_skew_join",
+    "a43_aqe_join_conversion",
+    "a44_aqe_coalesce",
+    "a45_reused_exchange",
+    "a46_scan_pruning",
+    "a47_rest_catalog",
+    "a48_codegen_partial_agg",
+    "a49_pyds_roundtrip",
+    "a50_timestamp_travel",
+    "a51_ingest_lifecycle",
+    # (b) r5-changed queries needing fresh verdicts
+    "k3_semdedup",
+    "i8_stream_static_enrich",
+    # (c) streaming / temporal certs
+    "i9_stream_outer_join",
+    "i10_stream_restart_exactly_once",
+    "i2_sliding_window",
+    "ts_pattern_match",
+    "c7_asof_tolerance",
+    # (d) never-driver-verified breadth
+    "sql_in_subquery",
+    "sql_scalar_subquery",
+    "sql_pipe_syntax",
+    "sql_group_by_all",
+    "sql_named_params",
+    "j_normalize_embeddings",
+    "j_udtf_term_expand",
+    "j_arrow_batch_norms",
+    "k4_text_stats",
+    "k4_quality_score",
+    "k4_token_count",
+    "k4_fingerprint",
+    "k4_corpus_stats",
+    "k4_redact",
+    "k4_repetition_filter",
+    "k4_tfidf_terms",
+    "k4_unigram_lm_score",
+    "k4_hashed_classifier",
+    "k4_bpe_token_count",
+    "k4_dsir_importance",
+    "k4_bigram_lm_score",
+    "k4_dataset_card",
+    "k6_stratified_sample",
+    "k6_uniform_sample",
+    "k6_reservoir_per_group",
+    "k6_weighted_sample",
+    "k6_domain_mix",
+    "k6_temperature_resample",
+    "k6_epoch_shuffle",
+    "k7_incremental_dedup",
+    "k7_shard_manifest",
 )
 
 

@@ -167,13 +167,22 @@ class SnapshotFormat(TableFormat):
 
     def ingested_files(self, spark: SparkSession, table: str) -> list[str]:
         """Union of per-commit `ingested_files` properties across the
-        snapshot log — the bookkeeping table, derived instead of
-        separately written."""
+        CURRENT lineage — the bookkeeping table, derived instead of
+        separately written. A replacing commit ("create"/"overwrite",
+        i.e. a full load) RESETS the set, matching the non-atomic
+        path's documented contract ("full load resets bookkeeping to
+        exactly the loaded file"): files ingested before a
+        full-replace are no longer in the table, so a later
+        incremental must re-ingest them. (r5 fix — the r4 version
+        unioned the whole history, so a pre-replace file was treated
+        as seen forever; surfaced by the a51 lifecycle cert.)"""
         t = self._table(table)
         if not t.exists():
             return []
         out: list[str] = []
-        for e in t.history():
+        for e in t.history():  # oldest → newest
+            if e.get("operation") in ("create", "overwrite"):
+                out = []
             out.extend(e.get("properties", {}).get("ingested_files", []))
         return out
 

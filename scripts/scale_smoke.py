@@ -63,6 +63,14 @@ OPS = [
     "k8_bloom_decontaminate",
     "k1_substr_dedup",
     "k9_cc_bigstar",
+    # round-5 additions (VERDICT r4 #8): the r4-landed families plus
+    # the r5-reworked SemDeDup (bounded trained codebook — the brief's
+    # done-criterion is a <=2x ratio here) and one ACID commit-path op
+    # (events/orders clones are scaled too, see build_scaled).
+    "k9_pagerank_dupgraph",
+    "ts_pattern_match",
+    "k3_semdedup",
+    "a12_time_travel",
 ]
 
 
@@ -88,8 +96,34 @@ def build_scaled(spark, out_dir: str, copies: int) -> None:
     for p in e_parts[1:]:
         e0 = e0.unionByName(p)
     e0.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    # events/orders scale too (r5): ts_* ops read events and the ACID
+    # commit-path ops read orders — without cloning these, their 10×
+    # "ratio" would measure an unscaled input. user_id/o_orderkey
+    # offsets are multiples of 10 and of the demo-slice moduli where
+    # it matters (%10 filters), so per-copy row volumes stay ~equal.
+    events = load_table(spark, BASE_SF, "events")
+    orders = load_table(spark, BASE_SF, "orders")
+    ev_parts = []
+    o_parts = []
+    for i in range(copies):
+        off = i * 10_000_000
+        ev_parts.append(
+            events.withColumn("event_id", F.col("event_id") + off)
+            .withColumn("user_id", F.col("user_id") + off)
+        )
+        o_parts.append(
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + off)
+        )
+    ev0 = ev_parts[0]
+    for p in ev_parts[1:]:
+        ev0 = ev0.unionByName(p)
+    ev0.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    o0 = o_parts[0]
+    for p in o_parts[1:]:
+        o0 = o0.unionByName(p)
+    o0.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events", "orders"):
             continue
         load_table(spark, BASE_SF, t).write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
