@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table as T
+from ..sources.registry import table_row_count
 from ..sources.snapshot import SnapshotNotFound, SnapshotTable
 from .common import dec, dsum, sql_dsum
 
@@ -300,13 +301,12 @@ def a19_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     key- or time-bounded delete rewrites the overlapping handful of
     files, not the table.
     """
-    import pyarrow.parquet as pq
 
     t = SnapshotTable(
         spark, os.path.join(tempfile.mkdtemp(prefix="snap-del-"), "orders")
     )
     orders = T(spark, sf_dir, "orders")
-    n = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    n = table_row_count(sf_dir, "orders")
     bounds = [0, n // 4, n // 2, (3 * n) // 4, 10**12]
     for i in range(4):
         sl = orders.filter(
@@ -369,13 +369,12 @@ def a20_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(keys)-write delete path whose read cost `rewrite_deletes()`
     reclaims during maintenance.
     """
-    import pyarrow.parquet as pq
 
     t = SnapshotTable(
         spark, os.path.join(tempfile.mkdtemp(prefix="snap-mor-"), "orders")
     )
     orders = T(spark, sf_dir, "orders")
-    n = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    n = table_row_count(sf_dir, "orders")
     t.create(orders.filter(F.col("o_orderkey") < n // 2))
     e = t.delete_where(
         F.col("o_custkey") % 7 == 0, mode="mor", equality_on=["o_custkey"]
@@ -429,8 +428,18 @@ def a14_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = []
     for t in _FIXTURE_TABLES:
-        md = pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet")).metadata
-        rows.append((t, md.num_rows, md.num_columns))
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):  # Spark-written directory table
+            parts = sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            n_cols = pq.ParquetFile(parts[0]).metadata.num_columns
+            rows.append((t, table_row_count(sf_dir, t), n_cols))
+        else:
+            md = pq.ParquetFile(p).metadata
+            rows.append((t, md.num_rows, md.num_columns))
     return spark.createDataFrame(
         rows, "table_name string, num_rows bigint, n_cols bigint"
     )
@@ -1310,13 +1319,12 @@ def a36_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     table has no natural key and a CoW rewrite is too large; the
     read-side cost is reclaimed by `rewrite_deletes()`.
     """
-    import pyarrow.parquet as pq
 
     t = SnapshotTable(
         spark, os.path.join(tempfile.mkdtemp(prefix="snap-pos-"), "orders")
     )
     orders = T(spark, sf_dir, "orders")
-    n = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    n = table_row_count(sf_dir, "orders")
     t.create(orders.filter(F.col("o_orderkey") < n // 2))
     e1 = t.delete_where(F.col("o_custkey") % 7 == 0, mode="mor_positional")
     t.append(orders.filter(F.col("o_orderkey") >= n // 2))

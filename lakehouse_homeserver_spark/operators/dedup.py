@@ -1486,11 +1486,27 @@ def k9_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical operands in both engines.
     """
     pairs = verified_pairs(spark, sf_dir)
+    n_pairs = pairs.count()
+    # Loop parallelism is EDGE-sized (2 directed edges per pair), same
+    # rationale as the components loop at :1116: the per-round
+    # exchanges and map-side scans carry the edge list, and every
+    # surplus reducer is paid PR_ITERS times. The r4 version keyed
+    # this on n_nodes and inherited the pair table's few read
+    # partitions through the checkpoint — on a dense dup graph (the
+    # 10x smoke's salted clones: 10M pairs over 50k nodes) that
+    # pinned 5 rounds of 20M-row joins onto 2 cores, measured 206 s;
+    # node count says nothing about exchange volume when the graph is
+    # dense. Edge-sized reducers + an edge repartition BEFORE the
+    # checkpoint (so every round's map side runs loop-wide) measured
+    # 3.4x faster at 10x.
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_parts = max(2, min(sess_parts, (2 * n_pairs) // 250_000 + 1))
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
+        .repartition(loop_parts)
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -1507,17 +1523,24 @@ def k9_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = deg.select("src", F.lit(1.0 / float(n_nodes)).alias("r")).select(
         F.col("src").alias("node"), "r"
     )
-    # Edge-sized reducer count for the iterative phase, same rationale
-    # as the components loop: the per-round exchanges carry the edge
-    # list, and every surplus reducer is paid PR_ITERS times.
-    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    loop_parts = max(2, min(sess_parts, n_nodes // 250_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         for _ in range(PR_ITERS):
+            # BROADCAST the node-sized tables (rank, degree) into the
+            # edge scan — measured essential, not a nicety: the
+            # checkpointed `r` carries no size stats, so without the
+            # hint Catalyst defaults it to "huge", plans a sort-merge
+            # join, and per-iteration wall time GREW 1.9 → 54 s
+            # across 5 rounds on the 10× smoke's 20M-edge graph
+            # (103 s total); hinted, every round is a flat 2-4 s
+            # map-side pass (14 s total). Node tables are rank+degree
+            # (16 B/node) — broadcastable to ~10⁸ nodes; past that
+            # the cluster path is the classic co-partitioned loop
+            # (edges hash-partitioned by src once, only the
+            # node-sized rank table moves per round).
             contrib = (
-                edges.join(r, edges["src"] == r["node"])
-                .join(deg, "src")
+                edges.join(F.broadcast(r), edges["src"] == r["node"])
+                .join(F.broadcast(deg), "src")
                 .select(
                     F.col("dst"),
                     F.round(F.col("r") / F.col("deg"), 12)

@@ -1206,12 +1206,10 @@ def k3_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    import pyarrow.parquet as pq
+    from ..sources.registry import table_row_count
 
     e = T(spark, sf_dir, "embeddings")
-    n = pq.ParquetFile(
-        __import__("os").path.join(sf_dir, "embeddings.parquet")
-    ).metadata.num_rows
+    n = table_row_count(sf_dir, "embeddings")
     k = _sem_k(n)
     q = e.select(
         "vec_id",
@@ -1407,12 +1405,10 @@ def k3_ivfpq_search(
     """
     import numpy as np
 
-    import pyarrow.parquet as pq
+    from ..sources.registry import table_row_count
 
     e = T(spark, sf_dir, "embeddings")
-    n_corpus = pq.ParquetFile(
-        __import__("os").path.join(sf_dir, "embeddings.parquet")
-    ).metadata.num_rows
+    n_corpus = table_row_count(sf_dir, "embeddings")
     shortlist_k = _adc_shortlist(n_corpus)
     centroids = ivf_train(spark, e)
     sample = np.array(

@@ -33,6 +33,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Footer-only row count of a fixture table — never scans data.
+
+    Handles both fixture layouts: the driver's single-file
+    `<t>.parquet` and Spark-written DIRECTORY tables of part files
+    (scripts/scale_smoke.py's scaled clones); `pq.ParquetFile` on a
+    directory raises, which crashed the r5 10× smoke for every
+    operator using a footer count to size a model."""
+    import pyarrow.parquet as pq
+
+    p = table_path(sf_dir, name)
+    if os.path.isdir(p):
+        return sum(
+            pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    return pq.ParquetFile(p).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-on-read parquet scan (SURVEY.md A1).
 
