@@ -1984,3 +1984,146 @@ def a51_ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "full1_rows bigint, full2_rows bigint, incr_rows bigint, "
         "noop_rows bigint, absent_rows bigint, n_bookkept bigint",
     )
+
+
+# Fixed fixture paths for the persistent-catalog cert (SF-invariant
+# `region`, 5 rows at every SF — same reasoning as the nation
+# fixtures). The sqlite db and the table live under one root so one
+# sentinel covers both.
+_SQLCAT_ROOT = "/tmp/lakehouse-sqlcat"
+_SQLCAT_TABLE = f"{_SQLCAT_ROOT}/analytics/region_cat"
+_SQLCAT_DB = f"{_SQLCAT_ROOT}/catalog.db"
+_SQLCAT_CRED = ("spark-engine", "fixture-secret")
+
+
+@query(
+    "a52_catalog_persistence",
+    oracle="""
+    WITH t AS (
+      SELECT r_regionkey FROM region
+      UNION ALL
+      SELECT r_regionkey + 10 FROM region
+    )
+    SELECT CAST(r_regionkey % 5 AS BIGINT) AS key_mod,
+           COUNT(*) AS n_rows,
+           CAST(SUM(r_regionkey) AS BIGINT) AS sum_key,
+           TRUE AS unauthorized_401,
+           TRUE AS bad_token_401,
+           TRUE AS registered_via_http,
+           TRUE AS persisted_across_restart,
+           CAST(2 AS BIGINT) AS n_live_files
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def a52_catalog_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent + authenticated network catalog — the two seams the
+    r4 REST-catalog cert (a47) left open, certified (SURVEY missing
+    #1 narrows again): the reference's catalog persists to POSTGRES
+    (docker-compose.yml:8,18) and fronts the spec's OAuth surface;
+    here the same contract runs on the embeddable stand-ins —
+    `SqlCatalogStore` (SQLite, the JdbcCatalog table shape) and the
+    spec's `POST /v1/oauth/tokens` client-credentials grant.
+
+    Lifecycle per call: server #1 over the store requires a bearer
+    token (an unauthenticated listing and a bad-credential handshake
+    must both 401 — facts ride the hash), the client performs DDL
+    OVER THE WIRE (CreateNamespace + the spec's RegisterTableRequest
+    pointing at the table's existing metadata), then server #1 STOPS
+    and a brand-new server instance over the same sqlite file
+    resolves the table and serves its scan plan — catalog state
+    survived the "process" restart exactly as Postgres state
+    survives the reference's container restarts. The certified
+    aggregate scans the table through the RESTARTED server's served
+    manifest; DuckDB recomputes it relationally from `region`.
+
+    At 100 TB the catalog is precisely this: a tiny SQL row per
+    table pointing at metadata, an auth gate, and zero data bytes
+    through either."""
+    import urllib.error
+    import urllib.request
+
+    from ..sources.restcat import CatalogServer, RestCatalog, SqlCatalogStore
+
+    def build() -> None:
+        region = T(spark, sf_dir, "region").select("r_regionkey")
+        t = SnapshotTable(spark, _SQLCAT_TABLE)
+        t.create(region.repartition(1))
+        t.append(
+            region.withColumn(
+                "r_regionkey", F.col("r_regionkey") + 10
+            ).repartition(1)
+        )
+        SqlCatalogStore(_SQLCAT_DB)  # create schema alongside the table
+
+    _build_fixture_once(_SQLCAT_TABLE, "sqlcat-v1", build)
+
+    srv1 = CatalogServer(
+        store=SqlCatalogStore(_SQLCAT_DB), credential=_SQLCAT_CRED
+    )
+    uri1 = srv1.start()
+    try:
+        # fact 1: no token -> the spec's 401 envelope
+        try:
+            urllib.request.urlopen(uri1 + "/v1/namespaces", timeout=10)
+            unauthorized_401 = False
+        except urllib.error.HTTPError as e:
+            unauthorized_401 = e.code == 401
+        # fact 2: wrong client secret -> 401 at the token route
+        try:
+            RestCatalog(uri1, credential=(_SQLCAT_CRED[0], "wrong"))
+            bad_token_401 = False
+        except urllib.error.HTTPError as e:
+            bad_token_401 = e.code == 401
+        # DDL over the wire (idempotent: register replaces)
+        cat1 = RestCatalog(uri1, credential=_SQLCAT_CRED)
+        cat1.create_namespace("analytics")
+        out = cat1.register_table("analytics", "region_cat", _SQLCAT_TABLE)
+        registered = out.get("metadata-location") == _SQLCAT_TABLE
+    finally:
+        srv1.stop()
+
+    # a brand-new server instance over the same sqlite file: catalog
+    # state must survive the restart (the Postgres property)
+    srv2 = CatalogServer(
+        store=SqlCatalogStore(_SQLCAT_DB), credential=_SQLCAT_CRED
+    )
+    uri2 = srv2.start()
+    try:
+        cat2 = RestCatalog(uri2, credential=_SQLCAT_CRED)
+        persisted = (
+            "analytics" in cat2.list_namespaces()
+            and "region_cat" in cat2.list_tables("analytics")
+        )
+        meta = cat2.load_table("analytics", "region_cat")
+        n_live = len(meta["x-manifest"])
+        rows = (
+            cat2.read_table(spark, "analytics", "region_cat")
+            .groupBy((F.col("r_regionkey") % 5).cast("bigint").alias("key_mod"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("r_regionkey").cast("bigint").alias("sum_key"),
+            )
+            .orderBy("key_mod")
+            .collect()
+        )
+    finally:
+        srv2.stop()
+    return spark.createDataFrame(
+        [
+            (
+                r.key_mod,
+                r.n_rows,
+                r.sum_key,
+                unauthorized_401,
+                bad_token_401,
+                registered,
+                persisted,
+                n_live,
+            )
+            for r in rows
+        ],
+        "key_mod bigint, n_rows bigint, sum_key bigint, "
+        "unauthorized_401 boolean, bad_token_401 boolean, "
+        "registered_via_http boolean, persisted_across_restart boolean, "
+        "n_live_files bigint",
+    )

@@ -32,19 +32,40 @@ want spec fields ignore it and read the snapshot log at
 ``metadata-location`` — which is how the DuckDB side of
 ``a47_rest_catalog`` proves the files stay engine-neutral.
 
-No authentication: the server binds 127.0.0.1 only. The real spec's
-OAuth surface is an environment seam here, like S3A credentials.
+r5 narrows the remaining seams the r4 note left open ("Postgres
+persistence + OAuth"):
+
+- :class:`SqlCatalogStore` — a SQLite-backed registry with the same
+  table shape Iceberg's JdbcCatalog persists (namespace + table →
+  metadata location); the reference backs its REST catalog with
+  Postgres the same way (docker-compose.yml:8,18). Registrations
+  survive server AND process restarts — hand the same ``db_path`` to
+  a new :class:`CatalogServer` and every table resolves again. SQLite
+  here is the embeddable stand-in for the Postgres container; the
+  SQL and contract are identical in kind.
+- OAuth2 client-credentials (the spec's ``POST /v1/oauth/tokens``):
+  construct the server with ``credential=(client_id, secret)`` and
+  every route except ``config``/``oauth`` requires
+  ``Authorization: Bearer <token>``; bad or missing tokens get the
+  spec's 401 envelope. Without ``credential`` the server stays open
+  (127.0.0.1-only), preserving the r4 behavior.
+- Write DDL: ``POST /v1/namespaces`` (CreateNamespace) and the
+  spec's table registration ``POST /v1/namespaces/{ns}/register``
+  (RegisterTableRequest: name + metadata-location), so a client can
+  round-trip DDL over the wire instead of poking the store directly.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sqlite3
 import threading
+import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-__all__ = ["CatalogServer", "RestCatalog"]
+__all__ = ["CatalogServer", "RestCatalog", "SqlCatalogStore"]
 
 
 def _read_head(table_path: str) -> dict | None:
@@ -71,6 +92,86 @@ def _read_head(table_path: str) -> dict | None:
     return entry
 
 
+class SqlCatalogStore:
+    """SQL-backed catalog persistence — the JdbcCatalog/Postgres
+    shape (Iceberg's JDBC catalog persists exactly these two tables;
+    the reference's REST catalog persists to Postgres,
+    docker-compose.yml:8,18). SQLite is the embeddable stand-in: the
+    contract certified is that catalog STATE lives in a SQL store
+    independent of any server process — a new :class:`CatalogServer`
+    over the same ``db_path`` resolves every prior registration.
+
+    Connections are short-lived per operation (open → statement →
+    commit → close), so concurrent driver/mirror processes serialize
+    on SQLite's file lock without holding it across requests."""
+
+    def __init__(self, db_path: str) -> None:
+        self.db_path = db_path
+        with self._conn() as c:
+            c.execute(
+                "CREATE TABLE IF NOT EXISTS catalog_namespaces ("
+                " namespace TEXT PRIMARY KEY,"
+                " properties TEXT NOT NULL DEFAULT '{}')"
+            )
+            c.execute(
+                "CREATE TABLE IF NOT EXISTS catalog_tables ("
+                " table_namespace TEXT NOT NULL,"
+                " table_name TEXT NOT NULL,"
+                " metadata_location TEXT NOT NULL,"
+                " PRIMARY KEY (table_namespace, table_name))"
+            )
+
+    def _conn(self) -> sqlite3.Connection:
+        return sqlite3.connect(self.db_path, timeout=30)
+
+    def create_namespace(self, ns: str, properties: dict | None = None) -> None:
+        with self._conn() as c:
+            c.execute(
+                "INSERT OR IGNORE INTO catalog_namespaces VALUES (?, ?)",
+                (ns, json.dumps(properties or {})),
+            )
+
+    def register_table(self, ns: str, name: str, table_path: str) -> None:
+        self.create_namespace(ns)
+        with self._conn() as c:
+            c.execute(
+                "INSERT OR REPLACE INTO catalog_tables VALUES (?, ?, ?)",
+                (ns, name, table_path),
+            )
+
+    def namespaces(self) -> list[str]:
+        with self._conn() as c:
+            rows = c.execute(
+                "SELECT namespace FROM catalog_namespaces ORDER BY namespace"
+            ).fetchall()
+        return [r[0] for r in rows]
+
+    def namespace_exists(self, ns: str) -> bool:
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT 1 FROM catalog_namespaces WHERE namespace = ?", (ns,)
+            ).fetchone()
+        return row is not None
+
+    def tables(self, ns: str) -> list[str]:
+        with self._conn() as c:
+            rows = c.execute(
+                "SELECT table_name FROM catalog_tables"
+                " WHERE table_namespace = ? ORDER BY table_name",
+                (ns,),
+            ).fetchall()
+        return [r[0] for r in rows]
+
+    def table_path(self, ns: str, name: str) -> str | None:
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT metadata_location FROM catalog_tables"
+                " WHERE table_namespace = ? AND table_name = ?",
+                (ns, name),
+            ).fetchone()
+        return None if row is None else row[0]
+
+
 class CatalogServer:
     """Serve registered snapshot tables over the Iceberg REST shape.
 
@@ -87,43 +188,118 @@ class CatalogServer:
     Unknown namespace/table → 404 with the spec's error envelope.
     """
 
-    def __init__(self) -> None:
+    def __init__(
+        self,
+        store: SqlCatalogStore | None = None,
+        credential: tuple[str, str] | None = None,
+    ) -> None:
+        # In-memory registry when no store is given (r4 behavior);
+        # a SqlCatalogStore makes registrations survive restarts.
         self._tables: dict[tuple[str, str], str] = {}
+        self._store = store
+        self._credential = credential
+        self._tokens: set[str] = set()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
     def register(self, namespace: str, name: str, table_path: str) -> None:
-        self._tables[(namespace, name)] = table_path
+        if self._store is not None:
+            self._store.register_table(namespace, name, table_path)
+        else:
+            self._tables[(namespace, name)] = table_path
+
+    # -- registry views (store-backed or in-memory) -------------------------
+    def _namespaces(self) -> list[str]:
+        if self._store is not None:
+            return self._store.namespaces()
+        return sorted({ns for ns, _ in self._tables})
+
+    def _namespace_exists(self, ns: str) -> bool:
+        if self._store is not None:
+            return self._store.namespace_exists(ns)
+        return any(k == ns for k, _ in self._tables)
+
+    def _tables_in(self, ns: str) -> list[str]:
+        if self._store is not None:
+            return self._store.tables(ns)
+        return sorted(n for (k, n) in self._tables if k == ns)
+
+    def _lookup(self, ns: str, name: str) -> str | None:
+        if self._store is not None:
+            return self._store.table_path(ns, name)
+        return self._tables.get((ns, name))
+
+    def _create_namespace(self, ns: str, properties: dict | None) -> None:
+        if self._store is not None:
+            self._store.create_namespace(ns, properties)
+        # in-memory registry materializes namespaces from tables only
 
     # -- request handling --------------------------------------------------
-    def _route(self, path: str) -> tuple[int, dict]:
+    def _issue_token(self, body: bytes) -> tuple[int, dict]:
+        """``POST /v1/oauth/tokens`` — the spec's OAuth2
+        client-credentials grant (form-encoded, like real clients
+        send). Valid credentials get a bearer token; anything else
+        the spec's 401 envelope."""
+        import secrets
+
+        form = urllib.parse.parse_qs((body or b"").decode())
+        cid = form.get("client_id", [None])[0]
+        sec = form.get("client_secret", [None])[0]
+        if (
+            self._credential is None
+            or form.get("grant_type", [None])[0] != "client_credentials"
+            or (cid, sec) != self._credential
+        ):
+            return 401, _err(401, "invalid client credentials")
+        tok = secrets.token_hex(16)
+        self._tokens.add(tok)
+        return 200, {
+            "access_token": tok,
+            "token_type": "bearer",
+            "expires_in": 3600,
+        }
+
+    def _authorized(self, headers) -> bool:
+        if self._credential is None:
+            return True
+        auth = headers.get("Authorization", "")
+        return auth.startswith("Bearer ") and auth[7:] in self._tokens
+
+    def _route(
+        self, method: str, path: str, body: bytes | None, headers
+    ) -> tuple[int, dict]:
         parts = [p for p in path.split("/") if p]
         if parts[:1] != ["v1"]:
             return 404, _err(404, f"unknown route {path}")
         parts = parts[1:]
         if parts == ["config"]:
             return 200, {"defaults": {}, "overrides": {}}
+        if parts == ["oauth", "tokens"] and method == "POST":
+            return self._issue_token(body)
+        if not self._authorized(headers):
+            return 401, _err(401, "missing or invalid bearer token")
+        if method == "POST":
+            return self._route_post(parts, body, path)
         if parts == ["namespaces"]:
-            spaces = sorted({ns for ns, _ in self._tables})
-            return 200, {"namespaces": [[ns] for ns in spaces]}
+            return 200, {
+                "namespaces": [[ns] for ns in self._namespaces()]
+            }
         if len(parts) == 2 and parts[0] == "namespaces":
             ns = parts[1]
-            if all(k != ns for k, _ in self._tables):
+            if not self._namespace_exists(ns):
                 return 404, _err(404, f"namespace {ns} not found")
             return 200, {"namespace": [ns], "properties": {}}
         if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
             ns = parts[1]
-            if all(k != ns for k, _ in self._tables):
+            if not self._namespace_exists(ns):
                 return 404, _err(404, f"namespace {ns} not found")
             idents = [
-                {"namespace": [k], "name": n}
-                for (k, n) in sorted(self._tables)
-                if k == ns
+                {"namespace": [ns], "name": n} for n in self._tables_in(ns)
             ]
             return 200, {"identifiers": idents}
         if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
             ns, name = parts[1], parts[3]
-            tpath = self._tables.get((ns, name))
+            tpath = self._lookup(ns, name)
             if tpath is None:
                 return 404, _err(404, f"table {ns}.{name} not found")
             head = _read_head(tpath)
@@ -151,15 +327,51 @@ class CatalogServer:
             }
         return 404, _err(404, f"unknown route {path}")
 
+    def _route_post(
+        self, parts: list[str], body: bytes | None, path: str
+    ) -> tuple[int, dict]:
+        """Write DDL over the wire: CreateNamespace and the spec's
+        RegisterTableRequest (``name`` + ``metadata-location``; here
+        the location is the snapshot-table root, whose commit log IS
+        the metadata — documented divergence, same as x-manifest)."""
+        payload = json.loads(body) if body else {}
+        if parts == ["namespaces"]:
+            ns_field = payload.get("namespace")
+            if not ns_field or not isinstance(ns_field, list):
+                return 400, _err(400, "namespace must be a non-empty list")
+            self._create_namespace(ns_field[0], payload.get("properties"))
+            return 200, {
+                "namespace": ns_field,
+                "properties": payload.get("properties", {}),
+            }
+        if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "register":
+            ns = parts[1]
+            name = payload.get("name")
+            loc = payload.get("metadata-location")
+            if not name or not loc:
+                return 400, _err(400, "name and metadata-location required")
+            if not os.path.isdir(os.path.join(loc, "_log")):
+                return 400, _err(400, f"{loc} has no snapshot log")
+            self.register(ns, name, loc)
+            return 200, {"metadata-location": loc}
+        return 404, _err(404, f"unknown route {path}")
+
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> str:
         """Bind 127.0.0.1 on an ephemeral port; return the base URI."""
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
-            def do_GET(self) -> None:  # noqa: N802 (stdlib contract)
+            def _respond(self, method: str) -> None:
+                n = int(self.headers.get("Content-Length") or 0)
+                req_body = self.rfile.read(n) if n else None
                 try:
-                    code, body = outer._route(self.path.split("?", 1)[0])
+                    code, body = outer._route(
+                        method,
+                        self.path.split("?", 1)[0],
+                        req_body,
+                        self.headers,
+                    )
                 except Exception as e:  # pragma: no cover - defensive
                     code, body = 500, _err(500, repr(e))
                 payload = json.dumps(body).encode()
@@ -168,6 +380,12 @@ class CatalogServer:
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
+
+            def do_GET(self) -> None:  # noqa: N802 (stdlib contract)
+                self._respond("GET")
+
+            def do_POST(self) -> None:  # noqa: N802 (stdlib contract)
+                self._respond("POST")
 
             def log_message(self, *a) -> None:  # quiet
                 pass
@@ -211,14 +429,58 @@ class RestCatalog:
     construction, for the matching subset of any real Iceberg REST
     endpoint)."""
 
-    def __init__(self, uri: str) -> None:
+    def __init__(
+        self, uri: str, credential: tuple[str, str] | None = None
+    ) -> None:
         self.uri = uri.rstrip("/")
+        self._token: str | None = None
         # One config round-trip on connect, like real clients.
         self.config = self._get("/v1/config")
+        if credential is not None:
+            # The spec's OAuth2 client-credentials handshake, form-
+            # encoded like real clients send it.
+            form = urllib.parse.urlencode(
+                {
+                    "grant_type": "client_credentials",
+                    "client_id": credential[0],
+                    "client_secret": credential[1],
+                }
+            ).encode()
+            out = self._request("POST", "/v1/oauth/tokens", data=form)
+            self._token = out["access_token"]
+
+    def _request(
+        self, method: str, route: str, data: bytes | None = None
+    ) -> dict:
+        req = urllib.request.Request(
+            self.uri + route, data=data, method=method
+        )
+        if self._token is not None:
+            req.add_header("Authorization", f"Bearer {self._token}")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read())
 
     def _get(self, route: str) -> dict:
-        with urllib.request.urlopen(self.uri + route, timeout=30) as resp:
-            return json.loads(resp.read())
+        return self._request("GET", route)
+
+    def _post_json(self, route: str, payload: dict) -> dict:
+        return self._request(
+            "POST", route, data=json.dumps(payload).encode()
+        )
+
+    def create_namespace(self, ns: str, properties: dict | None = None) -> dict:
+        return self._post_json(
+            "/v1/namespaces",
+            {"namespace": [ns], "properties": properties or {}},
+        )
+
+    def register_table(self, ns: str, name: str, table_path: str) -> dict:
+        """The spec's RegisterTableRequest: point the catalog at an
+        EXISTING table's metadata — DDL over the wire, no data moved."""
+        return self._post_json(
+            f"/v1/namespaces/{ns}/register",
+            {"name": name, "metadata-location": table_path},
+        )
 
     def list_namespaces(self) -> list[str]:
         return [ns[0] for ns in self._get("/v1/namespaces")["namespaces"]]

@@ -95,3 +95,106 @@ def test_server_stop_frees_port(catalog):
         urllib.request.urlopen(uri + "/v1/config", timeout=2)
     # restart for the fixture's context-manager exit (stop is idempotent)
     server.start()
+
+
+# -- r5: SQL-backed persistence + OAuth (SURVEY missing-#1 seams) ----------
+
+
+@pytest.fixture()
+def sql_catalog(spark, tmp_path):
+    """Snapshot table + sqlite store + authenticated server."""
+    from lakehouse_homeserver_spark.sources.restcat import SqlCatalogStore
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(10).withColumnRenamed("id", "k"))
+    db = str(tmp_path / "cat.db")
+    server = CatalogServer(
+        store=SqlCatalogStore(db), credential=("cid", "sec")
+    )
+    server.start()
+    yield server, db, str(tmp_path / "t")
+    server.stop()
+
+
+def test_oauth_gate_401s_without_token(sql_catalog):
+    server, _, _ = sql_catalog
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server.uri + "/v1/namespaces", timeout=10)
+    assert ei.value.code == 401
+    assert json.loads(ei.value.read())["error"]["code"] == 401
+
+
+def test_oauth_rejects_bad_credentials(sql_catalog):
+    server, _, _ = sql_catalog
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        RestCatalog(server.uri, credential=("cid", "WRONG"))
+    assert ei.value.code == 401
+
+
+def test_oauth_token_grants_access_and_config_stays_open(sql_catalog):
+    server, _, tpath = sql_catalog
+    # config is pre-auth by spec (clients need it to find the token route)
+    with urllib.request.urlopen(server.uri + "/v1/config", timeout=10) as r:
+        assert json.loads(r.read()) == {"defaults": {}, "overrides": {}}
+    cat = RestCatalog(server.uri, credential=("cid", "sec"))
+    cat.create_namespace("ns")
+    cat.register_table("ns", "t", tpath)
+    assert cat.list_tables("ns") == ["t"]
+
+
+def test_wire_ddl_validates_register_target(sql_catalog):
+    server, _, _ = sql_catalog
+    cat = RestCatalog(server.uri, credential=("cid", "sec"))
+    cat.create_namespace("ns")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        cat.register_table("ns", "bogus", "/tmp/definitely-not-a-table")
+    assert ei.value.code == 400  # no snapshot log at the location
+
+
+def test_sqlite_store_survives_server_restart(spark, sql_catalog):
+    from lakehouse_homeserver_spark.sources.restcat import SqlCatalogStore
+
+    server, db, tpath = sql_catalog
+    cat = RestCatalog(server.uri, credential=("cid", "sec"))
+    cat.create_namespace("ns")
+    cat.register_table("ns", "t", tpath)
+    server.stop()
+    # brand-new server instance over the same sqlite file
+    server2 = CatalogServer(
+        store=SqlCatalogStore(db), credential=("cid", "sec")
+    )
+    server2.start()
+    try:
+        cat2 = RestCatalog(server2.uri, credential=("cid", "sec"))
+        assert cat2.list_namespaces() == ["ns"]
+        assert cat2.list_tables("ns") == ["t"]
+        df = cat2.read_table(spark, "ns", "t")
+        assert df.count() == 10
+    finally:
+        server2.stop()
+    server.start()  # fixture teardown symmetry
+
+
+def test_tokens_do_not_cross_server_instances(sql_catalog):
+    """A bearer token is per-server state (like a real session token):
+    a restarted catalog must not honor tokens minted by its
+    predecessor."""
+    from lakehouse_homeserver_spark.sources.restcat import SqlCatalogStore
+
+    server, db, tpath = sql_catalog
+    cat = RestCatalog(server.uri, credential=("cid", "sec"))
+    old_token = cat._token
+    server.stop()
+    server2 = CatalogServer(
+        store=SqlCatalogStore(db), credential=("cid", "sec")
+    )
+    server2.start()
+    try:
+        req = urllib.request.Request(server2.uri + "/v1/namespaces")
+        req.add_header("Authorization", f"Bearer {old_token}")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 401
+    finally:
+        server2.stop()
+    server.start()
