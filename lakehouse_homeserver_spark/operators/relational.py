@@ -3308,3 +3308,166 @@ def a48_codegen_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag string, n_items bigint, total_qty double, "
         "whole_stage_codegen boolean, map_side_partial_agg boolean",
     )
+
+
+# (sf tag, table) pairs built+ANALYZEd by THIS process (the session
+# catalog is in-memory, so stats are per-process state like c10's
+# table metadata).
+_A53_BUILT: set = set()
+
+
+def _a53_stats_tables(spark: SparkSession, sf_dir: str) -> tuple:
+    """Three catalog tables with ANALYZE'd column statistics — the
+    input CBO needs (reorder costs come from rowCount/NDV/min-max,
+    which path-based parquet scans don't carry)."""
+    import os
+    import shutil
+
+    tag = _c10_sf_tag(sf_dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo")
+    spec = {
+        f"cbo.a53_li_{tag}": (
+            "lineitem",
+            ["l_orderkey", "l_quantity", "l_extendedprice"],
+        ),
+        f"cbo.a53_od_{tag}": (
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderpriority"],
+        ),
+        f"cbo.a53_cu_{tag}": ("customer", ["c_custkey", "c_mktsegment"]),
+    }
+    for name, (src, cols) in spec.items():
+        if (sf_dir, name) in _A53_BUILT:
+            continue
+        if not spark.catalog.tableExists(name):
+            # warehouse dir persists across processes; catalog
+            # metadata does not (same note as _c10_bucketed_tables)
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                "file:"
+            )
+            shutil.rmtree(
+                os.path.join(wh, "cbo.db", name.split(".", 1)[1]),
+                ignore_errors=True,
+            )
+            T(spark, sf_dir, src).select(*cols).write.mode(
+                "overwrite"
+            ).saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+        _A53_BUILT.add((sf_dir, name))
+    return tuple(spec)
+
+
+@query(
+    "a53_cbo_join_reorder",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           TRUE AS cbo_stats_available,
+           TRUE AS join_reordered,
+           TRUE AS baseline_not_reordered
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def a53_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering, driver-certified with its plan
+    facts (the §4 optimizer surface the a38-a48 flywheel had not yet
+    pinned: everything so far certified RUNTIME adaptivity — DPP,
+    bloom, AQE — this certifies the STATIC cost model): the query is
+    WRITTEN fact-first (lineitem ⋈ orders ⋈ filtered customer), the
+    shape a naive left-deep planner executes as fact⋈orders first —
+    the most expensive possible order. With table/column statistics
+    ANALYZEd into the catalog and `spark.sql.cbo.joinReorder` on,
+    Catalyst's DP-based reorder (Selinger-style over the join graph)
+    must instead join orders to the FILTERED customer dim first and
+    bring the fact in last.
+
+    Three facts ride the driver hash: `cbo_stats_available` (the
+    optimized plan's Statistics carries a defined rowCount — proof
+    ANALYZE reached the cost model), `join_reordered` (in the
+    CBO plan the filtered dim's relation precedes the fact's in the
+    join tree), and `baseline_not_reordered` (the SAME query planned
+    with CBO off keeps the written fact-first order — the
+    differential that proves the reorder came from the cost model,
+    the a43 initial-vs-final pattern). Broadcast is disabled while
+    deriving both plans so join ORDER, not join strategy, is what
+    differs.
+
+    At 100 TB: AQE fixes sizes at runtime but cannot re-ROOT a join
+    tree — a fact-first multi-way join ships the fact table through
+    every stage regardless of AQE. Statistics maintenance (ANALYZE
+    after ingest, the reference delegates the same to engine
+    defaults) is what keeps multi-dim star queries fact-last. Stats
+    are in-memory-catalog state here, so each process re-ANALYZEs
+    once (bounded: 3 footer-light passes).
+    """
+    import re as _re
+
+    li, od, cu = _a53_stats_tables(spark, sf_dir)
+    sql = f"""
+      SELECT o.o_orderpriority, COUNT(*) AS n_items
+      FROM {li} l
+      JOIN {od} o ON l.l_orderkey = o.o_orderkey
+      JOIN {cu} c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority
+    """
+
+    def rel_order(plan: str) -> list:
+        return _re.findall(r"\.(a53_[a-z]+)_", plan)
+
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        # baseline: CBO off, same stats, same query — written order
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        base_order = rel_order(
+            spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        baseline_not_reordered = base_order.index("a53_li") < base_order.index(
+            "a53_cu"
+        )
+        # CBO on: stats drive the reorder; rows collected under it
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q = spark.sql(sql)
+        rows = q.collect()
+        opt = q._jdf.queryExecution().optimizedPlan()
+        order = rel_order(opt.toString())
+        join_reordered = order.index("a53_cu") < order.index("a53_li")
+        stats_avail = bool(opt.stats().rowCount().isDefined())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [
+            (
+                r.o_orderpriority,
+                r.n_items,
+                stats_avail,
+                join_reordered,
+                baseline_not_reordered,
+            )
+            for r in rows
+        ],
+        "o_orderpriority string, n_items bigint, "
+        "cbo_stats_available boolean, join_reordered boolean, "
+        "baseline_not_reordered boolean",
+    )
