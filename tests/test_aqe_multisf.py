@@ -75,3 +75,18 @@ def test_a44_coalesce_holds_across_sf(spark, sf_dir):
     assert facts == {"coalesced_read": True}, (
         f"{sf_dir}: AQE coalesce fact flipped: {facts}"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_a53_cbo_reorder_holds_across_sf(spark, sf_dir):
+    """CBO reorder is also data-dependent (costs come from ANALYZE'd
+    rowCounts, which scale with SF) — same multi-SF discipline as the
+    AQE facts: the reorder and its CBO-off differential must hold at
+    every fixture scale."""
+    facts = _facts(
+        spark,
+        "a53_cbo_join_reorder",
+        sf_dir,
+        ["cbo_stats_available", "join_reordered", "baseline_not_reordered"],
+    )
+    assert all(facts.values()), f"{sf_dir}: CBO facts flipped: {facts}"
