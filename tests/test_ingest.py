@@ -287,3 +287,55 @@ def test_csv_landing_incremental_roundtrip(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS src.region")
         spark.sql("DROP TABLE IF EXISTS metadata.region_loaded_files")
+
+
+def test_cli_entry_point_full_then_incremental(spark, sf_dir, tmp_path):
+    """The literal reference entry point (README.md:56-61 runs
+    `extract_load.py <table> <load_type>`): drive
+    `python -m lakehouse_homeserver_spark.sources.ingest` as a real
+    subprocess twice over one landing dir — a full load must exit 0
+    and report rows; an immediate incremental re-run must be the
+    clean no-new-data no-op (exit 0, :141-143 parity). Runs with
+    cwd=tmp_path so the CLI's Hive-metastore persistence (Derby
+    files, warehouse dir) lands in the sandbox, proving the CLI
+    works from ANY directory like the streaming-source tests do."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    landing = tmp_path / "landing" / "region_cli"
+    landing.mkdir(parents=True)
+    src = os.path.join(sf_dir, "region.parquet")
+    shutil.copy(src, landing / "batch0.parquet")
+
+    env = dict(
+        os.environ,
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+    def run(load_type):
+        return subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "lakehouse_homeserver_spark.sources.ingest",
+                "region_cli",
+                load_type,
+                str(tmp_path / "landing"),
+            ],
+            cwd=tmp_path,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+
+    out = run("full")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "loaded 5 rows (full)" in out.stdout, out.stdout
+    # incremental over the same landing state: the one file is already
+    # bookkept by the full load -> clean no-op via the anti-join
+    out2 = run("incremental")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "no new data" in out2.stdout, out2.stdout
