@@ -391,3 +391,216 @@ def k10_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("phrase_id", "doc_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
+
+
+# -- Hybrid retrieval: BM25 + vector ranks fused by RRF --------------------
+
+RRF_K = 60  # the standard Cormack/Clarke/Buettcher constant
+RRF_POOL = 20  # per-source candidate pool
+RRF_TOPK = 10
+
+_SQL_COS_HY = """
+  list_sum(list_transform(list_zip(e.embedding, qv.embedding),
+      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(e.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(qv.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "k10_hybrid_rrf",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
+    docs AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents
+    ),
+    totals AS (
+      SELECT COUNT(*) AS n_docs, SUM(LEN(toks)) AS t_dl FROM docs
+    ),
+    tok AS (
+      SELECT doc_id, LEN(toks) AS dl, t.term
+      FROM docs, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM tok JOIN (SELECT DISTINCT term FROM q) USING (term)
+      GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(ROUND(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + {BM25_K1} * (1 - {BM25_B}
+                        + {BM25_B} * dl / (CAST(t_dl AS DOUBLE) / n_docs))),
+               8) AS DECIMAL(20,8)) AS s
+      FROM tf JOIN dft USING (term) JOIN q USING (term) CROSS JOIN totals
+    ),
+    lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY SUM(s) DESC, doc_id) AS lex_rank
+      FROM (SELECT query_id, doc_id, s FROM scored) GROUP BY query_id, doc_id
+      QUALIFY lex_rank <= {RRF_POOL}
+    ),
+    vec AS (
+      SELECT qv.vec_id AS query_id, e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                                ORDER BY ROUND({_SQL_COS_HY}, 8) DESC,
+                                         e.vec_id) AS vec_rank
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id IN (SELECT DISTINCT query_id FROM q)) qv
+      JOIN embeddings e ON e.vec_id <> qv.vec_id
+      QUALIFY vec_rank <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(l.lex_rank, 0) AS lex_rank,
+             COALESCE(v.vec_rank, 0) AS vec_rank,
+             ROUND(
+               (CASE WHEN l.lex_rank IS NULL THEN 0.0
+                     ELSE 1.0 / ({RRF_K} + l.lex_rank) END)
+               + (CASE WHEN v.vec_rank IS NULL THEN 0.0
+                       ELSE 1.0 / ({RRF_K} + v.vec_rank) END), 8) AS rrf
+      FROM lex l
+      FULL OUTER JOIN vec v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           CAST(rrf AS DOUBLE) AS rrf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= {RRF_TOPK}
+    ORDER BY query_id, rrf DESC, doc_id
+    """,
+)
+def k10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09 — the fusion every modern RAG stack runs: lexical BM25
+    candidates and dense-vector candidates merged by 1/(k+rank), no
+    score normalization needed because RRF only consumes RANKS): per
+    query, the BM25 top-{RRF_POOL} over `documents` fuse with the
+    cosine top-{RRF_POOL} over `embeddings` (fixture convention:
+    vec_id and doc_id share an id space, and the BM25_QUERIES ids
+    double as query vector ids), RRF = sum of reciprocal ranks with
+    k={RRF_K}, top-{RRF_TOPK} kept.
+
+    100 TB design: each branch is the already-certified bounded
+    shape — BM25's corpus scan is filtered by a broadcast query-term
+    gate before any aggregate (k10_bm25), the vector branch
+    broadcasts {{n_queries}} query vectors into ONE scan of the
+    embedding corpus with a WindowGroupLimit top-pool (k3 brute
+    force; swap in the IVF probe for the ANN path at scale) — and
+    the fusion itself joins two POOL-sized rank lists per query:
+    corpus-independent work. A production stack fuses more sources
+    (phrase, recency, click models) by adding rank lists to the same
+    outer-join-and-sum; nothing about the shape changes.
+
+    Float contract: per-source ranks are integers; the two
+    reciprocal terms are single IEEE divisions summed in one fixed
+    expression and rounded to 8 dp — bit-stable across engines,
+    partitionings, and join order.
+    """
+    # -- lexical branch: BM25 ranks (the k10_bm25 pipeline, pool-deep)
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, text in BM25_QUERIES for t in text.split(" ")],
+        "query_id int, term string",
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("toks")
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("t_dl"),
+    )
+    tok = docs.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    tf = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    )
+    avgdl = F.col("t_dl").cast("double") / F.col("n_docs")
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    s = F.round(
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)),
+        8,
+    ).cast("decimal(20,8)")
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id")
+    )
+    lex = (
+        tf.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(totals))
+        .select("query_id", "doc_id", s.alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score_dec"))
+        .withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= RRF_POOL)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    # -- dense branch: cosine ranks, one corpus scan, broadcast queries
+    from ..functions.vectors import cosine_sim
+
+    emb = T(spark, sf_dir, "embeddings")
+    qids = sorted({qid for qid, _ in BM25_QUERIES})
+    qv = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    vec = (
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+        .join(F.broadcast(qv), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 8).alias(
+                "cos"
+            ),
+        )
+        .withColumn("vec_rank", F.row_number().over(w_vec))
+        .filter(F.col("vec_rank") <= RRF_POOL)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+    # -- fusion: pool-sized outer join, fixed-order reciprocal sum
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("bigint").alias("vec_rank"),
+            F.round(
+                F.when(
+                    F.col("lex_rank").isNull(), F.lit(0.0)
+                ).otherwise(F.lit(1.0) / (RRF_K + F.col("lex_rank")))
+                + F.when(
+                    F.col("vec_rank").isNull(), F.lit(0.0)
+                ).otherwise(F.lit(1.0) / (RRF_K + F.col("vec_rank"))),
+                8,
+            ).alias("rrf"),
+        )
+    )
+    w_out = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_out))
+        .filter(F.col("rn") <= RRF_TOPK)
+        .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf")
+        .orderBy("query_id", F.col("rrf").desc(), "doc_id")
+    )

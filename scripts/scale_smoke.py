@@ -71,6 +71,7 @@ OPS = [
     "ts_pattern_match",
     "k3_semdedup",
     "a12_time_travel",
+    "k10_hybrid_rrf",
 ]
 
 
