@@ -490,6 +490,9 @@ BNLJ_ALLOWED = {
     "c4_theta_join",            # non-equi predicate by definition
     "c6_range_join",            # broadcast-band variant (bucketized twin is equi)
     "k3_knn_bruteforce",        # broadcast 10-query set over corpus scan
+    "k10_hybrid_rrf",           # same bounded flank: broadcast query
+                                # vectors over ONE corpus scan (dense
+                                # branch of the RRF fusion)
     "k3_ivf_recall",            # inherits bruteforce + IVF parents
     "k3_ivfpq_search",          # certificate inherits the bruteforce side
     "k3_mmr_rerank",            # pool-sized rerank over top-k output
