@@ -1748,3 +1748,83 @@ def i10_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "i11_stream_dedup",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value,
+           (SELECT COUNT(*) * 2 FROM events) AS n_input_rows,
+           (SELECT COUNT(*) FROM events) AS n_unique_rows
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def i11_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful deduplication, driver-certified end to end
+    (SURVEY I5 — previously pytest-only via `streaming/jobs.
+    stream_dedup`): the landing dir holds the SAME events file TWICE
+    (symlinked under two names — the at-least-once delivery every
+    file-dropping extractor exhibits on retry), so every event_id
+    arrives exactly twice; ``withWatermark("ts", 1 hour).
+    dropDuplicatesWithinWatermark(["event_id"])`` must emit each
+    exactly once. State is keyed on event_id and GC'd past the
+    watermark horizon, so memory is bounded by the horizon's key
+    cardinality no matter how long the stream runs — the property
+    that distinguishes it from a plain ``dropDuplicates`` whose state
+    grows forever.
+
+    Certified: per-type counts and decimal-exact value totals over
+    the PARQUET-sink read-back (executor-side files, the i7/i8/i9
+    pattern), plus `n_input_rows` (both copies really entered the
+    stream: counted from the landing scan, = 2x the fixture) and
+    `n_unique_rows` riding the hash. DuckDB recomputes everything
+    from `events` (event_id is unique in the fixture, asserted by
+    n_unique_rows matching the oracle's COUNT(*))."""
+    import os
+    import tempfile
+
+    from ..sources.registry import normalize_events_ts, table_path
+
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="i11-events-")
+    os.symlink(path, os.path.join(d, "events_a.parquet"))
+    os.symlink(path, os.path.join(d, "events_b.parquet"))
+    n_input = spark.read.parquet(d).count()
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema).parquet(d)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink_dir = tempfile.mkdtemp(prefix="i11-dedup-")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(sink_dir, "data"))
+        .option("checkpointLocation", os.path.join(sink_dir, "_chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(os.path.join(sink_dir, "data"))
+    n_unique = out.count()
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_value",
+            F.lit(n_input).cast("bigint").alias("n_input_rows"),
+            F.lit(n_unique).cast("bigint").alias("n_unique_rows"),
+        )
+        .orderBy("event_type")
+    )
