@@ -31,10 +31,13 @@ _MODULES = []
 #       c7_asof_tolerance named by the brief;
 #   (d) the sql_* dialect forms, j_* UDF surface, the whole k4 text
 #       tier, the k6 sampler tier, and the k7 pipeline pair.
-# The 18 still-never-sampled queries (k1/k2/k3 variants whose
-# families hold multiple driver verdicts, k5 metadata stubs, k8's
-# exact twin, g/h one-liners, k10 pair) are round 6's window; all
-# keep exact parity in the local pytest mirror meanwhile.
+# Round 6's window = the 18 deferred never-sampled queries (k1/k2/k3
+# variants whose families hold multiple driver verdicts, k5 metadata
+# stubs, k8's exact twin, g/h one-liners, k10_chunk/phrase pair) PLUS
+# the queries r5 ADDED after this window was frozen:
+# a52_catalog_persistence, a53_cbo_join_reorder, k10_hybrid_rrf,
+# i11_stream_dedup. All keep exact parity in the local pytest mirror
+# meanwhile (250/250 as of r5).
 PRIORITY: tuple[str, ...] = (
     # (a) plan-fact / format / lifecycle certifications
     "a40_agg_pushdown",
