@@ -2127,3 +2127,115 @@ def a52_catalog_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "registered_via_http boolean, persisted_across_restart boolean, "
         "n_live_files bigint",
     )
+
+
+_PYDS_PUSH_BASE = "/tmp/lakehouse-pydspush/nation"
+
+
+@query(
+    "a54_pyds_pushdown",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           CAST(4 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           CAST(1 AS BIGINT) AS n_files_point_lookup,
+           TRUE AS empty_scan_zero
+    FROM nation WHERE n_nationkey > 18
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def a54_pyds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the Python DataSource V2 scan path
+    (Spark 4.1 ``DataSourceReader.pushFilters``, r5): the V2 reader
+    receives the query's comparison predicates at planning time and
+    prunes whole data files via the manifest's commit-time footer
+    stats — plus the per-file BLOOM filters for equality — before a
+    single byte is read; Spark still re-applies every predicate, so
+    pruning is an optimization, never a correctness decision. This is
+    the same metadata-only job Iceberg manifests do for native scans
+    (and `SnapshotTable.prune_files` does engine-side), now reachable
+    from the PUBLIC ``spark.read.format("snapshot").load(p)
+    .filter(...)`` surface third-party integrations use.
+
+    Fixture (SF-invariant nation, built once, cross-process-locked):
+    four single-file commits with DISJOINT n_nationkey ranges
+    [0-6] [7-12] [13-18] [19-24]. Facts riding the driver hash:
+    `n_files_total` (4), `n_files_scanned` (a `> 18` predicate plans
+    exactly the LAST file — probed through the reader's own
+    pushFilters/partitions contract), `n_files_point_lookup` (an
+    `= 20` equality also plans one file: range stats + bloom), and
+    `empty_scan_zero` (a predicate beyond every range plans ZERO
+    files and the public read returns zero rows). The certified
+    aggregate itself is computed through the public filtered read —
+    DuckDB recomputes it relationally from `nation`.
+
+    At 100 TB this is the difference between "open a million files"
+    and "open the dozens whose range matches" for every selective
+    filter an external engine sends through the format."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from ..sources.pyds import SnapshotDataSource, SnapshotReader
+
+    spark.dataSource.register(SnapshotDataSource)
+    base = _PYDS_PUSH_BASE
+
+    def build() -> None:
+        nation = T(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey"
+        )
+        t = SnapshotTable(spark, base).with_bloom_filters("n_nationkey")
+        bounds = [(0, 6), (7, 12), (13, 18), (19, 24)]
+        lo, hi = bounds[0]
+        t.create(
+            nation.filter(F.col("n_nationkey").between(lo, hi)).repartition(1)
+        )
+        for lo, hi in bounds[1:]:
+            t.append(
+                nation.filter(
+                    F.col("n_nationkey").between(lo, hi)
+                ).repartition(1)
+            )
+
+    _build_fixture_once(base, "pydspush-v1", build)
+    t = SnapshotTable(spark, base)
+    entry = t.entry(t.latest_version())
+    schema = t.read().schema
+    n_total = len(entry["manifest"])
+
+    def n_planned(*filters) -> int:
+        r = SnapshotReader(schema, entry, base)
+        list(r.pushFilters(list(filters)))
+        return len(r.partitions())
+
+    n_scanned = n_planned(GreaterThan(("n_nationkey",), 18))
+    n_point = n_planned(EqualTo(("n_nationkey",), 20))
+    empty_zero = (
+        n_planned(GreaterThan(("n_nationkey",), 1000)) == 0
+        and spark.read.format("snapshot")
+        .load(base)
+        .filter("n_nationkey > 1000")
+        .count()
+        == 0
+    )
+    return (
+        spark.read.format("snapshot")
+        .load(base)
+        .filter(F.col("n_nationkey") > 18)
+        .groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+        )
+        .select(
+            "n_regionkey",
+            "n_rows",
+            "sum_key",
+            F.lit(n_total).cast("bigint").alias("n_files_total"),
+            F.lit(n_scanned).cast("bigint").alias("n_files_scanned"),
+            F.lit(n_point).cast("bigint").alias("n_files_point_lookup"),
+            F.lit(empty_zero).alias("empty_scan_zero"),
+        )
+        .orderBy("n_regionkey")
+    )

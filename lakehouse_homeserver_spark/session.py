@@ -47,6 +47,10 @@ def default_conf() -> dict[str, str]:
         # when post-shuffle stats come in under the bound.
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.parquet.filterPushdown": "true",
+        # Python DataSource V2 filter pushdown (Spark 4.1): lets
+        # `SnapshotReader.pushFilters` prune whole data files via the
+        # manifest's footer stats + blooms before the scan plans.
+        "spark.sql.python.filterPushdown.enabled": "true",
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects; read as raw nanos (long) and convert to a µs
         # timestamp in the source registry (matches DuckDB truncation).

@@ -153,6 +153,62 @@ class SnapshotReader(DataSourceReader):
         self._schema = schema
         self._entry = entry
         self._table_path = table_path
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        """Spark 4.1 Python-DataSource filter pushdown
+        (DataSourceReader.pushFilters): remember the simple
+        single-column comparisons so `partitions()` can skip whole
+        data files via the manifest's commit-time footer stats (and
+        the per-file bloom filters for equality) — the same
+        metadata-only job `SnapshotTable.prune_files` does for native
+        scans, now wired into the V2 scan path so
+        ``spark.read.format("snapshot").load(p).filter(...)`` plans
+        only the overlapping files. EVERY filter is yielded back:
+        file-level stats pruning can never fully absorb a row
+        predicate, so Spark re-applies them all — pruning stays an
+        optimization, never a correctness decision."""
+        from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+        for f in filters:
+            if (
+                isinstance(f, (EqualTo, GreaterThan, LessThan))
+                and len(f.attribute) == 1
+            ):
+                self._pushed.append(f)
+            yield f
+
+    def _file_may_match(self, fname: str) -> bool:
+        """Conservative per-file check of every pushed filter against
+        the manifest stats/blooms: a definite NO skips the file;
+        missing stats, type mismatches, or any comparison error keep
+        it (skipping is an optimization, never a correctness
+        decision — mirrors `SnapshotTable.prune_files`)."""
+        from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+        from .snapshot import _bloom_contains
+
+        stats = self._entry.get("stats", {}).get(fname, {})
+        blooms = self._entry.get("blooms", {}).get(fname, {})
+        for flt in self._pushed:
+            col = flt.attribute[0]
+            rng = stats.get(col)
+            try:
+                if rng is not None:
+                    lo, hi = rng[0], rng[1]
+                    if isinstance(flt, EqualTo) and not (lo <= flt.value <= hi):
+                        return False
+                    if isinstance(flt, GreaterThan) and hi <= flt.value:
+                        return False
+                    if isinstance(flt, LessThan) and lo >= flt.value:
+                        return False
+                if isinstance(flt, EqualTo):
+                    b = blooms.get(col)
+                    if b is not None and not _bloom_contains(b, flt.value):
+                        return False
+            except TypeError:
+                continue  # incomparable types: keep the file
+        return True
 
     def partitions(self):
         data = os.path.join(self._table_path, _DATA_DIR)
@@ -160,7 +216,8 @@ class SnapshotReader(DataSourceReader):
         dels = e.get("delete_files", [])
         seq = e.get("seq") or {f: e["version"] for f in e["manifest"]}
         out = []
-        for f in e["manifest"]:
+        files = [f for f in e["manifest"] if self._file_may_match(f)]
+        for f in files:
             applicable: dict[tuple, list[str]] = {}
             for d in dels:
                 if d["seq"] > seq.get(f, 0):
@@ -181,6 +238,11 @@ class SnapshotReader(DataSourceReader):
         return out
 
     def read(self, partition: SnapshotPartition):
+        # partitions() may legitimately return [] when pushed filters
+        # prune EVERY data file; Spark then calls read with a single
+        # None partition — an empty scan, not an error.
+        if partition is None:
+            return
         yield from _iter_file_batches(self._schema, partition)
 
 

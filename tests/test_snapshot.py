@@ -2325,3 +2325,60 @@ def test_version_as_of_boundaries(spark, sf_dir, tmp_path):
         spark.read.format("snapshot").option(
             "timestampAsOf", ts1 - 1
         ).load(t.path).count()
+
+
+def test_pyds_filter_pushdown_prunes_files(spark, tmp_path):
+    """Spark 4.1 Python-DataSource pushdown: `SnapshotReader.pushFilters`
+    must skip whole data files via manifest stats (+ bloom for
+    equality) while every filter is still re-applied by Spark —
+    identical results, fewer partitions planned."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+    from lakehouse_homeserver_spark.sources.pyds import (
+        SnapshotDataSource,
+        SnapshotReader,
+    )
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+    spark.dataSource.register(SnapshotDataSource)
+    t = SnapshotTable(spark, str(tmp_path / "t")).with_bloom_filters("k")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # range partitioning -> 4 files with DISJOINT k ranges
+    t.create(df.repartitionByRange(4, "k"))
+    entry = t.entry(t.latest_version())
+    schema = t.read().schema
+    assert len(entry["manifest"]) == 4
+
+    def n_parts(*filters):
+        r = SnapshotReader(schema, entry, t.path)
+        returned = list(r.pushFilters(list(filters)))
+        # every filter comes back: pruning never absorbs a predicate
+        assert returned == list(filters)
+        return len(r.partitions())
+
+    assert n_parts() == 4
+    assert n_parts(GreaterThan(("k",), 299)) == 1
+    assert n_parts(LessThan(("k",), 100)) == 1
+    assert n_parts(EqualTo(("k",), 123)) == 1
+    assert n_parts(GreaterThan(("k",), 10_000)) == 0
+    # conjunction narrows to the intersection
+    assert n_parts(GreaterThan(("k",), 99), LessThan(("k",), 200)) == 1
+    # end-to-end: results identical to the unpruned truth
+    got = (
+        spark.read.format("snapshot")
+        .load(t.path)
+        .filter("k > 250")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    )
+    want = df.filter("k > 250").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).collect()
+    assert got == want
+    assert (
+        spark.read.format("snapshot").load(t.path).filter("k > 10000").count()
+        == 0
+    )
