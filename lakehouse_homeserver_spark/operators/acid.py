@@ -2239,3 +2239,84 @@ def a54_pyds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "a55_observed_metrics",
+    oracle=f"""
+    WITH direct AS (
+      SELECT COUNT(*) AS n_all,
+             {sql_dsum('o_totalprice')} AS rev_all
+      FROM orders
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_price,
+           (SELECT n_all FROM direct) AS observed_rows,
+           (SELECT rev_all FROM direct) AS observed_revenue,
+           TRUE AS metrics_match_direct
+    FROM orders o
+    WHERE o.o_totalprice > 1000
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def a55_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``df.observe`` driver-certified
+    (A-ext row, previously pytest-only): audit counters — total rows
+    and decimal-exact revenue over the UNFILTERED input — are
+    collected ON the executors during the one real pass that also
+    computes the filtered per-priority aggregate; no second scan, no
+    driver-side recount. This is how a 100 TB ingest job publishes
+    row-count/quality counters for reconciliation without paying a
+    second pass: the metrics ride the job.
+
+    The observed values themselves ride the driver hash as columns
+    (`observed_rows`, `observed_revenue`) next to the query's own
+    aggregate, and `metrics_match_direct` pins that they equal an
+    independent direct aggregation — DuckDB recomputes both sides
+    relationally."""
+    from pyspark.sql import Observation
+
+    orders = T(spark, sf_dir, "orders")
+    obs = Observation("audit")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_all"),
+        dsum("o_totalprice").alias("rev_all"),
+    )
+    rows = (
+        observed.filter(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    got = obs.get  # blocks until the action above finished
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        dsum("o_totalprice").alias("rev_all"),
+    ).first()
+    match = (
+        int(got["n_all"]) == int(direct["n_all"])
+        and float(got["rev_all"]) == float(direct["rev_all"])
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r.o_orderpriority,
+                r.n_orders,
+                r.total_price,
+                int(got["n_all"]),
+                float(got["rev_all"]),
+                match,
+            )
+            for r in rows
+        ],
+        "o_orderpriority string, n_orders bigint, total_price double, "
+        "observed_rows bigint, observed_revenue double, "
+        "metrics_match_direct boolean",
+    )
