@@ -35,6 +35,14 @@ or use `spark.read.format("snapshot")` directly. `SnapshotTable.read()`
 remains the fast path: it hands the manifest straight to the native
 parquet scan (JVM vectorized reader, pushdown, pruning). Same table,
 same snapshots, two doors.
+
+Filter pushdown (r5): `SnapshotReader.pushFilters` requires
+``spark.sql.python.filterPushdown.enabled=true`` — Spark 4.1 REFUSES
+to plan a reader that overrides pushFilters while the conf is off
+(DATA_SOURCE_PUSHDOWN_DISABLED). The engine sets it in
+`session.default_conf()` (runtime-settable, applied by
+`tune_session`); external sessions reading this format must set it
+too.
 """
 
 from __future__ import annotations
