@@ -3471,3 +3471,141 @@ def a53_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cbo_stats_available boolean, join_reordered boolean, "
         "baseline_not_reordered boolean",
     )
+
+
+# (sf_dir, table) pairs written by THIS process (c10's convention).
+_C12_WRITTEN: set = set()
+
+
+def _c12_sortfree_tables(spark: SparkSession, sf_dir: str) -> tuple:
+    """Bucketed+sorted tables with EXACTLY ONE FILE PER BUCKET: the
+    pre-write `repartition(8, key)` uses the same murmur3 bucket hash
+    as `bucketBy`, so each write task owns one whole bucket — the
+    layout Spark's bucket-scan output ordering requires."""
+    import os
+    import shutil
+
+    tag = _c10_sf_tag(sf_dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed")
+    for short, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bucketed.c12_{short}_{tag}"
+        if (sf_dir, name) in _C12_WRITTEN:
+            continue
+        if not spark.catalog.tableExists(name):
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                "file:"
+            )
+            shutil.rmtree(
+                os.path.join(wh, "bucketed.db", name.split(".", 1)[1]),
+                ignore_errors=True,
+            )
+            cols = (
+                ["o_orderkey", "o_orderpriority", "o_totalprice"]
+                if short == "orders"
+                else ["l_orderkey", "l_extendedprice"]
+            )
+            (
+                T(spark, sf_dir, short)
+                .select(*cols)
+                .repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        _C12_WRITTEN.add((sf_dir, name))
+    return f"bucketed.c12_orders_{tag}", f"bucketed.c12_lineitem_{tag}"
+
+
+@query(
+    "c12_sortfree_bucketed_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS revenue,
+           TRUE AS sort_merge_join,
+           TRUE AS join_zero_shuffle,
+           TRUE AS join_zero_sort
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def c12_sortfree_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY-free co-located merge join — zero exchanges AND zero
+    sorts — completing the bucketing story c10 certifies half of
+    (c10's SMJ is exchange-free but still re-sorts both sides:
+    `sortBy` orders rows within each bucket FILE, and with several
+    files per bucket Spark cannot treat a bucket as globally sorted).
+    Two measured Spark behaviors are pinned here, both required
+    together:
+
+    1. ONE FILE PER BUCKET: the pre-write `repartition(8, key)` uses
+       the same murmur3 bucket function as `bucketBy`, so each write
+       task owns exactly one bucket and emits exactly one file —
+       making per-file sort order equal per-bucket sort order.
+    2. `spark.sql.legacy.bucketedTableScan.outputOrdering=true`:
+       Spark 3.0+ DISABLED bucket-scan output ordering by default
+       (honoring it forces one-task-per-bucket reads even when no
+       downstream op needs the order — a parallelism loss for most
+       scans); a sort-heavy co-located join is exactly the case the
+       opt-in exists for. Measured here: conf off → 2 Sort nodes;
+       conf on + 1 file/bucket → 0 Sorts, 0 Exchanges.
+
+    At 100 TB this is the nightly-join layout: both fact tables
+    bucket-sorted by the join key at write time, and the recurring
+    join degenerates to a pure streaming merge of pre-sorted files —
+    no shuffle, no sort, no memory pressure. `sort_merge_join`,
+    `join_zero_shuffle`, and `join_zero_sort` ride the driver hash;
+    broadcast is disabled while deriving the plan (the two-fact
+    regime) and the confs are restored after."""
+    import re as _re
+
+    orders_t, lineitem_t = _c12_sortfree_tables(spark, sf_dir)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = (
+            spark.table(lineitem_t)
+            .join(
+                spark.table(orders_t),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_extendedprice", "o_orderpriority")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        smj = "SortMergeJoin" in plan
+        zero_shuffle = "Exchange" not in plan
+        zero_sort = len(_re.findall(r"\bSort \[", plan)) == 0
+        rows = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum("l_extendedprice").alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [
+            (r.o_orderpriority, r.n_items, r.revenue, smj, zero_shuffle, zero_sort)
+            for r in rows
+        ],
+        "o_orderpriority string, n_items bigint, revenue double, "
+        "sort_merge_join boolean, join_zero_shuffle boolean, "
+        "join_zero_sort boolean",
+    )

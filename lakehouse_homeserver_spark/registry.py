@@ -36,7 +36,8 @@ _MODULES = []
 # stubs, k8's exact twin, g/h one-liners, k10_chunk/phrase pair) PLUS
 # the queries r5 ADDED after this window was frozen:
 # a52_catalog_persistence, a53_cbo_join_reorder, k10_hybrid_rrf,
-# i11_stream_dedup, a54_pyds_pushdown, a55_observed_metrics. All keep exact parity in the local pytest mirror
+# i11_stream_dedup, a54_pyds_pushdown, a55_observed_metrics,
+# c12_sortfree_bucketed_join. All keep exact parity in the local pytest mirror
 # meanwhile (250/250 as of r5).
 PRIORITY: tuple[str, ...] = (
     # (a) plan-fact / format / lifecycle certifications
