@@ -90,3 +90,18 @@ def test_a53_cbo_reorder_holds_across_sf(spark, sf_dir):
         ["cbo_stats_available", "join_reordered", "baseline_not_reordered"],
     )
     assert all(facts.values()), f"{sf_dir}: CBO facts flipped: {facts}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_c12_sortfree_join_holds_across_sf(spark, sf_dir):
+    """The zero-sort-zero-shuffle facts depend on layout (one file per
+    bucket + the ordering opt-in), not data volume — but the layout is
+    produced by a write path whose task/bucket alignment must hold at
+    every scale; pin it across the 100× fixture spread."""
+    facts = _facts(
+        spark,
+        "c12_sortfree_bucketed_join",
+        sf_dir,
+        ["sort_merge_join", "join_zero_shuffle", "join_zero_sort"],
+    )
+    assert all(facts.values()), f"{sf_dir}: c12 facts flipped: {facts}"
