@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table as T
+from ..streaming.jobs import await_or_raise
 from ..sources.registry import table_row_count
 from ..sources.snapshot import SnapshotNotFound, SnapshotTable
 from .common import dec, dsum, sql_dsum
@@ -939,14 +940,14 @@ def a29_stream_cdc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src.path, view_path, ["o_orderstatus"], "o_totalprice",
         os.path.join(root, "ck1"),
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     # checkpoint-loss recovery: new data, FRESH checkpoint, ids @ 0
     src.append(orders.filter(F.col("o_orderkey") % 3 == 2))
     q2 = stream_cdc_aggregate(
         spark, src.path, view_path, ["o_orderstatus"], "o_totalprice",
         os.path.join(root, "ck2"),
     )
-    q2.awaitTermination(300)
+    await_or_raise(q2)
     view = SnapshotTable(spark, view_path)
     return view.read().select(
         "o_orderstatus", "cnt", F.col("total").cast("double").alias("total")
@@ -986,7 +987,7 @@ def a30_stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_upsert_user_totals(
         spark, landing, table, os.path.join(root, "ck")
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     t = SnapshotTable(spark, table)
     return t.read().select("user_id", "n_events", "total_value")
 
@@ -1429,6 +1430,26 @@ def a37_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XENGINE_ORACLE_BASE = "/tmp/lakehouse-xengine/nation"
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Short content fingerprint of one source table's parquet files
+    (names + sizes + mtimes — driver-side stat only, no Spark job).
+    Folded into persistent-fixture tags so a regenerated dataset, or
+    two sf_dirs sharing a basename, rebuild instead of reusing a
+    stale table (ADVICE r5 low on a50)."""
+    import hashlib
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(p):
+        for f in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, f))
+            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _build_fixture_once(base: str, tag: str, build) -> None:
     """Cross-process-safe build-once for the fixed-path /tmp fixtures
     (a41/a47/a49): their content is deterministic and SF-invariant,
@@ -1821,7 +1842,13 @@ def a50_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mkdtemp on EVERY call, so bench sweeps measured table build,
     # not the timestamp-travel read (ADVICE r4). Commit timestamps
     # persist in the log, so re-reads stay valid across processes.
+    # The tag folds a content fingerprint of the orders source (file
+    # sizes + mtimes) in with the SF basename: two sf_dirs sharing a
+    # basename, or a regenerated orders fixture, get a REBUILD at a
+    # fresh path instead of silently serving a table built from old
+    # data (ADVICE r5 low).
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    sf_tag = f"{sf_tag}-{_source_fingerprint(sf_dir, 'orders')}"
     base = f"/tmp/lakehouse-tstravel-{sf_tag}/orders_ts"
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
 
@@ -2053,6 +2080,12 @@ def a52_catalog_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "r_regionkey", F.col("r_regionkey") + 10
             ).repartition(1)
         )
+        # The rebuild rmtree covers only dirname(_SQLCAT_TABLE);
+        # catalog.db lives beside it, so a corrupt/stale db from a
+        # crashed half-build must be cleared explicitly here
+        # (ADVICE r5 low) before the fresh schema is created.
+        if os.path.exists(_SQLCAT_DB):
+            os.remove(_SQLCAT_DB)
         SqlCatalogStore(_SQLCAT_DB)  # create schema alongside the table
 
     _build_fixture_once(_SQLCAT_TABLE, "sqlcat-v1", build)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table as T
+from ..streaming.jobs import await_or_raise
 from .common import dsum, sql_dsum
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1317,7 +1318,7 @@ def i7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return (
         spark.read.parquet(os.path.join(sink_dir, "data"))
         .groupBy(F.col("v_user").alias("user_id"))
@@ -1394,7 +1395,7 @@ def i8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return (
         spark.read.parquet(os.path.join(sink_dir, "data"))
         .groupBy("event_type")
@@ -1587,7 +1588,7 @@ def i9_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     # Terminal global watermark, recomputed from the batch twin of the
     # same fixture (identical rule to the oracle's `wm` CTE).
     bev = T(spark, sf_dir, "events")
@@ -1720,7 +1721,7 @@ def i10_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFra
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q)
 
     drop_slice(0)
     drop_slice(1)
@@ -1810,7 +1811,7 @@ def i11_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     out = spark.read.parquet(os.path.join(sink_dir, "data"))
     n_unique = out.count()
     return (
@@ -1827,4 +1828,155 @@ def i11_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_unique).cast("bigint").alias("n_unique_rows"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "i12_stateful_session_timeout",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {30 * MIN_US}
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) + {30 * MIN_US} AS session_end_us,
+           COUNT(*) AS n_events,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS event_types,
+           CAST(SUM(cents) AS BIGINT) AS value_cents,
+           TRUE AS tail_open_held
+    FROM numbered GROUP BY user_id, sess_no
+    """,
+)
+def i12_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`applyInPandasWithState` driver-certified end to end (SURVEY
+    I3/J-state; VERDICT r5 next-round #4 — the batch twin
+    `ts_rich_sessions` is green but the STATEFUL RUNTIME path, with
+    its EventTimeTimeout discipline, never rode a driver hash): the
+    events fixture is replayed as 3 time-ordered landing files plus
+    two far-future sentinel files (a sentinel user at max_ts+10d and
+    +20d), one file per micro-batch, through the custom
+    rich-sessionization state function (streaming/stateful.py) into a
+    parquet sink.
+
+    Why the sentinels certify the TIMEOUT semantics: gap-closed
+    sessions emit inline, but each real user's FINAL session can only
+    emit via `state.hasTimedOut` — the sentinel-1 batch advances the
+    event-time watermark past every real session's gap horizon, so
+    the sentinel-2 batch fires EventTimeTimeout for every key with
+    open state (keys with NO data in that batch — the contract that
+    distinguishes timeouts from data-driven calls). The sink must
+    therefore contain EXACTLY the batch twin's session set — DuckDB
+    recomputes it relationally — while the sentinel user's still-open
+    tail session must NOT be emitted (`tail_open_held` rides the
+    hash: availableNow terminates without firing timers the watermark
+    never passed, so open state is held for the next incremental run,
+    not flushed).
+
+    Scale: state is hash-distributed by user_id, payload O(#distinct
+    event types) per key, and the watermark GC's every closed key —
+    the reference's incremental contract (extract_load.py:154-165)
+    generalized to continuous per-key state."""
+    import os
+    import tempfile
+    import time as _time
+
+    from ..streaming.jobs import events_schema
+    from ..streaming.stateful import stream_rich_sessions
+
+    root = tempfile.mkdtemp(prefix="i12-sessions-")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    events = T(spark, sf_dir, "events")
+    max_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+
+    # Deterministic per-file mtimes (base-60+k): the file source
+    # orders new files by modification time, and the watermark must
+    # advance slice -> slice -> sentinels for the cert to be
+    # reproducible. Fresh stamps keep every file inside maxFileAge.
+    base = _time.time()
+    seen: set[str] = set()
+
+    def _stamp(k: int) -> None:
+        for f in os.listdir(landing):
+            if f.endswith(".parquet") and f not in seen:
+                os.utime(os.path.join(landing, f), (base - 60 + k, base - 60 + k))
+                seen.add(f)
+
+    # Materialize the slice assignment ONCE (localCheckpoint severs
+    # the global-sort window from the three per-slice writes — the
+    # first cut of this cert re-ran the sort per slice). Test-fixture
+    # path only, never a data-plane pattern.
+    sliced = events.withColumn(
+        "_slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    ).localCheckpoint(eager=True)
+    for i in range(1, 4):
+        (
+            sliced.filter(F.col("_slice") == i)
+            .drop("_slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(landing)
+        )
+        _stamp(i)
+    day_us = 86_400 * 1_000_000
+    for j, delta in enumerate((10 * day_us, 20 * day_us), start=4):
+        (
+            spark.range(1)
+            .select(
+                F.lit(-j).cast("long").alias("event_id"),
+                F.timestamp_micros(F.lit(max_us + delta)).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(landing)
+        )
+        _stamp(j)
+
+    # 8 state-store partitions, not the session's 32: the dominant
+    # cost of a 5-micro-batch run is per-partition state-store
+    # lifecycle (open/commit x partitions x batches), not data volume.
+    # The checkpoint is fresh per call, so the pinned value never
+    # conflicts with a prior run; restored in finally. On a real
+    # cluster size this to the executor count instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = stream_rich_sessions(
+            spark,
+            landing,
+            os.path.join(root, "out"),
+            os.path.join(root, "_chk"),
+            events_schema(),
+            max_files_per_trigger=1,
+        )
+        await_or_raise(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.read.parquet(os.path.join(root, "out"))
+    # The sentinel's FIRST session gap-closes when sentinel 2 arrives;
+    # its second (tail) session's timer sits past the final watermark
+    # and must still be open — zero rows may carry its start stamp.
+    tail_held = (
+        out.filter(
+            (F.col("user_id") == -1)
+            & (F.col("session_start_us") == max_us + 20 * day_us)
+        ).count()
+        == 0
+    )
+    return out.filter(F.col("user_id") >= 0).withColumn(
+        "tail_open_held", F.lit(tail_held)
     )

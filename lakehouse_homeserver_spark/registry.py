@@ -16,84 +16,72 @@ _MODULES = []
 # entries per round, taken in registry order; names listed here are
 # emitted first, in this order; everything else follows in module
 # order.
-# Re-curated for the round-5 driver run (VERDICT r4 next-round #1:
-# 177/245 queries hold a driver verdict after r1-r4; 68 have never
-# been sampled). This 50-slot window:
-#   (a) the ten a41-a50 plan-fact/format certifications whose SURVEY
-#       rows claimed driver status they did not have (top of the r4
-#       brief), plus a40 (same family, also never sampled) and the
-#       NEW a51 ingest-lifecycle cert (r4 brief #7);
-#   (b) re-samples of the two queries r5 CHANGED, whose r3 verdicts
-#       are stale against the new code: k3_semdedup (bounded trained
-#       codebook, r4 brief #3) and i8_stream_static_enrich (parquet
-#       sink, r4 brief #4);
-#   (c) the streaming/temporal certs i9/i10/i2_sliding/ts_pattern/
-#       c7_asof_tolerance named by the brief;
-#   (d) the sql_* dialect forms, j_* UDF surface, the whole k4 text
-#       tier, the k6 sampler tier, and the k7 pipeline pair.
-# Round 6's window = the 18 deferred never-sampled queries (k1/k2/k3
-# variants whose families hold multiple driver verdicts, k5 metadata
-# stubs, k8's exact twin, g/h one-liners, k10_chunk/phrase pair) PLUS
-# the queries r5 ADDED after this window was frozen:
-# a52_catalog_persistence, a53_cbo_join_reorder, k10_hybrid_rrf,
-# i11_stream_dedup, a54_pyds_pushdown, a55_observed_metrics,
-# c12_sortfree_bucketed_join. All keep exact parity in the local pytest mirror
-# meanwhile (250/250 as of r5).
+# Re-curated for the ROUND-6 driver run (VERDICT r5 next-round #1):
+# after r5's 50/50-green window the distinct driver-green union is
+# 225/253 and exactly 28 queries have NEVER been sampled — they all
+# fit this one window, so r6 can reach 253/253 distinct green.
+#   (a) the 28 never-sampled queries: the r5-added certs
+#       (a52-a55, c12, i11, k10_hybrid_rrf) and the deferred family
+#       variants (k1/k2/k3 tails, k5 metadata stubs, k8's exact
+#       twin, g/h one-liners, k10 chunk/phrase);
+#   (b) re-samples of queries whose code CHANGED after their last
+#       verdict (the r5 rule): k9_pagerank_dupgraph (r5 broadcast-
+#       loop fix landed after the window froze — VERDICT r5 wrong
+#       #1), k3_ivfpq_search (row-count probe swap), k2_minhash_lsh
+#       (r3 numpy kernel, pytest-pinned bit-exact, never re-rode the
+#       hash), and the r6 ADVICE fixes: a50 (fingerprinted fixture
+#       tag), the awaitTermination-hardened streaming certs
+#       (i7-i10, a29, a30);
+#   (c) fresh verdicts for the r5 perf-weak ts_rollup_day_hour and
+#       the r5-redesigned k3_semdedup (stability re-confirmation).
+# New r6 certs (i12 stateful-timeout, a56 REST-only metadata) are
+# appended as they land.
 PRIORITY: tuple[str, ...] = (
-    # (a) plan-fact / format / lifecycle certifications
-    "a40_agg_pushdown",
-    "a41_cross_engine_read",
-    "a42_aqe_skew_join",
-    "a43_aqe_join_conversion",
-    "a44_aqe_coalesce",
-    "a45_reused_exchange",
-    "a46_scan_pruning",
-    "a47_rest_catalog",
-    "a48_codegen_partial_agg",
-    "a49_pyds_roundtrip",
+    # (a) never-driver-sampled — the road to 253/253
+    "a52_catalog_persistence",
+    "a53_cbo_join_reorder",
+    "a54_pyds_pushdown",
+    "a55_observed_metrics",
+    "c12_sortfree_bucketed_join",
+    "g_union_by_name",
+    "h15_bitwise_funcs",
+    "i11_stream_dedup",
+    "k1_url_dedup",
+    "k1_span_dedup",
+    "k1_cdc_chunk_dedup",
+    "k2_containment_pairs",
+    "k2_simhash_near_pairs",
+    "k3_centroid_by_label",
+    "k3_contrastive_pairs",
+    "k3_embedding_near_dup",
+    "k3_int8_quantize",
+    "k3_knn_lsh",
+    "k3_mmr_rerank",
+    "k3_pq_quantize",
+    "k3_random_projection",
+    "k5_multimodal_features",
+    "k5_multimodal_meta",
+    "k5_resize_stub",
+    "k8_decontaminate",
+    "k10_chunk_documents",
+    "k10_hybrid_rrf",
+    "k10_phrase_search",
+    # (b) edited-after-verdict re-samples
+    "k9_pagerank_dupgraph",
+    "k3_ivfpq_search",
+    "k2_minhash_lsh",
     "a50_timestamp_travel",
-    "a51_ingest_lifecycle",
-    # (b) r5-changed queries needing fresh verdicts
-    "k3_semdedup",
+    "i7_stream_stream_join",
     "i8_stream_static_enrich",
-    # (c) streaming / temporal certs
     "i9_stream_outer_join",
     "i10_stream_restart_exactly_once",
-    "i2_sliding_window",
-    "ts_pattern_match",
-    "c7_asof_tolerance",
-    # (d) never-driver-verified breadth
-    "sql_in_subquery",
-    "sql_scalar_subquery",
-    "sql_pipe_syntax",
-    "sql_group_by_all",
-    "sql_named_params",
-    "j_normalize_embeddings",
-    "j_udtf_term_expand",
-    "j_arrow_batch_norms",
-    "k4_text_stats",
-    "k4_quality_score",
-    "k4_token_count",
-    "k4_fingerprint",
-    "k4_corpus_stats",
-    "k4_redact",
-    "k4_repetition_filter",
-    "k4_tfidf_terms",
-    "k4_unigram_lm_score",
-    "k4_hashed_classifier",
-    "k4_bpe_token_count",
-    "k4_dsir_importance",
-    "k4_bigram_lm_score",
-    "k4_dataset_card",
-    "k6_stratified_sample",
-    "k6_uniform_sample",
-    "k6_reservoir_per_group",
-    "k6_weighted_sample",
-    "k6_domain_mix",
-    "k6_temperature_resample",
-    "k6_epoch_shuffle",
-    "k7_incremental_dedup",
-    "k7_shard_manifest",
+    "a29_stream_cdc_view",
+    "a30_stream_upsert_totals",
+    # (c) new r6 certs
+    "i12_stateful_session_timeout",
+    # (d) stability re-confirmations
+    "ts_rollup_day_hour",
+    "k3_semdedup",
 )
 
 

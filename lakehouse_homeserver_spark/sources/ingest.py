@@ -357,6 +357,22 @@ class Lakehouse:
             )
         return self.fmt.read_version(f"{SRC_NS}.{table}", version)
 
+    def _carry_ingest_props(self, target: str) -> dict | None:
+        """Maintenance rewrites (compact / optimize_layout*) REPLACE
+        the table contents without changing which landing files the
+        rows derive from. On atomic formats the ingested-file set is
+        DERIVED from commit properties and a replacing commit resets
+        it (TableFormat.ingested_files) — so the rewrite commit must
+        carry the current set forward, or the next load_incremental
+        re-ingests every previously loaded file and silently
+        duplicates rows. Non-atomic formats keep bookkeeping in a
+        separate table that maintenance never touches: nothing to
+        carry."""
+        if not self.fmt.atomic_ingest:
+            return None
+        files = self.fmt.ingested_files(self.spark, target)
+        return {"ingested_files": files} if files else None
+
     def compact(self, table: str, target_files: int = 1) -> int:
         """Small-file compaction (the OPTIMIZE every lakehouse needs):
         incremental appends leave one file per load; rewrite the table
@@ -370,11 +386,14 @@ class Lakehouse:
         through a temp table instead.)
         """
         target = f"{SRC_NS}.{table}"
+        props = self._carry_ingest_props(target)
         df = self.fmt.read(self.spark, target)
         if not self.fmt.mvcc:
             df = df.localCheckpoint(eager=True)
         n = df.count()
-        self.fmt.create_or_replace(df.coalesce(target_files), target)
+        self.fmt.create_or_replace(
+            df.coalesce(target_files), target, properties=props
+        )
         return n
 
     def optimize_layout(self, table: str, sort_cols: list[str]) -> None:
@@ -384,6 +403,7 @@ class Lakehouse:
         sort prefix then skip row groups at scan time.
         """
         target = f"{SRC_NS}.{table}"
+        props = self._carry_ingest_props(target)
         df = self.fmt.read(self.spark, target)
         if not self.fmt.mvcc:
             # Non-MVCC formats can't overwrite a table their own plan
@@ -394,7 +414,7 @@ class Lakehouse:
         rewritten = df.repartitionByRange(*sort_cols).sortWithinPartitions(
             *sort_cols
         )
-        self.fmt.create_or_replace(rewritten, target)
+        self.fmt.create_or_replace(rewritten, target, properties=props)
 
     def optimize_layout_zorder(
         self,
@@ -418,6 +438,7 @@ class Lakehouse:
         sort on the interleaved key. The key is never stored.
         """
         target = f"{SRC_NS}.{table}"
+        props = self._carry_ingest_props(target)
         df = self.fmt.read(self.spark, target)
         if not self.fmt.mvcc:
             df = df.localCheckpoint(eager=True)
@@ -440,7 +461,7 @@ class Lakehouse:
             else df.withColumn("_z", z).repartitionByRange("_z")
         )
         rewritten = ranged.sortWithinPartitions("_z").drop("_z")
-        self.fmt.create_or_replace(rewritten, target)
+        self.fmt.create_or_replace(rewritten, target, properties=props)
 
 
 def _quantile_bucket(col: F.Column, boundaries: list) -> F.Column:

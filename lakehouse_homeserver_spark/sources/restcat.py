@@ -198,7 +198,10 @@ class CatalogServer:
         self._tables: dict[tuple[str, str], str] = {}
         self._store = store
         self._credential = credential
-        self._tokens: set[str] = set()
+        # token -> monotonic expiry; expired entries are evicted on
+        # issue and on check, so the set stays bounded (ADVICE r5).
+        self._tokens: dict[str, float] = {}
+        self._token_ttl_s = 3600.0
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -240,30 +243,58 @@ class CatalogServer:
         client-credentials grant (form-encoded, like real clients
         send). Valid credentials get a bearer token; anything else
         the spec's 401 envelope."""
+        import hmac
         import secrets
+        import time
 
         form = urllib.parse.parse_qs((body or b"").decode())
         cid = form.get("client_id", [None])[0]
         sec = form.get("client_secret", [None])[0]
+        # constant-time secret comparison (ADVICE r5): loopback test
+        # fixture today, but keep the contract honest for anything
+        # this surface ever fronts.
+        cred_ok = (
+            self._credential is not None
+            and cid == self._credential[0]
+            and sec is not None
+            and hmac.compare_digest(sec, self._credential[1])
+        )
         if (
-            self._credential is None
+            not cred_ok
             or form.get("grant_type", [None])[0] != "client_credentials"
-            or (cid, sec) != self._credential
         ):
             return 401, _err(401, "invalid client credentials")
+        self._evict_expired()
         tok = secrets.token_hex(16)
-        self._tokens.add(tok)
+        self._tokens[tok] = time.monotonic() + self._token_ttl_s
         return 200, {
             "access_token": tok,
             "token_type": "bearer",
-            "expires_in": 3600,
+            "expires_in": int(self._token_ttl_s),
         }
 
+    def _evict_expired(self) -> None:
+        import time
+
+        now = time.monotonic()
+        for t in [t for t, exp in self._tokens.items() if exp <= now]:
+            del self._tokens[t]
+
     def _authorized(self, headers) -> bool:
+        import hmac
+
         if self._credential is None:
             return True
         auth = headers.get("Authorization", "")
-        return auth.startswith("Bearer ") and auth[7:] in self._tokens
+        if not auth.startswith("Bearer "):
+            return False
+        self._evict_expired()
+        presented = auth[7:]
+        # honor the advertised expires_in: only live tokens pass, and
+        # comparison is constant-time per stored token.
+        return any(
+            hmac.compare_digest(presented, t) for t in self._tokens
+        )
 
     def _route(
         self, method: str, path: str, body: bytes | None, headers

@@ -35,6 +35,19 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 
+def await_or_raise(q: StreamingQuery, timeout_s: int = 300) -> None:
+    """`awaitTermination(timeout)` returns False on timeout — callers
+    that ignore it would read a possibly partial sink and certify
+    incomplete results (ADVICE r5 low on i8/i11). Stop the hung query
+    and fail loudly instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} still running after "
+            f"{timeout_s}s — refusing to read a partial sink"
+        )
+
+
 def _start_parquet_sink(
     df: DataFrame, out_dir: str, checkpoint: str, mode: str = "append"
 ) -> StreamingQuery:

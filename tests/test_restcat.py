@@ -142,6 +142,22 @@ def test_oauth_token_grants_access_and_config_stays_open(sql_catalog):
     assert cat.list_tables("ns") == ["t"]
 
 
+def test_expired_token_is_rejected_and_evicted(sql_catalog):
+    """ADVICE r5: tokens must honor the advertised expires_in — an
+    expired bearer gets the 401 envelope and leaves the token set
+    (no unbounded growth)."""
+    server, _, _ = sql_catalog
+    cat = RestCatalog(server.uri, credential=("cid", "sec"))
+    assert cat.list_namespaces() == []  # live token works
+    # force expiry of every outstanding token
+    for t in list(server._tokens):
+        server._tokens[t] = 0.0
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        cat.list_namespaces()
+    assert ei.value.code == 401
+    assert server._tokens == {}  # evicted on check
+
+
 def test_wire_ddl_validates_register_target(sql_catalog):
     server, _, _ = sql_catalog
     cat = RestCatalog(server.uri, credential=("cid", "sec"))

@@ -232,6 +232,41 @@ def test_snapshot_ingest_incremental_exactly_once(spark, snap_lh, landing3):
     )
 
 
+def test_maintenance_rewrite_keeps_ingest_bookkeeping(
+    spark, snap_lh, landing3
+):
+    """ADVICE r5 (high): compact()/optimize_layout() issue replacing
+    commits; on atomic formats the ingested-file set is DERIVED from
+    commit properties and a replacing commit resets it. Before the
+    fix, the next load_incremental re-ingested every previously
+    loaded file and silently duplicated rows. The maintenance commit
+    must carry the current set forward."""
+    n1 = snap_lh.load_incremental("nation", landing3)
+    assert n1 == 25
+    assert snap_lh.compact("nation", target_files=1) == 25
+    # Bookkeeping survives the replacing maintenance commit...
+    assert snap_lh.loaded_files("nation").count() == 3
+    # ...so an incremental re-run is still a 0-row no-op, no dupes.
+    assert snap_lh.load_incremental("nation", landing3) == 0
+    assert snap_lh.table("nation").count() == 25
+    # Same through the sorted-rewrite path.
+    snap_lh.optimize_layout("nation", ["n_nationkey"])
+    assert snap_lh.loaded_files("nation").count() == 3
+    assert snap_lh.load_incremental("nation", landing3) == 0
+    assert snap_lh.table("nation").count() == 25
+    # A genuinely new landing file still flows in afterwards.
+    import shutil as sh
+
+    src_dir = os.path.join(landing3, "nation")
+    sh.copy(
+        os.path.join(src_dir, "batch_0.parquet"),
+        os.path.join(src_dir, "batch_3.parquet"),
+    )
+    n2 = snap_lh.load_incremental("nation", landing3)
+    assert n2 > 0
+    assert snap_lh.table("nation").count() == 25 + n2
+
+
 def test_snapshot_ingest_crash_between_data_and_bookkeeping(
     spark, snap_lh, landing3
 ):
