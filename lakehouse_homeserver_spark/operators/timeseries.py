@@ -17,16 +17,41 @@ stable across Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table as T
-from ..streaming.jobs import await_or_raise
+from ..streaming.jobs import await_or_raise, pinned_shuffle
 from .common import dsum, sql_dsum
 
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+def _linked_landing(path: str, prefix: str) -> str:
+    """Expose a parquet table as a landing DIRECTORY of symlinked leaf
+    files (zero copy — the layout a production stream would tail).
+    Handles both the single-file testdata fixtures and directory-style
+    tables (e.g. the scale-smoke clones): the flat landing read does
+    not recurse into symlinked subdirectories, so leaves are linked
+    individually."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if os.path.isdir(path):
+        leaves = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        leaves = [path]
+    for i, leaf in enumerate(leaves):
+        os.symlink(leaf, os.path.join(d, f"part_{i}.parquet"))
+    return d
+
 ORACLES: dict[str, str] = {}
 
 HOUR_US = 3_600_000_000
@@ -1284,8 +1309,7 @@ def i7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files); the fixture is a single parquet file, so expose it
     # through a symlink dir — zero copy, and exactly the landing-dir
     # layout a production stream would tail.
-    d = tempfile.mkdtemp(prefix="i7-events-")
-    os.symlink(path, os.path.join(d, "events.parquet"))
+    d = _linked_landing(path, "i7-events-")
     ev = normalize_events_ts(spark.readStream.schema(schema).parquet(d))
     views = (
         ev.filter(F.col("event_type") == "view")
@@ -1310,15 +1334,16 @@ def i7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     sink_dir = tempfile.mkdtemp(prefix="i7-pairs-")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", os.path.join(sink_dir, "data"))
-        .option("checkpointLocation", os.path.join(sink_dir, "_chk"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q)
+    with pinned_shuffle(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", os.path.join(sink_dir, "data"))
+            .option("checkpointLocation", os.path.join(sink_dir, "_chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q)
     return (
         spark.read.parquet(os.path.join(sink_dir, "data"))
         .groupBy(F.col("v_user").alias("user_id"))
@@ -1380,8 +1405,7 @@ def i8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = user_profile(events)
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
-    d = tempfile.mkdtemp(prefix="i8-events-")
-    os.symlink(path, os.path.join(d, "events.parquet"))
+    d = _linked_landing(path, "i8-events-")
     stream = normalize_events_ts(
         spark.readStream.schema(schema).parquet(d)
     )
@@ -1554,8 +1578,7 @@ def i9_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
-    d = tempfile.mkdtemp(prefix="i9-events-")
-    os.symlink(path, os.path.join(d, "events.parquet"))
+    d = _linked_landing(path, "i9-events-")
     ev = normalize_events_ts(spark.readStream.schema(schema).parquet(d))
     views = (
         ev.filter(F.col("event_type") == "view")
@@ -1580,15 +1603,16 @@ def i9_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     )
     sink = tempfile.mkdtemp(prefix="i9-pairs-")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", os.path.join(sink, "data"))
-        .option("checkpointLocation", os.path.join(sink, "_chk"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q)
+    with pinned_shuffle(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", os.path.join(sink, "data"))
+            .option("checkpointLocation", os.path.join(sink, "_chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q)
     # Terminal global watermark, recomputed from the batch twin of the
     # same fixture (identical rule to the oracle's `wm` CTE).
     bev = T(spark, sf_dir, "events")
@@ -1712,16 +1736,17 @@ def i10_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFra
         batches.append((batch_id, bdf.count()))
 
     def run_stream() -> None:
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(landing)
-            .writeStream.foreachBatch(fold)
-            .option("checkpointLocation", os.path.join(work, "_chk"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_or_raise(q)
+        with pinned_shuffle(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", os.path.join(work, "_chk"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            await_or_raise(q)
 
     drop_slice(0)
     drop_slice(1)
@@ -1792,9 +1817,15 @@ def i11_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
-    d = tempfile.mkdtemp(prefix="i11-events-")
-    os.symlink(path, os.path.join(d, "events_a.parquet"))
-    os.symlink(path, os.path.join(d, "events_b.parquet"))
+    # Two landing copies of every leaf file (retry-style at-least-once
+    # delivery), via the shared leaf-linking helper so directory-style
+    # tables work too.
+    d = _linked_landing(path, "i11-events-")
+    for f in list(os.listdir(d)):
+        os.symlink(
+            os.path.realpath(os.path.join(d, f)),
+            os.path.join(d, f"dup_{f}"),
+        )
     n_input = spark.read.parquet(d).count()
     stream = normalize_events_ts(
         spark.readStream.schema(schema).parquet(d)
@@ -1803,15 +1834,16 @@ def i11_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     sink_dir = tempfile.mkdtemp(prefix="i11-dedup-")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", os.path.join(sink_dir, "data"))
-        .option("checkpointLocation", os.path.join(sink_dir, "_chk"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q)
+    with pinned_shuffle(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", os.path.join(sink_dir, "data"))
+            .option("checkpointLocation", os.path.join(sink_dir, "_chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q)
     out = spark.read.parquet(os.path.join(sink_dir, "data"))
     n_unique = out.count()
     return (
@@ -1912,17 +1944,21 @@ def i12_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.utime(os.path.join(landing, f), (base - 60 + k, base - 60 + k))
                 seen.add(f)
 
-    # Materialize the slice assignment ONCE (localCheckpoint severs
-    # the global-sort window from the three per-slice writes — the
-    # first cut of this cert re-ran the sort per slice). Test-fixture
-    # path only, never a data-plane pattern.
-    sliced = events.withColumn(
-        "_slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
-    ).localCheckpoint(eager=True)
-    for i in range(1, 4):
+    # Time-ordered slices by RANGE CUTS, not a global-sort ntile: the
+    # first cut sorted all events in ONE window task and re-scanned
+    # the sorted frame per slice — 5.5x at the 10x smoke. Two
+    # approximate ts terciles give map-only, mutually exclusive,
+    # jointly exhaustive slices whose time ranges are disjoint —
+    # exactly what the batch-by-batch watermark advance needs (equal
+    # slice SIZES are not required).
+    b1, b2 = events.agg(
+        F.percentile_approx(F.unix_micros("ts"), [1 / 3, 2 / 3], 10_000)
+    ).collect()[0][0]
+    us = F.unix_micros(F.col("ts"))
+    cuts = [us < b1, (us >= b1) & (us < b2), us >= b2]
+    for i, cut in enumerate(cuts, start=1):
         (
-            sliced.filter(F.col("_slice") == i)
-            .drop("_slice")
+            events.filter(cut)
             .coalesce(1)
             .write.mode("append")
             .parquet(landing)
@@ -1946,15 +1982,7 @@ def i12_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _stamp(j)
 
-    # 8 state-store partitions, not the session's 32: the dominant
-    # cost of a 5-micro-batch run is per-partition state-store
-    # lifecycle (open/commit x partitions x batches), not data volume.
-    # The checkpoint is fresh per call, so the pinned value never
-    # conflicts with a prior run; restored in finally. On a real
-    # cluster size this to the executor count instead.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    with pinned_shuffle(spark):
         q = stream_rich_sessions(
             spark,
             landing,
@@ -1964,8 +1992,6 @@ def i12_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_files_per_trigger=1,
         )
         await_or_raise(q)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.read.parquet(os.path.join(root, "out"))
     # The sentinel's FIRST session gap-closes when sentinel 2 arrives;
     # its second (tail) session's timer sits past the final watermark

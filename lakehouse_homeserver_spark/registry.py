@@ -77,8 +77,10 @@ PRIORITY: tuple[str, ...] = (
     "i10_stream_restart_exactly_once",
     "a29_stream_cdc_view",
     "a30_stream_upsert_totals",
+    "a47_rest_catalog",
     # (c) new r6 certs
     "i12_stateful_session_timeout",
+    "a56_catalog_resolved_scan",
     # (d) stability re-confirmations
     "ts_rollup_day_hour",
     "k3_semdedup",

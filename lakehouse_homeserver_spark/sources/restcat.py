@@ -355,6 +355,14 @@ class CatalogServer:
                 },
                 "config": {},
                 "x-manifest": head["manifest"],
+                # Full commit entry (manifest + footer stats + blooms
+                # + delete files + seq map), inlined for engines that
+                # plan the scan ENTIRELY from the catalog response —
+                # the stand-in for the second fetch a real engine
+                # makes to metadata-location. Same documented
+                # divergence as x-manifest (spec points at Avro
+                # manifests; we inline JSON).
+                "x-entry": head,
             }
         return 404, _err(404, f"unknown route {path}")
 
@@ -522,6 +530,15 @@ class RestCatalog:
 
     def load_table(self, namespace: str, name: str) -> dict:
         return self._get(f"/v1/namespaces/{namespace}/tables/{name}")
+
+    def load_entry(self, namespace: str, name: str) -> tuple[dict, str]:
+        """(full commit entry, table location) — everything an engine
+        needs to plan a snapshot scan, all of it off the wire (the
+        `x-entry` inline; see CatalogServer loadTable). Consumed by
+        the `snapshot` DataSource's catalog_uri option, which makes
+        HTTP the ONLY metadata path of that scan."""
+        meta = self.load_table(namespace, name)
+        return meta["x-entry"], meta["metadata"]["location"]
 
     def read_table(self, spark, namespace: str, name: str):
         """Plan a Spark scan from the SERVED metadata: location +

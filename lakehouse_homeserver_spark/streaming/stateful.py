@@ -78,58 +78,129 @@ def _close(row: tuple) -> pd.DataFrame:
 def sessionize_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Grouped-map state function: one user's new events per batch."""
+    """Grouped-map state function: one user's new events per batch.
+
+    Vectorized (r6): the original per-event Python loop (branch +
+    string concat per row, one 1-row DataFrame per closed session)
+    made the custom operator the one row-at-a-time path in the repo —
+    i12's 10× smoke put it at 3.7×. Session boundaries are now a
+    numpy diff-threshold scan, per-session aggregates are reduceat
+    folds, and ALL closed sessions of a batch emit as ONE frame; the
+    only Python-level work left is O(#sessions) tuple assembly. The
+    emitted rows are bit-identical to the loop's (same HALF_UP cents,
+    same (us, event_id) tie order, same dedup-sorted type sets)."""
+    import numpy as np
+
     (user_id,) = key
-    out: list[pd.DataFrame] = []
 
     if state.hasTimedOut:
         # Watermark passed the open session's gap horizon — finalize.
         if state.exists:
-            out.append(_close(state.get))
+            pdf = _close(state.get)
             state.remove()
-    else:
-        cur = list(state.get) if state.exists else None
-        batch = pd.concat(list(pdfs))
-        batch["us"] = batch["ts"].astype("int64") // 1000
-        sort_keys = ["us", "event_id"] if "event_id" in batch else ["us"]
-        batch = batch.sort_values(sort_keys)
-        for us, etype, value in zip(
-            batch["us"], batch["event_type"], batch["value"]
-        ):
-            # HALF_UP to match F.round/DuckDB ROUND in the batch twin
-            # (Python round() is banker's: 12.5 -> 12, breaking the
-            # stream==batch contract on exact half-cents). Values are
-            # non-negative here; floor(x + 0.5) is HALF_UP for x >= 0.
-            cents = int(math.floor(value * 100 + 0.5))
-            if cur is None:
-                cur = [us, us, 1, etype, cents]
-            elif us - cur[1] > GAP_US:
-                out.append(_close(tuple(cur)))
-                cur = [us, us, 1, etype, cents]
-            else:
-                cur[1] = us
-                cur[2] += 1
-                cur[3] = f"{cur[3]},{etype}"
-                cur[4] += cents
-        if cur is not None:
-            state.update(tuple(cur))
-            # Fire when the event-time watermark passes the gap
-            # horizon; if the group's data is already behind the
-            # watermark (late/replayed keys), clamp forward so the
-            # session finalizes at the next trigger instead of
-            # crashing on a timeout in the past.
-            timeout_ms = (cur[1] + GAP_US) // 1000
-            state.setTimeoutTimestamp(
-                max(timeout_ms, state.getCurrentWatermarkMs() + 1)
-            )
+            pdf.insert(0, "user_id", user_id)
+            yield pdf
+        else:
+            yield _empty_sessions()
+        return
 
-    for pdf in out:
-        pdf.insert(0, "user_id", user_id)
-        yield pdf
-    if not out:
-        yield pd.DataFrame(
-            {f.name: pd.Series(dtype="object") for f in SESSION_SCHEMA}
+    cur = list(state.get) if state.exists else None
+    batch = pd.concat(list(pdfs))
+    batch["us"] = batch["ts"].astype("int64") // 1000
+    sort_keys = ["us", "event_id"] if "event_id" in batch else ["us"]
+    batch = batch.sort_values(sort_keys)
+    us = batch["us"].to_numpy(np.int64)
+    # HALF_UP to match F.round/DuckDB ROUND in the batch twin (Python
+    # round() is banker's: 12.5 -> 12, breaking the stream==batch
+    # contract on exact half-cents). Values are non-negative here;
+    # floor(x + 0.5) is HALF_UP for x >= 0.
+    cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    et = batch["event_type"].to_numpy()
+    n = len(us)
+    closed: list[tuple] = []
+    if n:
+        starts = np.empty(n, dtype=bool)
+        starts[0] = cur is None or (us[0] - cur[1] > GAP_US)
+        np.greater(us[1:] - us[:-1], GAP_US, out=starts[1:])
+        b = np.flatnonzero(starts)
+        # rows before the first boundary continue the open session
+        cont_end = int(b[0]) if b.size else n
+        if cur is not None and cont_end > 0:
+            cur[1] = int(us[cont_end - 1])
+            cur[2] += cont_end
+            cur[3] = cur[3] + "," + ",".join(et[:cont_end])
+            cur[4] += int(cents[:cont_end].sum())
+        if b.size:
+            if cur is not None:
+                closed.append(tuple(cur))
+            ends = np.append(b[1:], n)
+            counts = ends - b
+            sums = np.add.reduceat(cents, b)
+            seg = np.cumsum(starts)
+            tdf = (
+                pd.DataFrame({"seg": seg[b[0] :], "t": et[b[0] :]})
+                .drop_duplicates()
+                .sort_values(["seg", "t"])
+                .groupby("seg")["t"]
+                .agg(",".join)
+            )
+            k = len(b)
+            for j in range(k - 1):  # O(#sessions), not O(#events)
+                closed.append(
+                    (
+                        int(us[b[j]]),
+                        int(us[ends[j] - 1]),
+                        int(counts[j]),
+                        tdf.iloc[j],
+                        int(sums[j]),
+                    )
+                )
+            cur = [
+                int(us[b[k - 1]]),
+                int(us[n - 1]),
+                int(counts[k - 1]),
+                tdf.iloc[k - 1],
+                int(sums[k - 1]),
+            ]
+    if cur is not None:
+        state.update(tuple(cur))
+        # Fire when the event-time watermark passes the gap horizon;
+        # if the group's data is already behind the watermark
+        # (late/replayed keys), clamp forward so the session finalizes
+        # at the next trigger instead of crashing on a timeout in the
+        # past.
+        timeout_ms = (cur[1] + GAP_US) // 1000
+        state.setTimeoutTimestamp(
+            max(timeout_ms, state.getCurrentWatermarkMs() + 1)
         )
+
+    if closed:
+        emit = pd.DataFrame(
+            closed,
+            columns=[
+                "session_start_us",
+                "_last_us",
+                "n_events",
+                "_types_csv",
+                "value_cents",
+            ],
+        )
+        emit["session_end_us"] = emit.pop("_last_us") + GAP_US
+        emit["event_types"] = [
+            ",".join(sorted(set(t.split(",")))) for t in emit.pop("_types_csv")
+        ]
+        emit.insert(0, "user_id", user_id)
+        yield emit[[f.name for f in SESSION_SCHEMA.fields]]
+    else:
+        yield _empty_sessions()
+
+
+def _empty_sessions() -> pd.DataFrame:
+    return pd.DataFrame(
+        {f.name: pd.Series(dtype="object") for f in SESSION_SCHEMA}
+    )
 
 
 def rich_sessions(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -1,0 +1,100 @@
+"""Persistent-fixture janitor (VERDICT r5 next-round #7).
+
+The plan-fact / format certification queries memoize deterministic
+fixtures at fixed /tmp paths (cross-process flock + sentinel,
+`operators/acid._build_fixture_once`) so bench sweeps measure the
+READ, not the fixture build. The price is /tmp state that outlives
+any one process — this script keeps that state enumerable:
+
+- every live fixture family is listed in KNOWN below; a /tmp dir
+  matching the `lakehouse-*` namespace but NO live pattern is a
+  legacy leftover from an older fixture-tag scheme and is removed;
+- tstravel fixtures are content-fingerprinted (acid._source_fingerprint):
+  tags whose fingerprint no longer matches the current testdata are
+  stale and removed;
+- everything kept is printed with its size, so "fixture set stays
+  enumerable" is checkable at a glance.
+
+Usage: python scripts/fixture_janitor.py [--dry-run]
+Exit code 0 always (a janitor must never fail the build); stale
+removals are printed.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lakehouse_homeserver_spark.operators.acid import (  # noqa: E402
+    _source_fingerprint,
+)
+
+TMP = "/tmp"
+SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if os.path.isdir(d)
+]
+
+# Fixed-name families (SF-invariant content, one dir each).
+FIXED = {
+    "lakehouse-fixture-locks",  # flock files for _build_fixture_once
+    "lakehouse-pyds",  # a49 round-trip table
+    "lakehouse-pydspush",  # a54 pushdown table
+    "lakehouse-restcat",  # a47/a56 REST-served table
+    "lakehouse-sqlcat",  # a52 sqlite catalog + table
+    "lakehouse-xengine",  # a41 cross-engine table
+}
+
+
+def live_tstravel_tags() -> set[str]:
+    """The tstravel dir names the CURRENT testdata would produce."""
+    out = set()
+    for sf_dir in SF_DIRS:
+        sf = os.path.basename(sf_dir.rstrip("/"))
+        out.add(f"lakehouse-tstravel-{sf}-{_source_fingerprint(sf_dir, 'orders')}")
+    return out
+
+
+def main() -> None:
+    dry = "--dry-run" in sys.argv
+    live = FIXED | live_tstravel_tags()
+    kept, removed = [], []
+    for name in sorted(os.listdir(TMP)):
+        if not name.startswith("lakehouse-"):
+            continue
+        path = os.path.join(TMP, name)
+        if name in live:
+            kept.append(path)
+            continue
+        # Anything else in the namespace is legacy (old tag scheme)
+        # or stale (fingerprint mismatch after a testdata regen).
+        removed.append(path)
+        if not dry:
+            shutil.rmtree(path, ignore_errors=True)
+    # Scratch dirs from per-call mkdtemp queries (i7/i8/…-prefixed)
+    # self-clean per tmpdir policy; report any unusually large strays.
+    print("== kept (live fixture families) ==")
+    for p in kept:
+        du = subprocess.run(
+            ["du", "-sh", p], capture_output=True, text=True
+        ).stdout.split("\t")[0]
+        print(f"  {du:>8s}  {p}")
+    print(f"== removed ({'dry-run, would remove' if dry else 'deleted'}) ==")
+    for p in removed:
+        print(f"  {p}")
+    if not removed:
+        print("  (none)")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,20 @@ OPS = [
     "k3_semdedup",
     "a12_time_travel",
     "k10_hybrid_rrf",
+    # round-6 additions (VERDICT r5 #6): the r5/r6-landed certs.
+    # i11/i12 read the 10x events clone (streaming dedup state /
+    # sessionization state at 10x key volume); c12 rebuilds its
+    # bucketed orders+lineitem tables from the 10x clones (does the
+    # one-file-per-bucket write hold?); a51/a52/a56 run on
+    # SF-INVARIANT fixtures (nation/region), so their ~1x ratios
+    # certify that lifecycle/catalog overhead is corpus-independent,
+    # not that data scaled.
+    "i11_stream_dedup",
+    "i12_stateful_session_timeout",
+    "c12_sortfree_bucketed_join",
+    "a51_ingest_lifecycle",
+    "a52_catalog_persistence",
+    "a56_catalog_resolved_scan",
 ]
 
 
@@ -104,8 +118,13 @@ def build_scaled(spark, out_dir: str, copies: int) -> None:
     # it matters (%10 filters), so per-copy row volumes stay ~equal.
     events = load_table(spark, BASE_SF, "events")
     orders = load_table(spark, BASE_SF, "orders")
+    # lineitem scales with orders (r6: c12 joins the two bucketed) —
+    # the SAME o_orderkey offset per copy keeps join keys aligned, so
+    # cloned orders still find their lineitems.
+    lineitem = load_table(spark, BASE_SF, "lineitem")
     ev_parts = []
     o_parts = []
+    l_parts = []
     for i in range(copies):
         off = i * 10_000_000
         ev_parts.append(
@@ -115,6 +134,9 @@ def build_scaled(spark, out_dir: str, copies: int) -> None:
         o_parts.append(
             orders.withColumn("o_orderkey", F.col("o_orderkey") + off)
         )
+        l_parts.append(
+            lineitem.withColumn("l_orderkey", F.col("l_orderkey") + off)
+        )
     ev0 = ev_parts[0]
     for p in ev_parts[1:]:
         ev0 = ev0.unionByName(p)
@@ -123,8 +145,12 @@ def build_scaled(spark, out_dir: str, copies: int) -> None:
     for p in o_parts[1:]:
         o0 = o0.unionByName(p)
     o0.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    l0 = l_parts[0]
+    for p in l_parts[1:]:
+        l0 = l0.unionByName(p)
+    l0.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
     for t in TABLES:
-        if t in ("documents", "embeddings", "events", "orders"):
+        if t in ("documents", "embeddings", "events", "orders", "lineitem"):
             continue
         load_table(spark, BASE_SF, t).write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
@@ -138,8 +164,12 @@ def main() -> None:
     scaled = tempfile.mkdtemp(prefix="sf-scaled-")
     build_scaled(spark, scaled, copies)
     qs = all_queries()
+    # SPARK_GRAFT_SMOKE_OPS=a,b,c re-measures a subset without paying
+    # for the full sweep (the clone build is shared either way).
+    only = os.environ.get("SPARK_GRAFT_SMOKE_OPS")
+    ops = [o for o in only.split(",") if o] if only else OPS
     print(f"{'op':28s} {'1x_s':>8s} {'%d x_s' % copies:>8s} {'ratio':>6s}")
-    for name in OPS:
+    for name in ops:
         times = []
         for sf_dir in (BASE_SF, scaled):
             t0 = time.time()

@@ -105,3 +105,32 @@ def test_c12_sortfree_join_holds_across_sf(spark, sf_dir):
         ["sort_merge_join", "join_zero_shuffle", "join_zero_sort"],
     )
     assert all(facts.values()), f"{sf_dir}: c12 facts flipped: {facts}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_a54_pushdown_facts_hold_across_sf(spark, sf_dir):
+    """VERDICT r5 #5: a54's planned-file facts (1/1/0 of 4) derive
+    from a 4-file fixture; the fixture is nation-based (SF-invariant
+    content) but the query accepts any sf_dir, so pin the facts at
+    every fixture scale the way the AQE certs are pinned — the driver
+    sampling must not be able to flake on a layout assumption."""
+    from lakehouse_homeserver_spark.operators.acid import (
+        QUERIES as ACID_QUERIES,
+    )
+
+    row = (
+        ACID_QUERIES["a54_pyds_pushdown"](spark, sf_dir)
+        .select(
+            "n_files_total",
+            "n_files_scanned",
+            "n_files_point_lookup",
+            "empty_scan_zero",
+        )
+        .head()
+    )
+    assert (
+        row.n_files_total,
+        row.n_files_scanned,
+        row.n_files_point_lookup,
+        row.empty_scan_zero,
+    ) == (4, 1, 1, True), f"{sf_dir}: a54 pushdown facts flipped: {row}"

@@ -158,6 +158,30 @@ def test_expired_token_is_rejected_and_evicted(sql_catalog):
     assert server._tokens == {}  # evicted on check
 
 
+def test_catalog_resolved_format_scan(spark, sql_catalog):
+    """r6 (VERDICT r5 #8): `format("snapshot")` resolves the table
+    THROUGH the REST catalog — entry and location off the loadTable
+    wire (x-entry), OAuth credential threaded via option, local _log
+    never consulted by the reader; version options are rejected."""
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    server, _, tpath = sql_catalog
+    cat = RestCatalog(server.uri, credential=("cid", "sec"))
+    cat.create_namespace("ns")
+    cat.register_table("ns", "t", tpath)
+    spark.dataSource.register(SnapshotDataSource)
+    reader = (
+        spark.read.format("snapshot")
+        .option("catalog_uri", server.uri)
+        .option("catalog_credential", "cid:sec")
+        .option("catalog_namespace", "ns")
+        .option("catalog_table", "t")
+    )
+    assert sorted(r.k for r in reader.load().collect()) == list(range(10))
+    with pytest.raises(Exception, match="current snapshot"):
+        reader.option("version", "1").load().collect()
+
+
 def test_wire_ddl_validates_register_target(sql_catalog):
     server, _, _ = sql_catalog
     cat = RestCatalog(server.uri, credential=("cid", "sec"))
