@@ -392,6 +392,43 @@ def ts_rich_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_value_spikes",
+    oracle="""
+    WITH running AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+             COUNT(*) OVER w AS prior_n,
+             COALESCE(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                           OVER w AS BIGINT), 0) AS prior_sum_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, us, value_cents, prior_n, prior_sum_cents
+    FROM running
+    WHERE prior_n > 0
+      AND value_cents * prior_n > 3 * prior_sum_cents
+    """,
+)
+def ts_value_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful.value_spikes — the
+    transformWithStateInPandas (SPARK-49564) spike detector: an event
+    is flagged when its integer cents value exceeds SPIKE_FACTOR×the
+    user's prior running mean (value_cents·n > FACTOR·sum_cents —
+    pure integer arithmetic, so stream, batch twin and the DuckDB
+    window form agree bit-for-bit). Registered with an oracle so the
+    TWS operator's SEMANTICS hold a certificate even where the TWS
+    runtime can't run (its state-server protocol needs the protobuf
+    wheel; absent in this environment — see streaming/stateful.py
+    runtime note; tests/test_streaming.py proves stream == this twin
+    when it can run). Scale: state is two longs per user; the batch
+    form is one window pass, no shuffle beyond the user_id hash."""
+    from ..streaming.stateful import batch_value_spikes
+
+    return batch_value_spikes(T(spark, sf_dir, "events"))
+
+
+@query(
     "ts_attribution_join",
     oracle="""
     SELECT p.user_id,

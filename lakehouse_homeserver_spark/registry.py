@@ -81,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     # (c) new r6 certs
     "i12_stateful_session_timeout",
     "a56_catalog_resolved_scan",
+    "ts_value_spikes",
     # (d) stability re-confirmations
     "ts_rollup_day_hour",
     "k3_semdedup",
