@@ -150,3 +150,157 @@ def test_semdedup_codebook_is_corpus_bounded():
         prev = k
     # the 100 TB claim: ten-trillion-doc corpus, same bounded model
     assert _sem_k(10**13) == SEMDEDUP_K_CAP == 1024
+
+
+# -- r6: vectorized sessionizer == the per-event reference loop ------------
+
+
+def _loop_reference(batches, gap_us):
+    """The ORIGINAL per-event sessionize loop (pre-r6 implementation),
+    kept here as the differential oracle for the vectorized rewrite:
+    same HALF_UP cents, same in-batch (us, event_id) order, same
+    close-on-gap / close-on-timeout emissions."""
+    import math
+
+    def close(st):
+        start, last, n, csv, cents = st
+        return (
+            start,
+            last + gap_us,
+            n,
+            ",".join(sorted(set(csv.split(",")))),
+            cents,
+        )
+
+    state = None
+    emitted = []
+    for batch in batches:
+        for us, _eid, et, val in sorted(batch):
+            cents = int(math.floor(val * 100 + 0.5))
+            if state is None:
+                state = [us, us, 1, et, cents]
+            elif us - state[1] > gap_us:
+                emitted.append(close(state))
+                state = [us, us, 1, et, cents]
+            else:
+                state[1] = us
+                state[2] += 1
+                state[3] = f"{state[3]},{et}"
+                state[4] += cents
+    if state is not None:
+        emitted.append(close(state))  # final watermark timeout
+    return sorted(emitted)
+
+
+class _FakeGroupState:
+    """Just enough of pyspark GroupState for driving sessionize_fn
+    batch-by-batch outside a stream."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+# per-user stream: (gap-ish delta µs, type idx, half-cent value units),
+# deltas straddle the 30-min gap so sessions split mid- and cross-batch
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3 * 30 * 60 * 1_000_000),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    _events_strategy,
+    st.lists(st.integers(min_value=0, max_value=39), max_size=3),
+)
+def test_sessionizer_vectorized_equals_loop(deltas, cutpoints):
+    """The r6 numpy rewrite of streaming/stateful.sessionize_fn must
+    emit EXACTLY the per-event loop's sessions across arbitrary
+    session shapes AND arbitrary batch boundaries (state carried
+    between batches), including the final timeout flush."""
+    import pandas as pd
+
+    from lakehouse_homeserver_spark.streaming.stateful import (
+        GAP_US,
+        sessionize_fn,
+    )
+
+    types = ["view", "click", "purchase", "refund"]
+    us_acc, rows = 0, []
+    for i, (d, t, v) in enumerate(deltas):
+        us_acc += d
+        rows.append((us_acc, i, types[t], v * 0.005))  # half-cent steps
+    cuts = sorted({c for c in cutpoints if c < len(rows)} | {len(rows)})
+    batches, prev = [], 0
+    for c in cuts:
+        if c > prev:
+            batches.append(rows[prev:c])
+            prev = c
+    if prev < len(rows):
+        batches.append(rows[prev:])
+
+    expected = _loop_reference(batches, GAP_US)
+
+    state = _FakeGroupState()
+    got = []
+    for b in batches:
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in b], unit="us"),
+                "event_id": [r[1] for r in b],
+                "event_type": [r[2] for r in b],
+                "value": [r[3] for r in b],
+            }
+        )
+        for out in sessionize_fn((7,), iter([pdf]), state):
+            got.extend(
+                (
+                    int(r.session_start_us),
+                    int(r.session_end_us),
+                    int(r.n_events),
+                    r.event_types,
+                    int(r.value_cents),
+                )
+                for r in out.itertuples()
+                if len(out)
+            )
+    state.hasTimedOut = True
+    for out in sessionize_fn((7,), iter([]), state):
+        got.extend(
+            (
+                int(r.session_start_us),
+                int(r.session_end_us),
+                int(r.n_events),
+                r.event_types,
+                int(r.value_cents),
+            )
+            for r in out.itertuples()
+            if len(out)
+        )
+    assert sorted(got) == expected
