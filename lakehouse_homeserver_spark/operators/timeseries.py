@@ -1966,7 +1966,12 @@ def i12_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
     events = T(spark, sf_dir, "events")
-    max_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    # One scan for both fixture-prep scalars (max stamp for the
+    # sentinels, terciles for the slice cuts).
+    max_us, (b1, b2) = events.agg(
+        F.max(F.unix_micros("ts")),
+        F.percentile_approx(F.unix_micros("ts"), [1 / 3, 2 / 3], 10_000),
+    ).collect()[0]
 
     # Deterministic per-file mtimes (base-60+k): the file source
     # orders new files by modification time, and the watermark must
@@ -1988,9 +1993,6 @@ def i12_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jointly exhaustive slices whose time ranges are disjoint —
     # exactly what the batch-by-batch watermark advance needs (equal
     # slice SIZES are not required).
-    b1, b2 = events.agg(
-        F.percentile_approx(F.unix_micros("ts"), [1 / 3, 2 / 3], 10_000)
-    ).collect()[0][0]
     us = F.unix_micros(F.col("ts"))
     cuts = [us < b1, (us >= b1) & (us < b2), us >= b2]
     for i, cut in enumerate(cuts, start=1):

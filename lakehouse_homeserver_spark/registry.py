@@ -17,9 +17,12 @@ _MODULES = []
 # emitted first, in this order; everything else follows in module
 # order.
 # Re-curated for the ROUND-6 driver run (VERDICT r5 next-round #1):
-# after r5's 50/50-green window the distinct driver-green union is
-# 225/253 and exactly 28 queries have NEVER been sampled — they all
-# fit this one window, so r6 can reach 253/253 distinct green.
+# after r5's 50/50-green window the distinct driver-green union was
+# 225/253 with exactly 28 never-sampled queries; r6 then ADDED three
+# queries (i12, a56, ts_value_spikes), so the registry is 256 and a
+# fully-green r6 window reaches 253 + 3 = 256 distinct... only if
+# every name below lands in the 50-slot window — it does (44 curated
+# + 6 stable backfills).
 #   (a) the 28 never-sampled queries: the r5-added certs
 #       (a52-a55, c12, i11, k10_hybrid_rrf) and the deferred family
 #       variants (k1/k2/k3 tails, k5 metadata stubs, k8's exact
@@ -34,8 +37,7 @@ _MODULES = []
 #       (i7-i10, a29, a30);
 #   (c) fresh verdicts for the r5 perf-weak ts_rollup_day_hour and
 #       the r5-redesigned k3_semdedup (stability re-confirmation).
-# New r6 certs (i12 stateful-timeout, a56 REST-only metadata) are
-# appended as they land.
+# Section (c) holds the three r6-added queries themselves.
 PRIORITY: tuple[str, ...] = (
     # (a) never-driver-sampled — the road to 253/253
     "a52_catalog_persistence",

@@ -818,6 +818,10 @@ class SnapshotDataSource(DataSource):
                 "version/timestampAsOf need the path surface"
             )
         cred = self.options.get("catalog_credential")
+        if cred is not None and ":" not in cred:
+            raise ValueError(
+                "catalog_credential must be 'client_id:client_secret'"
+            )
         credential = tuple(cred.split(":", 1)) if cred else None
         cat = RestCatalog(cat_uri, credential=credential)
         entry, location = cat.load_entry(ns, name)

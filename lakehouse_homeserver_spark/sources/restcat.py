@@ -200,7 +200,12 @@ class CatalogServer:
         self._credential = credential
         # token -> monotonic expiry; expired entries are evicted on
         # issue and on check, so the set stays bounded (ADVICE r5).
+        # The lock serializes dict mutation vs iteration: handlers run
+        # on ThreadingHTTPServer threads, and an unlocked any()/
+        # items() scan racing a concurrent token issue is a
+        # RuntimeError(dict changed size) -> spurious 500.
         self._tokens: dict[str, float] = {}
+        self._tokens_lock = threading.Lock()
         self._token_ttl_s = 3600.0
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -264,16 +269,18 @@ class CatalogServer:
             or form.get("grant_type", [None])[0] != "client_credentials"
         ):
             return 401, _err(401, "invalid client credentials")
-        self._evict_expired()
         tok = secrets.token_hex(16)
-        self._tokens[tok] = time.monotonic() + self._token_ttl_s
+        with self._tokens_lock:
+            self._evict_expired_locked()
+            self._tokens[tok] = time.monotonic() + self._token_ttl_s
         return 200, {
             "access_token": tok,
             "token_type": "bearer",
             "expires_in": int(self._token_ttl_s),
         }
 
-    def _evict_expired(self) -> None:
+    def _evict_expired_locked(self) -> None:
+        """Caller holds self._tokens_lock."""
         import time
 
         now = time.monotonic()
@@ -288,13 +295,14 @@ class CatalogServer:
         auth = headers.get("Authorization", "")
         if not auth.startswith("Bearer "):
             return False
-        self._evict_expired()
         presented = auth[7:]
         # honor the advertised expires_in: only live tokens pass, and
         # comparison is constant-time per stored token.
-        return any(
-            hmac.compare_digest(presented, t) for t in self._tokens
-        )
+        with self._tokens_lock:
+            self._evict_expired_locked()
+            return any(
+                hmac.compare_digest(presented, t) for t in self._tokens
+            )
 
     def _route(
         self, method: str, path: str, body: bytes | None, headers

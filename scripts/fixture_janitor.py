@@ -41,8 +41,9 @@ SF_DIRS = [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
+        os.environ.get("SPARK_GRAFT_SF_DIR", ""),
     )
-    if os.path.isdir(d)
+    if d and os.path.isdir(d)
 ]
 
 # Fixed-name families (SF-invariant content, one dir each).
@@ -68,7 +69,7 @@ def live_tstravel_tags() -> set[str]:
 def main() -> None:
     dry = "--dry-run" in sys.argv
     live = FIXED | live_tstravel_tags()
-    kept, removed = [], []
+    kept, removed, unknown = [], [], []
     for name in sorted(os.listdir(TMP)):
         if not name.startswith("lakehouse-"):
             continue
@@ -76,8 +77,23 @@ def main() -> None:
         if name in live:
             kept.append(path)
             continue
-        # Anything else in the namespace is legacy (old tag scheme)
-        # or stale (fingerprint mismatch after a testdata regen).
+        # tstravel fixtures are keyed by sf-basename + content
+        # fingerprint: only remove ones whose BASENAME we actually
+        # scanned (their fingerprint mismatched => stale) or whose
+        # name predates the fingerprint scheme (no trailing -<10hex>).
+        # A fixture built from an sf_dir this run doesn't know about
+        # (other SPARK_GRAFT_SF_DIR, a concurrent process) is LIVE to
+        # someone else — leave it and report it.
+        if name.startswith("lakehouse-tstravel-"):
+            rest = name[len("lakehouse-tstravel-") :]
+            scanned = {
+                os.path.basename(d.rstrip("/")) for d in SF_DIRS
+            }
+            m = re.fullmatch(r"(.+)-([0-9a-f]{10})", rest)
+            sf_base = m.group(1) if m else rest
+            if m and sf_base not in scanned:
+                unknown.append(path)
+                continue
         removed.append(path)
         if not dry:
             shutil.rmtree(path, ignore_errors=True)
@@ -94,6 +110,10 @@ def main() -> None:
         print(f"  {p}")
     if not removed:
         print("  (none)")
+    if unknown:
+        print("== left alone (fingerprinted, built from an sf_dir not scanned here) ==")
+        for p in unknown:
+            print(f"  {p}")
 
 
 if __name__ == "__main__":
