@@ -1200,7 +1200,10 @@ def a33_expire_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # crash debris: staged but never committed (invisible to readers)
     t._stage(orders.filter(F.col("o_orderkey") % 3 == 2).coalesce(1))
-    res = t.expire_snapshots(keep_last=1)
+    # orphan_grace_ms=0: this cert OWNS its single-process table, so
+    # the in-flight-commit race the default 3-day grace guards cannot
+    # exist — and the planted crash debris must be reaped NOW.
+    res = t.expire_snapshots(keep_last=1, orphan_grace_ms=0)
     return t.read().agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum("o_totalprice").alias("total_price"),

@@ -21,8 +21,8 @@ _MODULES = []
 # 225/253 with exactly 28 never-sampled queries; r6 then ADDED three
 # queries (i12, a56, ts_value_spikes), so the registry is 256 and a
 # fully-green r6 window reaches 253 + 3 = 256 distinct... only if
-# every name below lands in the 50-slot window — it does (44 curated
-# + 6 stable backfills).
+# every name below lands in the 50-slot window — it does: exactly 50
+# curated names, no backfills.
 #   (a) the 28 never-sampled queries: the r5-added certs
 #       (a52-a55, c12, i11, k10_hybrid_rrf) and the deferred family
 #       variants (k1/k2/k3 tails, k5 metadata stubs, k8's exact
@@ -80,6 +80,16 @@ PRIORITY: tuple[str, ...] = (
     "a29_stream_cdc_view",
     "a30_stream_upsert_totals",
     "a47_rest_catalog",
+    # (b-cont.) ACID certs whose code paths the r6 snapshot-layer
+    # review fixes touched (expire grace/head-guard, WAP constraint
+    # gate, incremental-range contiguity, partition-overwrite NULLs,
+    # CoW row-count arithmetic, bloom property inheritance)
+    "a33_expire_orphans",
+    "a22_wap_publish",
+    "a16_incremental_read",
+    "a25_change_feed",
+    "a35_partition_overwrite",
+    "a19_delete_where",
     # (c) new r6 certs
     "i12_stateful_session_timeout",
     "a56_catalog_resolved_scan",

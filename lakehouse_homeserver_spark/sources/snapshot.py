@@ -167,6 +167,7 @@ def _footer_stats(path: str) -> tuple[int, dict]:
     md = pq.ParquetFile(path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    covered: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -191,9 +192,15 @@ def _footer_stats(path: str) -> tuple[int, dict]:
                     continue
             if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
                 continue
+            covered[name] = covered.get(name, 0) + 1
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return md.num_rows, {c: [mins[c], maxs[c]] for c in mins}
+    # A column's range is only a skipping index if EVERY row group
+    # contributed stats: a partial range understates the file and
+    # prune_files would skip rows living in the uncovered groups.
+    # "No stats" is the only safe fallback (r6 review finding).
+    full = {c for c, n in covered.items() if n == md.num_row_groups}
+    return md.num_rows, {c: [mins[c], maxs[c]] for c in mins if c in full}
 
 
 _BLOOM_MIN_M = 1 << 13  # floor: 1 KiB per filter
@@ -248,13 +255,44 @@ def _build_file_blooms(path: str, cols: list[str]) -> dict[str, dict]:
     return out
 
 
+def _bloom_probe_keys(value) -> list:
+    """Canonicalization candidates for a probe literal: the build
+    side hashes str() of the STORED python values (pyarrow gives
+    ints for int columns, floats for double columns), so a probe
+    whose Python type differs (int 5 vs stored 5.0) must also try
+    the cross-type spelling — a single-form probe returns a
+    definite-no and a pruned file silently loses matching rows
+    (r6 review finding). Probing extra keys only ADDS potential
+    hits: pruning stays sound, never unsound."""
+    keys = [value]
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        try:
+            f = float(value)
+            if f.is_integer():
+                keys.append(int(f))
+            keys.append(f)
+        except (OverflowError, ValueError):
+            pass
+    seen: set[str] = set()
+    out = []
+    for k in keys:
+        sk = str(k)
+        if sk not in seen:
+            seen.add(sk)
+            out.append(k)
+    return out
+
+
 def _bloom_contains(bloom: dict, value) -> bool:
     import base64
 
     bits = base64.b64decode(bloom["b64"])
-    return all(
-        bits[pos >> 3] & (1 << (pos & 7))
-        for pos in _bloom_positions(value, bloom["m"])
+    return any(
+        all(
+            bits[pos >> 3] & (1 << (pos & 7))
+            for pos in _bloom_positions(v, bloom["m"])
+        )
+        for v in _bloom_probe_keys(value)
     )
 
 
@@ -852,10 +890,15 @@ class SnapshotTable:
         old_seq = _file_seq(e)
         stats = {f: old_stats.get(f, {}) for f in untouched}
         seq = {f: old_seq.get(f, base) for f in untouched}
-        row_count = 0
-        for f in untouched:
+        # Untouched-file rows come from log arithmetic (no pending
+        # deletes here, so e.row_count == sum of manifest footers):
+        # footer reads stay O(rewritten + added), never O(live files)
+        # — a pruned overwrite of 2 of 1M files must not do 1M driver
+        # footer opens (r6 review finding).
+        row_count = e["row_count"]
+        for f in sorted(candidates):
             rows, _ = _footer_stats(os.path.join(self._data_path, f))
-            row_count += rows
+            row_count -= rows
         for f in added:
             rows, st = _footer_stats(os.path.join(self._data_path, f))
             row_count += rows
@@ -926,18 +969,34 @@ class SnapshotTable:
 
         if len(cols) == 1:
             vals = [r[cols[0]] for r in parts]
-            pred = F.col(cols[0]).isin(vals)
-            prune_column, plo, phi = cols[0], min(vals), max(vals)
+            # NULL is a real partition value (the Hive default
+            # partition): isin() never matches NULL and min/max choke
+            # on None, so split it out — and disable file pruning when
+            # present (footer stats don't index NULLs, so a range-
+            # pruned file could hide old NULL rows from the rewrite
+            # and readers would see both generations; r6 review
+            # finding).
+            non_null = [v for v in vals if v is not None]
+            pred = F.col(cols[0]).isin(non_null) if non_null else F.lit(False)
+            if len(non_null) < len(vals):
+                pred = pred | F.col(cols[0]).isNull()
+                prune_column = plo = phi = None
+            else:
+                prune_column, plo, phi = cols[0], min(vals), max(vals)
         else:
             import functools
             import operator
 
+            # eqNullSafe, not ==: a NULL partition value must SELECT
+            # the old NULL-partition rows for replacement, and == NULL
+            # evaluates NULL -> those rows would silently survive
+            # next to their restatement.
             pred = functools.reduce(
                 operator.or_,
                 [
                     functools.reduce(
                         operator.and_,
-                        [F.col(c) == F.lit(r[c]) for c in cols],
+                        [F.col(c).eqNullSafe(F.lit(r[c])) for c in cols],
                     )
                     for r in parts
                 ],
@@ -1092,9 +1151,14 @@ class SnapshotTable:
         )
 
     def _spec_properties(self) -> dict:
-        """Inherited table properties to stamp onto a new commit
-        (the bloom.columns pattern): the active partition spec and
-        the active CHECK constraints."""
+        """Inherited table properties to stamp onto a new commit:
+        the active partition spec, the active CHECK constraints, and
+        the bloom config. bloom.columns used to be stamped only by
+        `_commit`, so any metadata commit through `_commit_manifest`
+        (add_constraint, set_partition_spec, rollback, MoR delete,
+        compaction, cherry-pick) silently DROPPED it and blooms
+        stopped being built for all later appends (r6 review
+        finding) — inheriting it here covers both commit paths."""
         out: dict = {}
         spec = self.partition_spec()
         if spec:
@@ -1102,6 +1166,14 @@ class SnapshotTable:
             out["partition.spec.id"] = spec["spec_id"]
         for name, sql in self.constraints().items():
             out[f"constraint.{name}"] = sql
+        if not self._bloom_cols:
+            v = self.latest_version()
+            if v is not None:
+                self._bloom_cols = list(
+                    self.entry(v)["properties"].get("bloom.columns", [])
+                )
+        if self._bloom_cols:
+            out["bloom.columns"] = self._bloom_cols
         return out
 
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT) -------------
@@ -1271,6 +1343,20 @@ class SnapshotTable:
         added = list(e_src["added"])
         if not added:
             raise ValueError(f"{source.path}: snapshot {v} added no files")
+        if self.constraints():
+            # Publishing is still an incoming batch: the target's
+            # CHECK constraints gate it exactly like append's
+            # enforcement — otherwise clone->append->cherry_pick
+            # lands rows add_constraint promised could never land
+            # (r6 review finding). One O(batch) boolean aggregate
+            # over the branch's added files, read from the SOURCE
+            # so a violation links nothing.
+            incoming = self.spark.read.schema(
+                StructType.fromJson(json.loads(e_src["schema"]))
+            ).parquet(
+                *[os.path.join(source._data_path, f) for f in added]
+            )
+            self._enforce_constraints(incoming)
         head_v = self.latest_version()
         head = self.entry(head_v) if head_v is not None else None
         if head and set(added) & set(head["manifest"]):
@@ -1432,10 +1518,12 @@ class SnapshotTable:
         old_seq = _file_seq(e)
         stats = {f: old_stats.get(f, {}) for f in untouched}
         seq = {f: old_seq.get(f, base) for f in untouched}
-        row_count = 0
-        for f in untouched:
+        # Same log-arithmetic count as _overwrite_where_once: footer
+        # reads only for rewritten + replacement files.
+        row_count = e["row_count"]
+        for f in sorted(candidates):
             rows, _ = _footer_stats(os.path.join(self._data_path, f))
-            row_count += rows
+            row_count -= rows
         for f in added:
             rows, st = _footer_stats(os.path.join(self._data_path, f))
             row_count += rows
@@ -1894,6 +1982,7 @@ class SnapshotTable:
         to_v = self.latest_version() if to_version is None else to_version
         if to_v is None:
             raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        self._require_contiguous(from_version, to_v)
         names: list[str] = []
         for v in self.versions():
             if from_version < v <= to_v:
@@ -1912,6 +2001,33 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         files = [os.path.join(self._data_path, f) for f in names]
         return self.spark.read.schema(schema).parquet(*files)
+
+    def _require_contiguous(
+        self, from_version: int, to_v: int, need_parent: bool = False
+    ) -> None:
+        """Versions are allocated contiguously (head+1), so a missing
+        number inside (from, to] means a snapshot in the requested
+        range was EXPIRED: its rows are unrecoverable and an
+        incremental feed that silently skips it permanently loses
+        data downstream. Raise, like Delta/Iceberg do on incomplete
+        log ranges, instead of returning a quietly-wrong diff (r6
+        review finding). `need_parent` additionally requires
+        from_version itself (changes_between diffs each commit
+        against its TRUE parent)."""
+        have = set(self.versions())
+        missing = [
+            v for v in range(from_version + 1, to_v + 1) if v not in have
+        ]
+        if missing:
+            raise ValueError(
+                f"{self.path}: snapshots {missing} in ({from_version}, "
+                f"{to_v}] were expired — incremental range incomplete"
+            )
+        if need_parent and from_version > 0 and from_version not in have:
+            raise ValueError(
+                f"{self.path}: snapshot {from_version} was expired — "
+                "change feed needs the range's parent snapshot"
+            )
 
     def changes_between(
         self, from_version: int, to_version: int | None = None
@@ -1948,6 +2064,7 @@ class SnapshotTable:
         to_v = self.latest_version() if to_version is None else to_version
         if to_v is None:
             raise SnapshotNotFound(f"{self.path}: table has no snapshots")
+        self._require_contiguous(from_version, to_v, need_parent=True)
         out_schema = StructType.fromJson(json.loads(self.entry(to_v)["schema"]))
 
         def _align(df: DataFrame) -> DataFrame:
@@ -1985,7 +2102,7 @@ class SnapshotTable:
                     )
                     parts.append(_tag(df, "insert", v))
                 continue
-            if op in ("rewrite", "set-constraint"):
+            if op in ("rewrite", "set-constraint", "set-spec"):
                 continue  # physical/metadata-only, zero logical change
             if op == "delete" and parent is not None:
                 mode = (e.get("properties") or {}).get("mode")
@@ -2252,7 +2369,19 @@ class SnapshotTable:
             # data-vs-delete ordering — all the delete rule uses — is
             # intact.
             **_remap_clone_seq(src),
+            # Inherited table properties travel with the clone (Delta
+            # SHALLOW CLONE copies table properties): without them a
+            # WAP staging branch has no CHECK constraints, no bloom
+            # config and no partition spec, so branch appends skip
+            # enforcement the source promises (r6 review finding).
             "properties": {
+                **{
+                    k: val
+                    for k, val in src.get("properties", {}).items()
+                    if k.startswith(
+                        ("constraint.", "bloom.", "partition.spec")
+                    )
+                },
                 "cloned_from": self.path,
                 "cloned_version": v,
             },
@@ -2262,7 +2391,10 @@ class SnapshotTable:
         return dest
 
     def expire_snapshots(
-        self, keep_last: int = 1, older_than_ms: int | None = None
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+        orphan_grace_ms: int = 3 * 86_400_000,
     ) -> dict:
         """Drop expired snapshots and delete every data file no
         retained snapshot references — including crash orphans from
@@ -2275,14 +2407,27 @@ class SnapshotTable:
         retained regardless of either rule, matching Iceberg; so is
         any TAGGED snapshot (Iceberg ref retention — a pinned corpus
         release must survive GC until its tag is dropped).
+
+        Two deletion classes (r6 review finding): files referenced by
+        an EXPIRED snapshot are lineage-tracked and deleted
+        immediately; files referenced by NO snapshot at all (crash
+        debris — but also the staged files of a commit IN FLIGHT
+        right now) are only deleted when older than
+        `orphan_grace_ms` (default 3 days, Iceberg's
+        remove_orphan_files cutoff) — unconditional orphan deletion
+        races a concurrent writer between its _stage() and its CAS
+        link, corrupting the snapshot that then commits
+        successfully. Pass orphan_grace_ms=0 only when no concurrent
+        writer can exist (tests, single-process maintenance).
         Returns {expired_snapshots, deleted_files}."""
         vs = self.versions()
         if len(vs) <= keep_last and not os.path.isdir(self._data_path):
             return {"expired_snapshots": 0, "deleted_files": 0}
         keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        if vs:
+            keep.add(vs[-1])  # never expire the head, under ANY rule
         keep.update(v for v in self.tags().values() if v in vs)
         if older_than_ms is not None and vs:
-            keep.add(vs[-1])  # never expire the head
             keep.update(
                 v
                 for v in vs
@@ -2298,14 +2443,32 @@ class SnapshotTable:
             live.update(e["manifest"])
             live.update(d["file"] for d in e.get("delete_files", []))
         expired = [v for v in vs if v not in keep]
+        referenced_expired: set[str] = set()
+        for v in expired:
+            e = self.entry(v)
+            referenced_expired.update(e["manifest"])
+            referenced_expired.update(
+                d["file"] for d in e.get("delete_files", [])
+            )
         for v in expired:
             os.remove(self._entry_path(v))
         deleted = 0
+        now_s = time.time()
         if os.path.isdir(self._data_path):
             for f in os.listdir(self._data_path):
-                if f.endswith(".parquet") and f not in live:
-                    os.remove(os.path.join(self._data_path, f))
-                    deleted += 1
+                if not f.endswith(".parquet") or f in live:
+                    continue
+                full = os.path.join(self._data_path, f)
+                if f not in referenced_expired:
+                    # true orphan: age-gate against in-flight commits
+                    try:
+                        age_ms = (now_s - os.path.getmtime(full)) * 1000
+                    except FileNotFoundError:
+                        continue
+                    if age_ms < orphan_grace_ms:
+                        continue
+                os.remove(full)
+                deleted += 1
         # Manifest-list sidecars referenced by no retained entry —
         # expired snapshots' lists plus crash/race orphans.
         mdir = os.path.join(self._log_path, _MANIFESTS_DIR)

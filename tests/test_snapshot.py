@@ -163,7 +163,7 @@ def test_crashed_commit_is_invisible_and_gc_able(spark, tmp_path, nations):
     assert t.latest_version() == 1
     assert t.read().count() == nations.count()
     # ...only orphan data files, which expiry garbage-collects.
-    stats = t.expire_snapshots(keep_last=1)
+    stats = t.expire_snapshots(keep_last=1, orphan_grace_ms=0)
     assert stats["deleted_files"] > 0
     assert t.read().count() == nations.count()
 
@@ -2417,3 +2417,171 @@ def test_pyds_filter_pushdown_prunes_files(spark, tmp_path):
         spark.read.format("snapshot").load(t.path).filter("k > 10000").count()
         == 0
     )
+
+
+# -- r6 review-finding regressions ------------------------------------------
+
+
+def test_expire_keep_last_zero_keeps_head(spark, tmp_path, nations):
+    """keep_last=0 must never wipe the head: the docstring promises
+    head retention under ANY rule (r6 fix)."""
+    t = _table(spark, tmp_path)
+    t.create(nations)
+    t.append(nations.limit(3))
+    res = t.expire_snapshots(keep_last=0, orphan_grace_ms=0)
+    assert res["expired_snapshots"] == 1
+    assert t.versions() == [2]
+    assert t.read().count() == nations.count() + 3
+
+
+def test_orphan_grace_protects_inflight_staged_files(
+    spark, tmp_path, nations
+):
+    """A freshly staged (uncommitted) file is indistinguishable from
+    crash debris — with the default grace it must SURVIVE expiry (it
+    may be a commit in flight); a back-dated orphan is reaped."""
+    t = _table(spark, tmp_path)
+    t.create(nations)
+    staged = t._stage(nations.limit(2).coalesce(1))
+    res = t.expire_snapshots(keep_last=1)  # default 3-day grace
+    assert res["deleted_files"] == 0
+    for f in staged:
+        assert os.path.exists(os.path.join(t._data_path, f))
+    old = os.path.join(t._data_path, staged[0])
+    os.utime(old, (1000, 1000))  # simulate ancient crash debris
+    res2 = t.expire_snapshots(keep_last=1)
+    assert res2["deleted_files"] == 1
+    assert not os.path.exists(old)
+
+
+def test_wap_branch_respects_constraints(spark, tmp_path, nations):
+    """clone carries CHECK constraints and cherry_pick enforces the
+    target's constraints — the WAP flow must not be a constraint
+    bypass (r6 fix)."""
+    from lakehouse_homeserver_spark.sources.snapshot import (
+        ConstraintViolation,
+    )
+
+    t = _table(spark, tmp_path)
+    t.create(nations)
+    t.add_constraint("keypos", "n_nationkey >= 0")
+    branch = t.clone(str(tmp_path / "branch"))
+    # the clone inherited the constraint: a bad branch append fails
+    bad = nations.limit(1).withColumn(
+        "n_nationkey", (F.col("n_nationkey") * 0 - 5).cast("int")
+    )
+    with pytest.raises(ConstraintViolation):
+        branch.append(bad)
+    # constraint-free branch (pre-fix shape): publish must still gate
+    rogue = _table(spark, tmp_path / "rogue")
+    rogue.create(nations.limit(1))
+    rogue.append(bad)
+    with pytest.raises(ConstraintViolation):
+        t.cherry_pick(rogue)
+    # a clean branch append still publishes
+    good = nations.limit(2).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 100
+    )
+    branch.append(good)
+    t.cherry_pick(branch)
+    assert t.read().count() == nations.count() + 2
+
+
+def test_bloom_config_survives_metadata_commits(spark, tmp_path, nations):
+    """bloom.columns must persist through _commit_manifest commits
+    (add_constraint here): a fresh handle appending afterwards still
+    builds blooms (r6 fix)."""
+    t = _table(spark, tmp_path)
+    t.with_bloom_filters("n_nationkey").create(nations.coalesce(1))
+    t.add_constraint("pos", "n_nationkey >= 0")
+    head_props = t.entry(t.latest_version())["properties"]
+    assert head_props.get("bloom.columns") == ["n_nationkey"]
+    fresh = _table(spark, tmp_path)  # new handle, no with_bloom_filters
+    fresh.append(nations.limit(3).coalesce(1))
+    e = fresh.entry(fresh.latest_version())
+    added = e["added"][0]
+    assert "n_nationkey" in e["blooms"][added]
+
+
+def test_bloom_probe_matches_across_numeric_types(spark, tmp_path):
+    """A double column probed with an int literal (and vice versa)
+    must still bloom-HIT — str()-canonical single-form probing
+    returned definite-no and unsoundly pruned matching files
+    (r6 fix)."""
+    from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "px"))
+    df = spark.range(10).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 1.0).alias("price"),
+    )
+    t.with_bloom_filters("price", "k").create(df.coalesce(1))
+    # int probe on double column: file must be KEPT
+    assert t.prune_files_equals("price", 5) == t.entry(1)["manifest"]
+    # float probe on long column: file must be KEPT
+    assert t.prune_files_equals("k", 5.0) == t.entry(1)["manifest"]
+    # rows actually come back through the pruned scan
+    assert t.scan_equals("price", 5).count() == 1
+    assert t.scan_equals("k", 5.0).count() == 1
+
+
+def test_overwrite_partitions_handles_null_partition(spark, tmp_path):
+    """NULL is a real partition value (the Hive default partition):
+    restating it must replace the old NULL rows, not crash (single
+    col) or silently duplicate them (multi col) — r6 fix."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("part", StringType()),
+            StructField("grp", IntegerType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+    rows = [("a", 1, 1), ("a", 2, 2), (None, 1, 3), ("b", 1, 4)]
+    t = _table(spark, tmp_path)
+    t.create(spark.createDataFrame(rows, schema))
+    t.set_partition_spec(["part"])
+    restated = spark.createDataFrame(
+        [("a", 1, 10), (None, 1, 30)], schema
+    )
+    t.overwrite_partitions(restated)
+    got = sorted(
+        ((r.part, r.grp, r.v) for r in t.read().collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert got == [("a", 1, 10), ("b", 1, 4), (None, 1, 30)]
+    # multi-column spec: NULL in one spec column
+    t2 = _table(spark, tmp_path / "m")
+    t2.create(spark.createDataFrame(rows, schema))
+    t2.set_partition_spec(["part", "grp"])
+    t2.overwrite_partitions(
+        spark.createDataFrame([(None, 1, 99)], schema)
+    )
+    got2 = sorted(
+        ((r.part, r.grp, r.v) for r in t2.read().collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert got2 == [("a", 1, 1), ("a", 2, 2), ("b", 1, 4), (None, 1, 99)]
+
+
+def test_incremental_read_raises_on_expired_range(spark, tmp_path, nations):
+    """added_between/changes_between must raise when a snapshot
+    inside the requested range was expired — silently omitting its
+    rows permanently loses data downstream (r6 fix)."""
+    t = _table(spark, tmp_path)
+    t.create(nations.limit(2))
+    t.append(nations.limit(3))
+    t.append(nations.limit(4))
+    t.expire_snapshots(keep_last=1, orphan_grace_ms=0)  # v1, v2 gone
+    with pytest.raises(ValueError, match="expired"):
+        t.added_between(0)
+    with pytest.raises(ValueError, match="expired"):
+        t.changes_between(1)
+    # a range entirely inside retained history still works
+    assert t.added_between(2, 3).count() == 4
