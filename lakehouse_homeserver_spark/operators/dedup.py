@@ -117,6 +117,43 @@ def k1_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # K2 — near-dup: exact Jaccard within a blocking key
 # ---------------------------------------------------------------------------
 
+def _vocab_bitmask(toks: DataFrame):
+    """Shared dictionary-bitmask kernel (k2_ngram_jaccard /
+    k2_containment_pairs): probe whether the corpus vocabulary fits
+    63 bits (ONE limit(64) driver probe instead of one per caller),
+    and if so attach a `mask` long per doc so set intersection is
+    `bit_count(maskA & maskB)` — 3 codegen instructions per pair
+    instead of a string-array intersect. Returns (fits, masked_toks);
+    when the vocab exceeds 63 tokens, masked_toks is the input
+    unchanged and callers take their documented large-vocab path.
+
+    <= 63 (not 64): bit index 63 would emit 1 << 63 as a Python int
+    literal, which overflows Spark's signed long at expression-build
+    time; the sign bit is simply left unused."""
+    vocab = [
+        r.t
+        for r in toks.select(F.explode("tokens").alias("t"))
+        .distinct()
+        .limit(64)
+        .collect()
+    ]
+    if len(vocab) > 63:
+        return False, toks
+    bit = dict(zip(sorted(vocab), range(len(vocab))))
+    mask_map = F.create_map(
+        *[x for t, i in bit.items() for x in (F.lit(t), F.lit(1 << i))]
+    )
+    return True, toks.withColumn(
+        "mask",
+        F.aggregate(
+            F.transform("tokens", lambda t: F.element_at(mask_map, t)),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc.bitwiseOR(m),
+        ),
+    )
+
+
+
 @query(
     "k2_ngram_jaccard",
     oracle=f"""
@@ -136,7 +173,9 @@ def k1_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - len(list_intersect(a.tokens, b.tokens))) >= 0.8
     """,
 )
-def k2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k2_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, require_exact: bool = False
+) -> DataFrame:
     """Exact token-set Jaccard ≥ 0.8 within a `source` block (SURVEY K2).
 
     The block join is an equi-join on the blocking key — the pair
@@ -169,10 +208,6 @@ def k2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_distinct(F.split(norm_text(F.col("text")), " ")).alias("tokens"),
     ).withColumn("n_tok", F.size("tokens"))
-    vocab = [
-        r.t
-        for r in toks.select(F.explode("tokens").alias("t")).distinct().limit(64).collect()
-    ]
 
     size_ok = (F.col("a.n_tok") * 5 >= F.col("b.n_tok") * 4) & (
         F.col("b.n_tok") * 5 >= F.col("a.n_tok") * 4
@@ -181,28 +216,26 @@ def k2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id") < F.col("b.doc_id")
     )
 
-    # ≤ 63 (not 64): bit index 63 would emit 1 << 63 as a Python int
-    # literal, which overflows Spark's signed long at expression-build
-    # time; the sign bit is simply left unused.
-    if len(vocab) > 63:
+    fits, toks = _vocab_bitmask(toks)
+    if not fits:
         # Unbounded vocabulary: the source block is no longer a safe
         # unit of work (one dominant source → O(block²) pairs at
         # 100 TB). Switch to MinHash-band blocking with the same
-        # exact-Jaccard verification (VERDICT r1 item 5).
+        # exact-Jaccard verification (VERDICT r1 item 5) — LSH-recall,
+        # NOT exhaustive, so consumers whose contract is the exact
+        # pair set (verified_pairs and the graph family whose oracles
+        # recompute it exhaustively) must pass require_exact=True and
+        # fail loudly here instead of silently diverging from their
+        # oracles (r6 review finding).
+        if require_exact:
+            raise ValueError(
+                "corpus vocabulary exceeds the 63-token exact-kernel "
+                "bound; the exhaustive pair contract cannot be met — "
+                "use the LSH path (require_exact=False) and an "
+                "s-curve-aware consumer"
+            )
         return _banded_jaccard_pairs(toks, threshold=0.8)
 
-    bit = dict(zip(sorted(vocab), range(len(vocab))))
-    mask_map = F.create_map(
-        *[x for t, i in bit.items() for x in (F.lit(t), F.lit(1 << i))]
-    )
-    toks = toks.withColumn(
-        "mask",
-        F.aggregate(
-            F.transform("tokens", lambda t: F.element_at(mask_map, t)),
-            F.lit(0).cast("long"),
-            lambda acc, m: acc.bitwiseOR(m),
-        ),
-    )
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
     union = F.col("a.n_tok") + F.col("b.n_tok") - inter
@@ -312,8 +345,17 @@ def _banded_jaccard_pairs(
         F.col("tokens").alias("tok_b"),
         F.col("n_tok").alias("nb"),
     )
-    size_ok = (F.col("na") * 5 >= F.col("nb") * 4) & (
-        F.col("nb") * 5 >= F.col("na") * 4
+    # Size prefilter derived from THE CALLER'S threshold as exact
+    # integer arithmetic (J(A,B) <= min/max sizes): the r5 version
+    # hardcoded tau=0.8's 5/4 ratio, so any other threshold silently
+    # dropped true pairs beyond the documented LSH recall loss
+    # (r6 review finding).
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+    size_ok = (F.col("na") * den >= F.col("nb") * num) & (
+        F.col("nb") * den >= F.col("na") * num
     )
     inter = F.size(F.array_intersect("tok_a", "tok_b"))
     union = F.col("na") + F.col("nb") - inter
@@ -655,7 +697,14 @@ def k2_simhash_near_pairs(
     oracle scale, and any banding bug (missed band, wrong mask) shows
     up as a missing row.
     """
-    assert max_hamming < 6, "banding guarantee requires max_hamming < bands"
+    if max_hamming >= 6:
+        # NOT an assert: under python -O an assert vanishes and the
+        # banding pigeonhole silently stops being complete — the op
+        # would return a quietly-partial pair set (r6 review finding).
+        raise ValueError(
+            "banding guarantee requires max_hamming < bands (6): "
+            f"got {max_hamming}"
+        )
     # cache: the fingerprint agg (explode + 60-column bit sums) feeds
     # BOTH sides of the self-join; without it the whole pipeline runs
     # twice (ReusedExchange doesn't fire across the band explode).
@@ -883,7 +932,16 @@ def k8_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_shingles_from_tokens(F.col("tk"), 5)).alias("gram"),
     )
     hs = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
-    ev = grams.filter(F.col("doc_id") % 29 == 0).select("gram").distinct()
+    # The eval gram set is consumed THREE times (sizing count, bloom
+    # build, exact-contamination semi-join) and each lazy use re-ran
+    # the corpus-wide tokenize+shingle+explode behind it (r6 review
+    # finding); it is eval-set-sized, so materialize it once.
+    ev = (
+        grams.filter(F.col("doc_id") % 29 == 0)
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_ev = ev.count()  # eval-set-sized driver scalar — sizes the filter
     m = _BLOOM_BITS_PER_GRAM * max(n_ev, 16)
 
@@ -1007,17 +1065,35 @@ def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from (VERDICT r2 next-round #7).
     """
     import os
-    import tempfile
 
     from ..sources.snapshot import SnapshotTable
+    from .acid import _build_fixture_once, _source_fingerprint
 
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIRS_MEMO.get(key)
     if df is None:
-        root = tempfile.mkdtemp(prefix="dup-pairs-")
-        t = SnapshotTable(spark, os.path.join(root, "verified_pairs"))
-        t.create(k2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
-        df = t.read()
+        # Content-fingerprinted fixed path (the a50 pattern) instead
+        # of a leaked per-process mkdtemp (r6 review finding): the
+        # ~9 s derivation is shared ACROSS processes, regenerated
+        # datasets rebuild, fixture_janitor knows the prefix, and the
+        # flock serializes the two-threads-race the old memo had.
+        sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        tag = f"duppairs-{sf_tag}-{_source_fingerprint(sf_dir, 'documents')}"
+        base = f"/tmp/lakehouse-{tag}/verified_pairs"
+
+        def build() -> None:
+            t = SnapshotTable(spark, base)
+            # require_exact: the graph consumers' oracles recompute
+            # the EXHAUSTIVE pair set — an LSH-recall subset must
+            # fail loudly, not certify quietly wrong (r6 review).
+            t.create(
+                k2_ngram_jaccard(spark, sf_dir, require_exact=True).select(
+                    "doc_a", "doc_b"
+                )
+            )
+
+        _build_fixture_once(base, tag, build)
+        df = SnapshotTable(spark, base).read()
         _PAIRS_MEMO[key] = df
     return df
 
@@ -1247,9 +1323,6 @@ def k1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SUBSTR_L = 8          # tokens per rolling window
-_POS_ENC = 1 << 20    # (doc_id, pos) -> one orderable bigint; docs are
-#                       bounded far below 2^20 tokens (fixture max ~10^3;
-#                       at 100 TB shard docs longer than 1M tokens first)
 
 
 @query(
@@ -1265,12 +1338,12 @@ _POS_ENC = 1 << 20    # (doc_id, pos) -> one orderable bigint; docs are
       FROM sized, UNNEST(range(n_tokens - {SUBSTR_L} + 1)) AS t(i)
       WHERE n_tokens >= {SUBSTR_L}
     ), canon AS (
-      SELECT h, MIN(doc_id * {_POS_ENC} + pos) AS ck, COUNT(*) AS occ
+      SELECT h, MIN(ROW(doc_id, pos)) AS ck, COUNT(*) AS occ
       FROM grams GROUP BY h
     ), dup AS (
       SELECT g.doc_id, g.pos
       FROM grams g JOIN canon c USING (h)
-      WHERE c.occ > 1 AND g.doc_id * {_POS_ENC} + g.pos <> c.ck
+      WHERE c.occ > 1 AND ROW(g.doc_id, g.pos) <> c.ck
     ), flagged AS (
       SELECT doc_id, pos,
              CASE WHEN MAX(pos + {SUBSTR_L}) OVER w IS NULL
@@ -1350,7 +1423,13 @@ def k1_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    enc = F.col("doc_id") * _POS_ENC + F.col("pos")
+    # Canonical occurrence = lexicographic MIN of (doc_id, pos) as a
+    # STRUCT — the r5 integer encoding doc_id*2^20+pos silently
+    # wrapped signed-64 for doc_id >= 2^43 (snowflake/hash-derived
+    # ids), corrupting the canonical choice exactly where DuckDB's
+    # checked BIGINT would error instead (r6 review finding). Struct
+    # ordering is overflow-free at any id range; both engines use it.
+    enc = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
     canon = (
         grams.groupBy("h")
         .agg(F.min(enc).alias("ck"), F.count(F.lit(1)).alias("occ"))
@@ -1358,7 +1437,10 @@ def k1_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = (
         grams.join(canon, "h")
-        .filter(enc != F.col("ck"))
+        .filter(
+            (F.col("doc_id") != F.col("ck.d"))
+            | (F.col("pos") != F.col("ck.p"))
+        )
         .select("doc_id", "pos")
     )
     wprev = (
@@ -1991,36 +2073,16 @@ def k2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.n_tok") <= F.col("b.n_tok"))
         & (F.col("b.n_tok") * 10 >= F.col("a.n_tok") * 9)
     )
-    vocab = [
-        r.t
-        for r in toks.select(F.explode("tokens").alias("t"))
-        .distinct()
-        .limit(64)
-        .collect()
-    ]
-    if len(vocab) <= 63:
-        # Same dictionary-bitmask kernel as k2_ngram_jaccard:
-        # intersection = bit_count(maskA & maskB), 3 codegen
-        # instructions per pair instead of a string-array intersect
-        # (measured 15.2 s → see below on the 370k-pair sf0.1 output).
-        bit = dict(zip(sorted(vocab), range(len(vocab))))
-        mask_map = F.create_map(
-            *[x for t, i in bit.items() for x in (F.lit(t), F.lit(1 << i))]
-        )
-        toks = toks.withColumn(
-            "mask",
-            F.aggregate(
-                F.transform("tokens", lambda t: F.element_at(mask_map, t)),
-                F.lit(0).cast("long"),
-                lambda acc, m: acc.bitwiseOR(m),
-            ),
-        )
-        a, b = toks.alias("a"), toks.alias("b")
+    fits, toks = _vocab_bitmask(toks)
+    a, b = toks.alias("a"), toks.alias("b")
+    if fits:
+        # Shared kernel: intersection = bit_count(maskA & maskB),
+        # 3 codegen instructions per pair (measured 15.2 s → 8.0 s on
+        # the 370k-pair sf0.1 output).
         inter = F.bit_count(
             F.col("a.mask").bitwiseAND(F.col("b.mask"))
         ).cast("double")
     else:  # pragma: no cover - fixture vocab is 31 tokens
-        a, b = toks.alias("a"), toks.alias("b")
         inter = F.size(
             F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))
         ).cast("double")
@@ -2224,9 +2286,15 @@ def k2_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+    # No broadcast HINT on the shingle-frequency table: at corpus
+    # scale the distinct-shingle table is itself corpus-sized and a
+    # forced broadcast would collect it to the driver (r6 review
+    # finding). AQE broadcasts it at runtime whenever its MEASURED
+    # size is small (it is, on every fixture), and falls back to a
+    # shingle-keyed hash join when it is not — the documented design.
     ordered = (
         sets.select("doc_id", "n_tok", F.explode("tokens").alias("t"))
-        .join(F.broadcast(freq), "t")
+        .join(freq, "t")
         .groupBy("doc_id", "n_tok")
         .agg(
             F.transform(

@@ -35,9 +35,10 @@ _MODULES = []
 #       hash), and the r6 ADVICE fixes: a50 (fingerprinted fixture
 #       tag), the awaitTermination-hardened streaming certs
 #       (i7-i10, a29, a30);
-#   (c) fresh verdicts for the r5 perf-weak ts_rollup_day_hour and
-#       the r5-redesigned k3_semdedup (stability re-confirmation).
-# Section (c) holds the three r6-added queries themselves.
+#   (c) the three r6-added queries themselves (i12, a56,
+#       ts_value_spikes). The r5 perf-weak ts_rollup_day_hour cleared
+#       on the median-of-3 re-measure (BASELINE.md r6), so it gave up
+#       its slot to an edited query.
 PRIORITY: tuple[str, ...] = (
     # (a) never-driver-sampled — the road to 253/253
     "a52_catalog_persistence",
@@ -80,23 +81,24 @@ PRIORITY: tuple[str, ...] = (
     "a29_stream_cdc_view",
     "a30_stream_upsert_totals",
     "a47_rest_catalog",
-    # (b-cont.) ACID certs whose code paths the r6 snapshot-layer
-    # review fixes touched (expire grace/head-guard, WAP constraint
-    # gate, incremental-range contiguity, partition-overwrite NULLs,
-    # CoW row-count arithmetic, bloom property inheritance)
+    # (b-cont.) certs whose code paths the r6 review fixes touched.
+    # Slots are finite (50): result-identical CHECK-only edits (a16/
+    # a25 contiguity guard, a22 constraint gate on a constraint-free
+    # fixture, a35 non-NULL path, the verified-pairs consumer
+    # k9_triangle_count) hold local parity and defer
+    # to r7; queries whose own bodies changed re-sample now.
     "a33_expire_orphans",
-    "a22_wap_publish",
-    "a16_incremental_read",
-    "a25_change_feed",
-    "a35_partition_overwrite",
     "a19_delete_where",
+    "k2_ngram_jaccard",
+    "k1_substr_dedup",
+    "k8_bloom_decontaminate",
+    "k2_ppjoin",
+    "k2_dup_clusters",
+    "k9_cc_bigstar",
     # (c) new r6 certs
     "i12_stateful_session_timeout",
     "a56_catalog_resolved_scan",
     "ts_value_spikes",
-    # (d) stability re-confirmations
-    "ts_rollup_day_hour",
-    "k3_semdedup",
 )
 
 

@@ -57,18 +57,28 @@ FIXED = {
 }
 
 
-def live_tstravel_tags() -> set[str]:
-    """The tstravel dir names the CURRENT testdata would produce."""
+# fingerprinted per-SF families: prefix -> source table the
+# fingerprint derives from
+FINGERPRINTED = {
+    "lakehouse-tstravel-": "orders",  # a50 timestamp travel
+    "lakehouse-duppairs-": "documents",  # verified near-dup pair table
+}
+
+
+def live_fingerprinted_tags() -> set[str]:
+    """Dir names the CURRENT testdata would produce for every
+    fingerprinted family."""
     out = set()
     for sf_dir in SF_DIRS:
         sf = os.path.basename(sf_dir.rstrip("/"))
-        out.add(f"lakehouse-tstravel-{sf}-{_source_fingerprint(sf_dir, 'orders')}")
+        for prefix, table in FINGERPRINTED.items():
+            out.add(f"{prefix}{sf}-{_source_fingerprint(sf_dir, table)}")
     return out
 
 
 def main() -> None:
     dry = "--dry-run" in sys.argv
-    live = FIXED | live_tstravel_tags()
+    live = FIXED | live_fingerprinted_tags()
     kept, removed, unknown = [], [], []
     for name in sorted(os.listdir(TMP)):
         if not name.startswith("lakehouse-"):
@@ -77,15 +87,16 @@ def main() -> None:
         if name in live:
             kept.append(path)
             continue
-        # tstravel fixtures are keyed by sf-basename + content
+        # Fingerprinted families are keyed by sf-basename + content
         # fingerprint: only remove ones whose BASENAME we actually
         # scanned (their fingerprint mismatched => stale) or whose
         # name predates the fingerprint scheme (no trailing -<10hex>).
         # A fixture built from an sf_dir this run doesn't know about
         # (other SPARK_GRAFT_SF_DIR, a concurrent process) is LIVE to
         # someone else — leave it and report it.
-        if name.startswith("lakehouse-tstravel-"):
-            rest = name[len("lakehouse-tstravel-") :]
+        fam = next((f for f in FINGERPRINTED if name.startswith(f)), None)
+        if fam is not None:
+            rest = name[len(fam) :]
             scanned = {
                 os.path.basename(d.rstrip("/")) for d in SF_DIRS
             }
