@@ -226,7 +226,11 @@ def k3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .distinct()
+        # no distinct: a corpus vector lives in exactly ONE bucket and
+        # the probe buckets (bucket xor distinct single bits) are
+        # pairwise distinct, so a (query, neighbor) pair can match at
+        # most one probe — the dedup was a full extra shuffle of the
+        # candidate set for identical rows (r6 review finding).
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
@@ -305,7 +309,8 @@ def k3_embedding_near_dup(
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .distinct()
+        # no distinct: one bucket per vector means each (a, b) pair
+        # joins at most once (same argument as k3_knn_lsh).
     )
 
 
@@ -315,19 +320,6 @@ def k3_embedding_near_dup(
 
 N_LIST = 16  # coarse clusters
 N_PROBE = 4  # clusters searched per query
-
-
-def _sq_dist(a, b) -> F.Column:
-    """Squared L2 distance between two array<float|double> columns."""
-    return F.aggregate(
-        F.zip_with(
-            F.transform(a, lambda x: x.cast("double")),
-            F.transform(b, lambda x: x.cast("double")),
-            lambda x, c: (x - c) * (x - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def _nearest_clusters(emb_col: str, centroids: list[list[float]], n: int) -> F.Column:
@@ -368,6 +360,18 @@ def _nearest_clusters(emb_col: str, centroids: list[list[float]], n: int) -> F.C
     )
 
 
+def _safe_norms(M: "np.ndarray") -> "np.ndarray":
+    """Row L2 norms with zero mapped to 1.0: a zero embedding would
+    otherwise turn its normalized row into NaNs (numpy only warns)
+    and the NaN poisons every downstream distance/argmin (r6 review
+    finding). Dividing a zero row by 1.0 leaves it zero — a
+    deterministic, order-stable representative."""
+    import numpy as np
+
+    norms = np.sqrt((M * M).sum(axis=1))[:, None]
+    return np.where(norms == 0.0, 1.0, norms)
+
+
 def ivf_train(
     spark: SparkSession,
     corpus: DataFrame,
@@ -375,6 +379,7 @@ def ivf_train(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means for the IVF coarse quantizer, distributed.
 
@@ -389,7 +394,8 @@ def ivf_train(
     sample; only the final assignment must touch every vector), so
     training cost is O(nlist·sample), independent of corpus size.
     """
-    n = corpus.count()
+    if n is None:
+        n = corpus.count()
     every = max(1, n // (256 * nlist))
     train = (
         corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(every)) == 0)
@@ -447,8 +453,14 @@ def k3_knn_ivf(
     ~nprobe/nlist of the corpus. With nprobe == nlist the result is
     exactly brute force (property test); approximate → no SQL oracle.
     """
+    from ..sources.registry import table_row_count
+
     e = T(spark, sf_dir, "embeddings")
-    centroids = ivf_train(spark, e, nlist=nlist)
+    # footer-probe row count: saves a corpus-wide count job per build
+    # (r6 review finding)
+    centroids = ivf_train(
+        spark, e, nlist=nlist, n=table_row_count(sf_dir, "embeddings")
+    )
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
@@ -705,6 +717,11 @@ def k3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 score = lam * rel[cid] - mu * maxsim if selected else lam * rel[cid]
                 if best_score is None or score > best_score:
                     best_id, best_score = cid, score
+            if best_id is None:
+                # pool smaller than MMR_K: the oracle's pick CTEs
+                # simply go empty — emitting (qid, rank, NULL) rows
+                # here diverged from it (r6 review finding).
+                break
             selected.append(best_id)
             out.append((qid, rank, best_id, best_score))
         return pd.DataFrame(
@@ -742,7 +759,8 @@ def _spark_proj_expr(j: int) -> str:
     return (
         f"aggregate(zip_with(embedding, array({signs}),"
         " (a, b) -> CAST(a AS DOUBLE) * b),"
-        " CAST(0 AS DOUBLE), (acc, x) -> acc + x) / sqrt(8.0)"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        f" / sqrt({float(PROJ_DIMS)})"
     )
 
 
@@ -750,7 +768,8 @@ def _duck_proj_expr(j: int) -> str:
     signs = ", ".join(f"{s:.1f}" for s in _proj_signs(j))
     return (
         f"list_sum(list_transform(list_zip(embedding, [{signs}]),"
-        " x -> CAST(x[1] AS DOUBLE) * x[2])) / sqrt(8.0)"
+        " x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        f" / sqrt({float(PROJ_DIMS)})"
     )
 
 
@@ -802,17 +821,19 @@ def k3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng AS (
       SELECT vec_id, label, e,
              list_min(e) AS mn,
-             (list_max(e) - list_min(e)) / 255.0 AS scale
+             (list_max(e) - list_min(e)) / 255.0 AS scale,
+             CASE WHEN list_max(e) = list_min(e) THEN 1.0
+                  ELSE (list_max(e) - list_min(e)) / 255.0 END AS sdiv
       FROM v
     )
     SELECT vec_id, label,
            ROUND(mn, 6) AS mn,
            ROUND(scale, 6) AS scale,
            CAST(list_sum(list_transform(e,
-                x -> CAST(FLOOR((x - mn) / scale + 0.5) AS BIGINT)))
+                x -> CAST(FLOOR((x - mn) / sdiv + 0.5) AS BIGINT)))
              AS BIGINT) AS code_sum,
            list_max(list_transform(e,
-                x -> abs(x - (mn + FLOOR((x - mn) / scale + 0.5) * scale))))
+                x -> abs(x - (mn + FLOOR((x - mn) / sdiv + 0.5) * scale))))
              <= scale * 0.5000001 AS within_half_step
     FROM rng
     """,
@@ -847,8 +868,17 @@ def k3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e",
         F.array_min("e").alias("mn"),
         ((F.array_max("e") - F.array_min("e")) / 255.0).alias("scale"),
+        # Constant vectors (max == min) give scale 0: dividing by it
+        # NULLs every code in Spark but hard-errors in DuckDB's cast
+        # (r6 review finding). A unit divisor maps them to code 0 and
+        # an exact dequant (mn + 0*scale = mn) in BOTH engines.
+        F.when(
+            F.array_max("e") == F.array_min("e"), F.lit(1.0)
+        ).otherwise(
+            (F.array_max("e") - F.array_min("e")) / 255.0
+        ).alias("sdiv"),
     )
-    code = "CAST(FLOOR((x - mn) / scale + 0.5) AS BIGINT)"
+    code = "CAST(FLOOR((x - mn) / sdiv + 0.5) AS BIGINT)"
     return v.select(
         "vec_id",
         "label",
@@ -860,7 +890,7 @@ def k3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("code_sum"),
         F.expr(
             "array_max(transform(e,"
-            " x -> abs(x - (mn + FLOOR((x - mn) / scale + 0.5) * scale))))"
+            " x -> abs(x - (mn + FLOOR((x - mn) / sdiv + 0.5) * scale))))"
             " <= scale * 0.5000001"
         ).alias("within_half_step"),
     )
@@ -1226,6 +1256,11 @@ def k3_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError(
+            "k3_semdedup: embeddings table is empty — nothing to "
+            "deduplicate (clean-empty convention, r6 review)"
+        )
     cents = [(i + 1, list(r["q"])) for i, r in enumerate(seeds)]
     d = len(cents[0][1])
 
@@ -1280,10 +1315,18 @@ def k3_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in rows
         )
 
-    assigned = q.select("vec_id", "label", "embedding", "q").mapInPandas(
-        assign_kernel(cents, final=True),
-        "vec_id long, cluster long, label int, "
-        "embedding array<float>, csim double",
+    # persist: mapInPandas is a narrow transformation, so without it
+    # the corpus scan + quantize + numpy assignment kernel execute
+    # THREE times (both self-join sides and the final left join) —
+    # the dominant cost of the operator tripled (r6 review finding).
+    assigned = (
+        q.select("vec_id", "label", "embedding", "q")
+        .mapInPandas(
+            assign_kernel(cents, final=True),
+            "vec_id long, cluster long, label int, "
+            "embedding array<float>, csim double",
+        )
+        .persist()
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     removed = (
@@ -1410,7 +1453,7 @@ def k3_ivfpq_search(
     e = T(spark, sf_dir, "embeddings")
     n_corpus = table_row_count(sf_dir, "embeddings")
     shortlist_k = _adc_shortlist(n_corpus)
-    centroids = ivf_train(spark, e)
+    centroids = ivf_train(spark, e, n=n_corpus)
     sample = np.array(
         [
             r.embedding
@@ -1421,7 +1464,7 @@ def k3_ivfpq_search(
         ],
         dtype=np.float64,
     )
-    sample /= np.sqrt((sample * sample).sum(axis=1))[:, None]
+    sample /= _safe_norms(sample)
     cbs = _train_pq_codebooks(sample)  # PQ_M × PQ_K × PQ_SUB
 
     # -- index: cluster id (JVM expression) + PQ codes (numpy kernel)
@@ -1435,7 +1478,7 @@ def k3_ivfpq_search(
             # agrees with the final metric (the FAISS METRIC_INNER_
             # PRODUCT-on-normalized-vectors convention). Skipping this
             # measurably halves shortlist recall on the fixture.
-            E /= np.sqrt((E * E).sum(axis=1))[:, None]
+            E /= _safe_norms(E)
             out = {
                 "neighbor_id": pdf["vec_id"],
                 "cluster_id": pdf["cluster_id"],
@@ -1476,7 +1519,8 @@ def k3_ivfpq_search(
     luts = {}
     for r in qrows:
         qv = np.array(r.embedding, dtype=np.float64)
-        qv /= np.sqrt((qv * qv).sum())  # match the index normalization
+        qn = np.sqrt((qv * qv).sum())
+        qv /= qn if qn != 0.0 else 1.0  # match the index normalization
         lut = np.empty(PQ_M * PQ_K)
         for m in range(PQ_M):
             lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
@@ -1667,7 +1711,13 @@ def k3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver."""
     emb = T(spark, sf_dir, "embeddings")
     k, iters = 8, 3
-    d = len(emb.select("embedding").head()[0])
+    head = emb.select("embedding").head()
+    if head is None:
+        raise ValueError(
+            "k3_kmeans: embeddings table is empty — nothing to "
+            "cluster (clean-empty convention, r6 review)"
+        )
+    d = len(head[0])
     q = emb.select(
         "vec_id",
         F.transform(

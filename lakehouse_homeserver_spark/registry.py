@@ -82,11 +82,13 @@ PRIORITY: tuple[str, ...] = (
     "a30_stream_upsert_totals",
     "a47_rest_catalog",
     # (b-cont.) certs whose code paths the r6 review fixes touched.
-    # Slots are finite (50): result-identical CHECK-only edits (a16/
-    # a25 contiguity guard, a22 constraint gate on a constraint-free
-    # fixture, a35 non-NULL path, the verified-pairs consumer
-    # k9_triangle_count) hold local parity and defer
-    # to r7; queries whose own bodies changed re-sample now.
+    # Slots are finite (50): result-identical CHECK-only/efficiency
+    # edits (a16/a25 contiguity guard, a22 constraint gate on a
+    # constraint-free fixture, a35 non-NULL path, the verified-pairs
+    # consumer k9_triangle_count, k3_semdedup persist, k3_kmeans
+    # empty-guard, the ivf-family footer-count threading) hold local
+    # parity and defer to r7; queries whose own bodies changed
+    # re-sample now.
     "a33_expire_orphans",
     "a19_delete_where",
     "k2_ngram_jaccard",

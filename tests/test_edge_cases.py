@@ -149,3 +149,92 @@ def test_nation_is_sf_invariant():
         if os.path.exists(f"/root/testdata/sf{sf}/nation.parquet")
     }
     assert len(stats) == 1
+
+
+def test_semdedup_and_kmeans_on_empty_corpus_raise_cleanly(
+    spark, empty_sf_dir
+):
+    """r6 review: these two crashed with IndexError/TypeError on an
+    empty embeddings table instead of the module's clean-empty
+    ValueError convention (test_ivf_on_empty_corpus_raises_cleanly)."""
+    from lakehouse_homeserver_spark.operators.similarity import (
+        k3_kmeans,
+        k3_semdedup,
+    )
+
+    with pytest.raises(ValueError, match="empty"):
+        k3_semdedup(spark, empty_sf_dir)
+    with pytest.raises(ValueError, match="empty"):
+        k3_kmeans(spark, empty_sf_dir)
+
+
+def test_int8_quantize_constant_vector(spark, tmp_path):
+    """r6 review: a constant vector (max == min) made scale 0 —
+    Spark NULLed every code through non-ANSI x/0 while DuckDB's
+    checked cast errored. Both engines now map it to code 0 with an
+    exact dequant. Cross-checked against DuckDB on the same rows."""
+    import duckdb
+
+    from lakehouse_homeserver_spark.operators.similarity import (
+        QUERIES as SIM_QUERIES,
+        ORACLES as SIM_ORACLES,
+    )
+
+    d = str(tmp_path)
+    rows = [
+        (0, 0, [0.0] * 8),          # all-zero: max == min
+        (1, 1, [2.5] * 8),          # constant non-zero
+        (2, 0, [float(i) for i in range(8)]),  # normal spread
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = (
+        SIM_QUERIES["k3_int8_quantize"](spark, d)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert all(r.within_half_step for r in got)
+    assert got[0].code_sum == 0 and got[1].code_sum == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: (r[4], r[5])
+        for r in con.execute(
+            SIM_ORACLES["k3_int8_quantize"] + " ORDER BY vec_id"
+        ).fetchall()
+    }
+    for r in got:
+        assert oracle[r.vec_id] == (r.code_sum, r.within_half_step)
+
+
+def test_mmr_rerank_pool_smaller_than_k(spark, tmp_path):
+    """r6 review: a candidate pool smaller than MMR_K emitted
+    (rank, NULL, NULL) filler rows — the kernel must stop when the
+    pool exhausts, matching the oracle's empty pick CTEs."""
+    from lakehouse_homeserver_spark.operators.similarity import (
+        MMR_K,
+        QUERIES as SIM_QUERIES,
+    )
+
+    d = str(tmp_path)
+    rows = [  # 3 vectors -> pool of 2 per query (< MMR_K)
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [0.9, 0.1, 0.0, 0.0]),
+        (2, 1, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = SIM_QUERIES["k3_mmr_rerank"](spark, d).collect()
+    assert got, "tiny pool must still emit picks"
+    assert all(r.vec_id is not None and r.score is not None for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.sel_rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= MMR_K
