@@ -85,6 +85,14 @@ def k4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+# one constant, interpolated into BOTH engine texts (the LANG_MARKERS
+# pattern) so the two stopword lists cannot drift apart (r6 review).
+_QUALITY_STOPWORDS_SQL = (
+    "[" + ",".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
+)
+
+
 @query(
     "k4_quality_score",
     oracle=f"""
@@ -95,7 +103,7 @@ def k4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              LEN(toks) AS n_words,
              CAST(LEN(list_filter(toks,
-                 x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                 x -> list_contains({_QUALITY_STOPWORDS_SQL}, x)))
                  AS DOUBLE) / LEN(toks) AS stopword_ratio,
              CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) AS ttr,
              CAST(CASE WHEN LENGTH(nt) BETWEEN 100 AND 5000 THEN 1.0
@@ -117,7 +125,7 @@ def k4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = norm_text(F.col("text"))
     toks = F.split(nt, " ")
     n_words = F.size(toks)
-    stop = F.array([F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is"]])
+    stop = F.array([F.lit(w) for w in QUALITY_STOPWORDS])
     stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
     stopword_ratio = stop_hits.cast("double") / n_words
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_words
@@ -173,7 +181,19 @@ def k4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker hits per language; argmax with a fixed tie-break order
     (en > fr > es > de > zh) so prediction is deterministic."""
     d = T(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(norm_text(F.col("text")), " "))
+    # Materialize the normalized token array ONCE (the k4_fingerprint
+    # CSE lesson): inlining norm_text+split into every marker score
+    # re-ran the normalization regex 19x per row in the optimized
+    # plan — measured 0.78 -> 0.31 s at sf0.1 (r6 review finding).
+    d = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(norm_text(F.col("text")), " ")).alias(
+            "toks"
+        ),
+    )
+    toks = F.col("toks")
+
     def marker_score(words):
         arr = F.array([F.lit(w) for w in words])
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
@@ -615,7 +635,8 @@ MD5_WEIGHT_SQL = (
     "k4_hashed_classifier",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, lang, string_split({SQL_NORM}, ' ') AS toks
+      SELECT doc_id, lang,
+             string_split(COALESCE({SQL_NORM}, ''), ' ') AS toks
       FROM documents
     ), f AS (
       SELECT doc_id, lang,
@@ -657,7 +678,10 @@ def k4_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the cosine-fold precedent); weights are 3-dp rationals.
     """
     d = T(spark, sf_dir, "documents")
-    toks = F.split(norm_text(F.col("text")), " ")
+    # COALESCE on both engine texts: NULL text diverged (DuckDB's
+    # NULL || [] is [] -> n_feats 0; Spark's size(concat(NULL,..))
+    # is NULL). '' tokenizes to [''] identically in both (r6 review).
+    toks = F.split(F.coalesce(norm_text(F.col("text")), F.lit("")), " ")
 
     def weight(t):
         return (
@@ -699,7 +723,13 @@ def _bpe_oracle() -> str:
     PageRank-oracle pattern): w0 = distinct words with counts and
     per-char symbol strings; each round counts adjacent symbol pairs
     weighted by word frequency, picks argmax (count DESC, pair ASC),
-    and applies the merge with the double-separator REPLACE trick."""
+    and applies the merge with the double-separator REPLACE trick.
+    A round whose pair supply DRIED UP (b{{i}} empty — degenerate or
+    tiny corpora) carries sym through unchanged: the scalar subquery
+    is NULL there and an unguarded REPLACE(sym, NULL, ...) would
+    NULL-poison every later round's vocabulary, returning NULL token
+    counts where Spark (which simply stops merging) returns real
+    ones (r6 review finding)."""
     parts = [
         f"""
     WITH w0 AS MATERIALIZED (
@@ -726,11 +756,12 @@ def _bpe_oracle() -> str:
       SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1)
     , w{i} AS MATERIALIZED (
       SELECT word, freq,
-             REPLACE(sym,
+             CASE WHEN (SELECT pair FROM b{i}) IS NULL THEN sym
+                  ELSE REPLACE(sym,
                '{_SEP}' || REPLACE((SELECT pair FROM b{i}), ' ',
                                    '{_SEP}{_SEP}') || '{_SEP}',
                '{_SEP}' || REPLACE((SELECT pair FROM b{i}), ' ', '')
-                        || '{_SEP}') AS sym
+                        || '{_SEP}') END AS sym
       FROM w{i - 1}
     )""")
     selects = " UNION ALL ".join(
@@ -819,7 +850,7 @@ def bpe_train(spark: SparkSession, sf_dir: str):
 @query("k4_bpe_train", oracle=_bpe_oracle())
 def k4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, distributed (SURVEY K4 ext.): learn the
-    first {BPE_ROUNDS} byte-pair merges from the corpus — the
+    first 8 (BPE_ROUNDS) byte-pair merges from the corpus — the
     vocabulary-construction stage every LLM data pipeline runs before
     token counting/packing. The algorithm is the textbook recurrence:
     count adjacent symbol pairs over the WORD-FREQUENCY table, merge
@@ -965,12 +996,12 @@ def mg_candidates_fn(batches):
 )
 def d14_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters by two-pass Misra-Gries (SURVEY D-ext):
-    every token whose frequency exceeds N/{HH_K}, with its EXACT
+    every token whose frequency exceeds N/HH_K (N/64), with its EXACT
     count. The scale problem this solves: a full token groupBy over a
     skewed 100 TB stream shuffles the whole stream; heavy hitters
     need only (a) a candidate pass — per-partition Misra-Gries with
-    {MG_COUNTERS} counters, a bounded-memory streaming kernel whose
-    union provably contains every global >N/{HH_K} item (the classic
+    MG_COUNTERS (128) counters, a bounded-memory streaming kernel whose
+    union provably contains every global >N/HH_K item (the classic
     MG guarantee survives sharding because a global heavy hitter is
     heavy in at least one shard's residual) — then (b) an exact
     recount of ONLY the candidate set via a broadcast semi-join.
@@ -1041,7 +1072,7 @@ _CMS_BUCKET_SQL = (
 )
 def d15_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (SURVEY D-ext, completing the mergeable-
-    sketch family: HLL → bitmap → CMS): {CMS_D}×{CMS_W} bucket sums
+    sketch family: HLL → bitmap → CMS): CMS_D×CMS_W (3×256) bucket sums
     built in ONE pass over the token stream — each row's buckets are
     partial-aggregated map-side, so the exchange carries ≤ D×W
     counter rows per partition regardless of stream size, and two
@@ -1177,7 +1208,7 @@ def k4_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — the principled replacement for hand-tuned quality
     heuristics when you have exemplar target data. Here the target
     is the corpus's own lang='en' slice (any exemplar set drops in);
-    features are unigrams hashed to {DSIR_BUCKETS} buckets
+    features are unigrams hashed to DSIR_BUCKETS (1024) buckets
     (the paper's hashed generative model), and the per-doc score is
     the mean add-one-smoothed log-likelihood ratio — keep docs with
     score > 0 (more target-like than raw-like), or importance-sample
@@ -1186,7 +1217,7 @@ def k4_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (the k4_unigram_lm_score shape): ONE corpus explode →
     one combiner-heavy bucket aggregate computing raw and target
     counts together (count_if rides the same pass) → the
-    {DSIR_BUCKETS}-row weight table broadcasts back onto the token
+    DSIR_BUCKETS-row weight table broadcasts back onto the token
     stream → one per-doc aggregate. Float contract: per-bucket log
     ratios are rounded to 6 dp and summed as DECIMAL(18,6)
     (order-free); the final mean is a single IEEE division.
@@ -1367,6 +1398,14 @@ def k4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha * unigram MLE when a bigram is unseen. The CCNet-style
     fluency filter one rung above `k4_unigram_lm_score`.
 
+    Honesty note (r6 review): with the model trained on the SAME
+    bigram stream it scores, every scored bigram exists in the model
+    by construction, so the backoff branch is exercised only when
+    the model is trained on a held-out corpus — the production
+    shape. Both engines carry the identical (currently-dormant)
+    branch, so swapping in a held-out `model` exercises it without
+    touching the scoring code.
+
     100 TB design: the bigram stream is generated positionally from
     the token array (explode of an index sequence — map-only, no
     self-join); the bigram/unigram model tables aggregate to
@@ -1411,7 +1450,13 @@ def k4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     ).cast("decimal(18,6)")
     scored = (
-        bi.join(F.broadcast(model), ["w1", "w2"], "left")
+        # no broadcast HINT: the distinct-bigram model grows with the
+        # corpus (Heaps-law sublinear but unbounded), and a hint
+        # overrides the threshold — AQE broadcasts it at runtime only
+        # while its MEASURED size is small, else a shuffled hash join
+        # (r6 review finding; matches the docstring's claimed
+        # fallback).
+        bi.join(model, ["w1", "w2"], "left")
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
         .crossJoin(F.broadcast(totals))

@@ -86,9 +86,13 @@ PRIORITY: tuple[str, ...] = (
     # edits (a16/a25 contiguity guard, a22 constraint gate on a
     # constraint-free fixture, a35 non-NULL path, the verified-pairs
     # consumer k9_triangle_count, k3_semdedup persist, k3_kmeans
-    # empty-guard, the ivf-family footer-count threading) hold local
-    # parity and defer to r7; queries whose own bodies changed
-    # re-sample now.
+    # empty-guard, the ivf-family footer-count threading, and the
+    # text-family r6 edits — k4_lang_id CSE materialization,
+    # k4_quality_score constant hoist, k4_hashed_classifier NULL-text
+    # coalesce, k4_bpe_token_count oracle dry-merge guard,
+    # k4_bigram_lm_score hint drop — all fixture-result-identical)
+    # hold local parity and defer to r7; queries whose own bodies
+    # changed re-sample now.
     "a33_expire_orphans",
     "a19_delete_where",
     "k2_ngram_jaccard",
