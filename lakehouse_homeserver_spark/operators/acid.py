@@ -1434,13 +1434,38 @@ def a37_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror's Spark side never wrote.
 _XENGINE_ORACLE_BASE = "/tmp/lakehouse-xengine/nation"
 
+# Single registry of every persistent /tmp fixture family (ADVICE r6:
+# the janitor's hardcoded lists silently deleted any family added
+# without updating them — now scripts/fixture_janitor.py IMPORTS this
+# registry, so registering a family here is the one required step).
+# Fixed families: SF-invariant content at one fixed dir each.
+# Fingerprinted families: per-SF dirs named
+# `<prefix><sf_basename>-<content_fingerprint>`; value = the source
+# table whose _source_fingerprint keys staleness.
+FIXTURE_FAMILIES_FIXED = {
+    "lakehouse-fixture-locks",  # flock files for _build_fixture_once
+    "lakehouse-xengine",  # a41 cross-engine table
+    "lakehouse-restcat",  # a47/a56 REST-served table
+    "lakehouse-pyds",  # a49 round-trip table
+    "lakehouse-pydspush",  # a54 pushdown table
+    "lakehouse-sqlcat",  # a52 sqlite catalog + table
+}
+FIXTURE_FAMILIES_FINGERPRINTED = {
+    "lakehouse-tstravel-": "orders",  # a50 timestamp travel
+    "lakehouse-duppairs-": "documents",  # verified near-dup pair table
+}
+
 
 def _source_fingerprint(sf_dir: str, table: str) -> str:
     """Short content fingerprint of one source table's parquet files
     (names + sizes + mtimes — driver-side stat only, no Spark job).
     Folded into persistent-fixture tags so a regenerated dataset, or
     two sf_dirs sharing a basename, rebuild instead of reusing a
-    stale table (ADVICE r5 low on a50)."""
+    stale table (ADVICE r5 low on a50). Nanosecond mtimes (ADVICE r6
+    low): integer-second truncation let a same-size in-place regen
+    within one second reuse the stale fixture. A MISSING source is an
+    error, not an empty hash — two sf_dirs both lacking the table
+    would otherwise collide on one fixture path."""
     import hashlib
 
     p = os.path.join(sf_dir, f"{table}.parquet")
@@ -1448,10 +1473,15 @@ def _source_fingerprint(sf_dir: str, table: str) -> str:
     if os.path.isdir(p):
         for f in sorted(os.listdir(p)):
             st = os.stat(os.path.join(p, f))
-            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.exists(p):
         st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        raise FileNotFoundError(
+            f"fixture source table missing: {p} — refusing to mint a "
+            "fingerprint for a nonexistent dataset"
+        )
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 

@@ -1078,7 +1078,16 @@ def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # datasets rebuild, fixture_janitor knows the prefix, and the
         # flock serializes the two-threads-race the old memo had.
         sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-        tag = f"duppairs-{sf_tag}-{_source_fingerprint(sf_dir, 'documents')}"
+        # Prefix comes from the acid.FIXTURE_FAMILIES registry so the
+        # janitor's keep-list and this path can't diverge (ADVICE r6).
+        from .acid import FIXTURE_FAMILIES_FINGERPRINTED
+
+        prefix = next(
+            p
+            for p, tbl in FIXTURE_FAMILIES_FINGERPRINTED.items()
+            if tbl == "documents"
+        )
+        tag = f"{prefix.removeprefix('lakehouse-')}{sf_tag}-{_source_fingerprint(sf_dir, 'documents')}"
         base = f"/tmp/lakehouse-{tag}/verified_pairs"
 
         def build() -> None:

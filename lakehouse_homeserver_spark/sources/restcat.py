@@ -87,7 +87,14 @@ def _read_head(table_path: str) -> dict | None:
         entry = json.load(fh)
     ref = entry.pop("manifest_ref", None)
     if ref is not None:
-        with open(os.path.join(log_dir, "_manifests", ref)) as fh:
+        # Same sidecar dir the writer uses (snapshot._MANIFESTS_DIR =
+        # "manifests"); a literal here once diverged ("_manifests"),
+        # breaking loadTable for any table past MANIFEST_INLINE_MAX
+        # live files — exactly the at-scale regime the sidecar exists
+        # for.
+        from .snapshot import _MANIFESTS_DIR
+
+        with open(os.path.join(log_dir, _MANIFESTS_DIR, ref)) as fh:
             entry.update(json.load(fh))
     return entry
 

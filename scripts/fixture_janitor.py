@@ -31,6 +31,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lakehouse_homeserver_spark.operators.acid import (  # noqa: E402
+    FIXTURE_FAMILIES_FINGERPRINTED,
+    FIXTURE_FAMILIES_FIXED,
     _source_fingerprint,
 )
 
@@ -46,23 +48,13 @@ SF_DIRS = [
     if d and os.path.isdir(d)
 ]
 
-# Fixed-name families (SF-invariant content, one dir each).
-FIXED = {
-    "lakehouse-fixture-locks",  # flock files for _build_fixture_once
-    "lakehouse-pyds",  # a49 round-trip table
-    "lakehouse-pydspush",  # a54 pushdown table
-    "lakehouse-restcat",  # a47/a56 REST-served table
-    "lakehouse-sqlcat",  # a52 sqlite catalog + table
-    "lakehouse-xengine",  # a41 cross-engine table
-}
-
-
-# fingerprinted per-SF families: prefix -> source table the
-# fingerprint derives from
-FINGERPRINTED = {
-    "lakehouse-tstravel-": "orders",  # a50 timestamp travel
-    "lakehouse-duppairs-": "documents",  # verified near-dup pair table
-}
+# Both family lists come from the operators' own registry
+# (operators/acid.py FIXTURE_FAMILIES_*), so a family added there is
+# automatically known here — the ADVICE r6 failure mode was a new
+# family being rmtree'd mid-use because these lists were hardcoded
+# copies.
+FIXED = FIXTURE_FAMILIES_FIXED
+FINGERPRINTED = FIXTURE_FAMILIES_FINGERPRINTED
 
 
 def live_fingerprinted_tags() -> set[str]:
@@ -105,6 +97,14 @@ def main() -> None:
             if m and sf_base not in scanned:
                 unknown.append(path)
                 continue
+        elif name not in FIXED:
+            # Not a registered family at all: REPORT, never delete
+            # (ADVICE r6 — a family added without registering in
+            # acid.FIXTURE_FAMILIES_* must not be rmtree'd mid-use;
+            # the registry import above makes registration the only
+            # step, and this branch is the safety net if it's missed).
+            unknown.append(path)
+            continue
         removed.append(path)
         if not dry:
             shutil.rmtree(path, ignore_errors=True)
@@ -122,7 +122,7 @@ def main() -> None:
     if not removed:
         print("  (none)")
     if unknown:
-        print("== left alone (fingerprinted, built from an sf_dir not scanned here) ==")
+        print("== left alone (unregistered family or built from an sf_dir not scanned here) ==")
         for p in unknown:
             print(f"  {p}")
 

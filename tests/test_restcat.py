@@ -238,3 +238,35 @@ def test_tokens_do_not_cross_server_instances(sql_catalog):
     finally:
         server2.stop()
     server.start()
+
+
+def test_load_table_resolves_manifest_sidecar(spark, sf_dir, tmp_path):
+    """Regression: a table past ``manifest_inline_max`` live files
+    stores its manifest in a `_log/manifests/` SIDECAR; `_read_head`
+    once looked in `_log/_manifests/` and loadTable 500'd for exactly
+    the at-scale tables the sidecar exists for. Certify the whole
+    catalog-resolved path (loadTable AND read_table) on a sidecar'd
+    table."""
+    t = SnapshotTable(spark, str(tmp_path / "nation_big"), manifest_inline_max=2)
+    nations = T(spark, sf_dir, "nation")
+    t.create(nations.repartition(5))  # 5 files > inline max of 2
+    head = t.entry(t.latest_version())
+    assert len(head["manifest"]) > 2  # sidecar regime reached
+    with CatalogServer() as server:
+        server.register("analytics", "nation_big", t.path)
+        cat = RestCatalog(server.uri)
+        meta = cat.load_table("analytics", "nation_big")
+        assert meta["x-manifest"] == head["manifest"]
+        via_http = (
+            cat.read_table(spark, "analytics", "nation_big")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("s"))
+            .collect()
+        )
+        native = (
+            t.read()
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("s"))
+            .collect()
+        )
+        assert via_http == native
