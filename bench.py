@@ -112,6 +112,23 @@ def main() -> None:
             for name in med
         }
     out["n_queries"] = len(med)
+    # Cross-round perf series (VERDICT r6 next-round #3): the fixed
+    # 82-name r1 subset's total, emitted in the TAIL section so the
+    # driver's truncated artifact still carries it — BASELINE.md's
+    # round-over-round comparison is verifiable from BENCH_rN.json
+    # alone instead of requiring a local re-measure.
+    subset_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "r1_subset.json"
+    )
+    try:
+        with open(subset_path) as fh:
+            subset = json.load(fh)
+        if all(n in med for n in subset):
+            out["r1_subset_total_sec"] = round(
+                sum(med[n] for n in subset), 3
+            )
+    except OSError:
+        pass
     out["slowest10"] = dict(
         sorted(med.items(), key=lambda kv: -kv[1])[:10]
     )

@@ -157,6 +157,19 @@ def build_scaled(spark, out_dir: str, copies: int) -> None:
         )
 
 
+# Output-volume-bound ops (VERDICT r6 next-round #7): their wall-time
+# ratio at 10x legitimately exceeds 10 because the OUTPUT (near-dup
+# pairs / component rows on a 68x-edge graph) grows superlinearly with
+# the corpus — so the scaling fact worth asserting is cost PER EMITTED
+# ROW, not total time. The smoke FAILS if per-unit cost at 10x exceeds
+# UNIT_TOL x the 1x per-unit cost: a real superlinearity can no longer
+# hide behind the "it's just output volume" prose explanation.
+# Timings for these use best-of-3 (min is the least-noise wall-clock
+# estimator on a co-tenant box; SCALE.md quiet-box protocol).
+UNIT_OPS = {"k5_ahash_near_dup", "k9_cc_bigstar"}
+UNIT_TOL = float(os.environ.get("SPARK_GRAFT_SMOKE_UNIT_TOL", "1.5"))
+
+
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark()
@@ -168,19 +181,42 @@ def main() -> None:
     # for the full sweep (the clone build is shared either way).
     only = os.environ.get("SPARK_GRAFT_SMOKE_OPS")
     ops = [o for o in only.split(",") if o] if only else OPS
+    failures = []
     print(f"{'op':28s} {'1x_s':>8s} {'%d x_s' % copies:>8s} {'ratio':>6s}")
     for name in ops:
         times = []
+        rows = []
         for sf_dir in (BASE_SF, scaled):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            times.append(time.time() - t0)
-        print(
+            reps = 3 if name in UNIT_OPS else 1
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            times.append(best)
+            if name in UNIT_OPS:
+                rows.append(qs[name](spark, sf_dir).count())
+        line = (
             f"{name:28s} {times[0]:8.2f} {times[1]:8.2f} "
             f"{times[1] / times[0]:6.1f}"
         )
+        if name in UNIT_OPS:
+            pu1 = times[0] / max(rows[0], 1)
+            puN = times[1] / max(rows[1], 1)
+            ok = puN <= UNIT_TOL * pu1
+            line += (
+                f"   rows {rows[0]}->{rows[1]}, per-row "
+                f"{pu1 * 1e3:.3f}->{puN * 1e3:.3f} ms "
+                f"({'ok' if ok else 'FAIL: superlinear per-unit cost'})"
+            )
+            if not ok:
+                failures.append(name)
+        print(line, flush=True)
+    if failures:
+        print(f"PER-UNIT SCALING FAILURES: {failures}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
