@@ -99,16 +99,33 @@ def decode_features_batches(batches: Iterator, _nothing=None):
 
     for pdf in batches:
         payloads = pdf["payload"]
+        # NULL payload -> all-NULL feature row; empty payload ->
+        # (0, 0, NULL). Both mirror the oracle exactly (r7 review):
+        # DuckDB ascii(substring('',1,1)) = 0 — the old -1 sentinel
+        # diverged — and SUM over an empty series is NULL, not 0.
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "payload_bytes": payloads.map(len).astype("int64"),
-                "first_byte": payloads.map(
-                    lambda b: b[0] if len(b) else -1
-                ).astype("int64"),
-                "byte_sum_head16": payloads.map(
-                    lambda b: int(sum(b[:16]))
-                ).astype("int64"),
+                "payload_bytes": pd.array(
+                    [None if b is None else len(b) for b in payloads],
+                    dtype="Int64",
+                ),
+                "first_byte": pd.array(
+                    [
+                        None if b is None else (b[0] if len(b) else 0)
+                        for b in payloads
+                    ],
+                    dtype="Int64",
+                ),
+                "byte_sum_head16": pd.array(
+                    [
+                        None
+                        if b is None or not len(b)
+                        else int(sum(b[:16]))
+                        for b in payloads
+                    ],
+                    dtype="Int64",
+                ),
             }
         )
 
@@ -246,15 +263,26 @@ def resize_batches(target_bytes: int):
 
     def fn(batches):
         for pdf in batches:
+            # NULL payload -> NULL thumb/orig_bytes (md5(NULL) is NULL
+            # in the oracle); thumb_bytes stays the constant, also
+            # mirroring the oracle (r7 review NULL-guard pass).
             digests = pdf["payload"].map(
-                lambda b: hashlib.md5(bytes(b)).digest()
+                lambda b: None if b is None else hashlib.md5(bytes(b)).digest()
             )
             reps = (target_bytes + 15) // 16
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "thumb": digests.map(lambda d: (d * reps)[:target_bytes]),
-                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                    "thumb": digests.map(
+                        lambda d: None if d is None else (d * reps)[:target_bytes]
+                    ),
+                    "orig_bytes": pd.array(
+                        [
+                            None if b is None else len(b)
+                            for b in pdf["payload"]
+                        ],
+                        dtype="Int64",
+                    ),
                     "thumb_bytes": target_bytes,
                 }
             )
@@ -339,6 +367,12 @@ def decode_ppm_batches(batches: Iterator, _nothing=None):
     import pandas as pd
 
     def one(b: bytes):
+        if b is None:
+            # NULL payload: propagate a NULL feature row instead of
+            # crashing the stage (r7 review) — the payload synth
+            # (text-derived) yields NULL for NULL text, and a single
+            # NULL row must not kill a 100 TB decode pass.
+            return (None, None, None, None, None)
         b = bytes(b)
         if not b.startswith(b"P6"):
             raise ValueError("not a P6 PPM payload")
@@ -364,8 +398,10 @@ def decode_ppm_batches(batches: Iterator, _nothing=None):
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
+                # nullable Int64 so a NULL-payload row crosses Arrow
+                # as null instead of poisoning the column to float
+                "width": pd.array([d[0] for d in decoded], dtype="Int64"),
+                "height": pd.array([d[1] for d in decoded], dtype="Int64"),
                 "mean_r": [d[2] for d in decoded],
                 "mean_g": [d[3] for d in decoded],
                 "mean_b": [d[4] for d in decoded],
@@ -459,6 +495,11 @@ def pcm_frame_batches(batches: Iterator, _nothing=None):
     for pdf in batches:
         out = {k: [] for k in ("doc_id", "frame_idx", "sum_amp", "rms", "mean_amp")}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                # NULL payload emits no frames — the oracle's
+                # WHERE nb >= FRAME excludes NULL lengths the same
+                # way (r7 review NULL-guard pass).
+                continue
             x = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
             n_frames = (len(x) - PCM_FRAME) // PCM_HOP + 1 if len(x) >= PCM_FRAME else 0
             for fi in range(n_frames):
@@ -607,18 +648,39 @@ def wav_roundtrip_batches(batches):
             )
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            out["doc_id"].append(doc_id)
+            if payload is None:
+                # Oracle parity for NULL text: the header constants
+                # are emitted unconditionally there, the PCM-derived
+                # fields go NULL (r7 review NULL-guard pass).
+                out["sample_rate"].append(WAV_RATE)
+                out["channels"].append(WAV_CHANNELS)
+                out["bits"].append(WAV_BITS)
+                out["n_samples"].append(None)
+                out["sum_amp"].append(None)
+                out["mean_amp"].append(None)
+                continue
             wav = _build_wav(bytes(payload))
             rate, channels, bits, pcm = _parse_wav(wav)
             x = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
             s = int(x.sum())
-            out["doc_id"].append(doc_id)
             out["sample_rate"].append(rate)
             out["channels"].append(channels)
             out["bits"].append(bits)
             out["n_samples"].append(len(x))
-            out["sum_amp"].append(s)
-            out["mean_amp"].append(math.floor(s / len(x) * 1e6 + 0.5) / 1e6)
-        yield pd.DataFrame(out)
+            if len(x):
+                out["sum_amp"].append(s)
+                out["mean_amp"].append(math.floor(s / len(x) * 1e6 + 0.5) / 1e6)
+            else:
+                # zero-sample payload: list_sum over an empty list is
+                # NULL in the oracle (and s/0 would crash) — emit
+                # NULL stats with n_samples=0 (r7 review ZeroDivision)
+                out["sum_amp"].append(None)
+                out["mean_amp"].append(None)
+        pdf_out = pd.DataFrame(out)
+        for c in ("n_samples", "sum_amp"):
+            pdf_out[c] = pd.array(pdf_out[c], dtype="Int64")
+        yield pdf_out
 
 
 @query(
@@ -772,6 +834,15 @@ def k5_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            # NULL payloads (NULL source text) can't carry an image;
+            # drop them from the batch — a hash row for them would be
+            # meaningless and the fixed-geometry reshape below needs
+            # every payload present (r7 review NULL-guard pass).
+            mask = pdf["payload"].notna()
+            if not mask.all():
+                pdf = pdf[mask]
+            if not len(pdf):
+                continue
             # Fixed-geometry P6: validate headers, then decode the
             # WHOLE batch as one (n, 64, 3) reshape — a per-image
             # Python loop here measured 4.6 s of the query's 6 s at

@@ -107,17 +107,50 @@ def k10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     default ranking; §2.K extension): score every (query, document)
     pair under Okapi BM25 and keep the top-{k} docs per query.
 
-    100 TB design: the corpus token stream is filtered by a BROADCAST
-    hash join against the (tiny) query-term list BEFORE the tf
-    aggregate, so the shuffle is bounded by matching (doc, term)
-    pairs, not the corpus; document frequencies aggregate the already-
-    filtered tf table (vocabulary-sized); corpus-wide N/avgdl is one
-    1-row broadcast; final top-k is a WindowGroupLimit. The corpus is
-    scanned exactly once and never reshuffled whole.
+    100 TB design: see `_bm25_scored` (shared with `k10_hybrid_rrf`);
+    final top-k is a WindowGroupLimit over the bounded scored table.
 
     Float contract: per-term scores are one fixed IEEE expression
     rounded to 8 dp and summed as DECIMAL(20,8) (order-free), so
     ranking ties and hashes are bit-stable across engines/partitions.
+    """
+    agg = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms",
+            F.col("score_dec").cast("double").alias("score"),
+        )
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Okapi-BM25 scoring pipeline: (query_id, doc_id,
+    n_terms, score_dec DECIMAL(20,8)) for every candidate pair —
+    consumed by `k10_bm25` (top-k) and `k10_hybrid_rrf` (rank pool).
+    Extracted r7 (review finding: the two bodies had drifted into
+    ~40 duplicated lines; a df-window fix applied to one would
+    silently skip the other).
+
+    100 TB design: the corpus token stream is filtered by a BROADCAST
+    hash join against the (tiny) query-term list BEFORE the tf
+    aggregate, so the shuffle is bounded by matching (doc, term)
+    pairs, not the corpus; document frequencies aggregate the
+    already-filtered tf table (vocabulary-sized). The corpus pays two
+    passes — the tokenize→explode→tf scan, and one column-pruned
+    aggregate for the two corpus scalars (N, Σdl) collected to the
+    driver here (collect guarantees it runs ONCE; the previous
+    crossJoin(broadcast(totals)) form re-executed that subtree on
+    every materialization of the final plan, since Spark doesn't CSE
+    across broadcast-exchange boundaries). A production deployment
+    maintains those two scalars as table stats and drops the second
+    pass entirely.
     """
     qterms = spark.createDataFrame(
         [(qid, t) for qid, text in BM25_QUERIES for t in text.split(" ")],
@@ -129,7 +162,11 @@ def k10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks")).alias("t_dl"),
-    )
+    ).first()
+    # empty corpus: SUM is NULL and avgdl would be 0/0 — any scalar
+    # works because tf has no rows to score; keep the plan buildable.
+    n_docs = int(totals["n_docs"]) or 1
+    t_dl = int(totals["t_dl"]) if totals["t_dl"] is not None else 1
     tok = docs.select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
@@ -148,8 +185,11 @@ def k10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
-    avgdl = F.col("t_dl").cast("double") / F.col("n_docs")
-    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    # Literal scalars: Python's t_dl/n_docs is the same IEEE division
+    # Spark would run on the same ints — values bit-identical to the
+    # old in-plan form.
+    avgdl = F.lit(t_dl).cast("double") / F.lit(n_docs)
+    idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     s = F.round(
         idf
         * (F.col("tf") * 2.2)
@@ -159,26 +199,13 @@ def k10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         8,
     ).cast("decimal(20,8)")
-    scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(totals))
-        .select("query_id", "doc_id", s.alias("s"))
-    )
-    agg = scored.groupBy("query_id", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("s").alias("score_dec"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_dec").desc(), F.col("doc_id")
-    )
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= BM25_TOPK)
-        .select(
-            "query_id",
-            "doc_id",
-            "n_terms",
-            F.col("score_dec").cast("double").alias("score"),
+        tf.join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id", s.alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("s").alias("score_dec"),
         )
     )
 
@@ -226,7 +253,12 @@ def k10_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = T(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("doc_id") / INDEX_SEGMENT_DOCS).cast("bigint").alias("segment"),
+        # Integer `div`, not double `/`+cast: the double form loses
+        # exactness past doc_id 2^53 and rounds rather than floors,
+        # putting a doc in the wrong segment (r7 review; same
+        # overflow class as the r6 dedup canon-key fix). The oracle's
+        # `//` is integer floor-div — identical for non-negative ids.
+        F.expr(f"doc_id div {INDEX_SEGMENT_DOCS}").alias("segment"),
         F.explode(F.split(norm_text(F.col("text")), " ")).alias("term"),
     )
     tf = d.groupBy("term", "segment", "doc_id").agg(
@@ -509,44 +541,14 @@ def k10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression and rounded to 8 dp — bit-stable across engines,
     partitionings, and join order.
     """
-    # -- lexical branch: BM25 ranks (the k10_bm25 pipeline, pool-deep)
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, text in BM25_QUERIES for t in text.split(" ")],
-        "query_id int, term string",
-    )
-    docs = T(spark, sf_dir, "documents").select(
-        "doc_id", F.split(norm_text(F.col("text")), " ").alias("toks")
-    )
-    totals = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("toks")).alias("t_dl"),
-    )
-    tok = docs.select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-    )
-    tf = (
-        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-    )
-    avgdl = F.col("t_dl").cast("double") / F.col("n_docs")
-    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    s = F.round(
-        idf
-        * (F.col("tf") * 2.2)
-        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)),
-        8,
-    ).cast("decimal(20,8)")
+    # -- lexical branch: BM25 ranks (the SHARED k10_bm25 scoring
+    # pipeline, pool-deep — extracted r7, review finding: this body
+    # was a near-verbatim 40-line copy that would drift)
     w_lex = Window.partitionBy("query_id").orderBy(
         F.col("score_dec").desc(), F.col("doc_id")
     )
     lex = (
-        tf.join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(totals))
-        .select("query_id", "doc_id", s.alias("s"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("s").alias("score_dec"))
+        _bm25_scored(spark, sf_dir)
         .withColumn("lex_rank", F.row_number().over(w_lex))
         .filter(F.col("lex_rank") <= RRF_POOL)
         .select("query_id", "doc_id", "lex_rank")

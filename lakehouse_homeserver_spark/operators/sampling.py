@@ -91,15 +91,20 @@ def k6_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _binomial_ok(n_sampled, n_total, frac: float) -> F.Column:
+def _binomial_ok(n_sampled, n_total, frac) -> F.Column:
     """|observed − f·n| ≤ 5·sqrt(f(1−f)n) + 1 — a ~5-sigma binomial
     bound, deterministic-in-practice (P(false alarm) ~ 1e-6 per
     stratum) yet meaningful at every stratum size and scale factor.
     This is how seeded-engine-specific samples get a cross-engine
     oracle: the oracle recomputes the exact stratum sizes and pins the
-    bound column to TRUE (VERDICT round-1 item 9)."""
-    expect = F.lit(frac) * n_total
-    slack = F.lit(5.0) * F.sqrt(F.lit(frac * (1.0 - frac)) * n_total) + F.lit(1.0)
+    bound column to TRUE (VERDICT round-1 item 9).
+
+    `frac` is a float OR a per-row Column (per-stratum fractions) —
+    the Column form exists so k6_stratified_sample shares this body
+    instead of hand-copying the formula (r7 review)."""
+    f = F.lit(frac) if isinstance(frac, float) else frac
+    expect = f * n_total
+    slack = F.lit(5.0) * F.sqrt(f * (F.lit(1.0) - f) * n_total) + F.lit(1.0)
     return F.abs(n_sampled - expect) <= slack
 
 
@@ -131,12 +136,12 @@ def k6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
     )
     joined = tot.join(samp, "lang", "left").fillna(0, subset=["n_sampled"])
-    expect = frac * F.col("n_total")
-    slack = F.lit(5.0) * F.sqrt(frac * (F.lit(1.0) - frac) * F.col("n_total")) + 1.0
     return joined.select(
         "lang",
         "n_total",
-        (F.abs(F.col("n_sampled") - expect) <= slack).alias("frac_ok"),
+        _binomial_ok(
+            F.col("n_sampled"), F.col("n_total"), frac
+        ).alias("frac_ok"),
     )
 
 
@@ -319,10 +324,21 @@ def k6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform over the domain).
     """
     d = T(spark, sf_dir, "documents")
-    w = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_avail")).select(
-        "source",
-        "n_avail",
-        (F.substring("source", 4, 10).cast("bigint") + 1).alias("wt"),
+    # localCheckpoint: the inventory is ~one row per domain, but the
+    # wt/tot/budget/quota chain hangs 3 broadcast subtrees off it and
+    # Spark re-executes the corpus groupBy under each one (no CSE
+    # across broadcast-exchange boundaries — r7 review; the same
+    # measured behavior retrieval.py documents). Materializing the
+    # tiny table once makes every derivation corpus-free.
+    w = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .localCheckpoint(eager=True)
+        .select(
+            "source",
+            "n_avail",
+            (F.substring("source", 4, 10).cast("bigint") + 1).alias("wt"),
+        )
     )
     tot = w.agg(F.sum("wt").alias("wsum"))
     quota_base = w.crossJoin(F.broadcast(tot))
@@ -368,7 +384,8 @@ def k6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, n_i, sqrt(CAST(n_i AS DOUBLE) / tot.n) AS w_i
       FROM counts CROSS JOIN tot
     ),
-    sw AS (SELECT SUM(w_i) AS s FROM w),
+    sw AS (SELECT CAST(SUM(CAST(ROUND(w_i, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS s FROM w),
     q AS (
       SELECT source, n_i, w_i / sw.s AS q_i FROM w CROSS JOIN sw
     ),
@@ -414,14 +431,35 @@ def k6_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible, and the audit needs no tolerance bounds.
     """
     d = T(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_i"))
+    # localCheckpoint: 5 derivations hang off this ~20-row table via
+    # broadcast joins, and Spark re-executes the corpus groupBy under
+    # each broadcast subtree (no cross-exchange CSE — r7 review).
+    # One eager materialization makes the whole rate chain
+    # corpus-free; the corpus is then scanned exactly twice (counts +
+    # the kept audit), not ~6 times.
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(F.sum("n_i").cast("double").alias("n"))
     w = counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_i",
         F.sqrt(F.col("n_i").cast("double") / F.col("n")).alias("w_i"),
     )
-    sw = w.agg(F.sum("w_i").alias("s"))
+    # Order-free normalizer (r7 review): a raw double SUM(w_i) folds
+    # in partition-completion order, so s — hence every q_i and rate
+    # — could drift an ulp between engines or partitionings,
+    # violating the docstring's bit-reproducibility contract. Rounding
+    # each w_i to 9 dp (the repo's established cross-engine-parity
+    # op) and summing as DECIMAL makes s exact and order-independent;
+    # the oracle mirrors the same two steps.
+    sw = w.agg(
+        F.sum(F.round("w_i", 9).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("s")
+    )
     q = w.crossJoin(F.broadcast(sw)).select(
         "source", "n_i", (F.col("w_i") / F.col("s")).alias("q_i")
     )
@@ -514,14 +552,10 @@ def k6_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import k2_dup_clusters
 
     cl = k2_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    # the one shared bucketing contract (r7 review: this was an
+    # inline expression-for-expression copy of split_bucket that
+    # could drift from k6_hash_split/pipeline consumers)
+    bucket = split_bucket("cluster_id")
     split = F.when(bucket < 80, F.lit("train")).otherwise(F.lit("eval"))
     w = Window.partitionBy("cluster_id")
     return cl.select(

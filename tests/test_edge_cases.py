@@ -92,6 +92,11 @@ EMPTY_SAFE = [
     "k5_ahash_near_dup",
     "k6_epoch_shuffle",
     "c11_scd2_join",
+    # round-7 additions (review: wav was the one K5 op missing here)
+    "k5_wav_decode",
+    "k6_stratified_sample",
+    "k6_domain_mix",
+    "k10_hybrid_rrf",
 ]
 
 
@@ -238,3 +243,62 @@ def test_mmr_rerank_pool_smaller_than_k(spark, tmp_path):
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= MMR_K
+
+
+def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
+    """r7 review hardening: one NULL-text or empty-text row must not
+    kill a K5 decode pass (ZeroDivision/TypeError class), and for the
+    kernels whose oracle defines NULL semantics the Spark side must
+    MATCH that oracle on such rows (ascii('')=0, empty SUM -> NULL,
+    md5(NULL) -> NULL). ppm/ahash are no-crash-only: their payload
+    synth yields NULL for NULL text and the P6 contract has no
+    geometry for a missing image (documented in the kernels)."""
+    import duckdb
+
+    from lakehouse_homeserver_spark.registry import all_queries, all_oracles
+
+    d = str(tmp_path / "weird")
+    spark.createDataFrame(
+        [
+            (1, "hello world example text", "en", "src1", 24),
+            (2, "", "en", "src1", 0),
+            (3, None, "en", "src2", None),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    qs, osql = all_queries(), all_oracles()
+    parity = [
+        "k5_multimodal_features",
+        "k5_multimodal_meta",
+        "k5_resize_stub",
+        "k5_wav_decode",
+        "k5_pcm_frames",
+        "k5_frame_sample",
+    ]
+    for name in parity:
+        spdf = qs[name](spark, d).toPandas()
+        dpdf = con.execute(osql[name]).df()
+        assert len(spdf) == len(dpdf), name
+        s = sorted(
+            "|".join(repr(None if v != v else v) for v in row)
+            for row in spdf[sorted(spdf.columns)].itertuples(
+                index=False, name=None
+            )
+        )
+        o = sorted(
+            "|".join(repr(None if v != v else v) for v in row)
+            for row in dpdf[sorted(dpdf.columns)].itertuples(
+                index=False, name=None
+            )
+        )
+        assert s == o, f"{name}: {s[:3]} vs {o[:3]}"
+    # no-crash contract for the geometry-bound kernels
+    assert qs["k5_ppm_decode"](spark, d).count() == 3
+    assert qs["k5_ahash_near_dup"](spark, d).count() >= 0
+    con.close()
