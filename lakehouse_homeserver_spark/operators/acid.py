@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,20 +33,9 @@ from ..sources import load_table as T
 from ..streaming.jobs import await_or_raise, pinned_shuffle
 from ..sources.registry import table_row_count
 from ..sources.snapshot import SnapshotNotFound, SnapshotTable
-from .common import dec, dsum, sql_dsum
+from .common import make_registry, dec, dsum, sql_dsum
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 def _demo_table(spark: SparkSession, sf_dir: str, *, evolve: bool) -> SnapshotTable:

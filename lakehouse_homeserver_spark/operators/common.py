@@ -43,3 +43,31 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+
+
+def make_registry():
+    """The one (QUERIES, ORACLES, query) registration triple every
+    operator module uses — consolidated r7 (review: 13 modules
+    carried character-identical copies of this decorator, so a
+    registration-time change had 13 places to drift). Bonus the
+    copies never had: duplicate query names raise at import instead
+    of silently shadowing (the r5 grep-truncation incident shipped a
+    shadowed duplicate exactly this way)."""
+    queries: dict = {}
+    oracles: dict[str, str] = {}
+
+    def query(name: str, oracle: str | None = None):
+        def deco(fn):
+            if name in queries:
+                raise ValueError(
+                    f"duplicate query registration: {name!r} — the "
+                    "second definition would silently shadow the first"
+                )
+            queries[name] = fn
+            if oracle is not None:
+                oracles[name] = oracle
+            return fn
+
+        return deco
+
+    return queries, oracles, query

@@ -26,28 +26,17 @@ since they are verified by property, not by SQL parity.
 
 from __future__ import annotations
 
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table as T
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+from .common import make_registry
+
+QUERIES, ORACLES, query = make_registry()
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed BIGINT
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
 
 def norm_text(col):
     """Normalization contract shared by every dedup rung: lowercase,

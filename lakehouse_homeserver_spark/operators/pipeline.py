@@ -23,7 +23,6 @@ digest; the anti-join key is doc_id).
 
 from __future__ import annotations
 
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -32,21 +31,11 @@ from ..sources import load_table as T
 from .dedup import SQL_NORM, _shingles_from_tokens, norm_text
 from .sampling import SQL_BUCKET, split_bucket
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+from .common import make_registry
+
+QUERIES, ORACLES, query = make_registry()
 
 QUALITY_MIN = 0.5
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
 
 @query(
     "k7_training_corpus",

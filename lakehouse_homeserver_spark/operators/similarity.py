@@ -24,7 +24,6 @@ the brute-force tier is bit-for-bit oracle-checkable.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -32,24 +31,14 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_sim, dot
 from ..sources import load_table as T
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+from .common import make_registry
+
+QUERIES, ORACLES, query = make_registry()
 
 N_QUERIES = 10  # vec_id < 10 are the demo query vectors
 TOP_K = 5
 N_PLANES = 8
 DIM = 64
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
 
 def _sql_cosine(a: str = "q.embedding", b: str = "c.embedding") -> str:
     """Cosine in DuckDB with the exact fold order of

@@ -27,27 +27,15 @@ Scale notes:
 from __future__ import annotations
 
 import datetime
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table as T
 from ..sources import register_views
-from .common import dec, dsum, sql_dsum
+from .common import make_registry, dec, dsum, sql_dsum
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 def sql_query(name: str, sql: str):
@@ -403,7 +391,15 @@ sql_query(
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer c
     WHERE c_acctbal > (
-        SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+        -- exact-decimal-sum / count, cast to DOUBLE before the
+        -- divide: a bare AVG(DECIMAL) types as DECIMAL(22,6) in
+        -- Spark (rounded at 6 dp) but DOUBLE in DuckDB, so the
+        -- threshold itself could differ by ~5e-7 and flip a
+        -- customer's membership (r7 review; the repo-wide davg
+        -- contract from operators/common.py)
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer
         WHERE c_acctbal > 0.0
       )
       AND NOT EXISTS (

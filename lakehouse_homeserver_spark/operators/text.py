@@ -8,7 +8,6 @@ no Python in the row path, so a 100 TB corpus scans at parquet speed.
 
 from __future__ import annotations
 
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -16,18 +15,9 @@ from pyspark.sql import functions as F
 from ..sources import load_table as T
 from .dedup import SQL_NORM, norm_text
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+from .common import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 # Tiny per-language stopword marker sets for the n-gram/stopword

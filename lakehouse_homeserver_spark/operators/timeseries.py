@@ -18,17 +18,16 @@ stable across Spark and the DuckDB oracle.
 from __future__ import annotations
 
 import os
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table as T
 from ..streaming.jobs import await_or_raise, pinned_shuffle
-from .common import dsum, sql_dsum
+from .common import dsum, make_registry, sql_dsum
 
+QUERIES, ORACLES, query = make_registry()
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 def _linked_landing(path: str, prefix: str) -> str:
     """Expose a parquet table as a landing DIRECTORY of symlinked leaf
@@ -52,21 +51,9 @@ def _linked_landing(path: str, prefix: str) -> str:
         os.symlink(leaf, os.path.join(d, f"part_{i}.parquet"))
     return d
 
-ORACLES: dict[str, str] = {}
-
 HOUR_US = 3_600_000_000
 MIN15_US = 900_000_000
 MIN_US = 60_000_000
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
 
 
 @query(
@@ -91,6 +78,19 @@ def c7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     no range-join explosion, no per-row subquery; this survives 100 TB
     because it's the same plan shape as any windowed aggregation.
     """
+    return _purchase_last_click(spark, sf_dir).select(
+        "event_id",
+        "purchase_us",
+        "last_click_us",
+    )
+
+
+def _purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared union-window ASOF frame: one row per purchase with
+    (event_id, purchase_us, last_click_us) — consumed by
+    `c7_asof_join` as-is and by `c7_asof_tolerance` behind one CASE
+    (extracted r7; the two bodies were copies that could drift if the
+    union-trick encoding ever changes, e.g. a tie-break fix)."""
     e = T(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -139,28 +139,14 @@ def c7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     to DuckDB's native ASOF JOIN (which has no tolerance clause —
     the post-filter IS the portable encoding).
     """
-    e = T(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "click")
-    )
-    ts_us = F.unix_micros("ts")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(ts_us)
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    click_us = F.when(F.col("event_type") == "click", ts_us)
-    lc = F.max(click_us).over(w)
     tol = 60 * MIN_US
-    return (
-        e.withColumn("lc", lc)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            ts_us.alias("purchase_us"),
-            F.when(ts_us - F.col("lc") <= tol, F.col("lc")).alias(
-                "last_click_us"
-            ),
-        )
+    return _purchase_last_click(spark, sf_dir).select(
+        "event_id",
+        "purchase_us",
+        F.when(
+            F.col("purchase_us") - F.col("last_click_us") <= tol,
+            F.col("last_click_us"),
+        ).alias("last_click_us"),
     )
 
 
@@ -305,7 +291,12 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = T(spark, sf_dir, "events")
     ts_us = F.unix_micros("ts")
-    bucket = (ts_us / F.lit(HOUR_US)).cast("bigint") * HOUR_US
+    # us - pmod(us, n) IS floor(us/n)*n in pure integer arithmetic —
+    # the old double-divide + bigint cast TRUNCATED toward zero, so a
+    # pre-1970 timestamp landed one bucket high of the oracle's `//`
+    # floor, and double division loses exactness past 2^53 µs
+    # (r7 review; same class at ts_interpolate / ts_m4 / cohort).
+    bucket = ts_us - F.pmod(ts_us, F.lit(HOUR_US))
     bounds = e.agg(
         F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
     )
@@ -342,16 +333,28 @@ def ts_rollup_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("bigint").alias("hour"),
         "value",
     )
-    e.createOrReplaceTempView("_ts_rollup_src")
-    return spark.sql(
-        """
-        SELECT day, hour, grouping(hour) AS gid,
-               COUNT(*) AS cnt,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM _ts_rollup_src
-        GROUP BY GROUPING SETS ((day, hour), (day))
-        """
-    )
+    # Unique view name + drop-after-analysis (r7 review): a FIXED
+    # name on the shared session races concurrent query builds —
+    # another registration between createOrReplaceTempView and
+    # spark.sql would swap the data. spark.sql resolves the view at
+    # analysis time, so the returned DataFrame stays valid after the
+    # drop.
+    import uuid
+
+    view = f"_ts_rollup_src_{uuid.uuid4().hex}"
+    e.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT day, hour, grouping(hour) AS gid,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM {view}
+            GROUP BY GROUPING SETS ((day, hour), (day))
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @query(
@@ -571,12 +574,26 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (epoch-µs floor-div) is exact in both engines.
     """
     e = T(spark, sf_dir, "events").select(
-        "user_id", F.expr(f"unix_micros(ts) div {WEEK_US}").alias("w")
+        # (us - pmod) div n = FLOOR division in pure integer
+        # arithmetic; bare `div` truncates toward zero and would put
+        # a pre-1970 event in the wrong cohort week vs the oracle's
+        # `//` (r7 review)
+        "user_id",
+        F.expr(
+            f"(unix_micros(ts) - pmod(unix_micros(ts), {WEEK_US}))"
+            f" div {WEEK_US}"
+        ).alias("w"),
     )
     firsts = e.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
     activity = e.distinct()
+    # No broadcast hint on firsts (r7 review): it is a PER-USER table
+    # — corpus-scaled, not dimension-sized — and a forced hint
+    # bypasses AQE's size check at exactly the scale the docstring
+    # claims. AQE broadcasts it when small, shuffles when not; both
+    # sides are already partitioned by user_id so the shuffle case is
+    # co-located anyway.
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        activity.join(firsts, "user_id")
         .select("cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset"))
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -656,7 +673,9 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse = (
         e.select(
             "event_type",
-            ((ts_us / F.lit(HOUR_US)).cast("bigint") * HOUR_US).alias("h"),
+            # integer floor-to-bucket (see ts_gap_fill — the
+            # divide+cast form truncated, diverging pre-1970)
+            (ts_us - F.pmod(ts_us, F.lit(HOUR_US))).alias("h"),
             F.col("value").cast("decimal(18,2)").alias("v"),
         )
         .groupBy("event_type", "h")
@@ -757,7 +776,8 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = T(spark, sf_dir, "events")
     us = F.unix_micros("ts")
-    bucket = (us / F.lit(HOUR_US)).cast("bigint") * HOUR_US
+    # integer floor-to-bucket (see ts_gap_fill)
+    bucket = us - F.pmod(us, F.lit(HOUR_US))
     b = e.select(
         "event_type",
         bucket.alias("bucket_us"),
@@ -865,9 +885,13 @@ def _ewma_terms() -> tuple[str, str]:
 
 def _ewma_sql(us_fn: str) -> str:
     num, den = _ewma_terms()
+    # NULLIF on the denominator (r7 review): when value and all 15
+    # prior lags are NULL both sums are 0.0, and 0/0 is where the
+    # engines split — Spark yields IEEE NaN, DuckDB yields NULL.
+    # NULLIF makes both emit NULL (an all-NULL history has no EWMA).
     return f"""
     SELECT user_id, event_id, {us_fn}(ts) AS us, value,
-           ROUND(({num}) / ({den}), 6) AS ewma
+           ROUND(({num}) / NULLIF(({den}), CAST(0.0 AS DOUBLE)), 6) AS ewma
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
@@ -1247,7 +1271,14 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"((rn - 1) * {LTTB_BUCKETS}) div n").cast("int"),
     )
     avgs = bucketed.groupBy("series", "b").agg(
-        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("ax"),
+        # x is epoch-µs (~1.7e15): summed as DECIMAL so the partial
+        # sums can't overflow int64 (~5,400 rows/bucket would) — the
+        # DuckDB oracle's SUM(BIGINT) widens to HUGEINT the same way;
+        # both sides cast the exact integer sum to double (r7 review)
+        (
+            F.sum(F.col("x").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ax"),
         (
             F.sum(F.col("y").cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))

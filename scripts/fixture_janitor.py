@@ -56,6 +56,30 @@ SF_DIRS = [
 FIXED = FIXTURE_FAMILIES_FIXED
 FINGERPRINTED = FIXTURE_FAMILIES_FINGERPRINTED
 
+# Per-run SCRATCH dirs (r7 review): streaming/ACID certs mkdtemp a
+# landing dir + checkpoint + sink per run and cannot delete them in
+# the query body (the returned DataFrame still reads the sink when
+# the driver materializes it), so repeated sweeps accumulate
+# thousands of dirs. The janitor reaps any dir with one of these
+# prefixes once it is old enough that no live sweep can still be
+# reading it (default 2 h; a full 256-query sweep is ~6 min).
+SCRATCH_PREFIXES = (
+    "snap-",
+    "i7-",
+    "i8-",
+    "i9-",
+    "i10-",
+    "i11-",
+    "i12-",
+    "a38-",
+    "a51-",
+    "bench-warm-",
+    "sf-scaled-",
+)
+SCRATCH_MAX_AGE_S = float(
+    os.environ.get("SPARK_GRAFT_SCRATCH_MAX_AGE_S", str(2 * 3600))
+)
+
 
 def live_fingerprinted_tags() -> set[str]:
     """Dir names the CURRENT testdata would produce for every
@@ -125,6 +149,30 @@ def main() -> None:
         print("== left alone (unregistered family or built from an sf_dir not scanned here) ==")
         for p in unknown:
             print(f"  {p}")
+    # -- scratch sweep: per-run cert dirs past the safe age ----------
+    import time
+
+    now = time.time()
+    n_scratch, n_kept_young = 0, 0
+    for name in os.listdir(TMP):
+        if not name.startswith(SCRATCH_PREFIXES):
+            continue
+        path = os.path.join(TMP, name)
+        try:
+            age = now - os.stat(path).st_mtime
+        except OSError:
+            continue
+        if age < SCRATCH_MAX_AGE_S:
+            n_kept_young += 1
+            continue
+        n_scratch += 1
+        if not dry:
+            shutil.rmtree(path, ignore_errors=True)
+    print(
+        f"== scratch sweep: {n_scratch} dirs older than "
+        f"{SCRATCH_MAX_AGE_S / 3600:.1f}h "
+        f"{'would be ' if dry else ''}removed, {n_kept_young} younger kept =="
+    )
 
 
 if __name__ == "__main__":
