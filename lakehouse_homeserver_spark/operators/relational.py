@@ -1726,7 +1726,12 @@ def h12_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        # .cast("bigint"): the file-wide size()/LEN() pairing
+        # convention (DuckDB LEN is BIGINT) — h12 was the one query
+        # relying on comparator width-normalization instead
+        F.size(F.filter("embedding", lambda x: x > 0))
+        .cast("bigint")
+        .alias("n_pos"),
         F.round(fold(sq), 6).alias("norm_sq"),
         F.round(fold(prod), 6).alias("dot_rev"),
     )
@@ -2097,7 +2102,13 @@ D16_BINS = 256
       SELECT q.q, cum.*,
              ROW_NUMBER() OVER (
                PARTITION BY f, q.q ORDER BY bin) AS rn
-      FROM cum CROSS JOIN (VALUES (0.5), (0.95)) AS q(q)
+      -- DOUBLE-typed targets (r7 review): bare VALUES (0.95) types
+      -- DECIMAL(3,2) in DuckDB, making 'cum >= q*total' EXACT while
+      -- Spark computes 0.95*total in IEEE doubles — at an exact
+      -- boundary (cum == q*total) the engines would pick different
+      -- bins. Cast so both run the identical double multiply.
+      FROM cum CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+                                  (CAST(0.95 AS DOUBLE))) AS q(q)
       WHERE cum >= q.q * total
     ),
     est AS (
@@ -2485,41 +2496,51 @@ def _c10_bucketed_tables(
 ) -> tuple:
     """Create (or reuse) the two bucketed catalog tables the c10
     queries join. `overwrite=True` rewrites once per process (the
-    write-side certification); `overwrite=False` reuses an existing
-    table even across processes (the read-side measurement — fixture
-    parquet is immutable, so a prior run's table is byte-identical).
-    Legacy uuid-tagged tables from pre-r4 runs are dropped."""
+    write-side certification); `overwrite=False` reuses a prior
+    COMPLETED write even across processes: the session catalog is
+    in-memory (metadata gone each process) but the warehouse
+    DIRECTORY persists, so a `_SUCCESS`-marked location is registered
+    back as an EXTERNAL bucketed table over the existing files
+    instead of paying the 2-table write again (r7 review — the old
+    code rmtree'd the byte-identical data and rewrote it, so the
+    read-side bench measured exactly the write it exists to avoid;
+    fixture parquet is immutable, so a completed prior write is
+    equivalent). No legacy-tag drop loop anymore: it could never see
+    pre-r4 tables (not in a fresh catalog) and it DROPPED live tables
+    for any custom SPARK_GRAFT_SF_DIR tag outside a hardcoded list."""
     import os
+    import shutil
 
     tag = _c10_sf_tag(sf_dir)
     spark.sql("CREATE DATABASE IF NOT EXISTS bucketed")
-    want = {f"c10_orders_{tag}", f"c10_lineitem_{tag}"}
-    for t in spark.catalog.listTables("bucketed"):
-        if t.name.startswith("c10_") and t.name not in want and not any(
-            t.name.endswith(f"_{_c10_sf_tag(d)}")
-            for d in ("sf0.001", "sf0.01", "sf0.1", "sf1")
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS bucketed.{t.name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for short, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"bucketed.c10_{short}_{tag}"
+        path = os.path.join(wh, "bucketed.db", name.split(".", 1)[1])
         fresh = (sf_dir, name) not in _C10_WRITTEN
-        if (overwrite and fresh) or not spark.catalog.tableExists(name):
-            if not spark.catalog.tableExists(name):
-                # The session catalog does not persist metadata across
-                # processes, but the warehouse DIRECTORY does — clear a
-                # stale location or saveAsTable fails with
-                # LOCATION_ALREADY_EXISTS. Net effect: the bucketed
-                # write happens at most once per process.
-                import shutil
-
-                wh = spark.conf.get("spark.sql.warehouse.dir")
-                wh = wh.removeprefix("file:")
-                shutil.rmtree(
-                    os.path.join(
-                        wh, "bucketed.db", name.split(".", 1)[1]
-                    ),
-                    ignore_errors=True,
-                )
+        exists = spark.catalog.tableExists(name)
+        if (
+            not exists
+            and not (overwrite and fresh)
+            and os.path.exists(os.path.join(path, "_SUCCESS"))
+        ):
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in T(spark, sf_dir, short).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET"
+                f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS"
+                f" LOCATION '{path}'"
+            )
+            exists = True
+        if (overwrite and fresh) or not exists:
+            # a clean slate either way: the catalog entry may be the
+            # external registration above (saveAsTable-overwrite onto
+            # an external table trips LOCATION_ALREADY_EXISTS), and a
+            # crashed write leaves a dir without _SUCCESS
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(path, ignore_errors=True)
             (
                 T(spark, sf_dir, short)
                 .write.bucketBy(8, key)

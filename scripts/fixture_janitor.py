@@ -173,6 +173,32 @@ def main() -> None:
         f"{SCRATCH_MAX_AGE_S / 3600:.1f}h "
         f"{'would be ' if dry else ''}removed, {n_kept_young} younger kept =="
     )
+    # -- warehouse sweep: bucketed tables built from scale-smoke
+    # clone dirs (tag sf_scaled_<mkdtemp suffix>) can never be reused
+    # once their source dir is gone; reap them on the same age rule.
+    wh = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "bucketed.db",
+    )
+    n_wh = 0
+    if os.path.isdir(wh):
+        for name in os.listdir(wh):
+            if "_sf_scaled_" not in f"_{name}":
+                continue
+            path = os.path.join(wh, name)
+            try:
+                if now - os.stat(path).st_mtime < SCRATCH_MAX_AGE_S:
+                    continue
+            except OSError:
+                continue
+            n_wh += 1
+            if not dry:
+                shutil.rmtree(path, ignore_errors=True)
+    print(
+        f"== warehouse sweep: {n_wh} stale scale-clone bucketed tables "
+        f"{'would be ' if dry else ''}removed =="
+    )
 
 
 if __name__ == "__main__":
