@@ -16,95 +16,96 @@ _MODULES = []
 # entries per round, taken in registry order; names listed here are
 # emitted first, in this order; everything else follows in module
 # order.
-# Re-curated for the ROUND-6 driver run (VERDICT r5 next-round #1):
-# after r5's 50/50-green window the distinct driver-green union was
-# 225/253 with exactly 28 never-sampled queries; r6 then ADDED three
-# queries (i12, a56, ts_value_spikes), so the registry is 256 and a
-# fully-green r6 window reaches 253 + 3 = 256 distinct... only if
-# every name below lands in the 50-slot window — it does: exactly 50
-# curated names, no backfills.
-#   (a) the 28 never-sampled queries: the r5-added certs
-#       (a52-a55, c12, i11, k10_hybrid_rrf) and the deferred family
-#       variants (k1/k2/k3 tails, k5 metadata stubs, k8's exact
-#       twin, g/h one-liners, k10 chunk/phrase);
-#   (b) re-samples of queries whose code CHANGED after their last
-#       verdict (the r5 rule): k9_pagerank_dupgraph (r5 broadcast-
-#       loop fix landed after the window froze — VERDICT r5 wrong
-#       #1), k3_ivfpq_search (row-count probe swap), k2_minhash_lsh
-#       (r3 numpy kernel, pytest-pinned bit-exact, never re-rode the
-#       hash), and the r6 ADVICE fixes: a50 (fingerprinted fixture
-#       tag), the awaitTermination-hardened streaming certs
-#       (i7-i10, a29, a30);
-#   (c) the three r6-added queries themselves (i12, a56,
-#       ts_value_spikes). The r5 perf-weak ts_rollup_day_hour cleared
-#       on the median-of-3 re-measure (BASELINE.md r6), so it gave up
-#       its slot to an edited query.
+#
+# STANDING CADENCE (VERDICT r6 next-round #2, adopted as the default
+# for every future round): the window is filled in this order —
+#   1. queries whose code/oracle changed after their latest driver
+#      verdict (the r5 rule, applied exhaustively: own body, shared
+#      helper, fixture tag, or kernel — anything on the result path);
+#   2. any remaining slots go to rolling re-certification,
+#      OLDEST-VERDICT-FIRST (compute the union of CORRECTNESS_r* and
+#      take the earliest latest-round entries), so session-tuning
+#      drift can't age a verdict past ~2-3 rounds unnoticed.
+#
+# ROUND-7 window = exactly 50 names, composition:
+#   (a) the 14 deferred r6-edit re-samples (VERDICT r6 what's-wrong
+#       #1): the 9 own-body/oracle edits (k3_kmeans/knn_ivf/semdedup,
+#       the k4 text family) + k3_ivf_recall (ivf_train threading) +
+#       the 4 shared-path ACID certs (a16/a25/a22/a35) +
+#       k9_triangle_count (verified-pairs consumer);
+#   (b) the 35 queries edited THIS round by the ADVICE fixes
+#       (restcat sidecar path -> a47/a52/a56; fingerprint scheme ->
+#       a50 + the duppairs-fixture consumers k2_dup_clusters /
+#       k9_cc_bigstar / k9_pagerank_dupgraph) and the four
+#       adversarial review batches (retrieval/sampling/multimodal/
+#       timeseries/sqlsurface/relational — NULL-payload kernels,
+#       floor bucketing, EWMA NULLIF, LTTB decimal sums, q22 davg,
+#       d16 oracle typing, h12 bigint, the c10 bucketed pair, the
+#       shared-helper consumers k6_uniform/stratified/temperature/
+#       domain_mix/leakage_free, c7 asof pair, ts_rollup view fix).
+#   Zero spare slots remain for rolling re-certification this round —
+#   the 30 r1-era verdicts are the r8 window's (2) pool, oldest
+#   first. The registry-wide make_registry() consolidation (r7) is
+#   registration machinery, not query bodies: result-neutral,
+#   covered by the full local 256/256 parity sweeps.
 PRIORITY: tuple[str, ...] = (
-    # (a) never-driver-sampled — the road to 253/253
-    "a52_catalog_persistence",
-    "a53_cbo_join_reorder",
-    "a54_pyds_pushdown",
-    "a55_observed_metrics",
-    "c12_sortfree_bucketed_join",
-    "g_union_by_name",
-    "h15_bitwise_funcs",
-    "i11_stream_dedup",
-    "k1_url_dedup",
-    "k1_span_dedup",
-    "k1_cdc_chunk_dedup",
-    "k2_containment_pairs",
-    "k2_simhash_near_pairs",
-    "k3_centroid_by_label",
-    "k3_contrastive_pairs",
-    "k3_embedding_near_dup",
-    "k3_int8_quantize",
-    "k3_knn_lsh",
-    "k3_mmr_rerank",
-    "k3_pq_quantize",
-    "k3_random_projection",
-    "k5_multimodal_features",
-    "k5_multimodal_meta",
-    "k5_resize_stub",
-    "k8_decontaminate",
-    "k10_chunk_documents",
-    "k10_hybrid_rrf",
-    "k10_phrase_search",
-    # (b) edited-after-verdict re-samples
-    "k9_pagerank_dupgraph",
-    "k3_ivfpq_search",
-    "k2_minhash_lsh",
-    "a50_timestamp_travel",
-    "i7_stream_stream_join",
-    "i8_stream_static_enrich",
-    "i9_stream_outer_join",
-    "i10_stream_restart_exactly_once",
-    "a29_stream_cdc_view",
-    "a30_stream_upsert_totals",
+    # (a) deferred r6-edit re-samples
+    "a16_incremental_read",
+    "a25_change_feed",
+    "a22_wap_publish",
+    "a35_partition_overwrite",
+    "k9_triangle_count",
+    "k3_kmeans",
+    "k3_knn_ivf",
+    "k3_ivf_recall",
+    "k3_semdedup",
+    "k4_lang_id",
+    "k4_quality_score",
+    "k4_hashed_classifier",
+    "k4_bigram_lm_score",
+    "k4_dsir_importance",
+    "k4_bpe_token_count",
+    # (b) r7 ADVICE-fix re-samples
     "a47_rest_catalog",
-    # (b-cont.) certs whose code paths the r6 review fixes touched.
-    # Slots are finite (50): result-identical CHECK-only/efficiency
-    # edits (a16/a25 contiguity guard, a22 constraint gate on a
-    # constraint-free fixture, a35 non-NULL path, the verified-pairs
-    # consumer k9_triangle_count, k3_semdedup persist, k3_kmeans
-    # empty-guard, the ivf-family footer-count threading, and the
-    # text-family r6 edits — k4_lang_id CSE materialization,
-    # k4_quality_score constant hoist, k4_hashed_classifier NULL-text
-    # coalesce, k4_bpe_token_count oracle dry-merge guard,
-    # k4_bigram_lm_score hint drop — all fixture-result-identical)
-    # hold local parity and defer to r7; queries whose own bodies
-    # changed re-sample now.
-    "a33_expire_orphans",
-    "a19_delete_where",
-    "k2_ngram_jaccard",
-    "k1_substr_dedup",
-    "k8_bloom_decontaminate",
-    "k2_ppjoin",
+    "a52_catalog_persistence",
+    "a56_catalog_resolved_scan",
+    "a50_timestamp_travel",
     "k2_dup_clusters",
     "k9_cc_bigstar",
-    # (c) new r6 certs
-    "i12_stateful_session_timeout",
-    "a56_catalog_resolved_scan",
-    "ts_value_spikes",
+    "k9_pagerank_dupgraph",
+    # (b) r7 review-fix re-samples: retrieval
+    "k10_bm25",
+    "k10_hybrid_rrf",
+    "k10_inverted_index",
+    # (b) multimodal kernels
+    "k5_multimodal_features",
+    "k5_resize_stub",
+    "k5_ppm_decode",
+    "k5_pcm_frames",
+    "k5_wav_decode",
+    "k5_ahash_near_dup",
+    # (b) sampling
+    "k6_stratified_sample",
+    "k6_uniform_sample",
+    "k6_temperature_resample",
+    "k6_domain_mix",
+    "k6_leakage_free_split",
+    # (b) timeseries + asof
+    "ts_ewma",
+    "ts_gap_fill",
+    "ts_interpolate",
+    "ts_m4_downsample",
+    "ts_cohort_retention",
+    "ts_lttb_downsample",
+    "ts_rollup_day_hour",
+    "c7_asof_join",
+    "c7_asof_tolerance",
+    # (b) sqlsurface + relational
+    "tpch_q22_idle_customers",
+    "d16_histogram_quantiles",
+    "h12_higher_order_funcs",
+    "c10_bucketed_join",
+    "c10_bucketed_join_read",
 )
 
 
