@@ -86,6 +86,13 @@ OPS = [
     "a51_ingest_lifecycle",
     "a52_catalog_persistence",
     "a56_catalog_resolved_scan",
+    # round-7 additions: ops whose scale posture changed this round —
+    # cohort retention lost its forced per-user broadcast (AQE
+    # decides now; does the 10x clone still plan sanely?) and
+    # temperature resample localCheckpoints its inventory (the rate
+    # chain must be corpus-free at 10x).
+    "ts_cohort_retention",
+    "k6_temperature_resample",
 ]
 
 
