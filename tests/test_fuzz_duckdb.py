@@ -342,6 +342,89 @@ class Gen:
             f"WHERE {lc} <= {agg} AND {self.pred(t)}"
         )
 
+    def q_exists(self) -> str:
+        # correlated EXISTS / NOT EXISTS along an FK edge, composed
+        # with random predicates on both sides — Catalyst decorrelates
+        # to semi/anti joins, DuckDB to its own mark joins; results
+        # must agree regardless of strategy.
+        rt, rc, t, lc = self.r.choice(FK)  # reversed: parent has child
+        neg = self.r.choice(["EXISTS", "NOT EXISTS"])
+        keys = self.key_cols(t)
+        return (
+            f"SELECT {', '.join(keys)} FROM {t} WHERE {neg} ("
+            f"SELECT 1 FROM {rt} WHERE {rt}.{rc} = {t}.{lc}"
+            f" AND {self.pred(rt)}) AND {self.pred(t)}"
+        )
+
+    def q_in_subquery(self) -> str:
+        rt, rc, t, lc = self.r.choice(FK)
+        neg = "NOT " if self.r.random() < 0.4 else ""
+        keys = self.key_cols(t)
+        # NOT IN over a nullable projection is a classic three-valued-
+        # logic trap, but rc is a key column (non-null) in every edge,
+        # so both engines agree; keep the subquery side non-null.
+        return (
+            f"SELECT {', '.join(keys)} FROM {t} "
+            f"WHERE {lc} {neg}IN (SELECT {rc} FROM {rt} WHERE {self.pred(rt)})"
+        )
+
+    def q_anti_join(self) -> str:
+        # LEFT JOIN ... IS NULL — the manual anti-join; planner must
+        # not lose rows to join-strategy differences.
+        rt, rc, t, lc = self.r.choice(FK)
+        keys = [f"{t}.{k}" for k in self.key_cols(t)]
+        return (
+            f"SELECT {', '.join(keys)} FROM {t} "
+            f"LEFT JOIN (SELECT {rc} AS jk FROM {rt} WHERE {self.pred(rt)}) sub "
+            f"ON {t}.{lc} = sub.jk WHERE sub.jk IS NULL"
+        )
+
+    def q_cte(self) -> str:
+        # CTE consumed twice (aggregate + filter) — exercises each
+        # engine's CTE materialization/inlining decisions.
+        t = self.r.choice(list(T))
+        gs = self.group_cols(t)[:1]
+        return (
+            f"WITH base AS (SELECT {gs[0]} AS g, COUNT(*) AS n FROM {t} "
+            f"WHERE {self.pred(t)} GROUP BY {gs[0]}) "
+            f"SELECT b.g, b.n FROM base b "
+            f"JOIN (SELECT MAX(n) AS mx FROM base) m ON b.n = m.mx"
+        )
+
+    def q_date_funcs(self) -> str:
+        t = self.r.choice([x for x in T if T[x]["dates"]])
+        c = self.r.choice(T[t]["dates"])
+        keys = self.key_cols(t)
+        exprs = self.r.sample(
+            [
+                f"EXTRACT(YEAR FROM {c})",
+                f"EXTRACT(MONTH FROM {c})",
+                f"EXTRACT(DAY FROM {c})",
+                f"EXTRACT(HOUR FROM {c})",
+                f"DATE_TRUNC('week', {c})",
+                f"DATE_TRUNC('quarter', {c})",
+                f"CAST({c} AS DATE)",
+                f"({c} + INTERVAL 7 DAY)",
+                f"({c} - INTERVAL 90 DAY)",
+            ],
+            k=2,
+        )
+        cols = [f"{e} AS x{i}" for i, e in enumerate(exprs)]
+        return (
+            f"SELECT {', '.join(keys + cols)} FROM {t} WHERE {self.pred(t)}"
+        )
+
+    def q_join_having(self) -> str:
+        lt, lc, rt, rc = self.r.choice(FK)
+        gs = self.group_cols(rt)[:1]
+        agg = self.agg_expr(lt, "a0")
+        return (
+            f"SELECT {gs[0]} AS g0, {agg} FROM {lt} "
+            f"JOIN {rt} ON {lt}.{lc} = {rt}.{rc} "
+            f"WHERE {self.pred(lt)} GROUP BY {gs[0]} "
+            f"HAVING COUNT(*) >= {self.r.randrange(1, 5)}"
+        )
+
     def query(self) -> str:
         shape = self.r.choice(
             [
@@ -356,6 +439,12 @@ class Gen:
                 self.q_order_limit,
                 self.q_distinct,
                 self.q_subquery,
+                self.q_exists,
+                self.q_in_subquery,
+                self.q_anti_join,
+                self.q_cte,
+                self.q_date_funcs,
+                self.q_join_having,
             ]
         )
         return shape()
