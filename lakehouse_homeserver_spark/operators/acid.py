@@ -612,10 +612,10 @@ def a21_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a22_wap_publish",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+           {sql_dsum("c_acctbal")} AS total_bal
     FROM customer
     WHERE c_custkey % 3 IN (0, 1)
     GROUP BY c_mktsegment
@@ -641,19 +641,27 @@ def a22_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = SnapshotTable(spark, os.path.join(root, "customer"))
     t.create(cust.filter(F.col("c_custkey") % 3 == 0))
 
+    # The audit scope is everything added SINCE THE BRANCH POINT —
+    # captured at clone time (r7 review: the bad branch forks from v2,
+    # and a hardcoded added_between(1) audited the already-published
+    # good slice together with the staged batch, so a disqualifying
+    # row that predates the branch would veto an unrelated clean
+    # batch).
+    branch_v = t.latest_version()
     good = t.clone(os.path.join(root, "branch-good"))
     good.append(cust.filter(F.col("c_custkey") % 3 == 1))
-    staged = good.added_between(1)
+    staged = good.added_between(branch_v)
     if staged.count() > 0 and staged.filter("c_custkey IS NULL").count() == 0:
         t.cherry_pick(good, good.latest_version())
 
+    branch_v = t.latest_version()
     bad = t.clone(os.path.join(root, "branch-bad"))
     bad.append(
         cust.filter(F.col("c_custkey") % 3 == 2).withColumn(
             "c_custkey", F.lit(None).cast("long")
         )
     )
-    staged = bad.added_between(1)
+    staged = bad.added_between(branch_v)
     if staged.count() > 0 and staged.filter("c_custkey IS NULL").count() == 0:
         t.cherry_pick(bad, bad.latest_version())  # pragma: no cover
 

@@ -80,8 +80,6 @@ PRIORITY: tuple[str, ...] = (
     # (b) multimodal kernels
     "k5_multimodal_features",
     "k5_resize_stub",
-    "k5_ppm_decode",
-    "k5_pcm_frames",
     "k5_wav_decode",
     "k5_ahash_near_dup",
     # (b) sampling
@@ -92,9 +90,6 @@ PRIORITY: tuple[str, ...] = (
     "k6_leakage_free_split",
     # (b) timeseries + asof
     "ts_ewma",
-    "ts_gap_fill",
-    "ts_interpolate",
-    "ts_m4_downsample",
     "ts_cohort_retention",
     "ts_lttb_downsample",
     "ts_rollup_day_hour",
@@ -103,9 +98,21 @@ PRIORITY: tuple[str, ...] = (
     # (b) sqlsurface + relational
     "tpch_q22_idle_customers",
     "d16_histogram_quantiles",
-    "h12_higher_order_funcs",
     "c10_bucketed_join",
     "c10_bucketed_join_read",
+    # (c) r7 review batch 4 (acid/pyds/streaming) re-samples — these
+    # displaced six provably-value-identical refactor-class entries
+    # (ts_gap_fill/ts_interpolate/ts_m4 floor==trunc for the
+    # fixture's positive epochs, h12 cast-width only, k5_ppm/pcm
+    # fixture-unreachable NULL guards; all hold local 256/256 parity
+    # and are r8's first re-cert candidates alongside the r1-era
+    # pool):
+    "i12_stateful_session_timeout",
+    "a29_stream_cdc_view",
+    "a30_stream_upsert_totals",
+    "i2_tumbling_window",
+    "a49_pyds_roundtrip",
+    "a54_pyds_pushdown",
 )
 
 

@@ -81,11 +81,19 @@ def _versions(table_path: str) -> list[int]:
     log = os.path.join(table_path, _LOG_DIR)
     if not os.path.isdir(log):
         raise FileNotFoundError(f"{table_path}: not a snapshot table (no _log)")
-    return sorted(
-        int(f[: -len(".json")])
-        for f in os.listdir(log)
-        if f.endswith(".json") and not f.startswith(".")
-    )
+    # tolerate foreign .json files (notes.json etc.) exactly like
+    # SnapshotTable.versions() — a stray non-numeric name must not
+    # kill a RUNNING stream, whose latestOffset calls this every
+    # trigger (r7 review)
+    out = []
+    for f in os.listdir(log):
+        if not f.endswith(".json") or f.startswith("."):
+            continue
+        try:
+            out.append(int(f[: -len(".json")]))
+        except ValueError:
+            continue
+    return sorted(out)
 
 
 def _resolve_manifest(table_path: str, e: dict) -> dict:
@@ -864,6 +872,15 @@ class SnapshotDataSource(DataSource):
         return base
 
     def reader(self, schema: StructType):
+        if self._cdc():
+            # A batch reader would silently serve the HEAD rows with
+            # null CDC columns — no deletes, no versions (r7 review).
+            # Fail loudly like the version/timestampAsOf guards; the
+            # batch change-feed surface is SnapshotTable.changes_between.
+            raise ValueError(
+                "readChangeFeed requires readStream (or use "
+                "SnapshotTable.changes_between for a batch feed)"
+            )
         mr = self._metadata_reader()
         if mr is not None:
             return mr
@@ -949,10 +966,18 @@ class SnapshotWriter(DataSourceArrowWriter):
         return SnapshotWriteMessage(file=name)
 
     def commit(self, messages):
+        from pyspark.sql import SparkSession
+
         from .snapshot import SnapshotTable
 
         added = [m.file for m in messages if m and m.file]
-        t = SnapshotTable(None, self._path)
+        # The active session, not None (r7 review): commit_staged's
+        # constraint-enforcement branch reads the staged files through
+        # spark — with None it crashed with AttributeError and left
+        # the staged parquet orphaned instead of reporting the
+        # ConstraintViolation the native path reports. commit() runs
+        # driver-side, where the session always exists.
+        t = SnapshotTable(SparkSession.getActiveSession(), self._path)
         t.commit_staged(added, self._schema, replace=self._overwrite)
 
     def abort(self, messages):

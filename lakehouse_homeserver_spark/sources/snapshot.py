@@ -423,6 +423,22 @@ class SnapshotTable:
         metadata table / Delta's DESCRIBE HISTORY equivalent)."""
         return [self.entry(v) for v in self.versions()]
 
+    def latest_property(self, key: str):
+        """(version, value) of the NEWEST commit whose properties
+        carry `key`, or None. Tail-first over RAW entries — no
+        manifest-sidecar resolution — because the streaming
+        idempotence ledgers (stream_batch_id / stream_src_hi) only
+        need the most recent stream commit: a full history() walk
+        re-read O(#snapshots) entries PLUS their sidecars on every
+        micro-batch, O(N²) driver I/O over a stream's life
+        (r7 review). Stream commits write monotone ids/spans, so the
+        newest one IS the max."""
+        for v in reversed(self.versions()):
+            props = self._entry_raw(v).get("properties", {})
+            if key in props:
+                return v, props[key]
+        return None
+
     # -- write path --------------------------------------------------------
     def _stage(self, df: DataFrame) -> list[str]:
         """Write df's rows as immutable parquet files under data/.

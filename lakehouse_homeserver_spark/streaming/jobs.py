@@ -114,14 +114,14 @@ def stream_ingest(
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """I2+I4 transformation: 1-hour tumbling windows per event_type,
     late rows beyond the watermark dropped deterministically."""
+    from ..operators.common import dsum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-                "sum_value"
-            ),
+            dsum("value").alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -342,11 +342,15 @@ def upsert_user_totals_batch(
     from ..sources.snapshot import SnapshotTable
 
     t = SnapshotTable(spark, table_path)
-    if t.exists() and any(
-        e.get("properties", {}).get("stream_batch_id") == batch_id
-        for e in t.history()
-    ):
-        return
+    if t.exists():
+        # Tail-first ledger probe (r7 review — the full history()
+        # walk was O(N) entry+sidecar reads per trigger): batch ids
+        # are monotone within the checkpoint lineage (the guarantee's
+        # documented scope), so the newest recorded id tells whether
+        # this batch already landed.
+        rec = t.latest_property("stream_batch_id")
+        if rec is not None and int(rec[1]) >= batch_id:
+            return
     delta = batch.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
@@ -495,14 +499,13 @@ def apply_cdc_batch(
     t = SnapshotTable(spark, view_path)
     applied_hi = -1
     if t.exists():
-        applied_hi = max(
-            (
-                int(e["properties"]["stream_src_hi"])
-                for e in t.history()
-                if "stream_src_hi" in e.get("properties", {})
-            ),
-            default=-1,
-        )
+        # Tail-first (r7 review): each micro-batch folds a contiguous
+        # monotone version span, so the NEWEST commit carrying
+        # stream_src_hi holds the max — no O(#snapshots) history walk
+        # per trigger.
+        rec = t.latest_property("stream_src_hi")
+        if rec is not None:
+            applied_hi = int(rec[1])
         # A fresh-checkpoint restart replays from version 0, so one
         # micro-batch can MIX already-folded and new source versions;
         # row-filter on the offset column rather than skipping whole

@@ -24,7 +24,6 @@ is O(#distinct event types), bounded.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -114,9 +113,16 @@ def sessionize_fn(
     # round() is banker's: 12.5 -> 12, breaking the stream==batch
     # contract on exact half-cents). Values are non-negative here;
     # floor(x + 0.5) is HALF_UP for x >= 0.
-    cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(
-        np.int64
-    )
+    # NaN (NULL value) contributes 0 to the session sum — the batch
+    # twin's F.sum skips NULLs, which is additive-identical; without
+    # the guard, floor(NaN).astype(int64) silently injects INT64_MIN
+    # and corrupts value_cents (r7 review). Known residual edge: a
+    # session whose EVERY value is NULL sums to NULL in the twin but
+    # 0 here — matching that would mean widening the state tuple.
+    vals = batch["value"].to_numpy(np.float64)
+    cents = np.where(
+        np.isnan(vals), 0.0, np.floor(vals * 100.0 + 0.5)
+    ).astype(np.int64)
     et = batch["event_type"].to_numpy()
     n = len(us)
     closed: list[tuple] = []
@@ -128,7 +134,12 @@ def sessionize_fn(
         # rows before the first boundary continue the open session
         cont_end = int(b[0]) if b.size else n
         if cur is not None and cont_end > 0:
-            cur[1] = int(us[cont_end - 1])
+            # max(): a batch of only LATE (within-watermark) events
+            # must not move the open session's clock BACKWARD — that
+            # both split sessions the globally-ordered batch twin
+            # keeps together and regressed the timeout horizon,
+            # firing the close early (r7 review).
+            cur[1] = max(cur[1], int(us[cont_end - 1]))
             cur[2] += cont_end
             cur[3] = cur[3] + "," + ",".join(et[:cont_end])
             cur[4] += int(cents[:cont_end].sum())
@@ -345,26 +356,50 @@ def _spike_processor_cls():
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            # Vectorized (r7 review): prior_n/prior_sum are prefix
+            # aggregates — arange + shifted cumsum — and the flag is
+            # one comparison; the old per-row zip loop was exactly
+            # the row-at-a-time shape the r6 sessionizer rewrite
+            # removed. NaN (NULL value): flag false (NULL comparison
+            # in the twin), counts toward prior_n (count(*)), adds 0
+            # to prior_sum (F.sum skips NULLs) — and no longer
+            # crashes the micro-batch via int(floor(nan)).
+            import numpy as np
+
             (user_id,) = key
             n, total = (self._agg.get() or (0, 0)) if self._agg.exists() else (0, 0)
             batch = pd.concat(list(rows))
             batch["us"] = batch["ts"].astype("int64") // 1000
             sort_keys = ["us", "event_id"] if "event_id" in batch else ["us"]
             batch = batch.sort_values(sort_keys)
-            out = []
-            for eid, us, value in zip(
-                batch["event_id"], batch["us"], batch["value"]
-            ):
-                cents = int(math.floor(value * 100 + 0.5))  # HALF_UP, ≥0
-                if n > 0 and cents * n > SPIKE_FACTOR * total:
-                    out.append((user_id, int(eid), int(us), cents, n, total))
-                n += 1
-                total += cents
-            self._agg.update((n, total))
-            if out:
+            vals = batch["value"].to_numpy(np.float64)
+            nan = np.isnan(vals)
+            cents = np.where(
+                nan, 0.0, np.floor(vals * 100.0 + 0.5)  # HALF_UP, ≥0
+            ).astype(np.int64)
+            m = len(cents)
+            prior_n = n + np.arange(m, dtype=np.int64)
+            prior_sum = total + np.concatenate(
+                ([0], np.cumsum(cents[:-1], dtype=np.int64))
+            )
+            flag = (
+                (prior_n > 0)
+                & ~nan
+                & (cents * prior_n > SPIKE_FACTOR * prior_sum)
+            )
+            self._agg.update((n + m, int(total + cents.sum())))
+            if flag.any():
+                idx = np.flatnonzero(flag)
                 yield pd.DataFrame(
-                    out,
-                    columns=[f.name for f in SPIKE_SCHEMA],
+                    {
+                        "user_id": np.full(len(idx), user_id, np.int64),
+                        "event_id": batch["event_id"]
+                        .to_numpy(np.int64)[idx],
+                        "us": batch["us"].to_numpy(np.int64)[idx],
+                        "value_cents": cents[idx],
+                        "prior_n": prior_n[idx],
+                        "prior_sum_cents": prior_sum[idx],
+                    }
                 )
 
         def close(self) -> None:
