@@ -221,16 +221,24 @@ def a23_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) BETWEEN 1 AND 1000000000 AS passed
     FROM events
     UNION ALL
+    -- NOT(...) forms, not MAX < cutoff (r7 review): the engine
+    -- deliberately treats MAX(ts) IS NULL — an empty or all-NULL
+    -- feed — as a VIOLATION ("a dead feed must not read as fresh");
+    -- NOT(MAX >= cutoff) is true for NULL the same way, while the
+    -- old MAX < cutoff read NULL as no-violation and diverged on
+    -- exactly that edge.
     SELECT 'freshness', 'ts',
-           CAST(CASE WHEN MAX(ts) < TIMESTAMP '1990-01-01'
+           CAST(CASE WHEN NOT COALESCE(MAX(ts) >= TIMESTAMP '1990-01-01',
+                               FALSE)
                 THEN 1 ELSE 0 END AS BIGINT),
-           MAX(ts) >= TIMESTAMP '1990-01-01'
+           COALESCE(MAX(ts) >= TIMESTAMP '1990-01-01', FALSE) AS passed
     FROM events
     UNION ALL
     SELECT 'freshness', 'ts',
-           CAST(CASE WHEN MAX(ts) < TIMESTAMP '2030-01-01'
+           CAST(CASE WHEN NOT COALESCE(MAX(ts) >= TIMESTAMP '2030-01-01',
+                               FALSE)
                 THEN 1 ELSE 0 END AS BIGINT),
-           MAX(ts) >= TIMESTAMP '2030-01-01'
+           COALESCE(MAX(ts) >= TIMESTAMP '2030-01-01', FALSE) AS passed
     FROM events
     """,
 )

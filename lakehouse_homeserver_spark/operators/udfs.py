@@ -233,6 +233,11 @@ def j_udtf_term_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="term string, n bigint, first_pos int")
     class TermExpand:
         def eval(self, text: str):
+            if text is None:
+                # LATERAL over NULL text yields no rows — the
+                # oracle's unnest does the same; without the guard
+                # one NULL row killed the whole query (r7 review)
+                return
             toks = _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
             first: dict[str, int] = {}
             counts: dict[str, int] = {}
@@ -360,13 +365,20 @@ def j_arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     e = T(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
 
     def norms(batches):
         for batch in batches:
+            if not batch.num_rows:
+                continue
             emb = batch.column(batch.schema.get_field_index("embedding"))
             if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
                 emb = emb.combine_chunks()
+            # dim from the batch's own offsets (r7 review): the old
+            # pre-scan `.first()` launched an extra Spark job per
+            # invocation just to measure it, and crashed on an empty
+            # table; fixed-width vectors are a fixture contract the
+            # reshape below still enforces.
+            dim = len(emb[0])
             flat = emb.flatten().to_numpy(zero_copy_only=False)
             E = flat.astype(np.float64).reshape(-1, dim)
             nsq = np.zeros(len(E))

@@ -82,12 +82,11 @@ PRIORITY: tuple[str, ...] = (
     "k5_resize_stub",
     "k5_wav_decode",
     "k5_ahash_near_dup",
-    # (b) sampling
+    # (b) sampling (uniform/leakage_free/domain_mix deferred: helper
+    # reuse is bit-identical IEEE / identical expressions, domain_mix
+    # is plan-only localCheckpoint — all local-parity-proven)
     "k6_stratified_sample",
-    "k6_uniform_sample",
     "k6_temperature_resample",
-    "k6_domain_mix",
-    "k6_leakage_free_split",
     # (b) timeseries + asof
     "ts_ewma",
     "ts_cohort_retention",
@@ -113,6 +112,13 @@ PRIORITY: tuple[str, ...] = (
     "i2_tumbling_window",
     "a49_pyds_roundtrip",
     "a54_pyds_pushdown",
+    # (d) r7 review batch 5 (ingest/ivm/restcat/quality/udfs)
+    # re-samples: the IVM merge gained null-safe keys + the
+    # zero-group filter on first refresh, a28's oracle NULL-max
+    # semantics changed, arrow-batch norms derive dim in-batch
+    "a26_ivm_view",
+    "a28_volume_freshness",
+    "j_arrow_batch_norms",
 )
 
 

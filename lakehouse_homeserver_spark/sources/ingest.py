@@ -447,6 +447,13 @@ class Lakehouse:
             F.percentile_approx(col_a, qs, 10_000).alias("ba"),
             F.percentile_approx(col_b, qs, 10_000).alias("bb"),
         ).collect()[0]
+        if row["ba"] is None or row["bb"] is None:
+            # empty table / all-NULL cluster column: there is no
+            # distribution to z-order by — rewrite is a no-op, like
+            # compact()/optimize_layout on the same inputs (r7
+            # review: _quantile_bucket iterated None and crashed
+            # with an obscure TypeError).
+            return
         z = zorder_key(
             _quantile_bucket(F.col(col_a), row["ba"]),
             _quantile_bucket(F.col(col_b), row["bb"]),

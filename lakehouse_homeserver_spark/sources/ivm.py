@@ -100,8 +100,17 @@ class IncrementalAggregate:
             F.col("cnt").alias("cnt_b"),
             F.col("total").alias("tot_b"),
         )
-        return c.join(d, self.keys, "full_outer").select(
-            *self.keys,
+        # eqNullSafe per key (r7 review): a name-list join compiles to
+        # EqualTo, which never matches NULL group keys, so a NULL-key
+        # group would duplicate in the view on every refresh instead
+        # of merging (groupBy treats NULL as one group; the merge
+        # must too).
+        cond = None
+        for k in self.keys:
+            term = c[k].eqNullSafe(d[k])
+            cond = term if cond is None else cond & term
+        return c.join(d, cond, "full_outer").select(
+            *[F.coalesce(c[k], d[k]).alias(k) for k in self.keys],
             (
                 F.coalesce("cnt_a", F.lit(0)) + F.coalesce("cnt_b", F.lit(0))
             ).alias("cnt"),
@@ -124,7 +133,10 @@ class IncrementalAggregate:
         if self.dest.exists():
             merged = self._merge(self.dest.read(), delta)
         else:
-            merged = delta
+            # same zero-group rule as _merge (r7 review): a group
+            # fully inserted-then-deleted inside the first consumed
+            # range must not persist as a phantom (cnt=0) view row.
+            merged = delta.filter(F.col("cnt") != 0)
         self.dest.create_or_replace(merged, properties={_CURSOR: to})
         return {"from_version": frm, "to_version": to, "refreshed": True}
 

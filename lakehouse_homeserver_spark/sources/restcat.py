@@ -202,7 +202,15 @@ class CatalogServer:
     ) -> None:
         # In-memory registry when no store is given (r4 behavior);
         # a SqlCatalogStore makes registrations survive restarts.
+        # The lock mirrors _tokens_lock (r7 review): handlers run on
+        # ThreadingHTTPServer threads, and an unlocked iteration over
+        # _tables racing a concurrent register() is a RuntimeError
+        # (dict changed size) -> spurious 500. _ns_mem makes
+        # CreateNamespace real for the in-memory registry — it used
+        # to 200 and then 404 the namespace it had just affirmed.
         self._tables: dict[tuple[str, str], str] = {}
+        self._ns_mem: set[str] = set()
+        self._reg_lock = threading.Lock()
         self._store = store
         self._credential = credential
         # token -> monotonic expiry; expired entries are evicted on
@@ -221,33 +229,43 @@ class CatalogServer:
         if self._store is not None:
             self._store.register_table(namespace, name, table_path)
         else:
-            self._tables[(namespace, name)] = table_path
+            with self._reg_lock:
+                self._ns_mem.add(namespace)
+                self._tables[(namespace, name)] = table_path
 
     # -- registry views (store-backed or in-memory) -------------------------
     def _namespaces(self) -> list[str]:
         if self._store is not None:
             return self._store.namespaces()
-        return sorted({ns for ns, _ in self._tables})
+        with self._reg_lock:
+            return sorted({ns for ns, _ in self._tables} | self._ns_mem)
 
     def _namespace_exists(self, ns: str) -> bool:
         if self._store is not None:
             return self._store.namespace_exists(ns)
-        return any(k == ns for k, _ in self._tables)
+        with self._reg_lock:
+            return ns in self._ns_mem or any(
+                k == ns for k, _ in self._tables
+            )
 
     def _tables_in(self, ns: str) -> list[str]:
         if self._store is not None:
             return self._store.tables(ns)
-        return sorted(n for (k, n) in self._tables if k == ns)
+        with self._reg_lock:
+            return sorted(n for (k, n) in self._tables if k == ns)
 
     def _lookup(self, ns: str, name: str) -> str | None:
         if self._store is not None:
             return self._store.table_path(ns, name)
-        return self._tables.get((ns, name))
+        with self._reg_lock:
+            return self._tables.get((ns, name))
 
     def _create_namespace(self, ns: str, properties: dict | None) -> None:
         if self._store is not None:
             self._store.create_namespace(ns, properties)
-        # in-memory registry materializes namespaces from tables only
+        else:
+            with self._reg_lock:
+                self._ns_mem.add(ns)
 
     # -- request handling --------------------------------------------------
     def _issue_token(self, body: bytes) -> tuple[int, dict]:
@@ -556,13 +574,21 @@ class RestCatalog:
         return meta["x-entry"], meta["metadata"]["location"]
 
     def read_table(self, spark, namespace: str, name: str):
-        """Plan a Spark scan from the SERVED metadata: location +
-        live-file manifest over HTTP, then a direct parquet read of
-        exactly those files — data bytes never touch the catalog,
-        the defining property of the REST-catalog architecture."""
+        """Plan a Spark scan from the SERVED metadata: the wire entry
+        (manifest + schema + MoR delete files) drives the whole plan,
+        then data bytes come straight from the files — they never
+        touch the catalog, the defining property of the REST-catalog
+        architecture. r7 review fix: the first cut scanned
+        ``x-manifest`` alone, so MoR-deleted rows RESURFACED in the
+        served table (equality/positional delete files were served in
+        ``x-entry`` but never applied) and pre-evolution files
+        misrepresented later-added columns; the scan now funnels
+        through the same `_read_files` delete/schema semantics as a
+        native read, fed entirely by wire metadata."""
+        from .snapshot import SnapshotTable
+
         meta = self.load_table(namespace, name)
         loc = meta["metadata"]["location"]
-        files = [
-            os.path.join(loc, "data", f) for f in meta["x-manifest"]
-        ]
-        return spark.read.parquet(*files)
+        entry = meta["x-entry"]
+        t = SnapshotTable(spark, loc)
+        return t._read_files(entry, entry["manifest"])

@@ -2466,6 +2466,37 @@ class SnapshotTable:
             referenced_expired.update(
                 d["file"] for d in e.get("delete_files", [])
             )
+        # Carry ingest bookkeeping before dropping entries (r7 review):
+        # `Lakehouse.ingested_files` DERIVES the seen-file set from
+        # per-commit `ingested_files` properties, so expiring old
+        # commits silently shrank it and the next load_incremental
+        # re-ingested those files as duplicate rows. Fold the expired
+        # prefix's walk state into the oldest retained entry — unless
+        # that entry is itself a replacing commit (create/overwrite),
+        # which resets bookkeeping anyway, exactly as the live walk
+        # would have.
+        if expired and keep:
+            v0 = min(keep)
+            carried: list[str] = []
+            for v in sorted(x for x in expired if x < v0):
+                raw = self._entry_raw(v)
+                if raw.get("operation") in ("create", "overwrite"):
+                    carried = []
+                carried.extend(
+                    raw.get("properties", {}).get("ingested_files", [])
+                )
+            if carried:
+                raw0 = self._entry_raw(v0)
+                if raw0.get("operation") not in ("create", "overwrite"):
+                    props = raw0.setdefault("properties", {})
+                    existing = props.get("ingested_files", [])
+                    props["ingested_files"] = carried + [
+                        f for f in existing if f not in carried
+                    ]
+                    tmp = self._entry_path(v0) + ".tmp"
+                    with open(tmp, "w") as fh:
+                        json.dump(raw0, fh)
+                    os.replace(tmp, self._entry_path(v0))
         for v in expired:
             os.remove(self._entry_path(v))
         deleted = 0

@@ -339,3 +339,43 @@ def test_cli_entry_point_full_then_incremental(spark, sf_dir, tmp_path):
     out2 = run("incremental")
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "no new data" in out2.stdout, out2.stdout
+
+
+def test_expiry_preserves_incremental_bookkeeping(spark, landing, tmp_path):
+    """Regression (r7 review): `ingested_files` derives from commit
+    properties, and snapshot expiry used to DELETE old commits'
+    properties with them — the next incremental then silently
+    re-ingested those files as duplicate rows. expire_snapshots now
+    folds the expired prefix's bookkeeping into the oldest retained
+    entry."""
+    from lakehouse_homeserver_spark.sources.ingest import (
+        Lakehouse,
+        SnapshotFormat,
+    )
+
+    import shutil as _sh
+
+    fmt = SnapshotFormat(spark, str(tmp_path / "wh"))
+    lh = Lakehouse(spark, fmt=fmt)
+    n1 = lh.load_incremental("lineitem", landing)  # commit 1: 3 files
+    assert n1 > 0
+    # a LATER landing file forces a SECOND commit, so expiry with
+    # keep_last=1 really drops commit 1's bookkeeping properties
+    d = os.path.join(landing, "lineitem")
+    _sh.copy(
+        os.path.join(d, "batch_0.parquet"),
+        os.path.join(d, "batch_3.parquet"),
+    )
+    assert lh.load_incremental("lineitem", landing) > 0  # commit 2: 1 file
+    t = fmt._table("src.lineitem")
+    assert len(t.versions()) >= 2
+    before = lh.table("lineitem").count()
+    files_before = set(fmt.ingested_files(spark, "src.lineitem"))
+    assert len(files_before) == 4
+    t.expire_snapshots(keep_last=1, orphan_grace_ms=0)
+    assert len(t.versions()) == 1  # commit 1 really expired
+    assert set(fmt.ingested_files(spark, "src.lineitem")) == files_before
+    # the re-run must be a no-op, not a duplicate ingest
+    n2 = lh.load_incremental("lineitem", landing)
+    assert n2 == 0
+    assert lh.table("lineitem").count() == before

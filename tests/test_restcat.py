@@ -270,3 +270,46 @@ def test_load_table_resolves_manifest_sidecar(spark, sf_dir, tmp_path):
             .collect()
         )
         assert via_http == native
+
+
+def test_read_table_applies_mor_deletes(spark, sf_dir, tmp_path):
+    """Regression (r7 review): read_table planned from x-manifest
+    alone, so MoR-deleted rows RESURFACED in the catalog-served scan
+    (the delete files were served in x-entry but never applied). The
+    served read must match the native read after an equality AND a
+    positional MoR delete."""
+    t = SnapshotTable(spark, str(tmp_path / "nation_mor"))
+    t.create(T(spark, sf_dir, "nation").repartition(2))
+    t.delete_where(
+        F.col("n_nationkey") % 4 == 1, mode="mor", equality_on=["n_nationkey"]
+    )
+    t.delete_where(F.col("n_nationkey") % 5 == 2, mode="mor_positional")
+    with CatalogServer() as server:
+        server.register("analytics", "nation_mor", t.path)
+        served = (
+            RestCatalog(server.uri)
+            .read_table(spark, "analytics", "nation_mor")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("s"))
+            .collect()
+        )
+    native = (
+        t.read()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("s"))
+        .collect()
+    )
+    assert served == native
+    # and the deletes really removed rows (the regression's symptom
+    # was served > native)
+    assert served[0]["n"] < 25
+
+
+def test_inmemory_create_namespace_is_real(spark):
+    """Regression (r7 review): CreateNamespace on a store-less server
+    200'd and then 404'd the namespace it had just affirmed."""
+    with CatalogServer() as server:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("fresh_ns")
+        assert "fresh_ns" in cat.list_namespaces()
+        assert cat.list_tables("fresh_ns") == []
