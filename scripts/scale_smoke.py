@@ -181,8 +181,19 @@ def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    scaled = tempfile.mkdtemp(prefix="sf-scaled-")
-    build_scaled(spark, scaled, copies)
+    # SPARK_GRAFT_SMOKE_SCALED_DIR reuses an already-built clone dir —
+    # the quiet-box protocol (SCALE.md): re-measure an in-sequence
+    # outlier in a FRESH PROCESS without paying the clone build:
+    #   SPARK_GRAFT_SMOKE_SCALED_DIR=<dir> \
+    #   SPARK_GRAFT_SMOKE_OPS=<op> python scripts/scale_smoke.py
+    # (the full run prints its scaled dir for exactly this reuse).
+    scaled = os.environ.get("SPARK_GRAFT_SMOKE_SCALED_DIR")
+    if scaled and os.path.isdir(os.path.join(scaled, "documents.parquet")):
+        print(f"reusing scaled clones at {scaled}")
+    else:
+        scaled = tempfile.mkdtemp(prefix="sf-scaled-")
+        build_scaled(spark, scaled, copies)
+        print(f"scaled clones at {scaled} (reusable via SPARK_GRAFT_SMOKE_SCALED_DIR)")
     qs = all_queries()
     # SPARK_GRAFT_SMOKE_OPS=a,b,c re-measures a subset without paying
     # for the full sweep (the clone build is shared either way).
