@@ -55,7 +55,7 @@ def main() -> None:
     ).save()
     import tempfile
 
-    with tempfile.TemporaryDirectory(prefix="bench-warm-") as d:
+    with tempfile.TemporaryDirectory(prefix="lakehouse-scratch-bench-warm-") as d:
         spark.range(100).write.mode("overwrite").parquet(os.path.join(d, "w"))
 
     # SPARK_GRAFT_BENCH_REPEATS > 1 runs N full INTERLEAVED sweeps and

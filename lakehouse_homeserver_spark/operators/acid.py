@@ -48,7 +48,7 @@ def _demo_table(spark: SparkSession, sf_dir: str, *, evolve: bool) -> SnapshotTa
     writes — the slice keeps the bench honest while the oracle applies
     the identical predicate."""
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    root = tempfile.mkdtemp(prefix="snap-demo-")
+    root = tempfile.mkdtemp(prefix="lakehouse-scratch-snap-demo-")
     t = SnapshotTable(spark, os.path.join(root, "orders_acid"))
     t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
     t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
@@ -213,7 +213,7 @@ def a13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberate edge the oracle shares.
     """
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-merge-"), "cust")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-merge-"), "cust")
     )
     t.create(T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0))
     t.merge(_merge_source(spark, sf_dir), on=["c_custkey"])
@@ -292,7 +292,7 @@ def a19_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-del-"), "orders")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-del-"), "orders")
     )
     orders = T(spark, sf_dir, "orders")
     n = table_row_count(sf_dir, "orders")
@@ -360,7 +360,7 @@ def a20_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-mor-"), "orders")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-mor-"), "orders")
     )
     orders = T(spark, sf_dir, "orders")
     n = table_row_count(sf_dir, "orders")
@@ -461,7 +461,7 @@ def a15_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-only, before any executor starts.
     """
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-skip-"), "orders")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-skip-"), "orders")
     )
     orders = T(spark, sf_dir, "orders")
     bounds = [0, 5000, 10000, 15000, 10**12]
@@ -502,7 +502,7 @@ def a16_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream jobs stay O(new data) at 100 TB.
     """
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-inc-"), "cust")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-inc-"), "cust")
     )
     c = T(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
@@ -543,7 +543,7 @@ def a17_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_snapshot.py.
     """
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    root = tempfile.mkdtemp(prefix="snap-clone-")
+    root = tempfile.mkdtemp(prefix="lakehouse-scratch-snap-clone-")
     src = SnapshotTable(spark, os.path.join(root, "src"))
     src.create(orders.filter(F.col("o_orderkey") % 3 == 0))
     src.append(orders.filter(F.col("o_orderkey") % 3 == 1))
@@ -591,7 +591,7 @@ def a21_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer "which files can contain key X" without opening any file.
     """
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-bloom-"), "orders")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-bloom-"), "orders")
     ).with_bloom_filters("o_orderkey")
     orders = T(spark, sf_dir, "orders")
     for i in range(4):
@@ -636,26 +636,27 @@ def a22_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed files (not a copy), publish costs one log write, and a
     bad batch never touches the production table's lineage.
     """
-    root = tempfile.mkdtemp(prefix="snap-wap-")
+    root = tempfile.mkdtemp(prefix="lakehouse-scratch-snap-wap-")
     cust = T(spark, sf_dir, "customer")
     t = SnapshotTable(spark, os.path.join(root, "customer"))
     t.create(cust.filter(F.col("c_custkey") % 3 == 0))
 
-    # The audit scope is everything added SINCE THE BRANCH POINT —
-    # captured at clone time (r7 review: the bad branch forks from v2,
-    # and a hardcoded added_between(1) audited the already-published
-    # good slice together with the staged batch, so a disqualifying
-    # row that predates the branch would veto an unrelated clean
-    # batch).
-    branch_v = t.latest_version()
+    # The audit scope is everything added SINCE THE BRANCH POINT,
+    # expressed in the BRANCH's own version space: clone() restarts
+    # numbering at 1, so the branch point is always the clone's
+    # latest_version() right after cloning — NOT the source's (r8
+    # advice: a source-space version >= 2 made added_between an empty
+    # range on the clone, so the audit saw zero staged rows and a
+    # clean batch forked after a prior publish would never publish).
     good = t.clone(os.path.join(root, "branch-good"))
+    branch_v = good.latest_version()
     good.append(cust.filter(F.col("c_custkey") % 3 == 1))
     staged = good.added_between(branch_v)
     if staged.count() > 0 and staged.filter("c_custkey IS NULL").count() == 0:
         t.cherry_pick(good, good.latest_version())
 
-    branch_v = t.latest_version()
     bad = t.clone(os.path.join(root, "branch-bad"))
+    branch_v = bad.latest_version()
     bad.append(
         cust.filter(F.col("c_custkey") % 3 == 2).withColumn(
             "c_custkey", F.lit(None).cast("long")
@@ -762,7 +763,7 @@ def a25_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     `SnapshotTable.changes_between`).
     """
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    root = tempfile.mkdtemp(prefix="snap-cdf-")
+    root = tempfile.mkdtemp(prefix="lakehouse-scratch-snap-cdf-")
     t = SnapshotTable(spark, os.path.join(root, "orders_cdf"))
     t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
     t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
@@ -820,7 +821,7 @@ def a26_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.ivm import IncrementalAggregate
 
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    root = tempfile.mkdtemp(prefix="snap-ivm-")
+    root = tempfile.mkdtemp(prefix="lakehouse-scratch-snap-ivm-")
     src = SnapshotTable(spark, os.path.join(root, "src"))
     dest = SnapshotTable(spark, os.path.join(root, "view"))
     ivm = IncrementalAggregate(
@@ -867,7 +868,7 @@ def a27_spec_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest; here the METADATA is the contract under test).
     """
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    root = tempfile.mkdtemp(prefix="snap-spec-")
+    root = tempfile.mkdtemp(prefix="lakehouse-scratch-snap-spec-")
     t = SnapshotTable(spark, os.path.join(root, "orders_spec"))
     t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
     t.set_partition_spec(["o_custkey"])
@@ -924,7 +925,7 @@ def a29_stream_cdc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_cdc_aggregate
 
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    root = tempfile.mkdtemp(prefix="snap-scdc-")
+    root = tempfile.mkdtemp(prefix="lakehouse-scratch-snap-scdc-")
     src = SnapshotTable(spark, os.path.join(root, "src"))
     view_path = os.path.join(root, "view")
     src.create(orders.filter(F.col("o_orderkey") % 3 == 0))
@@ -977,7 +978,7 @@ def a30_stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_upsert_user_totals,
     )
 
-    root = tempfile.mkdtemp(prefix="snap-sup-")
+    root = tempfile.mkdtemp(prefix="lakehouse-scratch-snap-sup-")
     landing = os.path.join(root, "landing")
     table = os.path.join(root, "user_totals")
     prepare_events_landing(spark, sf_dir, landing, slices=3)
@@ -1027,7 +1028,7 @@ def a31_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     512 MiB-class scan units without touching settled data.
     """
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-opt-"), "orders")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-opt-"), "orders")
     )
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     t.create(orders.filter(F.col("o_orderkey") % 4 < 2).coalesce(1))
@@ -1186,7 +1187,7 @@ def a33_expire_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     live file, always the debris) is the property this query pins.
     """
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-gc-"), "orders")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-gc-"), "orders")
     )
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     t.create(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(1))
@@ -1254,7 +1255,7 @@ def a35_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite cost is O(restated partitions), and readers never observe
     a mix of old and new."""
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-dpo-"), "orders")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-dpo-"), "orders")
     )
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     t.create(orders.coalesce(1))
@@ -1323,7 +1324,7 @@ def a36_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-pos-"), "orders")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-pos-"), "orders")
     )
     orders = T(spark, sf_dir, "orders")
     n = table_row_count(sf_dir, "orders")
@@ -1390,7 +1391,7 @@ def a37_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.snapshot import ConstraintViolation
 
     t = SnapshotTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="snap-chk-"), "orders")
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse-scratch-snap-chk-"), "orders")
     )
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     t.create(orders.filter(F.col("o_orderkey") % 2 == 0))
@@ -1988,7 +1989,7 @@ def a51_ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.ingest import Lakehouse, SnapshotFormat
 
-    root = tempfile.mkdtemp(prefix="a51-ingest-")
+    root = tempfile.mkdtemp(prefix="lakehouse-scratch-a51-ingest-")
     try:
         landing = os.path.join(root, "landing")
         prefix = os.path.join(landing, "nation_ing")

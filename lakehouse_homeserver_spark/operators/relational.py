@@ -2684,7 +2684,7 @@ def a38_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     # (bench sweeps) measure the pruned READ the query certifies.
     base = _A38_LAYOUTS.get(sf_dir)
     if base is None:
-        base = tempfile.mkdtemp(prefix="a38-dpp-")
+        base = tempfile.mkdtemp(prefix="lakehouse-scratch-a38-dpp-")
         orders = T(spark, sf_dir, "orders")
         (
             orders.withColumn("o_year", F.year("o_orderdate"))

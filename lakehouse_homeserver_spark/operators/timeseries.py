@@ -1401,7 +1401,7 @@ def i7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     )
-    sink_dir = tempfile.mkdtemp(prefix="i7-pairs-")
+    sink_dir = tempfile.mkdtemp(prefix="lakehouse-scratch-i7-pairs-")
     with pinned_shuffle(spark):
         q = (
             joined.writeStream.format("parquet")
@@ -1477,7 +1477,7 @@ def i8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = normalize_events_ts(
         spark.readStream.schema(schema).parquet(d)
     )
-    sink_dir = tempfile.mkdtemp(prefix="i8-enriched-")
+    sink_dir = tempfile.mkdtemp(prefix="lakehouse-scratch-i8-enriched-")
     q = (
         enrich_events(stream, profile)
         .writeStream.format("parquet")
@@ -1670,7 +1670,7 @@ def i9_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    sink = tempfile.mkdtemp(prefix="i9-pairs-")
+    sink = tempfile.mkdtemp(prefix="lakehouse-scratch-i9-pairs-")
     with pinned_shuffle(spark):
         q = (
             joined.writeStream.format("parquet")
@@ -1764,7 +1764,7 @@ def i10_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFra
     events = T(spark, sf_dir, "events")
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
 
-    work = tempfile.mkdtemp(prefix="i10-")
+    work = tempfile.mkdtemp(prefix="lakehouse-scratch-i10-")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
 
@@ -1901,7 +1901,7 @@ def i11_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    sink_dir = tempfile.mkdtemp(prefix="i11-dedup-")
+    sink_dir = tempfile.mkdtemp(prefix="lakehouse-scratch-i11-dedup-")
     with pinned_shuffle(spark):
         q = (
             deduped.writeStream.format("parquet")
@@ -1993,7 +1993,7 @@ def i12_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import events_schema
     from ..streaming.stateful import stream_rich_sessions
 
-    root = tempfile.mkdtemp(prefix="i12-sessions-")
+    root = tempfile.mkdtemp(prefix="lakehouse-scratch-i12-sessions-")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
     events = T(spark, sf_dir, "events")

@@ -349,8 +349,27 @@ def upsert_user_totals_batch(
         # documented scope), so the newest recorded id tells whether
         # this batch already landed.
         rec = t.latest_property("stream_batch_id")
-        if rec is not None and int(rec[1]) >= batch_id:
-            return
+        if rec is not None:
+            recorded = int(rec[1])
+            if recorded == batch_id:
+                # The one legitimate replay: foreachBatch re-delivers
+                # the batch whose commit landed but whose checkpoint
+                # advance did not. Ids are allocated sequentially, so
+                # a replay is always EXACTLY the recorded id.
+                return
+            if recorded > batch_id:
+                # Ids regressed: a recreated checkpoint (restart at 0)
+                # was pointed at an existing totals table. Silently
+                # skipping would drop every new batch whose id
+                # collides with history (r8 advice — data loss); fail
+                # loudly with the documented recovery instead.
+                raise ValueError(
+                    f"{table_path}: incoming batch_id {batch_id} < "
+                    f"recorded stream_batch_id {recorded} — the "
+                    "checkpoint lineage changed. Rebuild the totals "
+                    "table from scratch; never point a fresh "
+                    "checkpoint at an existing table."
+                )
     delta = batch.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),

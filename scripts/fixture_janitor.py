@@ -60,22 +60,13 @@ FINGERPRINTED = FIXTURE_FAMILIES_FINGERPRINTED
 # landing dir + checkpoint + sink per run and cannot delete them in
 # the query body (the returned DataFrame still reads the sink when
 # the driver materializes it), so repeated sweeps accumulate
-# thousands of dirs. The janitor reaps any dir with one of these
-# prefixes once it is old enough that no live sweep can still be
-# reading it (default 2 h; a full 256-query sweep is ~6 min).
-SCRATCH_PREFIXES = (
-    "snap-",
-    "i7-",
-    "i8-",
-    "i9-",
-    "i10-",
-    "i11-",
-    "i12-",
-    "a38-",
-    "a51-",
-    "bench-warm-",
-    "sf-scaled-",
-)
+# thousands of dirs. Every scratch mkdtemp in this project uses the
+# single project-unique prefix below (r8 advice — the old loose
+# prefixes like 'snap-'/'i7-' matched OTHER tools' /tmp dirs and the
+# sweep could delete them); the janitor reaps only that namespace
+# once a dir is old enough that no live sweep can still be reading
+# it (default 2 h; a full 256-query sweep is ~6 min).
+SCRATCH_PREFIXES = ("lakehouse-scratch-",)
 SCRATCH_MAX_AGE_S = float(
     os.environ.get("SPARK_GRAFT_SCRATCH_MAX_AGE_S", str(2 * 3600))
 )
@@ -88,7 +79,15 @@ def live_fingerprinted_tags() -> set[str]:
     for sf_dir in SF_DIRS:
         sf = os.path.basename(sf_dir.rstrip("/"))
         for prefix, table in FINGERPRINTED.items():
-            out.add(f"{prefix}{sf}-{_source_fingerprint(sf_dir, table)}")
+            try:
+                fp = _source_fingerprint(sf_dir, table)
+            except FileNotFoundError:
+                # This sf_dir lacks the family's source table (e.g. a
+                # custom SPARK_GRAFT_SF_DIR with a subset of tables) —
+                # the family simply can't be live for it. Skip the
+                # tag; don't abort the whole sweep (r8 advice).
+                continue
+            out.add(f"{prefix}{sf}-{fp}")
     return out
 
 
@@ -99,6 +98,8 @@ def main() -> None:
     for name in sorted(os.listdir(TMP)):
         if not name.startswith("lakehouse-"):
             continue
+        if name.startswith(SCRATCH_PREFIXES):
+            continue  # per-run scratch: age-based sweep below owns it
         path = os.path.join(TMP, name)
         if name in live:
             kept.append(path)

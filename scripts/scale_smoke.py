@@ -191,7 +191,7 @@ def main() -> None:
     if scaled and os.path.isdir(os.path.join(scaled, "documents.parquet")):
         print(f"reusing scaled clones at {scaled}")
     else:
-        scaled = tempfile.mkdtemp(prefix="sf-scaled-")
+        scaled = tempfile.mkdtemp(prefix="lakehouse-scratch-sf-scaled-")
         build_scaled(spark, scaled, copies)
         print(f"scaled clones at {scaled} (reusable via SPARK_GRAFT_SMOKE_SCALED_DIR)")
     qs = all_queries()

@@ -1244,6 +1244,40 @@ def test_wap_branch_audit_publish(spark, tmp_path, nations):
     assert t.read().count() == 20
 
 
+def test_wap_second_branch_after_publish_still_publishes(
+    spark, tmp_path, nations
+):
+    """r8 advice (high): the WAP audit scope must be expressed in the
+    BRANCH's version space. clone() restarts numbering at 1, so a
+    branch forked when the SOURCE is at version >= 2 has versions
+    {1, 2} after staging — using the source's latest_version() as
+    added_between's from-version made the audit range empty, the
+    audit saw zero staged rows, and a CLEAN batch silently never
+    published."""
+    t = _table(spark, tmp_path)
+    t.create(nations.filter("n_nationkey < 5"))
+
+    # first publish moves the source to version 2
+    b1 = t.clone(str(tmp_path / "b1"))
+    b1.append(nations.filter("n_nationkey >= 5 AND n_nationkey < 10"))
+    t.cherry_pick(b1, b1.latest_version())
+    assert t.latest_version() >= 2
+
+    # clean second branch forked AFTER the prior publish
+    b2 = t.clone(str(tmp_path / "b2"))
+    branch_v = b2.latest_version()  # the branch point, in b2's space
+    assert branch_v == 1
+    b2.append(nations.filter("n_nationkey >= 10 AND n_nationkey < 15"))
+    staged = b2.added_between(branch_v)
+    # the audit MUST see exactly the staged batch — nonempty, and not
+    # the already-published slices
+    assert staged.count() == 5
+    assert staged.filter("n_nationkey < 10").count() == 0
+    assert staged.filter("n_name IS NULL").count() == 0
+    t.cherry_pick(b2, b2.latest_version())
+    assert t.read().count() == 15
+
+
 def test_metadata_tables_via_format_reader(spark, tmp_path, nations):
     """Iceberg metadata-table surface (`iceberg.metadata` parity):
     .snapshots lineage, .files manifest (version-aware), and .refs

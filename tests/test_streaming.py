@@ -276,6 +276,12 @@ def test_stream_upsert_totals_match_batch_and_replay_safe(spark, sf_dir, tmp_pat
     # a genuinely new batch id DOES commit
     upsert_user_totals_batch(spark, table, last_events, replay_id + 1000)
     assert t.latest_version() == before + 1
+    # a REGRESSED batch id means a recreated checkpoint was pointed at
+    # this table (ids restart at 0): silently skipping would drop every
+    # new batch (r8 advice — data loss); it must fail loudly instead.
+    with pytest.raises(ValueError, match="checkpoint lineage"):
+        upsert_user_totals_batch(spark, table, last_events, 0)
+    assert t.latest_version() == before + 1
 
 
 def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
