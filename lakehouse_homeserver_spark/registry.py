@@ -27,99 +27,118 @@ _MODULES = []
 #      take the earliest latest-round entries), so session-tuning
 #      drift can't age a verdict past ~2-3 rounds unnoticed.
 #
-# ROUND-7 window = exactly 50 names, composition:
-#   (a) the 14 deferred r6-edit re-samples (VERDICT r6 what's-wrong
-#       #1): the 9 own-body/oracle edits (k3_kmeans/knn_ivf/semdedup,
-#       the k4 text family) + k3_ivf_recall (ivf_train threading) +
-#       the 4 shared-path ACID certs (a16/a25/a22/a35) +
-#       k9_triangle_count (verified-pairs consumer);
-#   (b) the 35 queries edited THIS round by the ADVICE fixes
-#       (restcat sidecar path -> a47/a52/a56; fingerprint scheme ->
-#       a50 + the duppairs-fixture consumers k2_dup_clusters /
-#       k9_cc_bigstar / k9_pagerank_dupgraph) and the four
-#       adversarial review batches (retrieval/sampling/multimodal/
-#       timeseries/sqlsurface/relational — NULL-payload kernels,
-#       floor bucketing, EWMA NULLIF, LTTB decimal sums, q22 davg,
-#       d16 oracle typing, h12 bigint, the c10 bucketed pair, the
-#       shared-helper consumers k6_uniform/stratified/temperature/
-#       domain_mix/leakage_free, c7 asof pair, ts_rollup view fix).
-#   Zero spare slots remain for rolling re-certification this round —
-#   the 30 r1-era verdicts are the r8 window's (2) pool, oldest
-#   first. The registry-wide make_registry() consolidation (r7) is
-#   registration machinery, not query bodies: result-neutral,
-#   covered by the full local 256/256 parity sweeps.
+# ROUND-8 window = exactly 50 names. NEW this round: the composition
+# is MACHINE-DERIVED by `scripts/stale_verdicts.py` (VERDICT r7
+# next-round #1 — the r7 hand-curated deferral list missed 3 hits)
+# and enforced by tests/test_stale_verdicts.py: every query reached
+# by an edit since the last verdict commit must appear here or in
+# DEFERRED below, or the suite fails. Composition:
+#   (a) the 30 queries `stale_verdicts.py` flags as reached by r8
+#       edits: the a22 WAP branch-point fix + the a30 upsert-ledger
+#       lineage guard (real behavior changes), and 28 certs whose
+#       bodies carry the lakehouse-scratch- mkdtemp namespacing
+#       (result-neutral, but edited-is-edited — the mechanical rule
+#       exists precisely to stop hand-waving that distinction);
+#   (b) the judge's 12 stale-verdict re-samples: a33/a51/a22 already
+#       land in (a); the 9 disclosed r7 deferrals (ts_gap_fill /
+#       ts_interpolate / ts_m4 / h12 / k5_ppm / k5_pcm / k6_uniform /
+#       k6_leakage_free / k6_domain_mix) + a23_expectations. Note:
+#       the ast-span attribution shows the "a23" quality.py hunks
+#       actually live inside a28_volume_freshness's decorator
+#       (re-sampled green r7) — git's hunk-context header
+#       mis-attributes them to the PREVIOUS def, the exact trap the
+#       judge warned about; a23 is windowed anyway (r4-era verdict,
+#       oldest-first would reach it regardless);
+#   (c) the remaining 10 slots: the edit-staleness BACKLOG
+#       (`stale_verdicts.py --backlog`: each query diffed against its
+#       OWN latest verdict commit), oldest verdict first. The 7
+#       backlog entries that did not fit are in DEFERRED and lead the
+#       r9 window; the age-only r1-era pool (30 unedited q1-era
+#       relational verdicts) follows once the edit-stale backlog is
+#       empty — edits outrank age.
 PRIORITY: tuple[str, ...] = (
-    # (a) deferred r6-edit re-samples
-    "a16_incremental_read",
-    "a25_change_feed",
+    # (a) r8-edit hits — ACID certs (scratch namespacing; a22 = WAP
+    # branch-point fix, a30 = upsert ledger lineage guard)
     "a22_wap_publish",
-    "a35_partition_overwrite",
-    "k9_triangle_count",
-    "k3_kmeans",
-    "k3_knn_ivf",
-    "k3_ivf_recall",
-    "k3_semdedup",
-    "k4_lang_id",
-    "k4_quality_score",
-    "k4_hashed_classifier",
-    "k4_bigram_lm_score",
-    "k4_dsir_importance",
-    "k4_bpe_token_count",
-    # (b) r7 ADVICE-fix re-samples
-    "a47_rest_catalog",
-    "a52_catalog_persistence",
-    "a56_catalog_resolved_scan",
-    "a50_timestamp_travel",
-    "k2_dup_clusters",
-    "k9_cc_bigstar",
-    "k9_pagerank_dupgraph",
-    # (b) r7 review-fix re-samples: retrieval
-    "k10_bm25",
-    "k10_hybrid_rrf",
-    "k10_inverted_index",
-    # (b) multimodal kernels
-    "k5_multimodal_features",
-    "k5_resize_stub",
-    "k5_wav_decode",
-    "k5_ahash_near_dup",
-    # (b) sampling (uniform/leakage_free/domain_mix deferred: helper
-    # reuse is bit-identical IEEE / identical expressions, domain_mix
-    # is plan-only localCheckpoint — all local-parity-proven)
-    "k6_stratified_sample",
-    "k6_temperature_resample",
-    # (b) timeseries + asof
-    "ts_ewma",
-    "ts_cohort_retention",
-    "ts_lttb_downsample",
-    "ts_rollup_day_hour",
-    "c7_asof_join",
-    "c7_asof_tolerance",
-    # (b) sqlsurface + relational
-    "tpch_q22_idle_customers",
-    "d16_histogram_quantiles",
-    "c10_bucketed_join",
-    "c10_bucketed_join_read",
-    # (c) r7 review batch 4 (acid/pyds/streaming) re-samples — these
-    # displaced six provably-value-identical refactor-class entries
-    # (ts_gap_fill/ts_interpolate/ts_m4 floor==trunc for the
-    # fixture's positive epochs, h12 cast-width only, k5_ppm/pcm
-    # fixture-unreachable NULL guards; all hold local 256/256 parity
-    # and are r8's first re-cert candidates alongside the r1-era
-    # pool):
-    "i12_stateful_session_timeout",
-    "a29_stream_cdc_view",
     "a30_stream_upsert_totals",
-    "i2_tumbling_window",
-    "a49_pyds_roundtrip",
-    "a54_pyds_pushdown",
-    # (d) r7 review batch 5 (ingest/ivm/restcat/quality/udfs)
-    # re-samples: the IVM merge gained null-safe keys + the
-    # zero-group filter on first refresh, a28's oracle NULL-max
-    # semantics changed, arrow-batch norms derive dim in-batch
+    "a10_snapshot_lineage",
+    "a12_time_travel",
+    "a13_merge_upsert",
+    "a15_file_skipping",
+    "a16_incremental_read",
+    "a17_zero_copy_clone",
+    "a18_rollback",
+    "a19_delete_where",
+    "a20_mor_delete",
+    "a21_bloom_skipping",
+    "a24_schema_history",
+    "a25_change_feed",
     "a26_ivm_view",
-    "a28_volume_freshness",
-    "j_arrow_batch_norms",
+    "a27_spec_history",
+    "a29_stream_cdc_view",
+    "a31_compaction",
+    "a33_expire_orphans",
+    "a35_partition_overwrite",
+    "a36_positional_delete",
+    "a37_check_constraints",
+    "a38_dynamic_partition_pruning",
+    "a51_ingest_lifecycle",
+    # (a) r8-edit hits — streaming certs (scratch namespacing)
+    "i7_stream_stream_join",
+    "i8_stream_static_enrich",
+    "i9_stream_outer_join",
+    "i10_stream_restart_exactly_once",
+    "i11_stream_dedup",
+    "i12_stateful_session_timeout",
+    # (b) judge's stale-verdict re-samples not already in (a)
+    "a23_expectations",
+    "ts_gap_fill",
+    "ts_interpolate",
+    "ts_m4_downsample",
+    "h12_higher_order_funcs",
+    "k5_ppm_decode",
+    "k5_pcm_frames",
+    "k6_uniform_sample",
+    "k6_leakage_free_split",
+    "k6_domain_mix",
+    # (c) edit-staleness backlog, oldest verdict first
+    "k2_simhash",
+    "c9_fuzzy_join",
+    "d15_count_min",
+    "k7_training_corpus",
+    "a32_zorder_skipping",
+    "k4_bpe_train",
+    "ts_rich_sessions",
+    "ts_sessionize",
+    "a14_table_stats",
+    "d14_heavy_hitters",
 )
+
+# Explicit, justification-carrying deferrals: queries
+# `stale_verdicts.py --backlog` flags as edited after their latest
+# verdict that did NOT fit this round's 50-slot window. These lead
+# the r9 window. The --check gate treats membership here as
+# disclosed-not-forgotten; an entry may only be added with a
+# justification string (hand-listing without one fails review).
+DEFERRED: dict[str, str] = {
+    "a41_cross_engine_read": "r5 verdict; backlog slot 51 — reached "
+    "via snapshot/pyds shared readers edited r6-r7; local parity "
+    "green every round since",
+    "i2_sliding_window": "r5 verdict; backlog slot 52 — reached via "
+    "timeseries helpers edited r7",
+    "j_normalize_embeddings": "r5 verdict; backlog slot 53 — shares "
+    "the r7-recertified j_arrow_batch_norms kernel",
+    "j_udtf_term_expand": "r5 verdict; backlog slot 54 — reached via "
+    "restcat/catalog helpers edited r7",
+    "k2_simhash_near_pairs": "r6 verdict; backlog slot 55 — shares "
+    "k2_simhash's oracle helpers (k2_simhash itself IS windowed r8)",
+    "k3_contrastive_pairs": "r6 verdict; backlog slot 56 — reached "
+    "via verified_pairs fixture edited r7 (k2/k9 consumers "
+    "re-sampled green r7)",
+    "k8_bloom_decontaminate": "r6 verdict; backlog slot 57 — reached "
+    "via RestCatalog.read_table edit r7 (unreachable on this path; "
+    "conservative edge)",
+}
 
 
 def _load_modules():
