@@ -188,3 +188,249 @@ def test_mutation_sequence_fuzz(spark, tmp_path):
             assert tt == exp, (
                 f"step {step}: time travel to v{v} diverged (seq: {applied})"
             )
+
+
+# ---------------------------------------------------------------------------
+# Extended fuzz (VERDICT r7 next-round #3): WAP branch/cherry-pick
+# verbs, additive schema evolution MID-SEQUENCE, and two-handle
+# interleavings — the surfaces the r7 sequences never reached. The
+# a22 branch-point bug and the r6 GC race were both SEQUENCE defects
+# on exactly these verbs.
+# ---------------------------------------------------------------------------
+
+N_OPS_EXT = int(os.environ.get("SPARK_GRAFT_SNAPFUZZ_EXT_OPS", "26"))
+
+EVOLVED_COLS = [("tag", "string"), ("w", "double")]
+
+
+def _canon_rows(rows: list[dict], cols: list[str]) -> list[tuple]:
+    def norm(c, v):
+        if v is None or (isinstance(v, float) and v != v):  # NaN
+            return None
+        if c in ("val", "w"):
+            return round(float(v), 2)
+        if c == "k":
+            return int(v)
+        return str(v)
+
+    return sorted(tuple(norm(c, row.get(c)) for c in cols) for row in rows)
+
+
+def _canon_pdf(pdf: pd.DataFrame, cols: list[str]) -> list[tuple]:
+    assert sorted(pdf.columns) == sorted(cols), (
+        f"schema diverged: table={sorted(pdf.columns)} model={sorted(cols)}"
+    )
+    return _canon_rows(pdf.to_dict("records"), cols)
+
+
+class EvolvingModel:
+    """Truth with schema tracking: rows are dicts; at_version records
+    (rows, cols) so time travel and rollback check the SCHEMA each
+    version carried, not just the values."""
+
+    def __init__(self):
+        self.rows: list[dict] = []
+        self.cols: list[str] = ["k", "grp", "val"]
+        self.at_version: dict[int, tuple[list[dict], list[str]]] = {}
+
+    def record(self, version: int):
+        self.at_version[version] = ([dict(x) for x in self.rows], list(self.cols))
+
+
+def _mk_dict_rows(r: random.Random, n: int, key_base: int, cols) -> list[dict]:
+    out = []
+    for i in range(n):
+        row = {
+            "k": key_base + i,
+            "grp": r.choice(GROUPS),
+            "val": round(r.uniform(0, 1000), 2),
+        }
+        for c in cols:
+            if c == "tag":
+                row["tag"] = r.choice(["a", "b", "c"])
+            elif c == "w":
+                row["w"] = round(r.uniform(0, 10), 2)
+        out.append(row)
+    return out
+
+
+def _dict_df(spark, rows: list[dict], cols: list[str]):
+    types = {"k": "long", "grp": "string", "val": "double",
+             "tag": "string", "w": "double"}
+    schema = ", ".join(f"{c} {types[c]}" for c in cols)
+    return spark.createDataFrame(
+        [tuple(row.get(c) for c in cols) for row in rows], schema
+    )
+
+
+def test_mutation_sequence_fuzz_extended(spark, tmp_path):
+    r = random.Random(SEED + 1)
+    path = str(tmp_path / "fuzz-ext")
+    # two handles on the SAME table: every op picks one at random, so
+    # each commit may land on state the committing handle never wrote
+    # (handles re-resolve the head per attempt — the contract)
+    handles = [SnapshotTable(spark, path), SnapshotTable(spark, path)]
+    m = EvolvingModel()
+    key_base = 0
+    n_branch = 0
+
+    rows = _mk_dict_rows(r, 20, key_base, m.cols)
+    key_base += 1000
+    res = handles[0].create(_dict_df(spark, rows, m.cols))
+    m.rows = [dict(x) for x in rows]
+    m.record(res["version"])
+
+    applied = ["create"]
+    pending_evolutions = [c for c, _ in EVOLVED_COLS]
+    for step in range(N_OPS_EXT):
+        t = r.choice(handles)
+        op = r.choices(
+            [
+                "append",
+                "delete_mor_eq",
+                "merge",
+                "rollback",
+                "compact",
+                "expire",
+                "wap_publish",
+                "wap_discard",
+                "evolve",
+            ],
+            weights=[16, 10, 10, 7, 6, 6, 16, 8, 10 if pending_evolutions else 0],
+        )[0]
+        applied.append(op)
+        if op == "append":
+            rows = _mk_dict_rows(r, r.randrange(4, 15), key_base, m.cols)
+            key_base += 1000
+            res = t.append(_dict_df(spark, rows, m.cols))
+            m.rows.extend(dict(x) for x in rows)
+        elif op == "delete_mor_eq":
+            mod, rem = r.randrange(3, 9), r.randrange(0, 3)
+            res = t.delete_where(
+                (F.col("k") % mod) == rem, mode="mor", equality_on=["k"]
+            )
+            m.rows = [x for x in m.rows if x["k"] % mod != rem]
+        elif op == "merge":
+            existing = sorted({x["k"] for x in m.rows})
+            upd = r.sample(existing, min(len(existing), r.randrange(1, 6)))
+            src = [
+                {**_mk_dict_rows(r, 1, k, m.cols)[0], "k": k} for k in upd
+            ] + _mk_dict_rows(r, r.randrange(1, 5), key_base, m.cols)
+            key_base += 1000
+            res = t.merge(_dict_df(spark, src, m.cols), on=["k"])
+            src_keys = {x["k"] for x in src}
+            m.rows = [x for x in m.rows if x["k"] not in src_keys] + [
+                dict(x) for x in src
+            ]
+        elif op == "rollback":
+            live = [v for v in t.versions() if v in m.at_version]
+            if len(live) < 2:
+                applied[-1] = "rollback(skipped)"
+                continue
+            target = r.choice(live[:-1])
+            res = t.rollback(target)
+            rows_v, cols_v = m.at_version[target]
+            m.rows = [dict(x) for x in rows_v]
+            m.cols = list(cols_v)
+        elif op == "compact":
+            res = t.compact_files(target_files=2)
+        elif op == "expire":
+            before = set(t.versions())
+            t.expire_snapshots(keep_last=r.randrange(2, 5), orphan_grace_ms=0)
+            gone = before - set(t.versions())
+            for v in gone:
+                m.at_version.pop(v, None)
+                with pytest.raises(SnapshotNotFound):
+                    t.entry(v)
+            res = {"version": t.latest_version()}
+        elif op in ("wap_publish", "wap_discard"):
+            import shutil
+
+            n_branch += 1
+            b = t.clone(str(tmp_path / f"branch-{n_branch}"))
+            branch_v = b.latest_version()  # branch point, branch space
+            staged_rows = _mk_dict_rows(
+                r, r.randrange(3, 10), key_base, m.cols
+            )
+            key_base += 1000
+            b.append(_dict_df(spark, staged_rows, m.cols))
+            # audit in the branch's version space (the a22 bug class:
+            # this must see EXACTLY the staged batch however many
+            # commits main carries)
+            staged = b.added_between(branch_v)
+            assert staged.count() == len(staged_rows), (
+                f"step {step}: WAP audit scope wrong (seq: {applied})"
+            )
+            # main unaffected while the audit runs
+            assert _canon_pdf(t.read().toPandas(), m.cols) == _canon_rows(
+                m.rows, m.cols
+            )
+            if op == "wap_publish":
+                res = t.cherry_pick(b, b.latest_version())
+                m.rows.extend(dict(x) for x in staged_rows)
+            else:
+                shutil.rmtree(b.path)
+                res = {"version": t.latest_version()}
+                applied[-1] = "wap_discard"
+                # nothing committed on main: no new version to record
+                got = _canon_pdf(t.read().toPandas(), m.cols)
+                assert got == _canon_rows(m.rows, m.cols)
+                continue
+        elif op == "evolve":
+            col = pending_evolutions.pop(0)
+            new_cols = m.cols + [col]
+            rows = _mk_dict_rows(r, r.randrange(3, 8), key_base, new_cols)
+            key_base += 1000
+            res = t.append(_dict_df(spark, rows, new_cols))
+            m.cols = new_cols
+            m.rows.extend(dict(x) for x in rows)
+        if op != "expire":
+            m.record(res["version"])
+
+        got = _canon_pdf(t.read().toPandas(), m.cols)
+        want = _canon_rows(m.rows, m.cols)
+        assert got == want, (
+            f"step {step} op {op}: diverged (seq: {applied})\n"
+            f" table={got[:4]}...\n model={want[:4]}..."
+        )
+        # cross-handle visibility: the OTHER handle must read the same
+        other = handles[1] if t is handles[0] else handles[0]
+        assert _canon_pdf(other.read().toPandas(), m.cols) == want
+        if step % 4 == 3:
+            live = [v for v in t.versions() if v in m.at_version]
+            v = r.choice(live)
+            rows_v, cols_v = m.at_version[v]
+            tt = _canon_pdf(t.read(version=v).toPandas(), cols_v)
+            assert tt == _canon_rows(rows_v, cols_v), (
+                f"step {step}: time travel to v{v} diverged (seq: {applied})"
+            )
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Optimistic CAS under real thread contention: two writers
+    appending disjoint batches concurrently must BOTH land (retry on
+    lost race), never clobber — the multi-writer contract Iceberg
+    implements with conditional catalog swaps."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "cc")
+    t0 = SnapshotTable(spark, path)
+    t0.create(spark.createDataFrame([(0, "seed", 0.0)], SCHEMA))
+
+    def writer(wid: int):
+        t = SnapshotTable(spark, path)
+        for i in range(4):
+            rows = [(1000 * wid + 10 * i + j, f"w{wid}", 1.0) for j in range(3)]
+            t.append(spark.createDataFrame(rows, SCHEMA))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(writer, [1, 2]))
+
+    got = sorted(row.k for row in t0.read().collect())
+    want = sorted(
+        [0]
+        + [1000 * w + 10 * i + j for w in (1, 2) for i in range(4) for j in range(3)]
+    )
+    assert got == want
+    # 1 create + 8 appends, every one a distinct contiguous version
+    assert t0.versions() == list(range(1, 10))

@@ -53,6 +53,22 @@ def test_scratch_mkdtemp_prefixes_are_namespaced():
     )
 
 
+def test_survey_labels_match_correctness_union():
+    """VERDICT r6+r7 recurring item: SURVEY §8's inline 'driver-green
+    rN' labels went stale every round when hand-edited. They are now
+    generated from the CORRECTNESS_r*.json union by
+    scripts/refresh_survey_labels.py; this gate fails the suite if
+    anyone forgets to run it after a new CORRECTNESS artifact lands."""
+    r = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "refresh_survey_labels.py"),
+         "--check"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stdout[-3000:]
+
+
 def test_janitor_dry_run_never_fails():
     """The janitor's contract is exit code 0 always; a missing table
     in one sf_dir must not abort the sweep (r8 advice — the
