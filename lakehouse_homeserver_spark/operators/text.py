@@ -767,6 +767,57 @@ def _bpe_oracle() -> str:
 
 
 _BPE_MEMO: dict[tuple, tuple] = {}
+# key -> collected [(freq, word, syms)] when the DRIVER path trained
+# (None when the distributed path ran): lets k4_bpe_token_count pick
+# the map-expression tokenizer for bounded vocabularies.
+_BPE_LOCAL: dict[tuple, list | None] = {}
+
+# Vocabularies at or below this many distinct words train DRIVER-SIDE
+# (one Spark job: the corpus-to-word-count reduction; then pure-Python
+# recurrence) — the bounded-model-collect pattern (IVF centroids,
+# SemDeDup codebooks). The distributed recurrence below stays the
+# large-vocab path: 8 rounds x (explode + combiner agg + 1-row argmax)
+# is the right shape when the word table doesn't fit a driver, but it
+# pays ~16 tiny-job schedulings when it trivially does — the r7 bench
+# regression on k4_bpe_token_count was exactly that overhead.
+BPE_DRIVER_VOCAB_MAX = 50_000
+
+
+def _bpe_train_local(rows) -> tuple[list, list]:
+    """The identical merge recurrence on a collected (freq, word)
+    list: count adjacent symbol pairs weighted by word frequency,
+    argmax (count DESC, pair ASC), leftmost-greedy non-overlapping
+    apply — the same scan REPLACE-with-double-separators performs, so
+    merges, counts and final symbolizations match the distributed
+    path and the SQL oracle bit for bit."""
+    words = [(freq, w, [c for c in w]) for freq, w in rows]
+    merges = []
+    for rank in range(1, BPE_ROUNDS + 1):
+        counts: dict[tuple, int] = {}
+        for freq, _, syms in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, c))
+        for i, (freq, w, syms) in enumerate(words):
+            out, j = [], 0
+            while j < len(syms):
+                if (
+                    j + 1 < len(syms)
+                    and syms[j] == left
+                    and syms[j + 1] == right
+                ):
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = (freq, w, out)
+    return merges, words
 
 
 def bpe_train(spark: SparkSession, sf_dir: str):
@@ -775,28 +826,54 @@ def bpe_train(spark: SparkSession, sf_dir: str):
     count)] and final_words = the cached (freq, word, sym) vocabulary
     with all merges applied. Shared by k4_bpe_train (reports the
     merges) and k4_bpe_token_count (tokenizes with them) — the same
-    memo pattern as dedup.verified_pairs. Each round materializes the
-    next vocabulary eagerly (vocab-sized count) and unpersists the
-    superseded one, so at most two round-tables are ever cached."""
+    memo pattern as dedup.verified_pairs.
+
+    Two physical paths, identical semantics: the corpus is always
+    reduced ONCE to distinct (word, freq) — vocabulary-sized. A small
+    vocabulary (<= BPE_DRIVER_VOCAB_MAX words, probed by the same
+    head() that fetches it) trains driver-side; a large one runs the
+    distributed recurrence, each round materializing the next
+    vocabulary eagerly and unpersisting the superseded one, so at
+    most two round-tables are ever cached."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _BPE_MEMO.get(key)
     if hit is not None:
         return hit
     d = T(spark, sf_dir, "documents")
-    cur = (
+    word_counts = (
         d.select(
             F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "freq",
-            F.col("w").alias("word"),
-            F.regexp_replace("w", "(.)", f"{_SEP}$1{_SEP}").alias("sym"),
-        )
-        .cache()
     )
+    word_counts = word_counts.cache()
+    # full-parallel count, not head(N+1): a collect-limit probe runs
+    # the scale-up partition waves (1, 4, 16... attempts) on the agg
+    # and costs more than the answer
+    if word_counts.count() <= BPE_DRIVER_VOCAB_MAX:
+        merges, words = _bpe_train_local(
+            [(r["freq"], r["w"]) for r in word_counts.collect()]
+        )
+        word_counts.unpersist()
+        cur = spark.createDataFrame(
+            [
+                (freq, w, "".join(f"{_SEP}{s}{_SEP}" for s in syms))
+                for freq, w, syms in words
+            ],
+            "freq long, word string, sym string",
+        ).cache()
+        _BPE_MEMO[key] = (merges, cur)
+        _BPE_LOCAL[key] = words
+        return merges, cur
+    cur = word_counts.select(
+        "freq",
+        F.col("w").alias("word"),
+        F.regexp_replace("w", "(.)", f"{_SEP}$1{_SEP}").alias("sym"),
+    ).cache()
+    cur.count()  # materialize, then release the probe's cache
+    word_counts.unpersist()
     merges = []
     for rank in range(1, BPE_ROUNDS + 1):
         toks = F.split(
@@ -834,6 +911,7 @@ def bpe_train(spark: SparkSession, sf_dir: str):
         cur.unpersist()
         cur = nxt
     _BPE_MEMO[key] = (merges, cur)
+    _BPE_LOCAL[key] = None
     return merges, cur
 
 
@@ -904,16 +982,45 @@ def k4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: merges apply on the VOCABULARY table (apply all 8
     learned REPLACEs to each distinct word — bounded work), giving a
-    word → token-count map that BROADCAST-joins back onto the corpus
-    word stream; the corpus itself is exploded once and aggregated
-    per doc. Tokenizing 100 TB is then: vocab-sized string work +
-    one map-side join + one per-doc agg — the corpus text never
-    carries through a second shuffle. The oracle re-derives the same
-    merges and map in SQL and joins identically — doc-level token
-    counts are hash-checked end to end.
+    word → token-count map. A BOUNDED vocabulary (the driver-trained
+    path) becomes a literal map EXPRESSION: each document's counts
+    fold in one `aggregate` over its own word array — zero joins,
+    zero explode, zero shuffles, one corpus pass (whole-stage
+    codegen'd map-side work). A large vocabulary BROADCAST-joins onto
+    the exploded corpus word stream with one per-doc agg — the
+    corpus text never carries through a second shuffle either way.
+    The oracle re-derives the same merges and map in SQL and joins
+    identically — doc-level token counts are hash-checked end to end.
     """
     d = T(spark, sf_dir, "documents")
     _, cur = bpe_train(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    local = _BPE_LOCAL.get(key)
+    if local is not None:
+        tok_map = F.create_map(
+            *[
+                x
+                for _, w, syms in local
+                for x in (F.lit(w), F.lit(len(syms)))
+            ]
+        )
+        words = F.filter(
+            F.split(norm_text(F.col("text")), " "), lambda w: w != ""
+        )
+        return (
+            d.select(
+                "doc_id",
+                "lang",
+                F.aggregate(
+                    words,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, w: acc + tok_map[w].cast("bigint"),
+                ).alias("n_bpe_tokens"),
+                F.size(words).cast("bigint").alias("n_words"),
+            )
+            # docs with no non-empty words never join in the oracle
+            .filter(F.col("n_words") > 0)
+        )
     vocab = cur.select(
         "word",
         F.size(

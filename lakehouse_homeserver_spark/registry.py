@@ -111,7 +111,11 @@ PRIORITY: tuple[str, ...] = (
     "ts_rich_sessions",
     "ts_sessionize",
     "a14_table_stats",
-    "d14_heavy_hitters",
+    # r8 perf fix: bpe_train gained the bounded-vocab driver path and
+    # k4_bpe_token_count the map-expression tokenizer (VERDICT r7
+    # what's-wrong #3 — the 4.6->6.5 s driver regression was real:
+    # 16 tiny-job schedulings on a 31-word vocabulary; now 4.1 s warm)
+    "k4_bpe_token_count",
 )
 
 # Explicit, justification-carrying deferrals: queries
@@ -138,6 +142,9 @@ DEFERRED: dict[str, str] = {
     "k8_bloom_decontaminate": "r6 verdict; backlog slot 57 — reached "
     "via RestCatalog.read_table edit r7 (unreachable on this path; "
     "conservative edge)",
+    "d14_heavy_hitters": "r4 verdict; displaced from the r8 window by "
+    "the k4_bpe_token_count re-sample (its r8 perf fix outranks an r4 "
+    "refactor-class edit); first r9 slot",
 }
 
 

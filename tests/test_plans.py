@@ -555,18 +555,38 @@ def test_hashed_classifier_is_map_only(spark, sf_dir):
     assert "Generate" not in plan, plan  # no explode
 
 
-def test_bpe_token_count_broadcasts_vocab(spark, sf_dir):
-    """k4_bpe_token_count: the word→token-count map joins onto the
-    corpus word stream as a BROADCAST join (the corpus side never
-    shuffles for the join), and the only exchanges are the vocab-side
-    aggregates + the final per-doc agg."""
+def test_bpe_token_count_map_path_is_shuffle_free(spark, sf_dir):
+    """k4_bpe_token_count, bounded vocabulary (r8): the word→count
+    map is a literal expression folded per document — ZERO exchanges,
+    no explode, no join; one corpus pass."""
     from lakehouse_homeserver_spark.operators import text
 
+    df = text.k4_bpe_token_count(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "Join" not in plan, plan
+
+
+def test_bpe_token_count_large_vocab_broadcasts(spark, sf_dir, monkeypatch):
+    """k4_bpe_token_count, large-vocabulary path (forced by zeroing
+    the driver-path threshold): the word→token-count map joins onto
+    the corpus word stream as a BROADCAST join (the corpus side never
+    shuffles for the join), and the only exchanges are the vocab-side
+    aggregates + the final per-doc agg. Values must match the map
+    path exactly — same query, two physical plans."""
+    from lakehouse_homeserver_spark.operators import text
+
+    want = sorted(map(tuple, text.k4_bpe_token_count(spark, sf_dir).collect()))
+    monkeypatch.setattr(text, "BPE_DRIVER_VOCAB_MAX", 0)
+    monkeypatch.setattr(text, "_BPE_MEMO", {})
+    monkeypatch.setattr(text, "_BPE_LOCAL", {})
     df = text.k4_bpe_token_count(spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert_no_cartesian(df)
+    assert sorted(map(tuple, df.collect())) == want
 
 
 def test_variant_extraction_pushes_column_pruning(spark, sf_dir):
