@@ -90,11 +90,19 @@ def independent_read(table: str, version: int | None = None) -> pd.DataFrame:
                 kcols = list(d["columns"])
                 if not all(c in pdf.columns for c in kcols):
                     continue  # pre-evolution file lacks the key column
+                import numpy as np
+
                 keyset = set(map(tuple, dkeys[kcols].itertuples(index=False)))
-                mask = [
-                    tuple(row) not in keyset
-                    for row in pdf[kcols].itertuples(index=False)
-                ]
+                # typed bool array, never a bare list: an EMPTY python
+                # list would select zero COLUMNS, not zero rows
+                mask = np.fromiter(
+                    (
+                        tuple(row) not in keyset
+                        for row in pdf[kcols].itertuples(index=False)
+                    ),
+                    dtype=bool,
+                    count=len(pdf),
+                )
                 pdf = pdf[mask]
         pdf = pdf.drop(columns=["_pos"])
         for c in cols:  # schema evolution: null-fill missing columns

