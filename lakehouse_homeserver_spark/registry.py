@@ -33,12 +33,14 @@ _MODULES = []
 # and enforced by tests/test_stale_verdicts.py: every query reached
 # by an edit since the last verdict commit must appear here or in
 # DEFERRED below, or the suite fails. Composition:
-#   (a) the 30 queries `stale_verdicts.py` flags as reached by r8
-#       edits: the a22 WAP branch-point fix + the a30 upsert-ledger
-#       lineage guard (real behavior changes), and 28 certs whose
-#       bodies carry the lakehouse-scratch- mkdtemp namespacing
-#       (result-neutral, but edited-is-edited — the mechanical rule
-#       exists precisely to stop hand-waving that distinction);
+#   (a) the 32 queries `stale_verdicts.py` flags as reached by r8
+#       edits: the a22 WAP branch-point fix, the a30 upsert-ledger
+#       lineage guard and the k4_bpe perf rework (real behavior/plan
+#       changes; the bpe pair sits in (c) and the list tail), plus 28
+#       certs whose bodies carry the lakehouse-scratch- mkdtemp
+#       namespacing (result-neutral, but edited-is-edited — the
+#       mechanical rule exists precisely to stop hand-waving that
+#       distinction);
 #   (b) the judge's 12 stale-verdict re-samples: a33/a51/a22 already
 #       land in (a); the 9 disclosed r7 deferrals (ts_gap_fill /
 #       ts_interpolate / ts_m4 / h12 / k5_ppm / k5_pcm / k6_uniform /

@@ -555,6 +555,75 @@ class Gen:
             f"ON a.g = b.g"
         )
 
+    # -- events/timestamp family (r8): the TIMESTAMP(NANOS) column
+    # whose schema-on-read normalization (session.py nanosAsLong +
+    # registry truncation) has its own trap history — fuzz the time
+    # semantics, not just the relational core. Kept out of T: no FK
+    # edges, and ts is a TIMESTAMP (not DATE), so it gets its own
+    # literal/bucket helpers.
+    _EVENT_TYPES = ["click", "signup", "error", "view", "purchase"]
+    _TS_LITS = [
+        "2024-01-05 00:00:00", "2024-01-12 12:00:00",
+        "2024-01-20 06:30:00", "2024-01-28 23:00:00",
+    ]
+
+    def _ev_pred(self) -> str:
+        opts = [
+            f"event_type = '{self.r.choice(self._EVENT_TYPES)}'",
+            f"event_type IN ({', '.join(repr(x) for x in self.r.sample(self._EVENT_TYPES, 2))})",
+            f"ts >= TIMESTAMP '{self.r.choice(self._TS_LITS)}'",
+            f"ts < TIMESTAMP '{self.r.choice(self._TS_LITS)}'",
+            f"(user_id % {self.r.randrange(2, 9)}) = {self.r.randrange(0, 2)}",
+        ]
+        a, b = self.r.sample(opts, 2)
+        return f"({a} {self.r.choice(['AND', 'OR'])} {b})"
+
+    def q_event_time(self) -> str:
+        kind = self.r.randrange(3)
+        if kind == 0:
+            # tumbling bucket aggregation — the i2 window class
+            unit = self.r.choice(["hour", "day", "minute"])
+            return (
+                f"SELECT DATE_TRUNC('{unit}', ts) AS bucket, "
+                f"event_type AS g0, COUNT(*) AS n, "
+                f"CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v "
+                f"FROM events WHERE {self._ev_pred()} "
+                f"GROUP BY DATE_TRUNC('{unit}', ts), event_type"
+            )
+        if kind == 1:
+            # projection: extracts + interval arithmetic over ts
+            exprs = self.r.sample(
+                [
+                    "CAST(EXTRACT(HOUR FROM ts) AS BIGINT)",
+                    "CAST(EXTRACT(DAY FROM ts) AS BIGINT)",
+                    "CAST(EXTRACT(MINUTE FROM ts) AS BIGINT)",
+                    "DATE_TRUNC('day', ts)",
+                    "(ts + INTERVAL 3 HOUR)",
+                    "(ts - INTERVAL 45 MINUTE)",
+                    "CAST(ts AS DATE)",
+                ],
+                k=2,
+            )
+            cols = [f"{e} AS x{i}" for i, e in enumerate(exprs)]
+            return (
+                f"SELECT event_id, {', '.join(cols)} FROM events "
+                f"WHERE {self._ev_pred()}"
+            )
+        # per-user ordered window over event time (total order via
+        # event_id tie-break; raw stored doubles compare bit-exact)
+        fn = self.r.choice(
+            [
+                "LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)",
+                "LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)",
+                "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)",
+                "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+            ]
+        )
+        return (
+            f"SELECT event_id, {fn} AS w FROM events "
+            f"WHERE {self._ev_pred()}"
+        )
+
     def query(self) -> str:
         shape = self.r.choice(
             [
@@ -582,6 +651,8 @@ class Gen:
                 self.q_filter_distinct_agg,
                 self.q_string_funcs,
                 self.q_self_join_derived,
+                self.q_event_time,
+                self.q_event_time,
             ]
         )
         return shape()
