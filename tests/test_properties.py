@@ -304,3 +304,63 @@ def test_sessionizer_vectorized_equals_loop(deltas, cutpoints):
             if len(out)
         )
     assert sorted(got) == expected
+
+
+# ---------------------------------------------------------------------------
+# r8: the BPE trainer's two physical paths (bounded-vocab driver
+# recurrence vs distributed 8-round recurrence) must be EQUIVALENT —
+# same merges (counts, tie-breaks) and same final symbolization — on
+# arbitrary corpora, not just the fixture the plan tests compare on.
+# Random corpora go through BOTH paths via the threshold monkeypatch.
+# ---------------------------------------------------------------------------
+
+def test_bpe_driver_and_distributed_paths_equivalent(
+    spark, tmp_path, monkeypatch
+):
+    import random as _random
+
+    from lakehouse_homeserver_spark.operators import text as tx
+
+    rng = _random.Random(20260815)
+    alphabet = "abcd"
+    for case in range(4):
+        # random corpus: repeated short words so pair counts collide
+        # and exercise the count-DESC / pair-ASC tie-break
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 6)))
+            for _ in range(rng.randrange(3, 9))
+        ]
+        docs = [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(2, 12)))
+            for _ in range(6)
+        ]
+        sf = str(tmp_path / f"corpus{case}")
+        import os as _os
+
+        _os.makedirs(sf, exist_ok=True)
+        spark.createDataFrame(
+            [(i, "en", d) for i, d in enumerate(docs)],
+            "doc_id long, lang string, text string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf}/documents.parquet"
+        )
+
+        def run(threshold):
+            monkeypatch.setattr(tx, "BPE_DRIVER_VOCAB_MAX", threshold)
+            monkeypatch.setattr(tx, "_BPE_MEMO", {})
+            monkeypatch.setattr(tx, "_BPE_LOCAL", {})
+            merges, cur = tx.bpe_train(spark, sf)
+            vocab = sorted(
+                map(tuple, cur.select("freq", "word", "sym").collect())
+            )
+            return merges, vocab
+
+        m_driver, v_driver = run(10_000)
+        m_dist, v_dist = run(0)
+        assert m_driver == m_dist, (
+            f"case {case}: merge sequences diverge\n"
+            f" driver={m_driver}\n dist  ={m_dist}\n corpus={docs}"
+        )
+        assert v_driver == v_dist, (
+            f"case {case}: final vocab diverges (corpus={docs})"
+        )
