@@ -93,6 +93,14 @@ OPS = [
     # chain must be corpus-free at 10x).
     "ts_cohort_retention",
     "k6_temperature_resample",
+    # round-8 additions: the WAP commit path at 10x customers (clone/
+    # audit/cherry-pick cost must track the staged slice, not the
+    # table), the leakage-free split (documents-scaled; its group
+    # hashing must stay map-only), and gap-fill over 10x events (the
+    # per-user grid explode is the volume risk).
+    "a22_wap_publish",
+    "k6_leakage_free_split",
+    "ts_gap_fill",
 ]
 
 
@@ -156,8 +164,30 @@ def build_scaled(spark, out_dir: str, copies: int) -> None:
     for p in l_parts[1:]:
         l0 = l0.unionByName(p)
     l0.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    # customer scales too (r8): the WAP commit-path cert (a22) stages
+    # and publishes customer SLICES — without cloning, its 10× ratio
+    # measured an unscaled input. The offset is a multiple of 3 so the
+    # %3 slice volumes stay exactly equal per copy. (Cloned customers
+    # are never referenced by orders — the ops that read customer at
+    # 10× are slice/volume-bound, not FK joins.)
+    customer = load_table(spark, BASE_SF, "customer")
+    c_parts = [
+        customer.withColumn("c_custkey", F.col("c_custkey") + i * 9_999_999)
+        for i in range(copies)
+    ]
+    c0 = c_parts[0]
+    for p in c_parts[1:]:
+        c0 = c0.unionByName(p)
+    c0.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
     for t in TABLES:
-        if t in ("documents", "embeddings", "events", "orders", "lineitem"):
+        if t in (
+            "documents",
+            "embeddings",
+            "events",
+            "orders",
+            "lineitem",
+            "customer",
+        ):
             continue
         load_table(spark, BASE_SF, t).write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"

@@ -1,21 +1,12 @@
 """On-disk format conformance via an INDEPENDENT reader (VERDICT r7
 next-round #8, the in-sandbox form): `deltalake`/`pyiceberg` Python
 readers aren't installable here, so external readability is proven
-the direct way — a from-scratch reader built on pyarrow + json ONLY
-(no SnapshotTable code on its read path) reconstructs table state
-from the documented layout:
+the direct way — `sources/standalone.py`, a from-scratch reader
+built on pyarrow + stdlib ONLY (zero imports from the engine's
+`snapshot.py` or pyspark, enforced below), reconstructs table state
+from the documented layout and spec rules.
 
-    <table>/_log/<version>.json        commit entries (CAS-published)
-    <table>/_log/manifests/<sidecar>   manifest-list indirection
-    <table>/data/<file>.parquet        data + delete files
-
-applying the spec rules: per-file sequence numbers (default = entry
-version for pre-seq entries), MoR delete files apply iff
-delete.seq > data-file seq, equality deletes anti-join their key
-columns, positional deletes anti-join (file basename, row ordinal),
-schema evolution null-fills missing columns.
-
-If this reader agrees with `SnapshotTable.read()` across a history
+If that reader agrees with `SnapshotTable.read()` across a history
 mixing appends, both delete kinds, schema evolution, cherry-pick,
 compaction and the sidecar path, the format is externally readable —
 self-consistency of the engine alone can't fake that.
@@ -27,91 +18,24 @@ import json
 import os
 
 import pandas as pd
-import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
+from lakehouse_homeserver_spark.sources import standalone
 from lakehouse_homeserver_spark.sources.snapshot import SnapshotTable
 
-_MANIFEST_KEYS = ("manifest", "stats", "seq", "blooms")
+independent_read = standalone.read_pandas
 
 
-# ---------------------------------------------------------------------------
-# the independent reader — pyarrow + json only, no engine imports used
-# ---------------------------------------------------------------------------
+def test_standalone_reader_shares_no_engine_code():
+    """The conformance value of the standalone reader rests on it
+    implementing the SPEC, not calling the engine: its source must
+    import neither the engine reader nor pyspark."""
+    import inspect
 
-def independent_versions(table: str) -> list[int]:
-    log = os.path.join(table, "_log")
-    return sorted(
-        int(f[:-5])
-        for f in os.listdir(log)
-        if f.endswith(".json") and not f.startswith(".") and f[:-5].isdigit()
-    )
-
-
-def independent_entry(table: str, version: int) -> dict:
-    log = os.path.join(table, "_log")
-    with open(os.path.join(log, f"{version:020d}.json")) as fh:
-        e = json.load(fh)
-    ref = e.get("manifest_ref")
-    if ref is not None:
-        with open(os.path.join(log, "manifests", ref)) as fh:
-            payload = json.load(fh)
-        e = {**e, **{k: payload[k] for k in _MANIFEST_KEYS if k in payload}}
-    return e
-
-
-def independent_read(table: str, version: int | None = None) -> pd.DataFrame:
-    """Reconstruct the visible rows of one snapshot from disk."""
-    versions = independent_versions(table)
-    v = versions[-1] if version is None else version
-    assert v in versions, f"no snapshot {v}"
-    e = independent_entry(table, v)
-    cols = [f["name"] for f in json.loads(e["schema"])["fields"]]
-    data = os.path.join(table, "data")
-    seq = e.get("seq") or {f: e["version"] for f in e["manifest"]}
-    dels = e.get("delete_files", [])
-
-    frames = []
-    for fname in e["manifest"]:
-        pdf = pq.read_table(os.path.join(data, fname)).to_pandas()
-        pdf["_pos"] = range(len(pdf))
-        fseq = seq.get(fname, 0)
-        for d in dels:
-            if d["seq"] <= fseq:
-                continue  # older than this data file: does not apply
-            dkeys = pq.read_table(
-                os.path.join(data, d["file"])
-            ).to_pandas()
-            if d.get("kind") == "positional":
-                mine = dkeys[dkeys["_file"] == fname]
-                pdf = pdf[~pdf["_pos"].isin(set(mine["_pos"]))]
-            else:
-                kcols = list(d["columns"])
-                if not all(c in pdf.columns for c in kcols):
-                    continue  # pre-evolution file lacks the key column
-                import numpy as np
-
-                keyset = set(map(tuple, dkeys[kcols].itertuples(index=False)))
-                # typed bool array, never a bare list: an EMPTY python
-                # list would select zero COLUMNS, not zero rows
-                mask = np.fromiter(
-                    (
-                        tuple(row) not in keyset
-                        for row in pdf[kcols].itertuples(index=False)
-                    ),
-                    dtype=bool,
-                    count=len(pdf),
-                )
-                pdf = pdf[mask]
-        pdf = pdf.drop(columns=["_pos"])
-        for c in cols:  # schema evolution: null-fill missing columns
-            if c not in pdf.columns:
-                pdf[c] = None
-        frames.append(pdf[cols])
-    if not frames:
-        return pd.DataFrame(columns=cols)
-    return pd.concat(frames, ignore_index=True)
+    src = inspect.getsource(standalone)
+    assert "pyspark" not in src
+    assert "from .snapshot" not in src and "import snapshot" not in src
 
 
 # ---------------------------------------------------------------------------
