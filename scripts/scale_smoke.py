@@ -203,8 +203,22 @@ def build_scaled(spark, out_dir: str, copies: int) -> None:
 # hide behind the "it's just output volume" prose explanation.
 # Timings for these use best-of-3 (min is the least-noise wall-clock
 # estimator on a co-tenant box; SCALE.md quiet-box protocol).
-UNIT_OPS = {"k5_ahash_near_dup", "k9_cc_bigstar"}
+UNIT_OPS = {"k5_ahash_near_dup", "k9_cc_bigstar", "k6_leakage_free_split"}
 UNIT_TOL = float(os.environ.get("SPARK_GRAFT_SMOKE_UNIT_TOL", "1.5"))
+
+
+def _unit_count(name: str, spark, sf_dir: str) -> int:
+    """The WORK unit an output-bound op is linear in. Default: its own
+    output rows. k6_leakage_free_split emits one row per DOC but its
+    cost is the verified near-dup PAIR volume feeding the CC (the
+    clone salting makes copies mutual near-dups, so pairs grow
+    quadratically in copies — 147.8k -> 10.04M, 68x, at 10 copies);
+    asserting per-doc cost would flag legitimate edge growth."""
+    if name == "k6_leakage_free_split":
+        from lakehouse_homeserver_spark.operators.dedup import verified_pairs
+
+        return verified_pairs(spark, sf_dir).count()
+    return all_queries()[name](spark, sf_dir).count()
 
 
 def main() -> None:
@@ -245,7 +259,7 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             times.append(best)
             if name in UNIT_OPS:
-                rows.append(qs[name](spark, sf_dir).count())
+                rows.append(_unit_count(name, spark, sf_dir))
         line = (
             f"{name:28s} {times[0]:8.2f} {times[1]:8.2f} "
             f"{times[1] / times[0]:6.1f}"
