@@ -40,7 +40,7 @@ import os
 _MANIFEST_KEYS = ("manifest", "stats", "seq", "blooms")
 
 
-def versions(table: str) -> list[int]:
+def list_versions(table: str) -> list[int]:
     """All live snapshot versions, ascending."""
     log = os.path.join(table, "_log")
     if not os.path.isdir(log):
@@ -52,7 +52,7 @@ def versions(table: str) -> list[int]:
     )
 
 
-def entry(table: str, version: int) -> dict:
+def read_entry(table: str, version: int) -> dict:
     """One commit entry with its manifest-list sidecar resolved."""
     log = os.path.join(table, "_log")
     with open(os.path.join(log, f"{version:020d}.json")) as fh:
@@ -71,13 +71,13 @@ def read_pandas(table: str, version: int | None = None):
     import numpy as np
     import pyarrow.parquet as pq
 
-    vs = versions(table)
+    vs = list_versions(table)
     if not vs:
         raise FileNotFoundError(f"{table}: table has no snapshots")
     v = vs[-1] if version is None else version
     if v not in vs:
         raise ValueError(f"{table}: no snapshot {v} (have {vs})")
-    e = entry(table, v)
+    e = read_entry(table, v)
     cols = [f["name"] for f in json.loads(e["schema"])["fields"]]
     data = os.path.join(table, "data")
     seq = e.get("seq") or {f: e["version"] for f in e["manifest"]}
