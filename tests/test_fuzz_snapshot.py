@@ -282,6 +282,7 @@ def test_mutation_sequence_fuzz_extended(spark, tmp_path):
 
     applied = ["create"]
     pending_evolutions = [c for c, _ in EVOLVED_COLS]
+    tagged: dict[str, int] = {}  # tag name -> version it pins
     for step in range(N_OPS_EXT):
         t = r.choice(handles)
         op = r.choices(
@@ -289,14 +290,17 @@ def test_mutation_sequence_fuzz_extended(spark, tmp_path):
                 "append",
                 "delete_mor_eq",
                 "merge",
+                "merge_delete",
                 "rollback",
                 "compact",
                 "expire",
                 "wap_publish",
                 "wap_discard",
                 "evolve",
+                "tag",
             ],
-            weights=[16, 10, 10, 7, 6, 6, 16, 8, 10 if pending_evolutions else 0],
+            weights=[14, 9, 8, 6, 6, 6, 6, 14, 7,
+                     10 if pending_evolutions else 0, 7],
         )[0]
         applied.append(op)
         if op == "append":
@@ -322,6 +326,31 @@ def test_mutation_sequence_fuzz_extended(spark, tmp_path):
             m.rows = [x for x in m.rows if x["k"] not in src_keys] + [
                 dict(x) for x in src
             ]
+        elif op == "merge_delete":
+            # MERGE with the delete-matched branch: source keys are a
+            # sample of existing rows (dropped) + fresh keys whose
+            # fate depends on when_not_matched
+            existing = sorted({x["k"] for x in m.rows})
+            if not existing:
+                applied[-1] = "merge_delete(skipped)"
+                continue
+            hit = r.sample(existing, min(len(existing), r.randrange(1, 5)))
+            fresh = _mk_dict_rows(r, r.randrange(0, 3), key_base, m.cols)
+            key_base += 1000
+            src = [
+                {**_mk_dict_rows(r, 1, k, m.cols)[0], "k": k} for k in hit
+            ] + fresh
+            wnm = r.choice(["insert", "ignore"])
+            res = t.merge(
+                _dict_df(spark, src, m.cols),
+                on=["k"],
+                when_matched="delete",
+                when_not_matched=wnm,
+            )
+            hitset = set(hit)
+            m.rows = [x for x in m.rows if x["k"] not in hitset]
+            if wnm == "insert":
+                m.rows.extend(dict(x) for x in fresh)
         elif op == "rollback":
             live = [v for v in t.versions() if v in m.at_version]
             if len(live) < 2:
@@ -334,10 +363,34 @@ def test_mutation_sequence_fuzz_extended(spark, tmp_path):
             m.cols = list(cols_v)
         elif op == "compact":
             res = t.compact_files(target_files=2)
+        elif op == "tag":
+            live = [v for v in t.versions() if v in m.at_version]
+            name = f"rel-{step}"
+            v = r.choice(live)
+            t.tag(name, v)
+            tagged[name] = v
+            applied[-1] = f"tag(v{v})"
+            res = {"version": t.latest_version()}
+            # resolve-by-name must read the pinned state right away
+            rows_v, cols_v = m.at_version[v]
+            got = _canon_pdf(t.read(version=name).toPandas(), cols_v)
+            assert got == _canon_rows(rows_v, cols_v)
+            continue  # no commit: nothing new to record or re-check
         elif op == "expire":
             before = set(t.versions())
             t.expire_snapshots(keep_last=r.randrange(2, 5), orphan_grace_ms=0)
             gone = before - set(t.versions())
+            # tagged snapshots are LIVE to GC: the pin must survive
+            assert not (gone & set(tagged.values())), (
+                f"step {step}: expire removed a tagged version "
+                f"(tags={tagged}, gone={gone})"
+            )
+            for name, v in tagged.items():
+                rows_v, cols_v = m.at_version[v]
+                got = _canon_pdf(t.read(version=name).toPandas(), cols_v)
+                assert got == _canon_rows(rows_v, cols_v), (
+                    f"step {step}: tag {name} diverged after expire"
+                )
             for v in gone:
                 m.at_version.pop(v, None)
                 with pytest.raises(SnapshotNotFound):
