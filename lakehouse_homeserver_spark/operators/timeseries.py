@@ -29,16 +29,21 @@ from .common import dsum, make_registry, sql_dsum
 QUERIES, ORACLES, query = make_registry()
 
 
-def _linked_landing(path: str, prefix: str) -> str:
+def _linked_landing(path: str) -> str:
     """Expose a parquet table as a landing DIRECTORY of symlinked leaf
     files (zero copy — the layout a production stream would tail).
     Handles both the single-file testdata fixtures and directory-style
     tables (e.g. the scale-smoke clones): the flat landing read does
     not recurse into symlinked subdirectories, so leaves are linked
-    individually."""
+    individually.
+
+    The scratch dir lives under the janitor-swept
+    'lakehouse-scratch-' namespace (r8 advice: the old per-query
+    'i7-events-'-style prefixes evaded the double-quote-only hygiene
+    gate AND the janitor's sweep, leaking /tmp dirs indefinitely)."""
     import tempfile
 
-    d = tempfile.mkdtemp(prefix=prefix)
+    d = tempfile.mkdtemp(prefix="lakehouse-scratch-landing-")
     if os.path.isdir(path):
         leaves = [
             os.path.join(path, f)
@@ -1377,7 +1382,7 @@ def i7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files); the fixture is a single parquet file, so expose it
     # through a symlink dir — zero copy, and exactly the landing-dir
     # layout a production stream would tail.
-    d = _linked_landing(path, "i7-events-")
+    d = _linked_landing(path)
     ev = normalize_events_ts(spark.readStream.schema(schema).parquet(d))
     views = (
         ev.filter(F.col("event_type") == "view")
@@ -1473,7 +1478,7 @@ def i8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = user_profile(events)
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
-    d = _linked_landing(path, "i8-events-")
+    d = _linked_landing(path)
     stream = normalize_events_ts(
         spark.readStream.schema(schema).parquet(d)
     )
@@ -1646,7 +1651,7 @@ def i9_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
-    d = _linked_landing(path, "i9-events-")
+    d = _linked_landing(path)
     ev = normalize_events_ts(spark.readStream.schema(schema).parquet(d))
     views = (
         ev.filter(F.col("event_type") == "view")
@@ -1888,7 +1893,7 @@ def i11_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two landing copies of every leaf file (retry-style at-least-once
     # delivery), via the shared leaf-linking helper so directory-style
     # tables work too.
-    d = _linked_landing(path, "i11-events-")
+    d = _linked_landing(path)
     for f in list(os.listdir(d)):
         os.symlink(
             os.path.realpath(os.path.join(d, f)),

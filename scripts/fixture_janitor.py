@@ -67,6 +67,18 @@ FINGERPRINTED = FIXTURE_FAMILIES_FINGERPRINTED
 # once a dir is old enough that no live sweep can still be reading
 # it (default 2 h; a full 256-query sweep is ~6 min).
 SCRATCH_PREFIXES = ("lakehouse-scratch-",)
+# r9 (ADVICE r8 #2): prefixes used by scratch mkdtemp sites BEFORE the
+# namespacing — dirs created under them are never reaped by the new
+# rule. A manual r9 check found /tmp clean of all of them (the box is
+# reset between rounds), but they stay on a deprecated sweep list for
+# one round in case an in-flight process recreates any. Remove in r10.
+# These are full mkdtemp prefixes (random suffix follows), narrow
+# enough not to match other tools' dirs; same age rule applies.
+LEGACY_SCRATCH_PREFIXES = (
+    "snap-", "i7-events-", "i8-events-", "i9-events-", "i10-events-",
+    "i11-events-", "i12-events-", "a38-", "a51-", "bench-warm-",
+    "sf-scaled-",
+)
 SCRATCH_MAX_AGE_S = float(
     os.environ.get("SPARK_GRAFT_SCRATCH_MAX_AGE_S", str(2 * 3600))
 )
@@ -156,7 +168,7 @@ def main() -> None:
     now = time.time()
     n_scratch, n_kept_young = 0, 0
     for name in os.listdir(TMP):
-        if not name.startswith(SCRATCH_PREFIXES):
+        if not name.startswith(SCRATCH_PREFIXES + LEGACY_SCRATCH_PREFIXES):
             continue
         path = os.path.join(TMP, name)
         try:

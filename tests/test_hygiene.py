@@ -36,17 +36,54 @@ def test_scratch_mkdtemp_prefixes_are_namespaced():
     delete) another tool's /tmp dirs. Fixture families use the
     'lakehouse-' + registry naming and are exempt (they are swept by
     the registry-driven fixture pass, not by prefix age)."""
-    pat = re.compile(r'(?:mkdtemp|TemporaryDirectory)\(\s*prefix="([^"]+)"')
+    # r8 advice: the old gate only matched double-quoted keyword
+    # literals; an f-string, single-quoted, variable, or positional
+    # prefix silently evaded it. Walk the AST instead: every call to
+    # mkdtemp/TemporaryDirectory must pass a plain str-literal prefix
+    # (positional slot 1 for mkdtemp args (suffix, prefix, dir), any
+    # positional for TemporaryDirectory is slot 1 too) that starts
+    # with 'lakehouse-'. Calls with no prefix at all are fine (pure
+    # tmp, never swept by prefix).
+    import ast
+
     bad = []
     for path in _py_sources():
-        if os.path.relpath(path, REPO).startswith("tests" + os.sep):
+        rel = os.path.relpath(path, REPO)
+        if rel.startswith("tests" + os.sep):
             continue  # pytest tmp_path is the test convention
         with open(path) as fh:
             src = fh.read()
-        for m in pat.finditer(src):
-            prefix = m.group(1)
-            if not prefix.startswith("lakehouse-"):
-                bad.append(f"{os.path.relpath(path, REPO)}: {prefix!r}")
+        if "mkdtemp" not in src and "TemporaryDirectory" not in src:
+            continue
+        for node in ast.walk(ast.parse(src)):
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            name = fn.attr if isinstance(fn, ast.Attribute) else getattr(
+                fn, "id", None)
+            if name not in ("mkdtemp", "TemporaryDirectory"):
+                continue
+            prefix_node = None
+            for kw in node.keywords:
+                if kw.arg == "prefix":
+                    prefix_node = kw.value
+            if prefix_node is None and len(node.args) >= 2:
+                prefix_node = node.args[1]  # (suffix, prefix, dir)
+            if prefix_node is None:
+                continue
+            if (
+                isinstance(prefix_node, ast.Constant)
+                and isinstance(prefix_node.value, str)
+            ):
+                if not prefix_node.value.startswith("lakehouse-"):
+                    bad.append(
+                        f"{rel}:{node.lineno}: {prefix_node.value!r}"
+                    )
+            else:
+                bad.append(
+                    f"{rel}:{node.lineno}: non-literal prefix "
+                    "(unverifiable by the janitor-safety gate)"
+                )
     assert not bad, (
         "non-namespaced scratch tmp prefixes (janitor sweep hazard): "
         + "; ".join(bad)

@@ -589,6 +589,26 @@ def test_bpe_token_count_large_vocab_broadcasts(spark, sf_dir, monkeypatch):
     assert sorted(map(tuple, df.collect())) == want
 
 
+def test_bpe_token_count_map_cap_routes_to_broadcast(
+    spark, sf_dir, monkeypatch
+):
+    """k4_bpe_token_count, driver-trained vocabulary ABOVE the
+    tokenize-map cap (r9, VERDICT r8 #4): training stays driver-side
+    but the tokenizer must NOT build a literal create_map (GetMapValue
+    on a literal map is a per-lookup linear scan — measured knee
+    ~200-400 words, scripts/bpe_map_boundary.py) — it routes through
+    the broadcast-join arm instead. Values equal the map path."""
+    from lakehouse_homeserver_spark.operators import text
+
+    want = sorted(map(tuple, text.k4_bpe_token_count(spark, sf_dir).collect()))
+    monkeypatch.setattr(text, "BPE_TOKENIZE_MAP_MAX", 0)
+    df = text.k4_bpe_token_count(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "map_from" not in plan and "create_map" not in plan.lower(), plan
+    assert sorted(map(tuple, df.collect())) == want
+
+
 def test_variant_extraction_pushes_column_pruning(spark, sf_dir):
     """h13_variant: the scan reads only the two needed columns."""
     from lakehouse_homeserver_spark.operators import relational
