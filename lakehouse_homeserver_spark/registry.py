@@ -27,127 +27,84 @@ _MODULES = []
 #      take the earliest latest-round entries), so session-tuning
 #      drift can't age a verdict past ~2-3 rounds unnoticed.
 #
-# ROUND-8 window = exactly 50 names. NEW this round: the composition
-# is MACHINE-DERIVED by `scripts/stale_verdicts.py` (VERDICT r7
-# next-round #1 — the r7 hand-curated deferral list missed 3 hits)
-# and enforced by tests/test_stale_verdicts.py: every query reached
-# by an edit since the last verdict commit must appear here or in
-# DEFERRED below, or the suite fails. Composition:
-#   (a) the 32 queries `stale_verdicts.py` flags as reached by r8
-#       edits: the a22 WAP branch-point fix, the a30 upsert-ledger
-#       lineage guard and the k4_bpe perf rework (real behavior/plan
-#       changes; the bpe pair sits in (c) and the list tail), plus 28
-#       certs whose bodies carry the lakehouse-scratch- mkdtemp
-#       namespacing (result-neutral, but edited-is-edited — the
-#       mechanical rule exists precisely to stop hand-waving that
-#       distinction);
-#   (b) the judge's 12 stale-verdict re-samples: a33/a51/a22 already
-#       land in (a); the 9 disclosed r7 deferrals (ts_gap_fill /
-#       ts_interpolate / ts_m4 / h12 / k5_ppm / k5_pcm / k6_uniform /
-#       k6_leakage_free / k6_domain_mix) + a23_expectations. Note:
-#       the ast-span attribution shows the "a23" quality.py hunks
-#       actually live inside a28_volume_freshness's decorator
-#       (re-sampled green r7) — git's hunk-context header
-#       mis-attributes them to the PREVIOUS def, the exact trap the
-#       judge warned about; a23 is windowed anyway (r4-era verdict,
-#       oldest-first would reach it regardless);
-#   (c) the remaining 10 slots: the edit-staleness BACKLOG
-#       (`stale_verdicts.py --backlog`: each query diffed against its
-#       OWN latest verdict commit), oldest verdict first. The 7
-#       backlog entries that did not fit are in DEFERRED and lead the
-#       r9 window; the age-only r1-era pool (30 unedited q1-era
-#       relational verdicts) follows once the edit-stale backlog is
-#       empty — edits outrank age.
+# ROUND-9 window = exactly 50 names, machine-derived
+# (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
+# Composition (VERDICT r8 next-round #2-#3):
+#   (a) the 8 r8 DEFERRED edit-stale re-samples lead, d14 first (judge:
+#       "first r9 slot");
+#   (b) the 6 queries reached by r9 edits: i7/i8/i9/i11 via the
+#       _linked_landing scratch-namespacing (result-neutral, but
+#       edited-is-edited) and the k4_bpe pair via the new
+#       BPE_TOKENIZE_MAP_MAX tokenizer cap (fixture keeps the literal-
+#       map plan; re-queued per VERDICT r8 #4);
+#   (c) every remaining slot burns the verdict-AGE pool oldest-first:
+#       all 29 r1-era verdicts + the first 7 r2-era (alphabetical
+#       within the equal-age tier). After r9 no verdict is older than
+#       r2; the 23 remaining r2-era lead r10's age pool.
+# NO mass-touch refactors landed this round (the r8 lesson) - the only
+# package edits are the two behavior-bounded fixes in (b).
 PRIORITY: tuple[str, ...] = (
-    # (a) r8-edit hits — ACID certs (scratch namespacing; a22 = WAP
-    # branch-point fix, a30 = upsert ledger lineage guard)
-    "a22_wap_publish",
-    "a30_stream_upsert_totals",
-    "a10_snapshot_lineage",
-    "a12_time_travel",
-    "a13_merge_upsert",
-    "a15_file_skipping",
-    "a16_incremental_read",
-    "a17_zero_copy_clone",
-    "a18_rollback",
-    "a19_delete_where",
-    "a20_mor_delete",
-    "a21_bloom_skipping",
-    "a24_schema_history",
-    "a25_change_feed",
-    "a26_ivm_view",
-    "a27_spec_history",
-    "a29_stream_cdc_view",
-    "a31_compaction",
-    "a33_expire_orphans",
-    "a35_partition_overwrite",
-    "a36_positional_delete",
-    "a37_check_constraints",
-    "a38_dynamic_partition_pruning",
-    "a51_ingest_lifecycle",
-    # (a) r8-edit hits — streaming certs (scratch namespacing)
+    # (a) r8 DEFERRED edit-stale backlog
+    "d14_heavy_hitters",
+    "a41_cross_engine_read",
+    "i2_sliding_window",
+    "j_normalize_embeddings",
+    "j_udtf_term_expand",
+    "k2_simhash_near_pairs",
+    "k3_contrastive_pairs",
+    "k8_bloom_decontaminate",
+    # (b) r9 edit hits
     "i7_stream_stream_join",
     "i8_stream_static_enrich",
     "i9_stream_outer_join",
-    "i10_stream_restart_exactly_once",
     "i11_stream_dedup",
-    "i12_stateful_session_timeout",
-    # (b) judge's stale-verdict re-samples not already in (a)
-    "a23_expectations",
-    "ts_gap_fill",
-    "ts_interpolate",
-    "ts_m4_downsample",
-    "h12_higher_order_funcs",
-    "k5_ppm_decode",
-    "k5_pcm_frames",
-    "k6_uniform_sample",
-    "k6_leakage_free_split",
-    "k6_domain_mix",
-    # (c) edit-staleness backlog, oldest verdict first
-    "k2_simhash",
-    "c9_fuzzy_join",
-    "d15_count_min",
-    "k7_training_corpus",
-    "a32_zorder_skipping",
     "k4_bpe_train",
-    "ts_rich_sessions",
-    "ts_sessionize",
-    "a14_table_stats",
-    # r8 perf fix: bpe_train gained the bounded-vocab driver path and
-    # k4_bpe_token_count the map-expression tokenizer (VERDICT r7
-    # what's-wrong #3 — the 4.6->6.5 s driver regression was real:
-    # 16 tiny-job schedulings on a 31-word vocabulary; now 4.1 s warm)
     "k4_bpe_token_count",
+    # (c) age pool: the full r1-era tier (29)
+    "b_like_filter",
+    "c2_join_left_outer",
+    "c3_join_semi",
+    "c4_cross_join",
+    "c6_range_join",
+    "c8_salted_skew_join",
+    "d2_group_agg",
+    "d3_count_distinct",
+    "d4_cube",
+    "d5_having",
+    "d6_distinct",
+    "d7_stats",
+    "d9_unpivot",
+    "e1_window_pct",
+    "e3_window_running",
+    "g_except",
+    "g_intersect",
+    "g_intersect_all",
+    "g_union",
+    "h2_regex_funcs",
+    "h2_string_funcs",
+    "h3_calendar_funcs",
+    "h3_datetime_funcs",
+    "h4_math_funcs",
+    "h5_case_when",
+    "h6_explode_unnest",
+    "h7_struct_map",
+    "h9_casts",
+    "k1_dedup_exact_groups",
+    # (c) age pool: first 7 of the r2-era tier
+    "b_filter_predicates",
+    "c11_scd2_join",
+    "c1_join_revenue_by_nation",
+    "c2_join_full_outer",
+    "c3_join_anti",
+    "c4_theta_join",
+    "c6_range_join_bucketized",
 )
 
-# Explicit, justification-carrying deferrals: queries
-# `stale_verdicts.py --backlog` flags as edited after their latest
-# verdict that did NOT fit this round's 50-slot window. These lead
-# the r9 window. The --check gate treats membership here as
-# disclosed-not-forgotten; an entry may only be added with a
-# justification string (hand-listing without one fails review).
-DEFERRED: dict[str, str] = {
-    "a41_cross_engine_read": "r5 verdict; backlog slot 51 — reached "
-    "via snapshot/pyds shared readers edited r6-r7; local parity "
-    "green every round since",
-    "i2_sliding_window": "r5 verdict; backlog slot 52 — reached via "
-    "timeseries helpers edited r7",
-    "j_normalize_embeddings": "r5 verdict; backlog slot 53 — shares "
-    "the r7-recertified j_arrow_batch_norms kernel",
-    "j_udtf_term_expand": "r5 verdict; backlog slot 54 — reached via "
-    "restcat/catalog helpers edited r7",
-    "k2_simhash_near_pairs": "r6 verdict; backlog slot 55 — shares "
-    "k2_simhash's oracle helpers (k2_simhash itself IS windowed r8)",
-    "k3_contrastive_pairs": "r6 verdict; backlog slot 56 — reached "
-    "via verified_pairs fixture edited r7 (k2/k9 consumers "
-    "re-sampled green r7)",
-    "k8_bloom_decontaminate": "r6 verdict; backlog slot 57 — reached "
-    "via RestCatalog.read_table edit r7 (unreachable on this path; "
-    "conservative edge)",
-    "d14_heavy_hitters": "r4 verdict; displaced from the r8 window by "
-    "the k4_bpe_token_count re-sample (its r8 perf fix outranks an r4 "
-    "refactor-class edit); first r9 slot",
-}
+# Explicit, justification-carrying deferrals (see stale_verdicts.py
+# --check): queries reached by an edit since the last verdict commit
+# that did NOT fit the window. EMPTY this round - all 6 r9 edit hits
+# and all 8 r8 deferrals are in the window above.
+DEFERRED: dict[str, str] = {}
 
 
 def _load_modules():
