@@ -134,3 +134,68 @@ def test_independent_reader_rejects_nothing_engine_accepts(
     head = t.entry(t.latest_version())
     assert len(independent_read(t.path)) == head["row_count"]
     assert t.read().count() == head["row_count"]
+
+
+def test_empty_seq_map_defaults_files_to_zero(spark, tmp_path):
+    """ADVICE r8 #3 regression lock: a PRESENT-but-empty `seq` map is
+    not the same as an absent one. Absent -> every file defaults to
+    the entry's own version (pre-seq-era entries); empty/partial map
+    -> missing files default to 0, so every delete file (seq >= 1)
+    applies to them. Both readers must agree; this crafts the log by
+    hand because the engine always writes complete maps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "edge")
+    os.makedirs(os.path.join(table, "_log"))
+    os.makedirs(os.path.join(table, "data"))
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(table, "data", "base.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([2], pa.int64())}),
+        os.path.join(table, "data", "del1.parquet"),
+    )
+    schema = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+        ]}
+    )
+    base = {
+        "version": 3,
+        "parent": None,
+        "timestamp_ms": 0,
+        "operation": "append",
+        "manifest": ["base.parquet"],
+        "added": [],
+        "schema": schema,
+        "row_count": 3,
+        "stats": {},
+        "blooms": {},
+        "delete_files": [
+            {"file": "del1.parquet", "kind": "equality",
+             "columns": ["k"], "seq": 1}
+        ],
+        "properties": {},
+    }
+    for variant, seq, want in (
+        # absent map: file seq defaults to entry version 3 > delete
+        # seq 1 -> delete does NOT apply
+        ("absent", None, [1, 2, 3]),
+        # empty map: file seq defaults to 0 < 1 -> delete APPLIES
+        ("empty", {}, [1, 3]),
+    ):
+        entry = dict(base)
+        if seq is not None:
+            entry["seq"] = seq
+        with open(
+            os.path.join(table, "_log", f"{entry['version']:020d}.json"), "w"
+        ) as fh:
+            json.dump(entry, fh)
+        got = sorted(standalone.read_pandas(table, 3)["k"])
+        assert got == want, (variant, got)
+        engine = sorted(
+            r.k for r in SnapshotTable(spark, table).read(version=3).collect()
+        )
+        assert engine == want, (variant, engine)

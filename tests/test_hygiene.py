@@ -119,3 +119,36 @@ def test_janitor_dry_run_never_fails():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "== kept (live fixture families) ==" in r.stdout
+
+
+def test_label_gate_tolerates_post_commit_artifact_drop(monkeypatch):
+    """VERDICT r8 what's-wrong #1: the driver drops CORRECTNESS_r{N}
+    AFTER the builder's last commit, so --check must tolerate labels
+    whose ONLY staleness source is an artifact committed after
+    SURVEY.md's last commit (or still untracked) — and keep failing
+    on labels the builder had a chance to refresh."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "refresh_survey_labels",
+        os.path.join(REPO, "scripts", "refresh_survey_labels.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    stale = [(1, "q_x", "driver-green r8 (CORRECTNESS_r08)",
+              "driver-green r9 (CORRECTNESS_r09)")]
+
+    times = {"SURVEY.md": 100, "CORRECTNESS_r09.json": 200}
+    monkeypatch.setattr(mod, "_last_commit_time", lambda p: times[p])
+    hard, soft = mod._tolerated(stale)
+    assert hard == [] and soft == stale  # artifact landed after SURVEY
+
+    times = {"SURVEY.md": 300, "CORRECTNESS_r09.json": 200}
+    hard, soft = mod._tolerated(stale)
+    assert hard == stale and soft == []  # builder saw it; must refresh
+
+    # untracked artifact (no commit yet) reads as "newer than any"
+    times = {"SURVEY.md": 300, "CORRECTNESS_r09.json": 2**63}
+    hard, soft = mod._tolerated(stale)
+    assert hard == [] and soft == stale
