@@ -616,8 +616,33 @@ from lakehouse_homeserver_spark.sources.snapshot import (
 )
 
 t = SnapshotTable(None, path)
-while not os.path.exists(go):  # start barrier: maximize contention
+while not os.path.exists(go):  # start barrier
     time.sleep(0.005)
+race_dir = os.path.join(path, "_race")
+os.makedirs(race_dir, exist_ok=True)
+
+
+def rendezvous(head_v):
+    """Deterministic contention: publish a marker for the head this
+    worker is about to CAS against, then wait (bounded) until some
+    OTHER worker has marked the same head — so two processes attempt
+    the same os.link target and exactly one must lose. Markers
+    persist, so a worker that already moved past this head satisfies
+    the wait immediately (no deadlock); the timeout is a backstop for
+    a worker running alone at the tail."""
+    me = os.path.join(race_dir, f"{head_v}-{wid}")
+    open(me, "w").close()
+    deadline = time.time() + 3.0
+    while time.time() < deadline:
+        others = [
+            f for f in os.listdir(race_dir)
+            if f.startswith(f"{head_v}-") and f != f"{head_v}-{wid}"
+        ]
+        if others:
+            return
+        time.sleep(0.002)
+
+
 retries = 0
 for i in range(n):
     fname = f"xproc-w{wid}-{i}.parquet"
@@ -631,10 +656,12 @@ for i in range(n):
         fpath,
     )
     rows, stats = _footer_stats(fpath)
-    for _ in range(500):
+    for attempt in range(500):
         head_v = t.latest_version()
         head = t.entry(head_v)
         new_v = head_v + 1
+        if i < 4 and attempt == 0:
+            rendezvous(head_v)
         entry = {
             "version": new_v,
             "parent": head_v,
