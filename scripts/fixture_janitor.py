@@ -72,12 +72,19 @@ SCRATCH_PREFIXES = ("lakehouse-scratch-",)
 # rule. A manual r9 check found /tmp clean of all of them (the box is
 # reset between rounds), but they stay on a deprecated sweep list for
 # one round in case an in-flight process recreates any. Remove in r10.
-# These are full mkdtemp prefixes (random suffix follows), narrow
-# enough not to match other tools' dirs; same age rule applies.
+# EXACT full prefixes enumerated from git history (`git log -p -S
+# 'mkdtemp(prefix="'`), never truncated stems: a bare "snap-" would
+# match OTHER software's /tmp dirs (e.g. snapd's snap-private-tmp,
+# root-owned and older than any age bound) — re-entering precisely
+# the hazard the namespacing removed (r9 review finding).
 LEGACY_SCRATCH_PREFIXES = (
-    "snap-", "i7-events-", "i8-events-", "i9-events-", "i10-events-",
-    "i11-events-", "i12-events-", "a38-", "a51-", "bench-warm-",
-    "sf-scaled-",
+    "a38-dpp-", "dup-pairs-", "i10-", "i11-dedup-", "i11-events-",
+    "i12-sessions-", "i7-events-", "i7-pairs-", "i8-enriched-",
+    "i8-events-", "i9-events-", "i9-pairs-", "sf-scaled-",
+    "snap-bloom-", "snap-cdf-", "snap-chk-", "snap-clone-", "snap-del-",
+    "snap-demo-", "snap-dpo-", "snap-gc-", "snap-inc-", "snap-ivm-",
+    "snap-merge-", "snap-mor-", "snap-opt-", "snap-pos-", "snap-scdc-",
+    "snap-skip-", "snap-spec-", "snap-sup-", "snap-wap-", "ts-travel-",
 )
 SCRATCH_MAX_AGE_S = float(
     os.environ.get("SPARK_GRAFT_SCRATCH_MAX_AGE_S", str(2 * 3600))

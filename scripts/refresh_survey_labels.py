@@ -100,30 +100,63 @@ def refresh(text: str, latest: dict[str, int]):
 
 
 @functools.lru_cache(maxsize=None)
-def _last_commit_time(relpath: str) -> int:
-    """Unix time of the last commit touching relpath; 2**63 if the
-    file is untracked/uncommitted (i.e. newer than any commit)."""
+def _last_commit_time(relpath: str):
+    """Unix time of the last commit touching relpath; 2**63 if git
+    works but the file has no commit yet (untracked = newer than any
+    commit); None if git itself is unavailable (not a repo, no
+    binary) — the caller must FAIL CLOSED on None, otherwise a
+    tarball export or broken git would tolerate every stale label
+    (r9 review finding)."""
     try:
-        out = subprocess.run(
+        r = subprocess.run(
             ["git", "-C", REPO, "log", "-1", "--format=%ct", "--", relpath],
             capture_output=True, text=True, timeout=30,
-        ).stdout.strip()
-        return int(out) if out else 2**63
+        )
     except Exception:
-        return 2**63
+        return None
+    if r.returncode != 0:
+        return None
+    out = r.stdout.strip()
+    return int(out) if out else 2**63
+
+
+def _rounds_by_query() -> dict[str, list[int]]:
+    """query -> every round whose CORRECTNESS artifact sampled it."""
+    rounds: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            for name in json.load(fh):
+                rounds.setdefault(name, []).append(rnd)
+    return rounds
 
 
 def _tolerated(stale):
     """Split stale labels into (hard, tolerated) for --check mode: a
-    label is tolerated when every CORRECTNESS artifact newer than the
-    label's round landed in git after SURVEY.md's last commit."""
+    label is tolerated only when EVERY CORRECTNESS artifact newer than
+    the label's round (for that query) landed in git strictly after
+    SURVEY.md's last commit — i.e. the builder never had a chance to
+    refresh. A single such artifact the builder DID see (committed at
+    or before SURVEY.md's last commit — the forgotten-refresh case
+    this gate exists for) keeps the label hard. Degenerate git info
+    (unavailable, or a shallow clone collapsing every file to the tip
+    timestamp) fails closed via the strict > and the None guard."""
     survey_t = _last_commit_time("SURVEY.md")
+    rounds = _rounds_by_query()
     hard, soft = [], []
     for item in stale:
-        _, _, _, new = item
-        u = int(LABEL.match(new).group(1))
-        art_t = _last_commit_time(f"CORRECTNESS_r{u:02d}.json")
-        (soft if art_t >= survey_t else hard).append(item)
+        _, owner, old, _ = item
+        o = int(LABEL.match(old).group(1))
+        newer = [r for r in rounds.get(owner, []) if r > o]
+        times = [
+            _last_commit_time(f"CORRECTNESS_r{r:02d}.json") for r in newer
+        ]
+        ok = (
+            survey_t is not None
+            and newer
+            and all(t is not None and t > survey_t for t in times)
+        )
+        (soft if ok else hard).append(item)
     return hard, soft
 
 

@@ -55,13 +55,22 @@ def test_scratch_mkdtemp_prefixes_are_namespaced():
             src = fh.read()
         if "mkdtemp" not in src and "TemporaryDirectory" not in src:
             continue
-        for node in ast.walk(ast.parse(src)):
+        tree = ast.parse(src)
+        # r9 review: `from tempfile import mkdtemp as mk` must not
+        # evade the gate — collect local alias names too.
+        names = {"mkdtemp", "TemporaryDirectory"}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module == "tempfile":
+                for a in node.names:
+                    if a.name in ("mkdtemp", "TemporaryDirectory"):
+                        names.add(a.asname or a.name)
+        for node in ast.walk(tree):
             if not isinstance(node, ast.Call):
                 continue
             fn = node.func
             name = fn.attr if isinstance(fn, ast.Attribute) else getattr(
                 fn, "id", None)
-            if name not in ("mkdtemp", "TemporaryDirectory"):
+            if name not in names:
                 continue
             prefix_node = None
             for kw in node.keywords:
@@ -70,6 +79,13 @@ def test_scratch_mkdtemp_prefixes_are_namespaced():
             if prefix_node is None and len(node.args) >= 2:
                 prefix_node = node.args[1]  # (suffix, prefix, dir)
             if prefix_node is None:
+                continue
+            # explicit prefix=None is the stdlib default: no prefix,
+            # never swept by prefix — fine (r9 review)
+            if (
+                isinstance(prefix_node, ast.Constant)
+                and prefix_node.value is None
+            ):
                 continue
             if (
                 isinstance(prefix_node, ast.Constant)
@@ -138,6 +154,9 @@ def test_label_gate_tolerates_post_commit_artifact_drop(monkeypatch):
 
     stale = [(1, "q_x", "driver-green r8 (CORRECTNESS_r08)",
               "driver-green r9 (CORRECTNESS_r09)")]
+    monkeypatch.setattr(
+        mod, "_rounds_by_query", lambda: {"q_x": [7, 8, 9]}
+    )
 
     times = {"SURVEY.md": 100, "CORRECTNESS_r09.json": 200}
     monkeypatch.setattr(mod, "_last_commit_time", lambda p: times[p])
@@ -152,3 +171,25 @@ def test_label_gate_tolerates_post_commit_artifact_drop(monkeypatch):
     times = {"SURVEY.md": 300, "CORRECTNESS_r09.json": 2**63}
     hard, soft = mod._tolerated(stale)
     assert hard == [] and soft == stale
+
+    # forgotten-refresh masking (r9 review finding): label is TWO
+    # rounds stale; the intermediate artifact was committed before
+    # SURVEY.md — the builder saw it and forgot. Even though the
+    # latest artifact landed post-commit, the label must stay hard.
+    stale2 = [(1, "q_x", "driver-green r7 (CORRECTNESS_r07)",
+               "driver-green r9 (CORRECTNESS_r09)")]
+    times = {"SURVEY.md": 300, "CORRECTNESS_r08.json": 200,
+             "CORRECTNESS_r09.json": 400}
+    hard, soft = mod._tolerated(stale2)
+    assert hard == stale2 and soft == []
+
+    # degenerate git info fails CLOSED: no repo -> None everywhere
+    times = {"SURVEY.md": 300, "CORRECTNESS_r09.json": 400}
+    monkeypatch.setattr(mod, "_last_commit_time", lambda p: None)
+    hard, soft = mod._tolerated(stale)
+    assert hard == stale and soft == []
+    # shallow clone: every file collapses to the tip timestamp ->
+    # strict > keeps it hard
+    monkeypatch.setattr(mod, "_last_commit_time", lambda p: 500)
+    hard, soft = mod._tolerated(stale)
+    assert hard == stale and soft == []
