@@ -624,6 +624,50 @@ class Gen:
             f"WHERE {self._ev_pred()}"
         )
 
+    def q_case_agg(self) -> str:
+        """r9: conditional aggregation (pivot-style SUM/COUNT over a
+        CASE) — the agg form every BI layer emits, previously only
+        reachable when q_aggregate happened to pick a CASE-free agg
+        around a predicate-free SUM."""
+        t = self.r.choice(list(T))
+        gs = self.group_cols(t)
+        gnames = [f"g{i}" for i in range(len(gs))]
+        gsel = ", ".join(f"{g} AS {n}" for g, n in zip(gs, gnames))
+        p1, p2 = self.pred(t), self.pred(t)
+        aggs = [
+            f"CAST(SUM(CASE WHEN {p1} THEN {self.int_expr(t)} ELSE 0 END)"
+            f" AS BIGINT) AS a0",
+            f"COUNT(CASE WHEN {p2} THEN 1 END) AS a1",
+        ]
+        if T[t]["nums"]:
+            c = self.r.choice(T[t]["nums"])
+            aggs.append(
+                f"SUM(CASE WHEN {p1} THEN CAST({c} AS DECIMAL(18,2)) "
+                f"ELSE CAST(0 AS DECIMAL(18,2)) END) AS a2"
+            )
+        return (
+            f"SELECT {gsel}, {', '.join(aggs)} FROM {t} "
+            f"GROUP BY {', '.join(gs)}"
+        )
+
+    def q_scalar_subquery(self) -> str:
+        """r9: scalar subqueries in the projection — one uncorrelated
+        (global MAX) and one equality-correlated child count over an
+        FK edge (the common dialect subset both engines decorrelate
+        to a join)."""
+        lt, lc, rt, rc = self.r.choice(
+            [e for e in FK if T[e[2]]["key"]]
+        )
+        keys = self.key_cols(rt)
+        corr = (
+            f"(SELECT COUNT(*) FROM {lt} WHERE {lt}.{lc} = {rt}.{rc}) AS n_child"
+        )
+        glob = (
+            f"(SELECT MAX({self.r.choice(T[lt]['ints'])}) FROM {lt}) AS gmax"
+        )
+        where = f" WHERE {self.pred(rt)}" if self.r.random() < 0.5 else ""
+        return f"SELECT {', '.join(keys)}, {corr}, {glob} FROM {rt}{where}"
+
     def query(self) -> str:
         shape = self.r.choice(
             [
@@ -653,6 +697,9 @@ class Gen:
                 self.q_self_join_derived,
                 self.q_event_time,
                 self.q_event_time,
+                # round-9 additions
+                self.q_case_agg,
+                self.q_scalar_subquery,
             ]
         )
         return shape()
