@@ -431,6 +431,33 @@ def compute_backlog() -> dict[str, dict]:
 def main() -> int:
     check = "--check" in sys.argv
     backlog_mode = "--backlog" in sys.argv
+    if "--age" in sys.argv:
+        # r9: the AGE pool in one command (VERDICT r8 #3's oldest-first
+        # cadence previously needed ad-hoc scripting every round):
+        # every registered query's latest verdict round, oldest tier
+        # first, never-sampled queries flagged loudest. Compose the
+        # next window as: --check hits + DEFERRED burn-down, then this
+        # list top-down.
+        from lakehouse_homeserver_spark.registry import all_queries
+
+        latest = latest_verdict_rounds()
+        names = list(all_queries())
+        never = sorted(n for n in names if n not in latest)
+        for n in never:
+            print(f"NEVER-SAMPLED: {n}  <-- window this FIRST")
+        tiers: dict[int, list[str]] = {}
+        for n in names:
+            if n in latest:
+                tiers.setdefault(latest[n], []).append(n)
+        for rnd in sorted(tiers):
+            qs = sorted(tiers[rnd])
+            print(f"r{rnd} ({len(qs)}): {' '.join(qs)}")
+        oldest = min(tiers) if tiers else None
+        print(
+            f"== age pool: {len(names)} registered, {len(never)} "
+            f"never-sampled, oldest verdict tier r{oldest} =="
+        )
+        return 1 if never else 0
     if backlog_mode:
         backlog = compute_backlog()
         for name, info in sorted(

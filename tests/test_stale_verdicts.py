@@ -136,3 +136,29 @@ def test_window_is_exactly_the_driver_budget():
     assert not unknown_d, f"DEFERRED names not in registry: {unknown_d}"
     assert not set(PRIORITY) & set(DEFERRED), "windowed AND deferred"
     assert all(DEFERRED.values()), "deferral without justification"
+
+
+def test_age_mode_lists_every_registered_query():
+    """--age (r9) is the window-composition companion to --check:
+    every registered query appears in exactly one verdict tier, and a
+    never-sampled query (a registration the driver has not certified)
+    fails loudly — that is the judge's zero-never-sampled recompute,
+    runnable locally."""
+    import re
+    import subprocess
+
+    r = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "stale_verdicts.py"),
+         "--age"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout[-2000:]
+    assert "0 never-sampled" in r.stdout
+    m = re.search(r"age pool: (\d+) registered", r.stdout)
+    from lakehouse_homeserver_spark.registry import all_queries
+
+    assert m and int(m.group(1)) == len(all_queries())
+    tier_total = sum(
+        int(n) for n in re.findall(r"^r\d+ \((\d+)\):", r.stdout, re.M)
+    )
+    assert tier_total == len(all_queries())
