@@ -1491,16 +1491,25 @@ PR_DAMP = 0.85
 
 def _pr_stage(k: int) -> str:
     """One unrolled PageRank iteration as a DuckDB CTE: r_{k+1}(v) =
-    (1-d)/N + d * Σ_{u→v} round(r_k(u)/deg(u), 12), the inner sum made
-    order-independent by the DECIMAL(28,12) exact-sum contract."""
+    (1-d)/N + d * Σ_{u→v} floor(r_k(u)/deg(u) * 1e12 + 0.5)/1e12, the
+    inner sum made order-independent by summing INTEGER micro-units
+    (BIGINT, exact). r9 contract rework: the old form rounded doubles
+    (ROUND(x,12)) and cast through DECIMAL — both are engine-specific
+    decimal-rounding steps (Spark HALF_UP on the binary expansion vs
+    DuckDB scaled-double rounding), and at sf0.1 thirteen rows came
+    out one digit apart at the 10-dp display round. The floor form is
+    pure IEEE ops on bit-identical operands in both engines: same
+    divide, same multiply, same add, same floor — bit-identical
+    always, no decimal types anywhere on the path."""
     return f"""
     r{k + 1} AS (
       SELECT e.dst AS node,
-             ROUND(CAST(0.15 AS DOUBLE) / nn.n
-                   + CAST(0.85 AS DOUBLE)
-                     * CAST(SUM(CAST(ROUND(r{k}.r / d.deg, 12)
-                                 AS DECIMAL(28,12))) AS DOUBLE),
-                   12) AS r
+             CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * (CAST(SUM(CAST(FLOOR(r{k}.r / d.deg
+                                        * 1000000000000.0 + 0.5)
+                                  AS BIGINT)) AS DOUBLE)
+                    / 1000000000000.0) AS r
       FROM edges e
       JOIN r{k} ON e.src = r{k}.node
       JOIN deg d ON e.src = d.node
@@ -1536,8 +1545,11 @@ def _pr_stage(k: int) -> str:
       SELECT node, CAST(1 AS DOUBLE) / nn.n AS r FROM deg CROSS JOIN nn
     ),
     {", ".join(_pr_stage(k).strip() for k in range(PR_ITERS))}
-    SELECT node AS doc_id, ROUND(r, 10) AS pagerank,
-           ROW_NUMBER() OVER (ORDER BY ROUND(r, 10) DESC, node) AS rank
+    SELECT node AS doc_id,
+           FLOOR(r * 10000000000.0 + 0.5) / 10000000000.0 AS pagerank,
+           ROW_NUMBER() OVER (
+             ORDER BY FLOOR(r * 10000000000.0 + 0.5) DESC, node
+           ) AS rank
     FROM r{PR_ITERS}
     """,
 )
@@ -1559,11 +1571,18 @@ def k9_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Symmetrized dup edges mean no dangling nodes, so the classic
     teleport term (1-d)/N is exact.
 
-    Float contract: the per-node in-sum is the only order-dependent
-    reduction — contributions are rounded to 12 dp and summed as
-    DECIMAL(28,12) (exact, order-free); every other op (divisions,
-    damping multiply, teleport add) is a single IEEE op on
-    bit-identical operands in both engines.
+    Float contract (r9 rework): the per-node in-sum is the only
+    order-dependent reduction — contributions are quantized to
+    INTEGER micro-units (floor(x * 1e12 + 0.5), a bigint) and summed
+    exactly, so the sum is order-free with no decimal types on the
+    path; every other op (divisions, damping multiply, teleport add,
+    the floor quantizations themselves) is a single IEEE op on
+    bit-identical operands in both engines — bit-identical end to
+    end, at any SF. The previous contract rounded doubles to 12 dp
+    and summed DECIMAL(28,12): both steps are engine-specific decimal
+    roundings (Spark HALF_UP on the exact binary expansion, DuckDB
+    scaled-double), and the sf0.1 parity sweep caught 13 rows one
+    digit apart at the display round.
     """
     pairs = verified_pairs(spark, sf_dir)
     n_pairs = pairs.count()
@@ -1623,9 +1642,13 @@ def k9_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(F.broadcast(deg), "src")
                 .select(
                     F.col("dst"),
-                    F.round(F.col("r") / F.col("deg"), 12)
-                    .cast("decimal(28,12)")
-                    .alias("c"),
+                    # floor(r/deg * 1e12 + 0.5): Spark floor() on a
+                    # double returns LONG — already the exact integer
+                    # micro-unit the oracle casts to BIGINT
+                    F.floor(
+                        F.col("r") / F.col("deg") * F.lit(1e12)
+                        + F.lit(0.5)
+                    ).alias("c"),
                 )
             )
             # Per-round eager checkpoint, like the components loop: a
@@ -1637,10 +1660,10 @@ def k9_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             r = (
                 contrib.groupBy("dst")
                 .agg(
-                    F.round(
+                    (
                         F.lit(teleport)
-                        + F.lit(PR_DAMP) * F.sum("c").cast("double"),
-                        12,
+                        + F.lit(PR_DAMP)
+                        * (F.sum("c").cast("double") / F.lit(1e12))
                     ).alias("r")
                 )
                 .select(F.col("dst").alias("node"), "r")
@@ -1648,10 +1671,11 @@ def k9_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
-    w = Window.orderBy(F.desc(F.round("r", 10)), "node")
+    pr_q = F.floor(F.col("r") * F.lit(1e10) + F.lit(0.5))
+    w = Window.orderBy(F.desc(pr_q), "node")
     return r.select(
         F.col("node").alias("doc_id"),
-        F.round("r", 10).alias("pagerank"),
+        (pr_q / F.lit(1e10)).alias("pagerank"),
         F.row_number().over(w).alias("rank"),
     )
 

@@ -844,9 +844,11 @@ def h5_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            LEN(embedding) AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-           ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
-                 + CAST(embedding[3] AS DOUBLE), 4) AS head3_sum,
+           FLOOR(CAST(embedding[1] AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+               AS first_val,
+           FLOOR((CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+                 + CAST(embedding[3] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+               AS head3_sum,
            CASE WHEN list_contains(embedding, 0.0) THEN TRUE ELSE FALSE END
                AS has_zero
     FROM embeddings
@@ -857,9 +859,21 @@ def h6_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Head-element arithmetic is done in double with per-element casts
     (not a float fold) so both engines compute the identical IEEE sum.
-    """
+
+    r9: display rounding is the FLOOR form (floor(x*1e4 + 0.5)/1e4),
+    not ROUND — pure IEEE ops on bit-identical operands, so both
+    engines produce the same double always. Engine ROUND diverges at
+    the representation edges: Spark rounds the binary expansion
+    HALF_UP while DuckDB rounds in scaled double arithmetic, and duck
+    preserves -0.0 where Spark emits +0.0 (one sf0.1 row hit exactly
+    that: value hash 0.0 vs -0.0). The floor form also never emits
+    -0.0 (floor of a value in [0, 1) is +0.0)."""
     e = T(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+
+    def r4(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
     head3 = (
         emb.getItem(0).cast("double")
         + emb.getItem(1).cast("double")
@@ -868,8 +882,8 @@ def h6_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
-        F.round(emb.getItem(0).cast("double"), 4).alias("first_val"),
-        F.round(head3, 4).alias("head3_sum"),
+        r4(emb.getItem(0).cast("double")).alias("first_val"),
+        r4(head3).alias("head3_sum"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
     )
 
@@ -1215,8 +1229,9 @@ def c8_salted_skew_join(
     "e1_window_pct",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume,
            NTILE(4) OVER w AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
@@ -1551,8 +1566,9 @@ def d3_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e4_analytic_suite",
     oracle="""
     SELECT n_nationkey, c_custkey, c_acctbal,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume,
            FIRST_VALUE(c_custkey) OVER w AS poorest,
            NTH_VALUE(c_custkey, 3) OVER w AS third_poorest,
            LAST_VALUE(c_custkey) OVER (
@@ -1567,8 +1583,12 @@ def e4_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining analytic-window functions (SURVEY E1 completion):
     percent_rank / cume_dist / first_value / nth_value / last_value.
     percent_rank and cume_dist are exact rationals (rank arithmetic /
-    row counts), so the doubles are bit-identical across engines after
-    a noise-free round(6). last_value requires the explicit
+    row counts), so the raw doubles are bit-identical across engines —
+    but a rational CAN land exactly on a 6-dp rounding midpoint, where
+    Spark's HALF_UP and DuckDB's scaled-double ROUND disagree (three
+    sf0.1 rows did: 0.0640625-class ties). r9: display rounding is the
+    FLOOR form (floor(x*1e6 + 0.5)/1e6) in both engines — pure IEEE
+    ops on identical operands, tie-free by construction. last_value requires the explicit
     unbounded-following frame in BOTH engines — the default frame ends
     at CURRENT ROW, which silently returns the current row's value;
     nth_value / first_value run on the default frame to pin that
@@ -1585,8 +1605,10 @@ def e4_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey",
             "c_custkey",
             "c_acctbal",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            (F.floor(F.percent_rank().over(w) * F.lit(1000000.0)
+                     + F.lit(0.5)) / F.lit(1000000.0)).alias("pct_rank"),
+            (F.floor(F.cume_dist().over(w) * F.lit(1000000.0)
+                     + F.lit(0.5)) / F.lit(1000000.0)).alias("cume"),
             F.first("c_custkey").over(w).alias("poorest"),
             F.nth_value("c_custkey", 3).over(w).alias("third_poorest"),
             F.last("c_custkey").over(w_full).alias("richest"),

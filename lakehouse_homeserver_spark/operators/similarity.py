@@ -906,11 +906,17 @@ def k3_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic: md5/xxhash seeds, fixed Lloyd iterations, id
     tie-breaks on rank order.
 
-    Bounds (fixture-calibrated, intentionally loose so they hold at
-    any SF): min per-query recall@{TOP_K} >= 0.2 (the probe always
-    finds SOME true neighbors), mean recall >= 0.6 (the index is
-    useful). A regression that degrades the coarse quantizer or probe
-    routing trips the hash.
+    Bounds (MEASURED, not guessed — r9 recalibration): mean recall at
+    nprobe=4/nlist=16 reads 0.64 at sf0.01 and 0.48 at sf0.1 (the
+    r9 sf0.1 parity sweep caught the old mean>=0.6 bound failing at
+    10x — "holds at any SF" was a claim, not a measurement; recall
+    legitimately falls as a fixed-nlist index densifies, which is why
+    production IVF grows nlist ~ sqrt(n)). The certificate now pins
+    min per-query recall@{TOP_K} >= 0.2 (measured min is exactly 0.2
+    at BOTH SFs — the probe always finds SOME true neighbors) and
+    mean recall >= 0.4 (margin 0.08 = four neighbor flips at sf0.1).
+    A regression that degrades the coarse quantizer or probe routing
+    still trips the hash; a merely-denser corpus no longer does.
 
     Cost note: runs the corpus scan twice (IVF + exact) over the
     broadcast query set — still no corpus shuffle anywhere.
@@ -931,7 +937,7 @@ def k3_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.agg(
         F.count(F.lit(1)).alias("n_queries"),
         (F.min("recall") >= 0.2).alias("min_recall_ok"),
-        (F.avg("recall") >= 0.6).alias("mean_recall_ok"),
+        (F.avg("recall") >= 0.4).alias("mean_recall_ok"),
     )
 
 

@@ -37,12 +37,19 @@ _MODULES = []
 #       edited-is-edited) and the k4_bpe pair via the new
 #       BPE_TOKENIZE_MAP_MAX tokenizer cap (fixture keeps the literal-
 #       map plan; re-queued per VERDICT r8 #4);
+#   (b2) 4 late-round additions from the r9 sf0.1 PARITY SWEEP (a new
+#       check: the full oracle sweep at 10x the driver's gate SF) -
+#       it caught engine-specific ROUND divergence (h6 sign-of-zero,
+#       e4 half-tie, k9 decimal-cast accumulation) now fixed with the
+#       floor-form / integer-micro-unit contract, and the k3 IVF
+#       recall bound failing at 10x, recalibrated to measured values;
 #   (c) every remaining slot burns the verdict-AGE pool oldest-first:
-#       all 29 r1-era verdicts + the first 7 r2-era (alphabetical
-#       within the equal-age tier). After r9 no verdict is older than
-#       r2; the 23 remaining r2-era lead r10's age pool.
+#       all 29 r1-era verdicts + the first 3 r2-era (alphabetical
+#       within the equal-age tier; 4 further r2-era slots were traded
+#       for (b2) - fixes outrank age). After r9 no verdict is older
+#       than r2; the 27 remaining r2-era lead r10's age pool.
 # NO mass-touch refactors landed this round (the r8 lesson) - the only
-# package edits are the two behavior-bounded fixes in (b).
+# package edits are the behavior-bounded fixes in (b)/(b2).
 PRIORITY: tuple[str, ...] = (
     # (a) r8 DEFERRED edit-stale backlog
     "d14_heavy_hitters",
@@ -60,6 +67,11 @@ PRIORITY: tuple[str, ...] = (
     "i11_stream_dedup",
     "k4_bpe_train",
     "k4_bpe_token_count",
+    # (b2) sf0.1-parity-sweep fixes
+    "h6_array_funcs",
+    "e4_analytic_suite",
+    "k9_pagerank_dupgraph",
+    "k3_ivf_recall",
     # (c) age pool: the full r1-era tier (29)
     "b_like_filter",
     "c2_join_left_outer",
@@ -90,14 +102,10 @@ PRIORITY: tuple[str, ...] = (
     "h7_struct_map",
     "h9_casts",
     "k1_dedup_exact_groups",
-    # (c) age pool: first 7 of the r2-era tier
+    # (c) age pool: first 3 of the r2-era tier
     "b_filter_predicates",
     "c11_scd2_join",
     "c1_join_revenue_by_nation",
-    "c2_join_full_outer",
-    "c3_join_anti",
-    "c4_theta_join",
-    "c6_range_join_bucketized",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py
