@@ -1578,7 +1578,9 @@ def k9_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; every other op (divisions, damping multiply, teleport add,
     the floor quantizations themselves) is a single IEEE op on
     bit-identical operands in both engines — bit-identical end to
-    end, at any SF. The previous contract rounded doubles to 12 dp
+    end, at any SF (for the finite, in-(0,1] ranks this recurrence
+    produces by construction; Spark's floor returns LONG, so the
+    form is not NaN/Inf-transparent in general). The previous contract rounded doubles to 12 dp
     and summed DECIMAL(28,12): both steps are engine-specific decimal
     roundings (Spark HALF_UP on the exact binary expansion, DuckDB
     scaled-double), and the sf0.1 parity sweep caught 13 rows one

@@ -862,7 +862,10 @@ def h6_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r9: display rounding is the FLOOR form (floor(x*1e4 + 0.5)/1e4),
     not ROUND — pure IEEE ops on bit-identical operands, so both
-    engines produce the same double always. Engine ROUND diverges at
+    engines produce the same double for every FINITE value (Spark's
+    floor(double) returns LONG, so NaN/Inf would diverge — the
+    embedding fixture carries neither, and the old ROUND form is the
+    right tool if such a column ever needs this treatment). Engine ROUND diverges at
     the representation edges: Spark rounds the binary expansion
     HALF_UP while DuckDB rounds in scaled double arithmetic, and duck
     preserves -0.0 where Spark emits +0.0 (one sf0.1 row hit exactly
@@ -1240,15 +1243,20 @@ def c8_salted_skew_join(
 def e1_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-ranking windows: percent_rank / cume_dist / ntile
     (SURVEY E1's statistical tier). Unique (price, key) sort order
-    makes ranks deterministic; round(6) absorbs the one division both
-    engines do on identical integer operands."""
+    makes ranks deterministic; display rounding is the FLOOR form
+    (floor(x*1e6 + 0.5)/1e6) in BOTH engines — the exact rationals
+    these functions emit can land on 6-dp half-ties where engine
+    ROUNDs disagree (the e4 sf0.1 finding; r9 review caught this
+    query's oracle switched without its engine side)."""
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     o = T(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (F.floor(F.percent_rank().over(w) * F.lit(1000000.0)
+                 + F.lit(0.5)) / F.lit(1000000.0)).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * F.lit(1000000.0)
+                 + F.lit(0.5)) / F.lit(1000000.0)).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
 

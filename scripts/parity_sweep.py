@@ -17,7 +17,10 @@ Usage:
     SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.1 \
         python scripts/parity_sweep.py
 
-Exit 0 iff every compared query matches and none error.
+Exit 0 iff every compared query matches and none error. Unknown
+query names on the command line are an ERROR, not a silent no-op
+(r9 review: a misspelled name previously produced a passing sweep
+that compared nothing).
 """
 
 from __future__ import annotations
@@ -29,7 +32,11 @@ import sys
 import time
 import traceback
 
+import decimal
+import math
+
 import duckdb
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 
@@ -52,12 +59,22 @@ def canon(pdf: pd.DataFrame) -> list[str]:
     for row in pdf.itertuples(index=False, name=None):
         vals = []
         for v in row:
+            if isinstance(v, np.generic):
+                v = v.item()
+            if isinstance(v, decimal.Decimal):
+                # duckdb .df() materializes DECIMAL as float64 while
+                # Spark toPandas yields Decimal objects for the same
+                # SQL type — fold to float so only VALUE divergence
+                # fails (same normalization as tests/test_oracle_parity)
+                v = float(v)
             if (
                 isinstance(v, pd.Timestamp)
                 and v.tz is None
                 and v == v.normalize()
             ):
                 v = v.date()
+            if isinstance(v, float):
+                v = None if math.isnan(v) else round(v, 9)
             vals.append(v)
         out.append(repr(tuple(vals)))
     return sorted(out)
@@ -70,9 +87,19 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
+    # Driver-faithful: a VANILLA session (no engine tuning — each
+    # query applies tune_session itself, exactly like the harness),
+    # but with a real driver heap: sf0.1's array-heavy ops on the
+    # default 1g hit GC-locker stalls (the session.get_spark comment's
+    # local-mode failure class). Heap size is a harness resource conf,
+    # not engine tuning.
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_PARITY_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -85,11 +112,17 @@ def main() -> int:
 
     qs, osql = mod.queries(), mod.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"unknown query name(s): {unknown}", flush=True)
+        return 2
     fails, errs = [], []
+    n_run = 0
     t0 = time.time()
     for i, (name, fn) in enumerate(qs.items()):
         if only and name not in only:
             continue
+        n_run += 1
         t1 = time.time()
         try:
             spdf = fn(spark, SF).toPandas()
@@ -118,7 +151,7 @@ def main() -> int:
             {
                 "sf_dir": SF,
                 "total_sec": round(time.time() - t0, 1),
-                "n": len(only) if only else len(qs),
+                "n": n_run,
                 "fails": fails,
                 "errs": errs,
             }

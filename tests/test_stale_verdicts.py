@@ -147,10 +147,12 @@ def test_age_mode_lists_every_registered_query():
     import re
     import subprocess
 
+    import sys
+
     r = subprocess.run(
-        ["python", os.path.join(REPO, "scripts", "stale_verdicts.py"),
+        [sys.executable, os.path.join(REPO, "scripts", "stale_verdicts.py"),
          "--age"],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=300, cwd=REPO,
     )
     assert r.returncode == 0, r.stdout[-2000:]
     assert "0 never-sampled" in r.stdout
