@@ -17,6 +17,14 @@ Usage:
     SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.1 \
         python scripts/parity_sweep.py
 
+Third axis (r9): SPARK_GRAFT_PARITY_MASTER / SPARK_GRAFT_PARITY_PARTITIONS
+override the session shape. Running with an ADVERSARIAL partition
+count (e.g. local[4] / 7 shuffle partitions) checks partition-count
+INVARIANCE: on a 1000-executor cluster every reduction runs at a
+different parallelism than the certification box, so any result that
+depends on partitioning (order-dependent float sums being the classic)
+is a latent cluster bug even if both engines agree at local[16]/16.
+
 Exit 0 iff every compared query matches and none error. Unknown
 query names on the command line are an ERROR, not a silent no-op
 (r9 review: a misspelled name previously produced a passing sweep
@@ -94,8 +102,13 @@ def main() -> int:
     # local-mode failure class). Heap size is a harness resource conf,
     # not engine tuning.
     spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_PARITY_MASTER", "local[16]")
+        )
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_PARITY_PARTITIONS", "16"),
+        )
         .config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_PARITY_DRIVER_MEM", "8g"),
