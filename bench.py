@@ -23,6 +23,44 @@ from lakehouse_homeserver_spark.session import get_spark
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
+def cpu_canary(spark) -> dict[str, float]:
+    """Fixed-work box-speed probe (VERDICT r9 next-round #1): the r9
+    driver sweep read +37% vs r8 with zero code explanation, and
+    nothing in the artifact could distinguish a slower box from a
+    real regression. These two fixed workloads — one pure-JVM
+    (whole-stage-codegen range aggregation, exercises the same
+    codegen+task machinery every query pays) and one pure-Python
+    (tight hash loop, the Python-worker speed every pandas-UDF query
+    pays) — cost ~2 s and scale with box speed but not with any
+    engine code path, so across rounds
+
+        queries_slower AND canary_slower  -> box, not code
+        queries_slower AND canary flat    -> real regression
+
+    Run BEFORE and AFTER the sweep: the pair also detects mid-run
+    throttling/co-tenancy drift (a big pre/post gap means the sweep
+    itself straddled a noise window)."""
+    import hashlib
+
+    # Untimed same-shape warmup: codegen/JIT for THIS expression is
+    # compiled here so the timed run measures box speed, not whether
+    # this is the first or second canary call (the first smoke run
+    # showed pre 0.59 vs post 0.21 purely from JIT state).
+    spark.range(1_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr(
+        "sum(id * 2 + 1) AS s"
+    ).collect()
+    jvm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    h = b"canary"
+    for _ in range(200_000):
+        h = hashlib.sha256(h).digest()
+    py = time.perf_counter() - t0
+    return {"jvm_sec": round(jvm, 3), "py_sec": round(py, 3)}
+
+
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -67,6 +105,8 @@ def main() -> None:
     # between sweeps so every sweep pays full cost.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
 
+    canary_pre = cpu_canary(spark)
+
     def reset_session_state() -> None:
         spark.catalog.clearCache()
         from lakehouse_homeserver_spark.operators import dedup, text
@@ -86,6 +126,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - start, 3)
         sweeps.append(timings)
+
+    canary_post = cpu_canary(spark)
 
     med = {
         name: sorted(sw[name] for sw in sweeps)[repeats // 2]
@@ -133,6 +175,64 @@ def main() -> None:
         sorted(med.items(), key=lambda kv: -kv[1])[:10]
     )
     out["value"] = round(sum(med.values()), 3)
+    # Box-speed canary + normalized total (VERDICT r9 #1): canary is
+    # fixed work, so value/canary is comparable across rounds even on
+    # boxes of different speed. Emitted in the TAIL so the driver's
+    # truncated artifact keeps it.
+    canary_sec = round(
+        (
+            canary_pre["jvm_sec"]
+            + canary_post["jvm_sec"]
+            + canary_pre["py_sec"]
+            + canary_post["py_sec"]
+        )
+        / 2.0,
+        3,
+    )
+    out["canary"] = {
+        "pre": canary_pre,
+        "post": canary_post,
+        "sec": canary_sec,
+    }
+    out["value_per_canary"] = round(out["value"] / canary_sec, 2)
+    if "r1_subset_total_sec" in out:
+        out["r1_subset_per_canary"] = round(
+            out["r1_subset_total_sec"] / canary_sec, 2
+        )
+    # Full per-query sidecar (VERDICT r9 #7): the driver keeps only a
+    # ~4 KB tail of the stdout line, so only ~57/256 per-query times
+    # were cross-round comparable. Write the complete map to
+    # BENCH_r{next}_queries.json (next = max committed round + 1 —
+    # the driver's round-end commit picks it up) so every future
+    # judge can diff all queries.
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r*.json",
+            )
+        )
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_r{max(rounds, default=0) + 1:02d}_queries.json",
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(
+                {k: out[k] for k in out if k != "queries"}
+                | {"queries": med},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        pass  # read-only checkout: the stdout line still has the tail
     print(json.dumps(out))
     spark.stop()
 

@@ -27,85 +27,85 @@ _MODULES = []
 #      take the earliest latest-round entries), so session-tuning
 #      drift can't age a verdict past ~2-3 rounds unnoticed.
 #
-# ROUND-9 window = exactly 50 names, machine-derived
+# ROUND-10 window = 48 names, machine-derived
 # (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
-# Composition (VERDICT r8 next-round #2-#3):
-#   (a) the 8 r8 DEFERRED edit-stale re-samples lead, d14 first (judge:
-#       "first r9 slot");
-#   (b) the 6 queries reached by r9 edits: i7/i8/i9/i11 via the
-#       _linked_landing scratch-namespacing (result-neutral, but
-#       edited-is-edited) and the k4_bpe pair via the new
-#       BPE_TOKENIZE_MAP_MAX tokenizer cap (fixture keeps the literal-
-#       map plan; re-queued per VERDICT r8 #4);
-#   (b2) 4 late-round additions from the r9 sf0.1 PARITY SWEEP (a new
-#       check: the full oracle sweep at 10x the driver's gate SF) -
-#       it caught engine-specific ROUND divergence (h6 sign-of-zero,
-#       e4 half-tie, k9 decimal-cast accumulation) now fixed with the
-#       floor-form / integer-micro-unit contract, and the k3 IVF
-#       recall bound failing at 10x, recalibrated to measured values;
-#   (c) every remaining slot burns the verdict-AGE pool oldest-first:
-#       all 29 r1-era verdicts + the first 3 r2-era (alphabetical
-#       within the equal-age tier; 4 further r2-era slots were traded
-#       for (b2) - fixes outrank age). After r9 no verdict is older
-#       than r2; the 27 remaining r2-era lead r10's age pool.
-# NO mass-touch refactors landed this round (the r8 lesson) - the only
-# package edits are the behavior-bounded fixes in (b)/(b2).
+# Composition (VERDICT r9 next-round #2 and #6):
+#   (a) the round's NEW query: k5_png_decode (real PNG decode —
+#       zlib inflate + 5-filter unapply — closing the compressed-
+#       codec seam, VERDICT r9 #4); never sampled, leads the window;
+#   (b) the r10 edit hits: k5_ppm_decode (shares multimodal.py's
+#       edited docstring/module scope with the new PNG section) and
+#       a54_pyds_pushdown (reached by the pyds.py `_file_seq`
+#       empty-map conformance fix, ADVICE r9 #1-#2 — result-neutral
+#       for well-formed engine logs, but edited-is-edited);
+#   (c) the ENTIRE r2-era verdict-age tier (26) — including the
+#       flagship q1_pricing_summary, tpch_q5, e1_window_rank,
+#       h8_json_funcs, f2_sort_limit, f4_topk_per_group,
+#       c2_join_full_outer, d7_quantiles_approx, and the K/J-family
+#       members the judge listed explicitly so the LLM-pipeline tier
+#       keeps its rotation slots (VERDICT r9 #6): k3_knn_bruteforce,
+#       k1_dedup_exact_keep, k4_gopher_rules, j_grouped_agg_mad,
+#       j_label_dispersion, j_cogroup_medians;
+#   (d) the ENTIRE r3-era tier (19). After the r10 driver run no
+#       verdict predates r4 (<= 6 rounds old), and the next-oldest
+#       tier (25 r4-era, mostly the TPC-H batch certified in r4)
+#       fits inside one further window.
+# NO mass-touch refactors landed this round — the only package edits
+# are the PNG section in multimodal.py and the pyds.py seq-map
+# conformance fix.
 PRIORITY: tuple[str, ...] = (
-    # (a) r8 DEFERRED edit-stale backlog
-    "d14_heavy_hitters",
-    "a41_cross_engine_read",
-    "i2_sliding_window",
-    "j_normalize_embeddings",
-    "j_udtf_term_expand",
-    "k2_simhash_near_pairs",
-    "k3_contrastive_pairs",
-    "k8_bloom_decontaminate",
-    # (b) r9 edit hits
-    "i7_stream_stream_join",
-    "i8_stream_static_enrich",
-    "i9_stream_outer_join",
-    "i11_stream_dedup",
-    "k4_bpe_train",
-    "k4_bpe_token_count",
-    # (b2) sf0.1-parity-sweep fixes
-    "h6_array_funcs",
-    "e4_analytic_suite",
-    "k9_pagerank_dupgraph",
-    "k3_ivf_recall",
-    # (c) age pool: the full r1-era tier (29)
-    "b_like_filter",
-    "c2_join_left_outer",
-    "c3_join_semi",
-    "c4_cross_join",
-    "c6_range_join",
-    "c8_salted_skew_join",
-    "d2_group_agg",
-    "d3_count_distinct",
-    "d4_cube",
-    "d5_having",
-    "d6_distinct",
-    "d7_stats",
-    "d9_unpivot",
-    "e1_window_pct",
-    "e3_window_running",
-    "g_except",
-    "g_intersect",
-    "g_intersect_all",
-    "g_union",
-    "h2_regex_funcs",
-    "h2_string_funcs",
-    "h3_calendar_funcs",
-    "h3_datetime_funcs",
-    "h4_math_funcs",
-    "h5_case_when",
-    "h6_explode_unnest",
-    "h7_struct_map",
-    "h9_casts",
-    "k1_dedup_exact_groups",
-    # (c) age pool: first 3 of the r2-era tier
-    "b_filter_predicates",
-    "c11_scd2_join",
-    "c1_join_revenue_by_nation",
+    # (a) new this round
+    "k5_png_decode",
+    # (b) r10 edit hits
+    "k5_ppm_decode",
+    "a54_pyds_pushdown",
+    # (c) age pool: the full r2-era tier (26)
+    "c2_join_full_outer",
+    "c3_join_anti",
+    "c4_theta_join",
+    "c6_range_join_bucketized",
+    "d13_bitmap_distinct",
+    "d4_rollup",
+    "d7_quantiles_approx",
+    "e1_window_rank",
+    "e2_window_lag_lead",
+    "e3_window_range_frame",
+    "f2_sort_limit",
+    "f4_topk_per_group",
+    "g_except_all",
+    "h13_variant",
+    "h1_interval_arith",
+    "h8_json_funcs",
+    "j_cogroup_medians",
+    "j_grouped_agg_mad",
+    "j_label_dispersion",
+    "k1_dedup_exact_keep",
+    "k3_knn_bruteforce",
+    "k4_gopher_rules",
+    "q1_pricing_summary",
+    "sql_exists_correlated",
+    "sql_grouping_sets",
+    "tpch_q5_local_supplier_volume",
+    # (d) age pool: the full r3-era tier (19)
+    "a34_profile",
+    "d17_theta_sketch_setops",
+    "d18_topn_plus_others",
+    "d3_hll_sketch_merge",
+    "d8_pivot",
+    "f5_keyset_pagination",
+    "h10_try_funcs",
+    "h11_null_semantics",
+    "h14_url_funcs",
+    "h16_xml_funcs",
+    "k5_frame_sample",
+    "k6_hash_split",
+    "k7_sequence_packing",
+    "sql_lateral_join",
+    "sql_recursive_month_spine",
+    "tpch_q12_priority_by_status",
+    "tpch_q3_shipping_priority",
+    "ts_funnel",
+    "ts_interval_merge",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py

@@ -111,6 +111,25 @@ def _resolve_manifest(table_path: str, e: dict) -> dict:
     return e
 
 
+def _entry_file_seq(entry: dict) -> dict[str, int]:
+    """Per-data-file sequence numbers — LOCAL mirror of the engine's
+    `snapshot._file_seq` spec rule (ADVICE r9 #1): only a MISSING
+    `seq` map falls back to per-entry-version defaults (pre-seq-era
+    entries); a present-but-empty/partial map means unlisted files
+    predate every delete (callers default them to 0 via
+    ``.get(f, 0)``). Duplicated here ON PURPOSE rather than imported:
+    this module is cloudpickled BY VALUE into the Python streaming
+    source runner, where a relative engine import fails (the r10
+    sweep caught exactly that on a first attempt that imported
+    `_file_seq`). The format-conformance suite pins all three readers
+    (engine, standalone, pyds) to the same rule on hand-crafted
+    logs, so drift between the mirrors fails CI."""
+    seq = entry.get("seq")
+    if seq is None:
+        return {f: entry["version"] for f in entry["manifest"]}
+    return seq
+
+
 def _read_entry(
     table_path: str,
     version: int | str | None,
@@ -230,7 +249,7 @@ class SnapshotReader(DataSourceReader):
         data = os.path.join(self._table_path, _DATA_DIR)
         e = self._entry
         dels = e.get("delete_files", [])
-        seq = e.get("seq") or {f: e["version"] for f in e["manifest"]}
+        seq = _entry_file_seq(e)
         out = []
         files = [f for f in e["manifest"] if self._file_may_match(f)]
         for f in files:
@@ -554,9 +573,7 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
                     for d in e.get("delete_files", [])
                     if d["file"] not in prior
                 ]
-                seq = parent.get("seq") or {
-                    f: parent["version"] for f in parent["manifest"]
-                }
+                seq = _entry_file_seq(parent)
                 # Union the commit's new delete-key sets per column
                 # tuple (one semi over the concatenated key files —
                 # several delete files may share a tuple), and cascade
@@ -735,7 +752,11 @@ class MetadataReader(DataSourceReader):
             return out
         if self._table == "files":
             e = _read_entry(self._path, self._version)
-            seq = e.get("seq", {})
+            # List the seq the read paths actually USE (ADVICE r9 #2):
+            # the None-vs-empty fallback, then get(f, 0) for files
+            # absent from a partial map — so the metadata listing
+            # matches delete-application semantics exactly.
+            seq = _entry_file_seq(e)
             stats = e.get("stats", {})
             blooms = e.get("blooms", {})
             import pyarrow.parquet as pq
@@ -746,7 +767,7 @@ class MetadataReader(DataSourceReader):
                 out.append(
                     (
                         f,
-                        seq.get(f, e["version"]),
+                        seq.get(f, 0),
                         pq.ParquetFile(p).metadata.num_rows,
                         len(stats.get(f, {})),
                         bool(blooms.get(f)),

@@ -67,25 +67,14 @@ FINGERPRINTED = FIXTURE_FAMILIES_FINGERPRINTED
 # once a dir is old enough that no live sweep can still be reading
 # it (default 2 h; a full 256-query sweep is ~6 min).
 SCRATCH_PREFIXES = ("lakehouse-scratch-",)
-# r9 (ADVICE r8 #2): prefixes used by scratch mkdtemp sites BEFORE the
-# namespacing — dirs created under them are never reaped by the new
-# rule. A manual r9 check found /tmp clean of all of them (the box is
-# reset between rounds), but they stay on a deprecated sweep list for
-# one round in case an in-flight process recreates any. Remove in r10.
-# EXACT full prefixes enumerated from git history (`git log -p -S
-# 'mkdtemp(prefix="'`), never truncated stems: a bare "snap-" would
-# match OTHER software's /tmp dirs (e.g. snapd's snap-private-tmp,
-# root-owned and older than any age bound) — re-entering precisely
-# the hazard the namespacing removed (r9 review finding).
-LEGACY_SCRATCH_PREFIXES = (
-    "a38-dpp-", "dup-pairs-", "i10-", "i11-dedup-", "i11-events-",
-    "i12-sessions-", "i7-events-", "i7-pairs-", "i8-enriched-",
-    "i8-events-", "i9-events-", "i9-pairs-", "sf-scaled-",
-    "snap-bloom-", "snap-cdf-", "snap-chk-", "snap-clone-", "snap-del-",
-    "snap-demo-", "snap-dpo-", "snap-gc-", "snap-inc-", "snap-ivm-",
-    "snap-merge-", "snap-mor-", "snap-opt-", "snap-pos-", "snap-scdc-",
-    "snap-skip-", "snap-spec-", "snap-sup-", "snap-wap-", "ts-travel-",
-)
+# r10 (ADVICE r9 #4): the r9 one-round deprecated legacy-prefix sweep
+# is RETIRED as scheduled. Every scratch mkdtemp site has used the
+# namespaced prefix for two rounds, /tmp was manually confirmed clean
+# of the pre-namespacing stems in both r9 and r10, and several of the
+# retired stems ("i10-", "sf-scaled-") were generic enough to match
+# unrelated software's /tmp dirs — the hazard class the namespacing
+# removed. Any pre-r9 stragglers are plain /tmp dirs for the OS tmp
+# reaper; this janitor only ever touches its own namespace again.
 SCRATCH_MAX_AGE_S = float(
     os.environ.get("SPARK_GRAFT_SCRATCH_MAX_AGE_S", str(2 * 3600))
 )
@@ -175,7 +164,7 @@ def main() -> None:
     now = time.time()
     n_scratch, n_kept_young = 0, 0
     for name in os.listdir(TMP):
-        if not name.startswith(SCRATCH_PREFIXES + LEGACY_SCRATCH_PREFIXES):
+        if not name.startswith(SCRATCH_PREFIXES):
             continue
         path = os.path.join(TMP, name)
         try:

@@ -82,7 +82,16 @@ def canon(pdf: pd.DataFrame) -> list[str]:
             ):
                 v = v.date()
             if isinstance(v, float):
-                v = None if math.isnan(v) else round(v, 9)
+                # FULL-precision compare (ADVICE r9 #3): the engine's
+                # cross-engine contracts are bit-stability contracts
+                # (floor-forms, integer micro-units, in-query display
+                # rounding), so repr(float) must agree exactly — a
+                # round(9) here was coarser than the finest in-query
+                # quantum (k9's 1e-12 micro-units) and could mask the
+                # exact sub-1e-9 drift class this sweep exists to
+                # catch. Sign of zero stays visible (that is how the
+                # r9 sweep caught h6).
+                v = None if math.isnan(v) else v
             vals.append(v)
         out.append(repr(tuple(vals)))
     return sorted(out)

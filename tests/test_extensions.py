@@ -600,6 +600,140 @@ def test_ppm_decoder_round_trips_a_known_image(spark, sf_dir):
         )
 
 
+def test_png_decoder_round_trips_known_and_random_images():
+    """The PNG codec pair (VERDICT r9 #4): (a) a hand-built 3x2 image
+    with known pixels survives encode->decode EXACTLY, with the
+    encoder's filter cycling guaranteeing filters 0 and 1 are
+    exercised; (b) seeded random images tall enough to hit ALL FIVE
+    filter types (h=10 -> each of 0..4 twice) round-trip bit-exactly;
+    (c) the decoder's means match hand-computed values."""
+    import numpy as np
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    known = np.array(
+        [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+            [[10, 20, 30], [200, 150, 100], [1, 2, 3]],
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(mm.png_decode_rgb(mm.png_encode_rgb(known)), known)
+
+    rng = np.random.RandomState(42)
+    for _ in range(5):
+        px = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+        blob = mm.png_encode_rgb(px)
+        assert blob[:8] == mm.PNG_SIG
+        assert np.array_equal(mm.png_decode_rgb(blob), px)
+    # gradient images make Sub/Average/Paeth predictions non-trivial
+    grad = (
+        np.arange(10 * 7 * 3, dtype=np.int64).reshape(10, 7, 3) * 37 % 256
+    ).astype(np.uint8)
+    assert np.array_equal(mm.png_decode_rgb(mm.png_encode_rgb(grad)), grad)
+
+    import pandas as pd
+
+    out = pd.concat(
+        mm.png_decode_batches(
+            iter(
+                [
+                    pd.DataFrame(
+                        {"doc_id": [7], "payload": [mm.png_encode_rgb(known)]}
+                    )
+                ]
+            )
+        )
+    )
+    r = out.iloc[0]
+    assert (r.width, r.height) == (3, 2)
+    assert r.mean_r == (255 + 0 + 0 + 10 + 200 + 1) / 6.0
+    assert r.mean_g == (0 + 255 + 0 + 20 + 150 + 2) / 6.0
+    assert r.mean_b == (0 + 0 + 255 + 30 + 100 + 3) / 6.0
+
+
+def test_png_decoder_fails_loudly_on_corrupt_files():
+    """Every malformation class raises ValueError — a corrupt payload
+    must never decode to silent garbage (VERDICT r9 #4 'corrupt-file
+    loud-failure' gate): bad signature, flipped IDAT byte (CRC),
+    truncation, inflated-size mismatch, unknown filter type,
+    unsupported variant, missing chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    px = (np.arange(8 * 8 * 3, dtype=np.int64) * 11 % 256).astype(
+        np.uint8
+    ).reshape(8, 8, 3)
+    good = mm.png_encode_rgb(px)
+    assert np.array_equal(mm.png_decode_rgb(good), px)
+
+    with _pytest.raises(ValueError, match="signature"):
+        mm.png_decode_rgb(b"JFIF" + good[4:])
+    # flip one byte inside IDAT data -> CRC catches it
+    idat_off = good.index(b"IDAT") + 10
+    corrupt = bytearray(good)
+    corrupt[idat_off] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        mm.png_decode_rgb(bytes(corrupt))
+    with _pytest.raises(ValueError, match="truncated"):
+        mm.png_decode_rgb(good[:-20])
+    # valid chunks but the inflated payload is the wrong size
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    short = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="size mismatch"):
+        mm.png_decode_rgb(short)
+    # unknown filter type 7 in an otherwise-valid stream
+    stride = 8 * 3
+    raw = bytearray()
+    for y in range(8):
+        raw.append(7)
+        raw.extend(b"\x00" * stride)
+    badfilter = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="filter type"):
+        mm.png_decode_rgb(badfilter)
+    # unsupported variant: 8-bit GRAYSCALE (color type 0)
+    gray_ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    gray = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", gray_ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * (8 * 9)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="unsupported"):
+        mm.png_decode_rgb(gray)
+    with _pytest.raises(ValueError, match="missing IHDR"):
+        mm.png_decode_rgb(mm.PNG_SIG + mm._png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="missing IDAT"):
+        mm.png_decode_rgb(
+            mm.PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IEND", b"")
+        )
+    with _pytest.raises(ValueError, match="IEND"):
+        mm.png_decode_rgb(
+            mm.PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(bytes(
+                b"\x00" + b"\x00" * stride
+            ) * 8))
+        )
+
+
 def test_domain_mix_matches_target_mixture(spark, sf_dir):
     """k6_domain_mix: per-domain take counts are exactly
     floor(N* * w/W), the output is a subset of the corpus, and the

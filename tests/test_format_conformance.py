@@ -146,6 +146,9 @@ def test_empty_seq_map_defaults_files_to_zero(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from lakehouse_homeserver_spark.sources.pyds import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
     table = str(tmp_path / "edge")
     os.makedirs(os.path.join(table, "_log"))
     os.makedirs(os.path.join(table, "data"))
@@ -199,3 +202,27 @@ def test_empty_seq_map_defaults_files_to_zero(spark, tmp_path):
             r.k for r in SnapshotTable(spark, table).read(version=3).collect()
         )
         assert engine == want, (variant, engine)
+        # Third reader path (ADVICE r9 #1): the Python DataSource must
+        # apply the same None-vs-empty rule as the other two.
+        pyds = sorted(
+            r.k
+            for r in spark.read.format("snapshot")
+            .option("version", 3)
+            .load(table)
+            .collect()
+        )
+        assert pyds == want, (variant, pyds)
+        # And the `files` metadata listing must report the seq the
+        # read paths USE (ADVICE r9 #2): absent map -> entry version,
+        # empty map -> 0.
+        meta = (
+            spark.read.format("snapshot")
+            .option("metadata", "files")
+            .option("version", 3)
+            .load(table)
+            .collect()
+        )
+        listed_seq = {r.file: r.seq for r in meta}
+        assert listed_seq["base.parquet"] == (
+            3 if variant == "absent" else 0
+        ), (variant, listed_seq)

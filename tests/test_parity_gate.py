@@ -1,0 +1,143 @@
+"""Standing parity-sweep gate (VERDICT r9 next-round #3).
+
+The sf0.1 and adversarial-parallelism sweeps (`scripts/parity_sweep.py`)
+caught four real latent cross-engine divergences in r9 — but they were
+scripts someone had to remember to run. This gate runs a seeded,
+round-rotating SAMPLE of both axes inside the normal pytest suite, so
+the e1-collateral class (engine and oracle drifting apart where only
+the big-SF or odd-parallelism run can see it) fails CI in the round it
+happens.
+
+Sample per axis (documented in SURVEY.md round-10 note):
+  * up to 4 "newest-edited" queries — mechanically derived by
+    `scripts/stale_verdicts.py`'s call graph (queries reached by any
+    package edit since the last round's verdict commit);
+  * 8 rotating by name hash — md5(f"r{round}:{name}") over all
+    oracle-backed queries, where round = max committed CORRECTNESS
+    round + 1. Every round rotates a fresh deterministic slice, so
+    over ~32 rounds the whole registry cycles through both axes with
+    no curation.
+
+Axes:
+  * sf0.1 at the default session shape — 10x the driver gate's data;
+  * sf0.01 at local[4] / 7 shuffle partitions — partition-count
+    invariance (the 1000-executor property).
+
+Each axis is one subprocess of the real sweep script (same code the
+manual runs use — no second implementation to drift).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SWEEP = os.path.join(REPO, "scripts", "parity_sweep.py")
+SCRIPTS = os.path.join(REPO, "scripts")
+
+N_EDITED = 4
+N_ROTATING = 8
+
+
+def _round_number() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def _sample() -> list[str]:
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, SCRIPTS)
+    from lakehouse_homeserver_spark.registry import all_oracles
+
+    import stale_verdicts as sv
+
+    oracle_backed = sorted(all_oracles())
+    edited: list[str] = []
+    try:
+        commits = sv.round_commits()
+        if commits:
+            base = commits[max(commits)]
+            edited = sorted(
+                n for n in sv.compute_hits(base) if n in set(oracle_backed)
+            )[:N_EDITED]
+    except Exception:
+        # Degenerate git state (shallow clone, detached artifacts):
+        # fall back to rotation-only rather than skipping the gate.
+        edited = []
+    rnd = _round_number()
+    rest = [n for n in oracle_backed if n not in set(edited)]
+    rotating = sorted(
+        rest,
+        key=lambda n: hashlib.md5(f"r{rnd}:{n}".encode()).hexdigest(),
+    )[:N_ROTATING]
+    return edited + rotating
+
+
+def _run_sweep(names: list[str], env_extra: dict[str, str]) -> dict:
+    env = os.environ | env_extra
+    proc = subprocess.run(
+        [sys.executable, SWEEP, *names],
+        capture_output=True,
+        text=True,
+        timeout=1500,
+        env=env,
+        cwd="/tmp",  # outside the repo: keeps the pyds cloudpickle
+        # by-value registration covered (verify-skill gotcha)
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, (
+        f"sweep produced no summary line (exit {proc.returncode})\n"
+        f"stdout tail: {proc.stdout[-2000:]}\n"
+        f"stderr tail: {proc.stderr[-2000:]}"
+    )
+    summary = json.loads(lines[-1])
+    assert proc.returncode == 0 and not summary["fails"] and not summary["errs"], (
+        f"parity sweep sample diverged: fails={summary['fails']} "
+        f"errs={summary['errs']}\nstdout tail: {proc.stdout[-3000:]}"
+    )
+    return summary
+
+
+@pytest.fixture(scope="module")
+def sample_names() -> list[str]:
+    names = _sample()
+    assert len(names) >= N_ROTATING, names
+    return names
+
+
+def test_parity_sample_at_sf01(sample_names):
+    """Axis 1: the rotating sample must hash-match DuckDB at sf0.1 —
+    10x the driver gate's SF, where the r9 ROUND/half-tie/recall-bound
+    divergences lived."""
+    summary = _run_sweep(
+        sample_names,
+        {"SPARK_GRAFT_PARITY_SF_DIR": "/root/testdata/sf0.1"},
+    )
+    assert summary["n"] == len(sample_names)
+
+
+def test_parity_sample_at_adversarial_parallelism(sample_names):
+    """Axis 2: same sample at local[4] / 7 shuffle partitions at the
+    driver's sf0.01 — any result that depends on partition count
+    (order-dependent float reductions) is a latent cluster bug."""
+    summary = _run_sweep(
+        sample_names,
+        {
+            "SPARK_GRAFT_PARITY_SF_DIR": "/root/testdata/sf0.01",
+            "SPARK_GRAFT_PARITY_MASTER": "local[4]",
+            "SPARK_GRAFT_PARITY_PARTITIONS": "7",
+        },
+    )
+    assert summary["n"] == len(sample_names)
