@@ -224,13 +224,7 @@ def main() -> None:
     )
     try:
         with open(sidecar, "w") as fh:
-            json.dump(
-                {k: out[k] for k in out if k != "queries"}
-                | {"queries": med},
-                fh,
-                indent=1,
-                sort_keys=True,
-            )
+            json.dump(out, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: the stdout line still has the tail
     print(json.dumps(out))

@@ -27,7 +27,7 @@ _MODULES = []
 #      take the earliest latest-round entries), so session-tuning
 #      drift can't age a verdict past ~2-3 rounds unnoticed.
 #
-# ROUND-10 window = 48 names, machine-derived
+# ROUND-10 window = 50 names, machine-derived
 # (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
 # Composition (VERDICT r9 next-round #2 and #6):
 #   (a) the round's NEW query: k5_png_decode (real PNG decode —
@@ -106,6 +106,11 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "ts_funnel",
     "ts_interval_merge",
+    # (e) window is EXACTLY the 50-slot driver budget (fewer wastes
+    # slots — test-pinned): the last 2 slots start the r4-era tier,
+    # alphabetical-first
+    "a39_runtime_bloom_join",
+    "d10_histogram",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py

@@ -438,13 +438,30 @@ def main() -> int:
         # first, never-sampled queries flagged loudest. Compose the
         # next window as: --check hits + DEFERRED burn-down, then this
         # list top-down.
-        from lakehouse_homeserver_spark.registry import all_queries
+        from lakehouse_homeserver_spark.registry import (
+            PRIORITY,
+            all_queries,
+        )
 
         latest = latest_verdict_rounds()
         names = list(all_queries())
         never = sorted(n for n in names if n not in latest)
+        # A never-sampled query that is ALREADY IN PRIORITY is the
+        # normal mid-round state of a new registration (it will be
+        # certified by the very next driver run); only a never-sampled
+        # query MISSING from the window is a gate failure (r10 review:
+        # the unconditional exit-1 made the suite red from the moment
+        # a new query was registered until the driver's artifact drop,
+        # so any intermediate CI run or bisect landed on a failing
+        # tree).
+        unwindowed = [n for n in never if n not in PRIORITY]
         for n in never:
-            print(f"NEVER-SAMPLED: {n}  <-- window this FIRST")
+            tag = (
+                "(windowed for the next driver run)"
+                if n in PRIORITY
+                else "<-- window this FIRST"
+            )
+            print(f"NEVER-SAMPLED: {n}  {tag}")
         tiers: dict[int, list[str]] = {}
         for n in names:
             if n in latest:
@@ -455,9 +472,10 @@ def main() -> int:
         oldest = min(tiers) if tiers else None
         print(
             f"== age pool: {len(names)} registered, {len(never)} "
-            f"never-sampled, oldest verdict tier r{oldest} =="
+            f"never-sampled ({len(unwindowed)} unwindowed), "
+            f"oldest verdict tier r{oldest} =="
         )
-        return 1 if never else 0
+        return 1 if unwindowed else 0
     if backlog_mode:
         backlog = compute_backlog()
         for name, info in sorted(

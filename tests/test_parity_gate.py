@@ -72,9 +72,18 @@ def _sample() -> list[str]:
             edited = sorted(
                 n for n in sv.compute_hits(base) if n in set(oracle_backed)
             )[:N_EDITED]
-    except Exception:
-        # Degenerate git state (shallow clone, detached artifacts):
+    except (subprocess.CalledProcessError, OSError) as exc:
+        # Degenerate GIT state only (shallow clone, no git binary):
         # fall back to rotation-only rather than skipping the gate.
+        # Anything else (a bug in stale_verdicts itself) must FAIL the
+        # gate, not silently drop its highest-value axis (r10 review).
+        import warnings
+
+        warnings.warn(
+            f"parity gate: edited-query axis degraded to rotation-only "
+            f"({exc!r})",
+            stacklevel=2,
+        )
         edited = []
     rnd = _round_number()
     rest = [n for n in oracle_backed if n not in set(edited)]

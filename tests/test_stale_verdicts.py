@@ -141,9 +141,12 @@ def test_window_is_exactly_the_driver_budget():
 def test_age_mode_lists_every_registered_query():
     """--age (r9) is the window-composition companion to --check:
     every registered query appears in exactly one verdict tier, and a
-    never-sampled query (a registration the driver has not certified)
-    fails loudly — that is the judge's zero-never-sampled recompute,
-    runnable locally."""
+    never-sampled query fails loudly UNLESS it is already in PRIORITY
+    (the normal mid-round state of a new registration, certified by
+    the very next driver run — r10 review: the unconditional exit-1
+    kept the suite red between registering a query and the driver's
+    artifact drop). Every certified query must appear in exactly one
+    tier; never-sampled-and-unwindowed must be zero."""
     import re
     import subprocess
 
@@ -155,12 +158,14 @@ def test_age_mode_lists_every_registered_query():
         capture_output=True, text=True, timeout=300, cwd=REPO,
     )
     assert r.returncode == 0, r.stdout[-2000:]
-    assert "0 never-sampled" in r.stdout
-    m = re.search(r"age pool: (\d+) registered", r.stdout)
-    from lakehouse_homeserver_spark.registry import all_queries
+    assert "(0 unwindowed)" in r.stdout
+    from lakehouse_homeserver_spark.registry import PRIORITY, all_queries
 
+    never = re.findall(r"^NEVER-SAMPLED: (\S+)", r.stdout, re.M)
+    assert all(n in PRIORITY for n in never), never
+    m = re.search(r"age pool: (\d+) registered", r.stdout)
     assert m and int(m.group(1)) == len(all_queries())
     tier_total = sum(
         int(n) for n in re.findall(r"^r\d+ \((\d+)\):", r.stdout, re.M)
     )
-    assert tier_total == len(all_queries())
+    assert tier_total == len(all_queries()) - len(never)
