@@ -101,6 +101,11 @@ OPS = [
     "a22_wap_publish",
     "k6_leakage_free_split",
     "ts_gap_fill",
+    # round-10 addition: the real PNG codec round trip at 10x docs —
+    # encode+decode are chained map-only mapInPandas passes, so the
+    # ratio must track the corpus (zlib+unfilter cost is per-image,
+    # no shuffle anywhere).
+    "k5_png_decode",
 ]
 
 

@@ -150,3 +150,29 @@ def test_parity_sample_at_adversarial_parallelism(sample_names):
         },
     )
     assert summary["n"] == len(sample_names)
+
+
+def test_parity_sample_under_local_cluster(sample_names):
+    """Axis 3 (VERDICT r9 #5, standing form): a 4-query slice of the
+    rotating sample under local-cluster[2,2,1024] — separate Worker +
+    executor JVMs, wire shuffle, serialized closures, executor-side
+    Python workers. This is the topology where driver-JVM-sharing
+    assumptions (broadcast object identity, state-store plumbing, the
+    by-value-pickled Python data source) break; local[32] structurally
+    cannot falsify them. Four queries keep the axis inside the suite
+    budget (~2 min incl. cluster startup); the full 22-query
+    certificate lives in SCALE.md round-10. PYTHONPATH is exported so
+    executor-side Python workers can import package-level kernels
+    (task closures reference them by module path)."""
+    summary = _run_sweep(
+        sample_names[:4],
+        {
+            "SPARK_GRAFT_PARITY_SF_DIR": "/root/testdata/sf0.01",
+            "SPARK_GRAFT_PARITY_MASTER": "local-cluster[2,2,1024]",
+            "SPARK_GRAFT_PARITY_PARTITIONS": "7",
+            "PYTHONPATH": REPO
+            + os.pathsep * bool(os.environ.get("PYTHONPATH", ""))
+            + os.environ.get("PYTHONPATH", ""),
+        },
+    )
+    assert summary["n"] == 4
