@@ -1263,3 +1263,107 @@ def _ahash_candidate_pairs(hashes: DataFrame, m: int, r: int) -> DataFrame:
         .filter(F.col("hamming") <= AHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+@query(
+    "k5_png_near_dup",
+    oracle=f"""{_AHASH_SQL},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM (SELECT doc_id, j, bands[j + 1] AS band_val
+            FROM hashes, UNNEST(range(0, 8)) AS t(j)) a
+      JOIN (SELECT doc_id, j, bands[j + 1] AS band_val
+            FROM hashes, UNNEST(range(0, 8)) AS t(j)) c
+        ON a.j = c.j AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(list_sum(list_transform(range(0, 8), j ->
+             bit_count(xor(ha.bands[j + 1], hb.bands[j + 1]))))
+             AS BIGINT) AS hamming
+    FROM pairs p
+    JOIN hashes ha ON ha.doc_id = p.doc_a
+    JOIN hashes hb ON hb.doc_id = p.doc_b
+    WHERE list_sum(list_transform(range(0, 8), j ->
+            bit_count(xor(ha.bands[j + 1], hb.bands[j + 1]))))
+          <= {AHASH_MAX_HAMMING}
+    """,
+)
+def k5_png_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE multimodal dedup pipeline over COMPRESSED media
+    (r10): binary PNG payloads (zlib IDAT, CRC'd chunks, all-5-filter
+    scanlines — the ingestion stand-in `png_encode_batches` builds
+    real files) -> REAL codec decode (`png_decode_rgb`: chunk walk +
+    CRC verify + inflate + un-filter) -> 64-bit aHash over the decoded
+    pixels -> pigeonhole banded near-dup pairs. This is the CLIP-style
+    image-corpus dedup path end-to-end: what arrives is a compressed
+    file, not pixels, and the fingerprint must be computed on what the
+    DECODER produces. Because PNG is lossless, the pairs must equal
+    `k5_ahash_near_dup`'s (same pixels, same hash) — so the DuckDB
+    oracle recomputes the hashes straight from the source bytes and a
+    hash match certifies decode-lossless-ness THROUGH the dedup
+    consumer, not just per-image channel means.
+
+    100 TB design: identical to k5_ahash_near_dup (one map-only
+    Arrow-batched encode+decode+hash pass fused into the scan stage,
+    band-bucket equi-join as the only shuffle, corpus-scaled banding
+    via `_ahash_band_plan`); the added per-image cost is the codec
+    kernel (zlib + unfilter, O(pixels)), which rides the scan's
+    parallelism. Reference parity: the reference stores media as
+    opaque object-store blobs and would run the same decode in its
+    Spark jobs (/root/reference/scripts/extract_load.py loads raw
+    binary-bearing tables; no decode exists there — this is north-star
+    K5 surface)."""
+    d = T(spark, sf_dir, "documents")
+    body = F.expr("rpad(text || ' x', 192, text || ' x')")
+    src = d.select("doc_id", F.encode(body, "UTF-8").alias("pixels"))
+    png = src.mapInPandas(
+        png_encode_batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+    def png_ahash_batches(batches: Iterator, _nothing=None):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            mask = pdf["payload"].notna()
+            if not mask.all():
+                pdf = pdf[mask]
+            if not len(pdf):
+                continue
+            # Real decode per image (zlib inflate + 5-filter unapply),
+            # then the same integer aHash as k5_ahash_near_dup: gray
+            # sums, mean threshold via integer cross-multiply, 8 band
+            # bytes. Per-image work is O(pixels); the batch loop is
+            # the honest cost profile of compressed-codec ingestion.
+            px = np.stack(
+                [png_decode_rgb(p) for p in pdf["payload"]]
+            ).astype(np.int64)
+            n, h, w_, _ = px.shape
+            gray = px.reshape(n, h * w_, 3).sum(axis=2)
+            bits = (
+                gray * (h * w_) > gray.sum(axis=1, keepdims=True)
+            ).astype(np.uint8)
+            bands = np.packbits(bits, axis=1, bitorder="little")
+            out = {"doc_id": pdf["doc_id"]}
+            for j in range(8):
+                out[f"b{j}"] = bands[:, j].astype("int32")
+            yield pd.DataFrame(out)
+
+    hash_schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"b{j}", IntegerType()) for j in range(8)]
+    )
+    # Same write-once-fan-out materialization as k5_ahash_near_dup
+    # (the hash table feeds 4 plan branches; without it each re-runs
+    # the full encode+decode kernel).
+    hashes = png.mapInPandas(png_ahash_batches, hash_schema).localCheckpoint(
+        eager=True
+    )
+    m, r = _ahash_band_plan(hashes.count())
+    return _ahash_candidate_pairs(hashes, m, r)

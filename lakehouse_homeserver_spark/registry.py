@@ -54,8 +54,10 @@ _MODULES = []
 # are the PNG section in multimodal.py and the pyds.py seq-map
 # conformance fix.
 PRIORITY: tuple[str, ...] = (
-    # (a) new this round
+    # (a) new this round: the PNG decode cert + the composed
+    # compressed-media near-dup pipeline built on it
     "k5_png_decode",
+    "k5_png_near_dup",
     # (b) r10 edit hits
     "k5_ppm_decode",
     "a54_pyds_pushdown",
@@ -107,10 +109,9 @@ PRIORITY: tuple[str, ...] = (
     "ts_funnel",
     "ts_interval_merge",
     # (e) window is EXACTLY the 50-slot driver budget (fewer wastes
-    # slots — test-pinned): the last 2 slots start the r4-era tier,
+    # slots — test-pinned): the last slot starts the r4-era tier,
     # alphabetical-first
     "a39_runtime_bloom_join",
-    "d10_histogram",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py

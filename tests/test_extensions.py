@@ -734,6 +734,52 @@ def test_png_decoder_fails_loudly_on_corrupt_files():
         )
 
 
+def test_png_every_single_byte_corruption_raises():
+    """STRONG corruption property: flipping ANY single byte of a valid
+    PNG must raise ValueError — never silently decode to different
+    pixels. This holds by construction: every byte is covered by the
+    signature check, a chunk CRC32, or the CRC field itself (a flipped
+    CRC mismatches its now-unflipped data); exhaustively verified over
+    every byte position of a real file."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    px = (np.arange(8 * 8 * 3, dtype=np.int64) * 29 % 256).astype(
+        np.uint8
+    ).reshape(8, 8, 3)
+    good = bytearray(mm.png_encode_rgb(px))
+    for i in range(len(good)):
+        corrupt = bytearray(good)
+        corrupt[i] ^= 0x5A
+        with _pytest.raises(ValueError):
+            mm.png_decode_rgb(bytes(corrupt))
+    # and the uncorrupted original still decodes exactly
+    assert np.array_equal(mm.png_decode_rgb(bytes(good)), px)
+
+
+def test_png_near_dup_pairs_equal_uncompressed_ahash_pairs(spark, sf_dir):
+    """k5_png_near_dup must produce EXACTLY k5_ahash_near_dup's pairs:
+    same pixels in, lossless codec in between — any divergence means
+    the decoder corrupted pixels somewhere in the corpus."""
+    from lakehouse_homeserver_spark.operators.multimodal import (
+        k5_ahash_near_dup,
+        k5_png_near_dup,
+    )
+
+    via_png = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in k5_png_near_dup(spark, sf_dir).collect()
+    }
+    direct = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in k5_ahash_near_dup(spark, sf_dir).collect()
+    }
+    assert via_png == direct
+    assert via_png, "fixture produced no near-dup pairs — vacuous test"
+
+
 def test_domain_mix_matches_target_mixture(spark, sf_dir):
     """k6_domain_mix: per-domain take counts are exactly
     floor(N* * w/W), the output is a subset of the corpus, and the
