@@ -1055,10 +1055,11 @@ _AHASH_SQL = """
     )
 """
 
-
-@query(
-    "k5_ahash_near_dup",
-    oracle=f"""{_AHASH_SQL},
+# The candidate-pairs + exact-Hamming tail shared VERBATIM by
+# k5_ahash_near_dup and k5_png_near_dup (r10 review: a copy would let
+# a one-sided banding/threshold edit drift the two oracles apart
+# silently).
+_AHASH_PAIRS_SQL = f""",
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       FROM (SELECT doc_id, j, bands[j + 1] AS band_val
@@ -1077,7 +1078,34 @@ _AHASH_SQL = """
     WHERE list_sum(list_transform(range(0, 8), j ->
             bit_count(xor(ha.bands[j + 1], hb.bands[j + 1]))))
           <= {AHASH_MAX_HAMMING}
-    """,
+    """
+
+AHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"b{j}", IntegerType()) for j in range(8)]
+)
+
+
+def _gray_to_band_frame(doc_ids, gray):
+    """Shared aHash tail (r10 review): per-image grayscale-sum rows ->
+    mean-threshold bits (integer cross-multiply, no division) -> 8
+    little-bit-order band bytes as the b0..b7 int32 frame both
+    near-dup kernels emit. `gray` is (n, n_pixels) int64."""
+    import numpy as np
+    import pandas as pd
+
+    npx = gray.shape[1]
+    bits = (gray * npx > gray.sum(axis=1, keepdims=True)).astype(np.uint8)
+    bands = np.packbits(bits, axis=1, bitorder="little")
+    out = {"doc_id": doc_ids}
+    for j in range(8):
+        out[f"b{j}"] = bands[:, j].astype("int32")
+    return pd.DataFrame(out)
+
+
+@query(
+    "k5_ahash_near_dup",
+    oracle=f"{_AHASH_SQL}{_AHASH_PAIRS_SQL}",
 )
 def k5_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (aHash, the classic
@@ -1145,26 +1173,16 @@ def k5_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             gray = raw[:, hdr:].reshape(len(pdf), npx, 3).astype(
                 np.int64
             ).sum(axis=2)
-            bits = (gray * npx > gray.sum(axis=1, keepdims=True)).astype(
-                np.uint8
-            )
-            bands = np.packbits(bits, axis=1, bitorder="little")
-            out = {"doc_id": pdf["doc_id"]}
-            for j in range(8):
-                out[f"b{j}"] = bands[:, j].astype("int32")
-            yield pd.DataFrame(out)
+            yield _gray_to_band_frame(pdf["doc_id"], gray)
 
-    hash_schema = StructType(
-        [StructField("doc_id", LongType())]
-        + [StructField(f"b{j}", IntegerType()) for j in range(8)]
-    )
+
     # The hash table fans out 4 ways (two band-join sides + two
     # Hamming-verify sides); without materialization each branch re-runs
     # the decode kernel (measured 7.3 s -> 2.6 s at sf0.1). One eager
     # localCheckpoint of the 9-int-per-doc hash table is the
     # write-once-fan-out shape a production pipeline persists anyway
     # (same precedent as the near-dup pair-table memoization).
-    hashes = media.mapInPandas(ahash_batches, hash_schema).localCheckpoint(
+    hashes = media.mapInPandas(ahash_batches, AHASH_SCHEMA).localCheckpoint(
         eager=True
     )
     # The checkpoint makes this count a metadata-cheap read of the
@@ -1267,26 +1285,7 @@ def _ahash_candidate_pairs(hashes: DataFrame, m: int, r: int) -> DataFrame:
 
 @query(
     "k5_png_near_dup",
-    oracle=f"""{_AHASH_SQL},
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      FROM (SELECT doc_id, j, bands[j + 1] AS band_val
-            FROM hashes, UNNEST(range(0, 8)) AS t(j)) a
-      JOIN (SELECT doc_id, j, bands[j + 1] AS band_val
-            FROM hashes, UNNEST(range(0, 8)) AS t(j)) c
-        ON a.j = c.j AND a.band_val = c.band_val AND a.doc_id < c.doc_id
-    )
-    SELECT p.doc_a, p.doc_b,
-           CAST(list_sum(list_transform(range(0, 8), j ->
-             bit_count(xor(ha.bands[j + 1], hb.bands[j + 1]))))
-             AS BIGINT) AS hamming
-    FROM pairs p
-    JOIN hashes ha ON ha.doc_id = p.doc_a
-    JOIN hashes hb ON hb.doc_id = p.doc_b
-    WHERE list_sum(list_transform(range(0, 8), j ->
-            bit_count(xor(ha.bands[j + 1], hb.bands[j + 1]))))
-          <= {AHASH_MAX_HAMMING}
-    """,
+    oracle=f"{_AHASH_SQL}{_AHASH_PAIRS_SQL}",
 )
 def k5_png_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE multimodal dedup pipeline over COMPRESSED media
@@ -1346,23 +1345,13 @@ def k5_png_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype(np.int64)
             n, h, w_, _ = px.shape
             gray = px.reshape(n, h * w_, 3).sum(axis=2)
-            bits = (
-                gray * (h * w_) > gray.sum(axis=1, keepdims=True)
-            ).astype(np.uint8)
-            bands = np.packbits(bits, axis=1, bitorder="little")
-            out = {"doc_id": pdf["doc_id"]}
-            for j in range(8):
-                out[f"b{j}"] = bands[:, j].astype("int32")
-            yield pd.DataFrame(out)
+            yield _gray_to_band_frame(pdf["doc_id"], gray)
 
-    hash_schema = StructType(
-        [StructField("doc_id", LongType())]
-        + [StructField(f"b{j}", IntegerType()) for j in range(8)]
-    )
+
     # Same write-once-fan-out materialization as k5_ahash_near_dup
     # (the hash table feeds 4 plan branches; without it each re-runs
     # the full encode+decode kernel).
-    hashes = png.mapInPandas(png_ahash_batches, hash_schema).localCheckpoint(
+    hashes = png.mapInPandas(png_ahash_batches, AHASH_SCHEMA).localCheckpoint(
         eager=True
     )
     m, r = _ahash_band_plan(hashes.count())

@@ -29,15 +29,21 @@ _MODULES = []
 #
 # ROUND-10 window = 50 names, machine-derived
 # (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
-# Composition (VERDICT r9 next-round #2 and #6):
-#   (a) the round's NEW query: k5_png_decode (real PNG decode —
+# Composition (VERDICT r9 next-round #2 and #6) — (a) 2 new + (b) 3
+# edit hits + (c) 26 r2-era + (d) 19 r3-era = 50 exactly, the full
+# driver budget:
+#   (a) the round's NEW queries: k5_png_decode (real PNG decode —
 #       zlib inflate + 5-filter unapply — closing the compressed-
-#       codec seam, VERDICT r9 #4); never sampled, leads the window;
+#       codec seam, VERDICT r9 #4) and k5_png_near_dup (the composed
+#       compressed-media dedup pipeline); never sampled, lead the
+#       window;
 #   (b) the r10 edit hits: k5_ppm_decode (shares multimodal.py's
-#       edited docstring/module scope with the new PNG section) and
+#       edited decode helpers with the new PNG section),
 #       a54_pyds_pushdown (reached by the pyds.py `_file_seq`
 #       empty-map conformance fix, ADVICE r9 #1-#2 — result-neutral
-#       for well-formed engine logs, but edited-is-edited);
+#       for well-formed engine logs, but edited-is-edited), and
+#       k5_ahash_near_dup (kernel/oracle factored into shared
+#       helpers);
 #   (c) the ENTIRE r2-era verdict-age tier (26) — including the
 #       flagship q1_pricing_summary, tpch_q5, e1_window_rank,
 #       h8_json_funcs, f2_sort_limit, f4_topk_per_group,
@@ -58,9 +64,12 @@ PRIORITY: tuple[str, ...] = (
     # compressed-media near-dup pipeline built on it
     "k5_png_decode",
     "k5_png_near_dup",
-    # (b) r10 edit hits
+    # (b) r10 edit hits (k5_ahash_near_dup: its kernel tail + oracle
+    # pairs-SQL were factored into helpers shared with the new PNG
+    # pipeline — result-neutral, but edited-is-edited)
     "k5_ppm_decode",
     "a54_pyds_pushdown",
+    "k5_ahash_near_dup",
     # (c) age pool: the full r2-era tier (26)
     "c2_join_full_outer",
     "c3_join_anti",
@@ -108,10 +117,6 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "ts_funnel",
     "ts_interval_merge",
-    # (e) window is EXACTLY the 50-slot driver budget (fewer wastes
-    # slots — test-pinned): the last slot starts the r4-era tier,
-    # alphabetical-first
-    "a39_runtime_bloom_join",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py

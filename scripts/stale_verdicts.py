@@ -439,6 +439,7 @@ def main() -> int:
         # next window as: --check hits + DEFERRED burn-down, then this
         # list top-down.
         from lakehouse_homeserver_spark.registry import (
+            DEFERRED,
             PRIORITY,
             all_queries,
         )
@@ -446,15 +447,19 @@ def main() -> int:
         latest = latest_verdict_rounds()
         names = list(all_queries())
         never = sorted(n for n in names if n not in latest)
-        # A never-sampled query that is ALREADY IN PRIORITY is the
+        # A never-sampled query that is ALREADY IN PRIORITY (or
+        # explicitly justified in DEFERRED — the same escape hatch
+        # --check honors, so the two gates can't contradict) is the
         # normal mid-round state of a new registration (it will be
         # certified by the very next driver run); only a never-sampled
-        # query MISSING from the window is a gate failure (r10 review:
-        # the unconditional exit-1 made the suite red from the moment
-        # a new query was registered until the driver's artifact drop,
+        # query MISSING from both is a gate failure (r10 review: the
+        # unconditional exit-1 made the suite red from the moment a
+        # new query was registered until the driver's artifact drop,
         # so any intermediate CI run or bisect landed on a failing
         # tree).
-        unwindowed = [n for n in never if n not in PRIORITY]
+        unwindowed = [
+            n for n in never if n not in PRIORITY and n not in DEFERRED
+        ]
         for n in never:
             tag = (
                 "(windowed for the next driver run)"

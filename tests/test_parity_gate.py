@@ -12,16 +12,22 @@ Sample per axis (documented in SURVEY.md round-10 note):
   * up to 4 "newest-edited" queries — mechanically derived by
     `scripts/stale_verdicts.py`'s call graph (queries reached by any
     package edit since the last round's verdict commit);
-  * 8 rotating by name hash — md5(f"r{round}:{name}") over all
-    oracle-backed queries, where round = max committed CORRECTNESS
-    round + 1. Every round rotates a fresh deterministic slice, so
-    over ~32 rounds the whole registry cycles through both axes with
-    no curation.
+  * 8 rotating as a TRUE cycle — one FIXED md5(name)-shuffled order
+    of all oracle-backed queries, each round taking the next 8-name
+    slice (offset = 8 * round mod N, wraparound), where round = max
+    committed CORRECTNESS round + 1. A cycle, not independent
+    per-round draws (those would cover only ~63% of the registry in
+    32 rounds — coupon collector; r10 review), so every query
+    provably passes all axes within ceil(N/8) ~= 33 rounds. Registry
+    growth shifts the wheel slightly between rounds; the advancing
+    offset keeps coverage near-cyclic with no curation.
 
 Axes:
   * sf0.1 at the default session shape — 10x the driver gate's data;
   * sf0.01 at local[4] / 7 shuffle partitions — partition-count
-    invariance (the 1000-executor property).
+    invariance (the 1000-executor property);
+  * a 4-query slice under local-cluster[2,2,1024] — real executor
+    JVMs (driver-JVM-sharing assumptions).
 
 Each axis is one subprocess of the real sweep script (same code the
 manual runs use — no second implementation to drift).
@@ -87,10 +93,18 @@ def _sample() -> list[str]:
         edited = []
     rnd = _round_number()
     rest = [n for n in oracle_backed if n not in set(edited)]
-    rotating = sorted(
-        rest,
-        key=lambda n: hashlib.md5(f"r{rnd}:{n}".encode()).hexdigest(),
-    )[:N_ROTATING]
+    # TRUE cycle, not independent per-round draws (r10 review #2: a
+    # fresh md5(f"r{round}:{name}") order each round is sampling WITH
+    # replacement — expected coverage after 32 rounds only ~63%, full
+    # coverage a ~180-round coupon-collector). Instead: ONE fixed
+    # hash-shuffled order, and each round takes the next 8-name slice
+    # with wraparound, so every oracle-backed query provably passes
+    # all axes within ceil(N/8) ≈ 33 rounds.
+    wheel = sorted(
+        rest, key=lambda n: hashlib.md5(n.encode()).hexdigest()
+    )
+    start = (N_ROTATING * rnd) % len(wheel)
+    rotating = (wheel + wheel)[start : start + N_ROTATING]
     return edited + rotating
 
 
