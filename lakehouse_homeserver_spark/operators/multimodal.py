@@ -1314,7 +1314,20 @@ def k5_png_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     K5 surface)."""
     d = T(spark, sf_dir, "documents")
     body = F.expr("rpad(text || ' x', 192, text || ' x')")
-    src = d.select("doc_id", F.encode(body, "UTF-8").alias("pixels"))
+    # The codec kernel is per-image CPU (zlib + CRC + unfilter —
+    # ~0.1 ms/image at 8x8, and it grows with pixel count, unlike the
+    # µs-batch-vectorized aHash kernel), so its parallelism must not
+    # be capped by the scan's split count: the sf fixtures are one
+    # parquet file = ONE split, serializing every decode onto a
+    # single core. Quiet-box A/B at sf0.1 (5,000 images): 2.6 s
+    # single-partition vs 2.3 s spread — modest at this toy pixel
+    # count, but the gap scales with per-image cost while the
+    # insurance is free: the shuffled rows are (id, 192 fixed bytes),
+    # PRE-encode, never payload-sized blobs, and at real volumes a
+    # media corpus arrives as many splits anyway.
+    src = d.select(
+        "doc_id", F.encode(body, "UTF-8").alias("pixels")
+    ).repartition(spark.sparkContext.defaultParallelism)
     png = src.mapInPandas(
         png_encode_batches,
         StructType(
