@@ -448,7 +448,12 @@ def k5_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_BPP = 3  # 8-bit RGB, color type 2
+_PNG_BPP = 3  # the RGB fast path the k5 queries use (color type 2)
+# 8-bit channel counts by IHDR color type (r10 widening): grayscale,
+# truecolor, truecolor+alpha. Palette (3) and gray+alpha (4) stay
+# loud failures — no corpus here exercises them and a silent partial
+# decode would be worse than the seam.
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -463,27 +468,37 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def png_encode_rgb(px) -> bytes:
-    """Real PNG encode per the W3C spec (no codec library): 8-bit RGB
-    (color type 2), non-interlaced, one IDAT with zlib-compressed
-    scanlines. The per-scanline filter type CYCLES through all five
-    spec filters (None/Sub/Up/Average/Paeth, `y % 5`) so any decoder
-    of these payloads must implement the complete filter set — the
-    encoder exists to manufacture REAL compressed payloads for the
-    decode certificate, not to be a production writer."""
+def png_encode(px) -> bytes:
+    """Real PNG encode per the W3C spec (no codec library): 8-bit
+    non-interlaced, one IDAT with zlib-compressed scanlines. The
+    channel count picks the IHDR color type — (h, w) or (h, w, 1) ->
+    grayscale 0, (h, w, 3) -> truecolor 2, (h, w, 4) -> RGBA 6. The
+    per-scanline filter type CYCLES through all five spec filters
+    (None/Sub/Up/Average/Paeth, `y % 5`) so any decoder of these
+    payloads must implement the complete filter set — the encoder
+    exists to manufacture REAL compressed payloads for the decode
+    certificate, not to be a production writer."""
     import struct
     import zlib
 
     import numpy as np
 
-    h, w, _ = px.shape
-    stride = w * _PNG_BPP
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    bpp = ch
+    stride = w * bpp
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int64)
-    zeros = np.zeros(_PNG_BPP, dtype=np.int64)
+    zeros = np.zeros(bpp, dtype=np.int64)
     for y in range(h):
         line = px[y].reshape(-1).astype(np.int64)
-        left = np.concatenate([zeros, line[:-_PNG_BPP]])
+        left = np.concatenate([zeros, line[:-bpp]]) if stride > bpp else (
+            np.zeros(stride, dtype=np.int64)
+        )
         ft = y % 5
         if ft == 0:
             filt = line
@@ -494,7 +509,9 @@ def png_encode_rgb(px) -> bytes:
         elif ft == 3:  # Average — spec: floor((left + up) / 2)
             filt = (line - (left + prev) // 2) % 256
         else:  # Paeth
-            upleft = np.concatenate([zeros, prev[:-_PNG_BPP]])
+            upleft = np.concatenate([zeros, prev[:-bpp]]) if (
+                stride > bpp
+            ) else np.zeros(stride, dtype=np.int64)
             p = left + prev - upleft
             pa = np.abs(p - left)
             pb = np.abs(p - prev)
@@ -508,7 +525,7 @@ def png_encode_rgb(px) -> bytes:
         raw.append(ft)
         raw.extend(filt.astype(np.uint8).tobytes())
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -517,16 +534,24 @@ def png_encode_rgb(px) -> bytes:
     )
 
 
-def png_decode_rgb(b: bytes):
+# The name the k5 queries and round-10 tests bound to; RGB input only
+# by its (h, w, 3) shape contract, same bytes out.
+png_encode_rgb = png_encode
+
+
+def png_decode(b: bytes):
     """Real PNG decode (VERDICT r9 next-round #4 — closes the
-    compressed-codec seam): signature check, chunk walk with CRC32
-    verification on EVERY chunk, IHDR parse, multi-IDAT concat, zlib
-    inflate, then per-scanline un-filtering of all five spec filter
-    types (Paeth included). Returns a (h, w, 3) uint8 array. Every
-    malformation raises ValueError LOUDLY — a corrupt payload must
-    never decode to silent garbage. Supports the 8-bit RGB
-    non-interlaced subset; other variants raise with the variant
-    named (palette/alpha/16-bit stay out of scope, documented)."""
+    compressed-codec seam; r10 widened to the 8-bit gray/RGB/RGBA
+    color types): signature check, chunk walk with CRC32 verification
+    on EVERY chunk, IHDR parse, multi-IDAT concat, zlib inflate, then
+    per-scanline un-filtering of all five spec filter types (Paeth
+    included) at the color type's byte-per-pixel offset. Returns a
+    uint8 array — (h, w) for grayscale, (h, w, 3) RGB, (h, w, 4)
+    RGBA. Every malformation raises ValueError LOUDLY — a corrupt
+    payload must never decode to silent garbage. Palette, 16-bit,
+    gray+alpha and interlaced variants raise with the variant named
+    (no corpus here exercises them; a silent partial decode would be
+    worse than the seam)."""
     import struct
     import zlib
 
@@ -556,13 +581,18 @@ def png_decode_rgb(b: bytes):
             w, h, depth, color, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+            if (
+                depth != 8
+                or color not in _PNG_CHANNELS
+                or (comp, filt, inter) != (0, 0, 0)
+            ):
                 raise ValueError(
                     "unsupported PNG variant "
                     f"(depth={depth} color={color} comp={comp} "
                     f"filter={filt} interlace={inter}); this decoder "
-                    "covers 8-bit RGB non-interlaced"
+                    "covers 8-bit gray/RGB/RGBA non-interlaced"
                 )
+            bpp = _PNG_CHANNELS[color]
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -579,7 +609,7 @@ def png_decode_rgb(b: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    stride = w * _PNG_BPP
+    stride = w * bpp
     if len(raw) != h * (1 + stride):
         raise ValueError(
             f"PNG inflated size mismatch: got {len(raw)}, "
@@ -603,9 +633,9 @@ def png_decode_rgb(b: bytes):
             # sequential within a scanline, per the spec.
             rec = np.empty(stride, dtype=np.int64)
             for i in range(stride):
-                left = rec[i - _PNG_BPP] if i >= _PNG_BPP else 0
+                left = rec[i - bpp] if i >= bpp else 0
                 up = prev[i]
-                upleft = prev[i - _PNG_BPP] if i >= _PNG_BPP else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
                 if ft == 1:
                     pred = left
                 elif ft == 3:
@@ -625,7 +655,22 @@ def png_decode_rgb(b: bytes):
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec
         prev = rec
-    return out.reshape(h, w, _PNG_BPP).astype(np.uint8)
+    px = out.reshape(h, w, bpp).astype(np.uint8)
+    return px[:, :, 0] if bpp == 1 else px
+
+
+def png_decode_rgb(b: bytes):
+    """The 3-channel door the k5 query kernels bind to: full
+    `png_decode`, then an RGB shape assertion so a gray/RGBA payload
+    in an RGB-contract pipeline fails loudly instead of reshaping
+    into garbage features."""
+    px = png_decode(b)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(
+            "expected an RGB PNG, decoded "
+            f"{px.shape[2] if px.ndim == 3 else 1} channel(s)"
+        )
+    return px
 
 
 def png_encode_batches(batches: Iterator, _nothing=None):

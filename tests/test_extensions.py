@@ -706,7 +706,8 @@ def test_png_decoder_fails_loudly_on_corrupt_files():
     )
     with _pytest.raises(ValueError, match="filter type"):
         mm.png_decode_rgb(badfilter)
-    # unsupported variant: 8-bit GRAYSCALE (color type 0)
+    # 8-bit grayscale now DECODES (r10 widening) but the RGB-contract
+    # door must still reject it by name
     gray_ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
     gray = (
         mm.PNG_SIG
@@ -714,8 +715,18 @@ def test_png_decoder_fails_loudly_on_corrupt_files():
         + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * (8 * 9)))
         + mm._png_chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="unsupported"):
+    with _pytest.raises(ValueError, match="expected an RGB PNG"):
         mm.png_decode_rgb(gray)
+    # genuinely unsupported variant: 16-bit depth
+    deep_ihdr = struct.pack(">IIBBBBB", 8, 8, 16, 2, 0, 0, 0)
+    deep = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", deep_ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * (8 * 49)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="unsupported"):
+        mm.png_decode_rgb(deep)
     with _pytest.raises(ValueError, match="missing IHDR"):
         mm.png_decode_rgb(mm.PNG_SIG + mm._png_chunk(b"IEND", b""))
     with _pytest.raises(ValueError, match="missing IDAT"):
@@ -757,6 +768,60 @@ def test_png_every_single_byte_corruption_raises():
             mm.png_decode_rgb(bytes(corrupt))
     # and the uncorrupted original still decodes exactly
     assert np.array_equal(mm.png_decode_rgb(bytes(good)), px)
+
+
+def test_png_gray_and_rgba_round_trip():
+    """r10 widening: the codec covers all three 8-bit non-palette
+    color types. Grayscale (h, w) and RGBA (h, w, 4) round-trip
+    bit-exactly through the same 5-filter cycle at their own
+    byte-per-pixel offsets; the RGB-contract door rejects them by
+    NAME instead of reshaping into garbage; single-byte corruption
+    still raises at every position of a gray file."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(10, 5), dtype=np.uint8)
+    blob = mm.png_encode(gray)
+    assert np.array_equal(mm.png_decode(blob), gray)
+    rgba = rng.randint(0, 256, size=(10, 5, 4), dtype=np.uint8)
+    blob4 = mm.png_encode(rgba)
+    assert np.array_equal(mm.png_decode(blob4), rgba)
+    # gradient forms (non-trivial Sub/Average/Paeth predictions)
+    ggrad = (np.arange(60, dtype=np.int64).reshape(10, 6) * 41 % 256
+             ).astype(np.uint8)
+    assert np.array_equal(mm.png_decode(mm.png_encode(ggrad)), ggrad)
+    # 1-pixel-wide edge: left neighbor is always absent
+    thin = rng.randint(0, 256, size=(7, 1, 4), dtype=np.uint8)
+    assert np.array_equal(mm.png_decode(mm.png_encode(thin)), thin)
+
+    with _pytest.raises(ValueError, match="expected an RGB PNG"):
+        mm.png_decode_rgb(blob)
+    with _pytest.raises(ValueError, match="expected an RGB PNG"):
+        mm.png_decode_rgb(blob4)
+    with _pytest.raises(ValueError, match="unsupported channel count"):
+        mm.png_encode(rng.randint(0, 256, size=(4, 4, 2), dtype=np.uint8))
+    # palette (color type 3) still fails loudly by name
+    import struct
+    import zlib
+
+    pal_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    pal = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", pal_ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="unsupported PNG variant"):
+        mm.png_decode(pal)
+
+    for i in range(len(blob)):
+        corrupt = bytearray(blob)
+        corrupt[i] ^= 0x5A
+        with _pytest.raises(ValueError):
+            mm.png_decode(bytes(corrupt))
 
 
 def test_png_near_dup_pairs_equal_uncompressed_ahash_pairs(spark, sf_dir):
