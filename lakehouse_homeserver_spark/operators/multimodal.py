@@ -472,7 +472,10 @@ def png_encode(px) -> bytes:
     """Real PNG encode per the W3C spec (no codec library): 8-bit
     non-interlaced, one IDAT with zlib-compressed scanlines. The
     channel count picks the IHDR color type — (h, w) or (h, w, 1) ->
-    grayscale 0, (h, w, 3) -> truecolor 2, (h, w, 4) -> RGBA 6. The
+    grayscale 0, (h, w, 3) -> truecolor 2, (h, w, 4) -> RGBA 6.
+    Grayscale is canonically 2D: a (h, w, 1) input is NORMALIZED to
+    (h, w) and round-trips back as (h, w) from png_decode (the file
+    format cannot record the trailing singleton axis). The
     per-scanline filter type CYCLES through all five spec filters
     (None/Sub/Up/Average/Paeth, `y % 5`) so any decoder of these
     payloads must implement the complete filter set — the encoder
@@ -496,9 +499,7 @@ def png_encode(px) -> bytes:
     zeros = np.zeros(bpp, dtype=np.int64)
     for y in range(h):
         line = px[y].reshape(-1).astype(np.int64)
-        left = np.concatenate([zeros, line[:-bpp]]) if stride > bpp else (
-            np.zeros(stride, dtype=np.int64)
-        )
+        left = np.concatenate([zeros, line[:-bpp]])
         ft = y % 5
         if ft == 0:
             filt = line
@@ -509,9 +510,7 @@ def png_encode(px) -> bytes:
         elif ft == 3:  # Average — spec: floor((left + up) / 2)
             filt = (line - (left + prev) // 2) % 256
         else:  # Paeth
-            upleft = np.concatenate([zeros, prev[:-bpp]]) if (
-                stride > bpp
-            ) else np.zeros(stride, dtype=np.int64)
+            upleft = np.concatenate([zeros, prev[:-bpp]])
             p = left + prev - upleft
             pa = np.abs(p - left)
             pb = np.abs(p - prev)
@@ -534,9 +533,17 @@ def png_encode(px) -> bytes:
     )
 
 
-# The name the k5 queries and round-10 tests bound to; RGB input only
-# by its (h, w, 3) shape contract, same bytes out.
-png_encode_rgb = png_encode
+def png_encode_rgb(px) -> bytes:
+    """The RGB-contract encode door (mirrors png_decode_rgb): the k5
+    pipelines promise 3-channel payloads, so a gray/RGBA array must
+    fail LOUDLY at the WRITE site, not as a shape surprise in a
+    different Spark task on the read side."""
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(
+            "expected (h, w, 3) RGB pixels, got shape "
+            f"{tuple(px.shape)}"
+        )
+    return png_encode(px)
 
 
 def png_decode(b: bytes):
@@ -578,6 +585,10 @@ def png_decode(b: bytes):
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(
+                    f"PNG IHDR must be 13 bytes, got {len(data)}"
+                )
             w, h, depth, color, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )

@@ -803,6 +803,26 @@ def test_png_gray_and_rgba_round_trip():
         mm.png_decode_rgb(blob4)
     with _pytest.raises(ValueError, match="unsupported channel count"):
         mm.png_encode(rng.randint(0, 256, size=(4, 4, 2), dtype=np.uint8))
+    # the RGB-contract ENCODE door fails at the write site (review 3)
+    with _pytest.raises(ValueError, match="expected \\(h, w, 3\\)"):
+        mm.png_encode_rgb(gray)
+    with _pytest.raises(ValueError, match="expected \\(h, w, 3\\)"):
+        mm.png_encode_rgb(rgba)
+    # (h, w, 1) gray is NORMALIZED to 2D — documented contract
+    g31 = gray[:, :, None]
+    assert np.array_equal(mm.png_decode(mm.png_encode(g31)), gray)
+    # malformed IHDR length (valid CRC) raises ValueError, not
+    # struct.error (review 3)
+    import zlib
+
+    bad_ihdr = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", b"\x00" * 12)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00"))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="IHDR must be 13"):
+        mm.png_decode(bad_ihdr)
     # palette (color type 3) still fails loudly by name
     import struct
     import zlib
