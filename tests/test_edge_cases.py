@@ -302,3 +302,61 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
     assert qs["k5_ppm_decode"](spark, d).count() == 3
     assert qs["k5_ahash_near_dup"](spark, d).count() >= 0
     con.close()
+
+
+def test_wav_parser_fails_loudly_on_corrupt_containers():
+    """The RIFF/WAVE chunk walker's loud-failure contract (r10 —
+    the PNG codec's corruption posture, applied to the audio twin):
+    bad magic, a RIFF file that is not WAVE, and containers missing
+    the fmt or data chunk all raise ValueError; a valid container
+    with an interleaved foreign chunk still parses (the walker must
+    SKIP unknown chunks, not reject them)."""
+    import struct
+
+    import pytest as _pytest
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    pcm = bytes(range(64))
+    good = mm._build_wav(pcm)
+    rate, channels, bits, out = mm._parse_wav(good)
+    assert (rate, channels, bits) == (mm.WAV_RATE, mm.WAV_CHANNELS, mm.WAV_BITS)
+    assert out == pcm
+
+    with _pytest.raises(ValueError, match="RIFF/WAVE"):
+        mm._parse_wav(b"OggS" + good[4:])
+    with _pytest.raises(ValueError, match="RIFF/WAVE"):
+        mm._parse_wav(good[:8] + b"AVI " + good[12:])
+
+    def container(chunks: list) -> bytes:
+        body = b"WAVE"
+        for cid, data in chunks:
+            body += cid + struct.pack("<I", len(data)) + data
+            if len(data) % 2:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,
+        mm.WAV_CHANNELS,
+        mm.WAV_RATE,
+        mm.WAV_RATE * mm.WAV_CHANNELS,
+        mm.WAV_CHANNELS,
+        mm.WAV_BITS,
+    )
+    with _pytest.raises(ValueError, match="missing fmt or data"):
+        mm._parse_wav(container([(b"data", pcm)]))  # no fmt
+    with _pytest.raises(ValueError, match="missing fmt or data"):
+        mm._parse_wav(container([(b"fmt ", fmt)]))  # no data
+    # interleaved unknown chunk between fmt and data still parses
+    r2, c2, b2, p2 = mm._parse_wav(
+        container([(b"fmt ", fmt), (b"JUNK", b"\x01\x02\x03"), (b"data", pcm)])
+    )
+    assert (r2, c2, b2, p2) == (mm.WAV_RATE, mm.WAV_CHANNELS, mm.WAV_BITS, pcm)
+    # a declared RIFF size that truncates before any chunk -> both
+    # required chunks unreachable -> loud failure, not silent partial
+    short = bytearray(good)
+    short[4:8] = struct.pack("<I", 4)  # RIFF size covers only "WAVE"
+    with _pytest.raises(ValueError, match="missing fmt or data"):
+        mm._parse_wav(bytes(short))
