@@ -44,7 +44,7 @@ EMPTY_SAFE = [
     "k4_redact",
     "k5_multimodal_features",
     "k5_frame_sample",
-    "k5_resize_stub",
+    "k5_resize_real",
     "k6_hash_split",
     "k6_uniform_sample",
     "k7_training_corpus",
@@ -276,7 +276,7 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
     parity = [
         "k5_multimodal_features",
         "k5_multimodal_meta",
-        "k5_resize_stub",
+        "k5_resize_real",
         "k5_wav_decode",
         "k5_pcm_frames",
         "k5_frame_sample",

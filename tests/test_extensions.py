@@ -231,16 +231,83 @@ def test_hash_split_is_partition_of_corpus(spark, sf_dir):
     assert 0.7 < train / total < 0.9
 
 
-def test_resize_stub_bounded_and_deterministic(spark, sf_dir):
-    df = multimodal.k5_resize_stub(spark, sf_dir, target_bytes=64)
+def test_resize_real_bounded_deterministic_and_exact(spark, sf_dir):
+    """The real resize stage (r11, replacing the digest stand-in):
+    output is bounded (4x4x3 = 48 bytes -> 96 hex chars), repeatable,
+    and the kernel's box arithmetic matches a hand-computed numpy
+    reference on a known image."""
+    import numpy as np
+
+    df = multimodal.k5_resize_real(spark, sf_dir)
     rows = df.collect()
     assert rows
     for r in rows:
-        assert len(r.thumb_hex) == 128  # 64 bytes hex-encoded
-        assert r.thumb_bytes == 64
-        assert r.orig_bytes > 0
+        assert (r.width, r.height) == (4, 4)
+        assert len(r.thumb_hex) == 96  # 48 bytes hex-encoded
     again = {r.doc_id: r.thumb_hex for r in df.collect()}
     assert {r.doc_id: r.thumb_hex for r in rows} == again
+
+    # kernel-level exactness on a known image
+    px = (np.arange(8 * 8 * 3, dtype=np.int64) * 23 % 256).astype(
+        np.uint8
+    )
+    arr = px.reshape(8, 8, 3).astype(np.int64)
+    want = (
+        arr.reshape(4, 2, 4, 2, 3).sum(axis=(1, 3)) // 4
+    ).astype(np.uint8)
+    import pandas as pd
+
+    out = pd.concat(
+        multimodal.resize_png_batches(
+            iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "doc_id": [1, 2],
+                            "payload": [
+                                multimodal.png_encode_rgb(
+                                    arr.astype(np.uint8)
+                                ),
+                                None,
+                            ],
+                        }
+                    )
+                ]
+            )
+        )
+    )
+    assert out.iloc[0].thumb_hex == bytes(want.reshape(-1)).hex()
+    assert out.iloc[1].width is pd.NA or out.iloc[1].width != out.iloc[1].width
+    assert out.iloc[1].thumb_hex is None
+
+    # corrupt payload fails loudly, never resizes to garbage
+    import pytest as _pytest
+
+    good = multimodal.png_encode_rgb(arr.astype(np.uint8))
+    corrupt = bytearray(good)
+    corrupt[good.index(b"IDAT") + 9] ^= 0xFF
+    with _pytest.raises(ValueError):
+        list(
+            multimodal.resize_png_batches(
+                iter(
+                    [
+                        pd.DataFrame(
+                            {"doc_id": [1], "payload": [bytes(corrupt)]}
+                        )
+                    ]
+                )
+            )
+        )
+    # odd dimensions (not divisible by the box factor) fail by name
+    odd = multimodal.png_encode_rgb(
+        (np.arange(7 * 8 * 3) % 256).astype(np.uint8).reshape(7, 8, 3)
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        list(
+            multimodal.resize_png_batches(
+                iter([pd.DataFrame({"doc_id": [1], "payload": [odd]})])
+            )
+        )
 
 
 def test_normalize_embeddings_unit_norm(spark, sf_dir):
@@ -743,6 +810,62 @@ def test_png_decoder_fails_loudly_on_corrupt_files():
                 b"\x00" + b"\x00" * stride
             ) * 8))
         )
+
+
+def test_png_chunk_order_and_bounded_inflate():
+    """ADVICE r10: CRC-valid chunk-ORDER malformations must raise —
+    a duplicate IHDR (silently rewriting dims mid-file) and IDAT
+    before IHDR — and the inflate must be output-capped so a zlib
+    bomb (tiny IDAT, huge inflation) fails on the size contract
+    without ever allocating the inflated payload."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    px = (np.arange(8 * 8 * 3, dtype=np.int64) * 13 % 256).astype(
+        np.uint8
+    ).reshape(8, 8, 3)
+    good = mm.png_encode_rgb(px)
+    ihdr_chunk = mm._png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    )
+    # duplicate IHDR (both CRC-valid)
+    sig_end = 8 + len(ihdr_chunk)
+    dup = good[:sig_end] + ihdr_chunk + good[sig_end:]
+    with _pytest.raises(ValueError, match="duplicate IHDR"):
+        mm.png_decode_rgb(dup)
+    # IDAT before IHDR
+    idat_chunk = mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+    swapped = mm.PNG_SIG + idat_chunk + good[8:]
+    with _pytest.raises(ValueError, match="IDAT chunk before IHDR"):
+        mm.png_decode_rgb(swapped)
+    # zlib bomb: 100 KB of zeros compresses to ~120 bytes; the capped
+    # inflate must reject on size without inflating the full payload
+    bomb = (
+        mm.PNG_SIG
+        + ihdr_chunk
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 100_000))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="size mismatch"):
+        mm.png_decode_rgb(bomb)
+    # truncated zlib stream that still yields exactly the promised
+    # byte count — only the eof check can see this one
+    stride = 8 * 3
+    raw = b"".join(b"\x00" + b"\x00" * stride for _ in range(8))
+    z = zlib.compress(raw)
+    trunc = (
+        mm.PNG_SIG
+        + ihdr_chunk
+        + mm._png_chunk(b"IDAT", z[:-4])
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="inflate failed"):
+        mm.png_decode_rgb(trunc)
 
 
 def test_png_every_single_byte_corruption_raises():

@@ -63,8 +63,21 @@ def _round_number() -> int:
 
 
 def _sample() -> list[str]:
+    # sys.path inserts are scoped to this function (ADVICE r10: a
+    # permanent SCRIPTS insert lets scripts/*.py shadow same-named
+    # modules for every test that runs after this module in-process).
+    saved = list(sys.path)
     sys.path.insert(0, REPO)
     sys.path.insert(0, SCRIPTS)
+    try:
+        return _sample_inner()
+    finally:
+        # full snapshot restore: stale_verdicts inserts REPO again at
+        # import time, so removing only our own two entries leaks one
+        sys.path[:] = saved
+
+
+def _sample_inner() -> list[str]:
     from lakehouse_homeserver_spark.registry import all_oracles
 
     import stale_verdicts as sv
