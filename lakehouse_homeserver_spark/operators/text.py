@@ -1648,3 +1648,194 @@ def k4_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_words").cast("bigint").alias("min_words"),
         F.max("n_words").cast("bigint").alias("max_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K4 — HTML -> text extraction (VERDICT r10 next-round #6): the first
+# text-analysis stage of a CommonCrawl-style training-data pipeline.
+# ---------------------------------------------------------------------------
+
+HTML_MIN_LINE_CHARS = 20  # line-density boilerplate floor (visible chars)
+
+
+def _html_extract_exprs(duck: bool) -> dict[str, str]:
+    """One template, two dialects: the ENTIRE extraction pipeline —
+    script/style block removal, tag strip, entity decode, whitespace
+    collapse, per-line link-density boilerplate filter — is generated
+    from the same Python template for Spark SQL and DuckDB SQL, so the
+    engine and the oracle cannot drift on a regex or an operation
+    order. Dialect seams: regexp_replace global flag ('g' arg in
+    DuckDB, default in Spark), split/transform/filter/size/array_join
+    spellings, and list-sum-vs-aggregate for the link-char count."""
+
+    def rr(s: str, p: str, r: str) -> str:
+        if duck:
+            return f"regexp_replace({s}, '{p}', '{r}', 'g')"
+        return f"regexp_replace({s}, '{p}', '{r}')"
+
+    tfm = "list_transform" if duck else "transform"
+    flt = "list_filter" if duck else "filter"
+    size_ = "LEN" if duck else "size"
+    join_ = "array_to_string" if duck else "array_join"
+    split_ = "string_split" if duck else "split"
+
+    # Raw-HTML synthesis from the fixture text (the ingestion
+    # stand-in): head with a MULTI-LINE script + style block (forces
+    # the (?s) block strip to really span lines), a nav line that is
+    # 100% link text, an entity-bearing headline (entities survive the
+    # tag strip precisely because they are encoded — certifying the
+    # strip-THEN-decode order), the document text as <p> lines broken
+    # at the frequent token ' line ', and a footer whose link density
+    # sits above the drop threshold despite visible non-link text.
+    nl = "chr(10)"
+    synth = (
+        "'<html><head><title>' || source || '</title>' || " + nl + " || "
+        "'<script type=\"text/javascript\">' || " + nl + " || "
+        "'var t = ' || CAST(doc_id AS STRING) || '; track(t);' || "
+        + nl + " || '</script>' || " + nl + " || "
+        "'<style>' || " + nl + " || '.m { color: #333; }' || " + nl + " || "
+        "'</style></head><body>' || " + nl + " || "
+        "'<div class=\"nav\"><a href=\"/\">Home</a> "
+        "<a href=\"/about\">About</a> <a href=\"/c\">Contact</a></div>' || "
+        + nl + " || "
+        "'<h1>Notes &amp; queries &lt;' || source || '&gt; "
+        "&quot;engine&#39;s digest&quot;&nbsp;report</h1>' || " + nl + " || "
+        "'<p>' || replace(text, ' line ', ' line</p>' || " + nl
+        + " || '<p>') || '</p>' || " + nl + " || "
+        "'<div class=\"footer\"><a href=\"/tos\">Terms of service</a> "
+        "legal</div>' || " + nl + " || '</body></html>'"
+    )
+
+    nos = rr(
+        rr("html", "(?s)<script[^>]*>.*?</script>", " "),
+        "(?s)<style[^>]*>.*?</style>",
+        " ",
+    )
+    lines = f"{split_}({nos}, chr(10))"
+
+    def vis(x: str) -> str:
+        dec = rr(x, "<[^>]*>", " ")
+        for ent, rep in (
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&nbsp;", " "),
+        ):
+            dec = f"replace({dec}, '{ent}', '{rep}')"
+        dec = f"replace({dec}, '&#39;', chr(39))"
+        dec = f"replace({dec}, '&amp;', '&')"  # ampersand LAST
+        return f"trim({rr(dec, '[ ]+', ' ')})"
+
+    def link_chars(x: str) -> str:
+        ex = f"regexp_extract_all({x}, '<a [^>]*>([^<]*)</a>', 1)"
+        if duck:
+            return (
+                "COALESCE(list_sum(list_transform("
+                f"{ex}, y -> CAST(LENGTH(y) AS BIGINT))), 0)"
+            )
+        return f"aggregate({ex}, CAST(0 AS BIGINT), (a, y) -> a + length(y))"
+
+    cond = (
+        f"LENGTH({vis('x')}) >= {HTML_MIN_LINE_CHARS} "
+        f"AND 2 * {link_chars('x')} < LENGTH({vis('x')})"
+    )
+    kept = f"{tfm}({flt}(lines, x -> {cond}), x -> {vis('x')})"
+    return {
+        "synth": synth,
+        "lines": lines,
+        "kept": kept,
+        "size": size_,
+        "join": join_,
+    }
+
+
+def html_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + the boilerplate-stripped extracted text (the column a
+    downstream quality gate consumes) + line telemetry. Map-only:
+    every step is a JVM higher-order/regex expression — zero shuffle,
+    zero Python in the row path."""
+    e = _html_extract_exprs(duck=False)
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.selectExpr("doc_id", f"{e['synth']} AS html")
+        .selectExpr("doc_id", f"{e['lines']} AS lines")
+        .selectExpr(
+            "doc_id",
+            f"CAST({e['size']}(lines) AS BIGINT) AS n_lines",
+            f"{e['kept']} AS kept",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_lines",
+            f"CAST({e['size']}(kept) AS BIGINT) AS n_kept",
+            f"{e['join']}(kept, ' ') AS extracted",
+        )
+    )
+
+
+def _html_extract_oracle() -> str:
+    e = _html_extract_exprs(duck=True)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {e["synth"]} AS html FROM documents
+    ), l AS (
+      SELECT doc_id, {e["lines"]} AS lines FROM h
+    ), k AS (
+      SELECT doc_id, CAST({e["size"]}(lines) AS BIGINT) AS n_lines,
+             {e["kept"]} AS kept
+      FROM l
+    )
+    SELECT doc_id, n_lines,
+           CAST({e["size"]}(kept) AS BIGINT) AS n_kept,
+           CAST(LENGTH({e["join"]}(kept, ' ')) AS BIGINT)
+             AS extracted_chars,
+           md5({e["join"]}(kept, ' ')) AS extracted_digest
+    FROM k
+    """
+
+
+@query("k4_html_extract", oracle=_html_extract_oracle())
+def k4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (VERDICT r10 #6 — the missing first
+    stage of a CommonCrawl-style corpus build): each document's raw
+    HTML (synthesized deterministically from the fixture text — a
+    multi-line script block, a style block, a pure-link nav, an
+    entity-bearing headline, <p>-broken body text, a link-heavy
+    footer) goes through the standard extraction pipeline:
+
+      1. remove <script>/<style> BLOCKS (dotall non-greedy — content
+         inside them is code, not text);
+      2. split into lines, strip tags to spaces;
+      3. decode the five core character entities (ampersand last, so
+         double-encoded text cannot cascade), collapse runs of
+         spaces;
+      4. line-density boilerplate filter: keep a line only if its
+         visible text has >= {HTML_MIN_LINE_CHARS} chars AND less
+         than half of those chars came from inside <a> anchors
+         (integer cross-multiply `2*link_chars < chars` — no float) —
+         the jusText/trafilatura-family density heuristic that drops
+         navs and footers while keeping prose;
+      5. join surviving lines into the extracted text.
+
+    The oracle replays the IDENTICAL pipeline generated from the SAME
+    Python template in DuckDB dialect and md5-compares the extracted
+    text, so the transform itself — regexes, entity order, filter
+    arithmetic — is hash-certified, not just the counts. The headline
+    keeps its encoded angle brackets through extraction (they decode
+    AFTER the tag strip), pinning the strip-then-decode order.
+
+    100 TB design: map-only (regex + higher-order array expressions,
+    whole-stage codegen, zero shuffle, zero Python) — extraction runs
+    at scan speed, exactly how a real CommonCrawl WET-style pass must
+    behave. Composes with the K4 quality tier: the extracted column
+    feeds k4_gopher_rules unchanged (pinned by the composition
+    pytest).
+    """
+    x = html_extracted(spark, sf_dir)
+    return x.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.length("extracted").cast("bigint").alias("extracted_chars"),
+        F.md5("extracted").alias("extracted_digest"),
+    )

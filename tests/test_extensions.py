@@ -1270,3 +1270,67 @@ def test_ahash_band_plan_thresholds():
     for n in (0, 10_000, 10_000_000):
         m, r = mm._ahash_band_plan(n)
         assert r <= m - 7
+
+
+def test_html_extract_semantics_and_gopher_composition(spark, tmp_path):
+    """k4_html_extract (r11): (a) boilerplate REALLY drops — nav and
+    footer link text never reaches the extracted column; (b) entities
+    decode AFTER the tag strip — the headline's encoded angle
+    brackets survive as literal <...> text; (c) NULL text propagates
+    NULL extraction; (d) composition: the extracted column feeds
+    k4_gopher_rules unchanged (extract -> quality gate, the first two
+    stages of a CommonCrawl-style corpus build)."""
+    from lakehouse_homeserver_spark.operators.text import (
+        html_extracted,
+        k4_gopher_rules,
+    )
+
+    d = str(tmp_path / "docs")
+    long_text = (
+        "the quick brown engine scans a line every merge pass and "
+        "the planner keeps one line of state for the shuffle while "
+        "windows stream rows over sorted batches of data"
+    )
+    spark.createDataFrame(
+        [
+            (1, long_text, "en", "srcA", len(long_text)),
+            (2, "", "en", "srcA", 0),
+            (3, None, "en", "srcB", None),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    rows = {r.doc_id: r for r in html_extracted(spark, d).collect()}
+    ex1 = rows[1].extracted
+    # boilerplate dropped: pure-link nav and link-heavy footer gone
+    for boiler in ("Home", "About", "Contact", "Terms of service"):
+        assert boiler not in ex1
+    # headline kept, entities decoded post-strip: literal <srcA>,
+    # ampersand, apostrophe all present as characters
+    assert "Notes & queries <srcA>" in ex1
+    assert 'engine\'s digest" report' in ex1
+    # body prose kept
+    assert "quick brown engine" in ex1
+    # no tags, no undecoded entities, no space runs
+    assert "<div" not in ex1 and "&amp;" not in ex1 and "  " not in ex1
+    # empty text: headline line still extracts (it is real content)
+    assert "Notes & queries <srcA>" in rows[2].extracted
+    # NULL text -> NULL html -> NULL extraction
+    assert rows[3].extracted is None and rows[3].n_lines is None
+
+    # composition: extracted text as the documents.text of stage 2
+    d2 = str(tmp_path / "extracted")
+    html_extracted(spark, d).selectExpr(
+        "doc_id",
+        "extracted AS text",
+        "'en' AS lang",
+        "'html' AS source",
+        "CAST(length(extracted) AS BIGINT) AS n_chars",
+    ).coalesce(1).write.parquet(f"{d2}/documents.parquet")
+    gop = {r.doc_id: r for r in k4_gopher_rules(spark, d2).collect()}
+    assert set(gop) == {1, 2, 3}
+    # the real document's extraction is prose: word-length and
+    # stopword rules hold (word-count band needs a bigger doc)
+    assert gop[1].r_word_len and gop[1].r_stopwords and gop[1].r_alpha_words
+    # the headline-only extraction of the empty doc fails word count
+    assert not gop[2].r_word_count and not gop[2].keep
