@@ -9,12 +9,17 @@ payloads through a pandas function without ever materializing the
 corpus in one place.
 
 The media codec libraries (PIL/librosa/av) are NOT in this
-environment, so the actual decode is stubbed behind a try-import with
-a deterministic fallback (`decode_image_batch`) — the Spark-side
-plumbing (schema, partitioning, UDF signature, Arrow batch shape) is
-real and tested. The fallback derives "features" from the payload
-bytes themselves, which makes the whole pipeline oracle-checkable:
-the DuckDB oracle reproduces the same features from the same bytes.
+environment. The codecs this module needs are implemented from their
+public specs instead: PPM/P6 (header parse + reshape), PNG (W3C —
+zlib inflate, CRC chunks, all five scanline filters), baseline JPEG
+(ITU-T T.81 — Huffman, DCT, 4:2:0; see functions/jpeg.py), WAV/RIFF
+and u8 PCM. Formats beyond those (GIF/WebP/TIFF, MP3/AAC, video
+codecs) stay behind loud NotImplementedError seams. The generic
+feature kernel (`decode_features_batches`) additionally keeps a
+deterministic byte-level fallback so the PLUMBING certificate
+(schema, partitioning, Arrow batch shape) is payload-agnostic and
+oracle-checkable: the DuckDB oracle reproduces the same features
+from the same bytes.
 """
 
 from __future__ import annotations
@@ -68,16 +73,25 @@ DECODE_SCHEMA = StructType(
 )
 
 
-def _decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decode path — requires an image codec, absent here."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "deterministic fallback features are used instead"
-        ) from exc
-    raise NotImplementedError("wire PIL decode here on a real cluster")
+def _decode_image_real(payload: bytes):
+    """Format-sniffing image decode over the REAL from-spec codecs:
+    PNG (r10, stdlib zlib + numpy unfilter) and baseline JPEG (r11,
+    functions/jpeg.py — Huffman + IDCT). Formats with no decoder in
+    this environment (GIF, WebP, TIFF, ...) stay behind the loud
+    NotImplementedError seam, named — never a silent fake."""
+    b = bytes(payload)
+    if b[:8] == PNG_SIG:
+        return png_decode(b)
+    if b[:2] == b"\xff\xd8":
+        from ..functions.jpeg import jpeg_decode_baseline
+
+        return jpeg_decode_baseline(b)
+    sniff = b[:4].hex()
+    raise NotImplementedError(
+        f"no decoder for image format (magic {sniff}); PNG and "
+        "baseline JPEG are implemented from spec, other codecs need "
+        "a library absent from this environment"
+    )
 
 
 def decode_features_batches(batches: Iterator, _nothing=None):
@@ -384,10 +398,10 @@ def decode_ppm_batches(batches: Iterator, _nothing=None):
     pixel buffer as a (h, w, 3) uint8 array with numpy, and emits
     per-channel means — the same steps PIL/imageio would perform for
     an uncompressed format, with zero external codec dependency.
-    PNG now has a real stdlib-zlib decode too (png_decode_rgb, r10);
-    only entropy-coded formats (JPEG) still require a codec library
-    and keep the loud NotImplementedError path in
-    _decode_image_real."""
+    PNG has a real stdlib-zlib decode (png_decode_rgb, r10) and
+    baseline JPEG a real Huffman+IDCT decode (functions/jpeg.py,
+    r11); only out-of-scope formats keep the loud
+    NotImplementedError path in _decode_image_real."""
     import numpy as np
     import pandas as pd
 
@@ -463,8 +477,8 @@ def k5_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift and the DuckDB oracle (recomputing the channel means from
     the same cycled text bytes via ascii(substring(...))) hash-matches
     bit-for-bit. Upgrade over the r1 stub: the decode step itself is
-    now real for uncompressed formats; only compressed codecs remain
-    behind the loud NotImplementedError seam.
+    real (compressed formats too — PNG since r10, baseline JPEG since
+    r11; only out-of-scope codecs keep the loud seam).
 
     Scale shape: one map-only mapInPandas pass, payload never
     shuffled; at 100 TB the decode parallelism is the scan
@@ -829,8 +843,9 @@ def k5_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two chained map-only mapInPandas passes (encode
     stand-in, decode) fused into one stage — payload never shuffles;
     at 100 TB decode parallelism is scan parallelism, per-image work
-    is O(pixels). JPEG stays behind the loud NotImplementedError seam
-    (DCT entropy coding needs a codec library); PNG no longer does.
+    is O(pixels). Baseline JPEG gained its own from-spec decode
+    certificate in r11 (k5_jpeg_decode); neither compressed format
+    is a seam anymore.
     """
     d = T(spark, sf_dir, "documents")
     body = F.expr("rpad(text || ' x', 192, text || ' x')")
@@ -1111,8 +1126,8 @@ def k5_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for.
 
     Same scale shape as every K5 op: Arrow-batched mapInPandas,
-    map-only, payload bytes never shuffle. Real compressed codecs
-    stay behind the documented NotImplementedError seam; container
+    map-only, payload bytes never shuffle. Compressed AUDIO codecs
+    (MP3/AAC) stay behind the documented seam; container
     parsing (RIFF here, like the P6 header parse for images) is the
     part a 100 TB media pipeline runs BEFORE any codec."""
     m = media_table(spark, sf_dir)
@@ -1137,18 +1152,10 @@ AHASH_MAX_HAMMING = 7  # pairs with distance <= 7 are "near-dup"
 # sizes the 256-value byte buckets saturate (measured 5.2x at 10x
 # corpus in the r3 scale smoke), so candidate generation widens to
 # the multi-index-hashing combinatorial form — see _ahash_band_plan.
-_AHASH_SQL = """
-    WITH img AS (
-      SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
-      FROM documents
-    ), g AS (
-      SELECT doc_id,
-             list_transform(range(0, 64), i ->
-               ascii(substring(body, 1 + 3 * i, 1))
-               + ascii(substring(body, 2 + 3 * i, 1))
-               + ascii(substring(body, 3 + 3 * i, 1))) AS grays
-      FROM img
-    ), b AS (
+# grays -> mean-threshold bits -> 8 band bytes: the CTE tail shared
+# by every aHash oracle (PPM, PNG, and the mixed PNG/JPEG corpus —
+# r11 refactor so a banding edit cannot drift one oracle silently).
+_AHASH_BANDS_SQL = """, b AS (
       SELECT doc_id, grays, list_sum(grays) AS total,
              list_transform(grays, x ->
                CASE WHEN x * 64 > list_sum(grays) THEN 1 ELSE 0 END) AS bits
@@ -1161,6 +1168,22 @@ _AHASH_SQL = """
       FROM b
     )
 """
+
+_AHASH_SQL = (
+    """
+    WITH img AS (
+      SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i ->
+               ascii(substring(body, 1 + 3 * i, 1))
+               + ascii(substring(body, 2 + 3 * i, 1))
+               + ascii(substring(body, 3 + 3 * i, 1))) AS grays
+      FROM img
+    )"""
+    + _AHASH_BANDS_SQL
+)
 
 # The candidate-pairs + exact-Hamming tail shared VERBATIM by
 # k5_ahash_near_dup and k5_png_near_dup (r10 review: a copy would let
@@ -1478,5 +1501,334 @@ def k5_png_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = png.mapInPandas(png_ahash_batches, AHASH_SCHEMA).localCheckpoint(
         eager=True
     )
+    m, r = _ahash_band_plan(hashes.count())
+    return _ahash_candidate_pairs(hashes, m, r)
+
+
+# ---------------------------------------------------------------------------
+# K5 — REAL entropy-coded codec: baseline JPEG (ITU-T T.81), stdlib+numpy
+# ---------------------------------------------------------------------------
+
+JPEG_W = 32
+JPEG_H = 32
+JPEG_QUADS = 16  # 4x4 grid of 8x8 blocks; Y constant per block
+
+JPEG_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("quad_hex", StringType()),
+    ]
+)
+
+
+def jpeg_encode_batches(batches: Iterator, _nothing=None):
+    """Ingestion stand-in: 18 text-derived bytes per row -> a REAL
+    baseline 4:2:0 JPEG file. Bytes 1-16 are the Y constants of the
+    image's 16 8x8 blocks, bytes 17/18 the global Cb/Cr — the
+    block-constant construction under which the float DCT chain is
+    exactly invertible (see functions/jpeg.py), so the decode
+    certificate can be bit-exact despite JPEG being lossy in
+    general. The entropy machinery exercised is complete: 4 MCUs,
+    cross-MCU DC prediction on three components, EOB coding, byte
+    stuffing, all four Annex K Huffman tables."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.jpeg import jpeg_encode_baseline
+
+    def one(b):
+        if b is None:
+            return None
+        a = np.frombuffer(bytes(b)[:18], dtype=np.uint8)
+        y = np.repeat(np.repeat(a[:16].reshape(4, 4), 8, 0), 8, 1)
+        cb = np.full((JPEG_H // 2, JPEG_W // 2), a[16], np.uint8)
+        cr = np.full((JPEG_H // 2, JPEG_W // 2), a[17], np.uint8)
+        return jpeg_encode_baseline(y, cb, cr)
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [one(p) for p in pdf["pixels"]],
+            }
+        )
+
+
+def jpeg_decode_batches(batches: Iterator, _nothing=None):
+    """Arrow-batched REAL JPEG decode: full marker walk, Huffman
+    decode, dequantize, IDCT, 4:2:0 upsample, YCbCr->RGB. Emits the
+    RGB of each 8x8 block's top-left pixel (blocks are constant by
+    construction) as 48 hex bytes. NULL payload -> all-NULL row."""
+    import pandas as pd
+
+    from ..functions.jpeg import jpeg_decode_baseline
+
+    def one(p):
+        if p is None:
+            return (None, None, None)
+        px = jpeg_decode_baseline(p)
+        if px.ndim != 3 or px.shape != (JPEG_H, JPEG_W, 3):
+            raise ValueError(f"unexpected decoded shape {px.shape}")
+        return (
+            JPEG_W,
+            JPEG_H,
+            bytes(px[::8, ::8].reshape(-1)).hex(),
+        )
+
+    for pdf in batches:
+        out = [one(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.array([o[0] for o in out], dtype="Int64"),
+                "height": pd.array([o[1] for o in out], dtype="Int64"),
+                "quad_hex": [o[2] for o in out],
+            }
+        )
+
+
+def _jpeg_rgb_val_sql(chan: str, ybyte: str) -> str:
+    """DuckDB BIGINT expr for one decoded channel of a block: the
+    JFIF YCbCr->RGB formula with floor(x+0.5) rounding and [0,255]
+    clamp — the exact double ops the decoder performs on the same
+    ints."""
+    cb = "ascii(substring(body, 17, 1))"
+    cr = "ascii(substring(body, 18, 1))"
+    if chan == "r":
+        v = f"{ybyte} + 1.402 * ({cr} - 128)"
+    elif chan == "g":
+        v = f"{ybyte} - 0.344136 * ({cb} - 128) - 0.714136 * ({cr} - 128)"
+    else:
+        v = f"{ybyte} + 1.772 * ({cb} - 128)"
+    return f"CAST(LEAST(255, GREATEST(0, FLOOR({v} + 0.5))) AS BIGINT)"
+
+
+def _jpeg_rgb_sql(chan: str, ybyte: str) -> str:
+    return f"lpad(lower(hex({_jpeg_rgb_val_sql(chan, ybyte)})), 2, '0')"
+
+
+@query(
+    "k5_jpeg_decode",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN body IS NULL THEN NULL ELSE {JPEG_W} END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN body IS NULL THEN NULL ELSE {JPEG_H} END
+                AS BIGINT) AS height,
+           -- the NULL-body guard must be explicit: DuckDB's
+           -- GREATEST(0, NULL) is 0 (NULL-ignoring), so the clamp
+           -- would otherwise turn a NULL payload into '00' channels
+           CASE WHEN body IS NULL THEN NULL ELSE
+             (SELECT string_agg(
+                {_jpeg_rgb_sql("r", "ascii(substring(body, CAST(q + 1 AS INTEGER), 1))")}
+                || {_jpeg_rgb_sql("g", "ascii(substring(body, CAST(q + 1 AS INTEGER), 1))")}
+                || {_jpeg_rgb_sql("b", "ascii(substring(body, CAST(q + 1 AS INTEGER), 1))")},
+                '' ORDER BY q)
+              FROM UNNEST(range({JPEG_QUADS})) AS t(q))
+           END AS quad_hex
+    FROM img
+    """,
+)
+def k5_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL entropy-coded JPEG decode over a binary column
+    (VERDICT r10 #3 — closes the LAST codec seam): each row's 18
+    text-derived bytes become a genuine baseline-sequential 4:2:0
+    JPEG (SOI/DQT/SOF0/DHT/SOS markers, Annex K Huffman tables,
+    cross-MCU DC prediction, byte-stuffed entropy stream — built by
+    the from-spec encoder in functions/jpeg.py), and the decoder then
+    actually decodes it: marker/segment walk, canonical Huffman
+    decode, dequantize, dezigzag, float IDCT, chroma upsample,
+    YCbCr->RGB with floor(x+0.5)/clamp. The DuckDB oracle never
+    parses JPEG — it recomputes the expected RGB straight from the
+    bytes via the same color formula (identical double ops on
+    identical ints), so a hash match certifies the whole
+    Huffman/DCT/color chain bit-for-bit. Bit-exactness despite JPEG's
+    lossiness comes from the block-constant construction: a constant
+    8x8 block quantizes to a lone integer DC (every float AC residue
+    ~1e-13 rounds to 0) and inverts exactly. Arbitrary images are
+    near-lossless at quantizer 1 (|err| <= 3, pinned by pytest).
+
+    Scale shape: identical to k5_png_decode — two chained map-only
+    Arrow-batched mapInPandas passes; payload never shuffles; decode
+    parallelism is scan parallelism, per-image work O(pixels).
+    Progressive/arithmetic/12-bit/DRI variants stay loud ValueErrors
+    (functions/jpeg.py names each).
+    """
+    d = T(spark, sf_dir, "documents")
+    body = F.expr("rpad(text || ' x', 192, text || ' x')")
+    # Spread past the fixtures' single-split scan (same rationale as
+    # k5_png_near_dup): the codec kernel is ~1.2 ms/image of pure
+    # Python/numpy, so its parallelism must be core-count, not
+    # file-split-count; the exchanged rows are (id, 18-used bytes),
+    # pre-payload.
+    src = d.select(
+        "doc_id", F.encode(body, "UTF-8").alias("pixels")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    jpg = src.mapInPandas(
+        jpeg_encode_batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    return jpg.mapInPandas(jpeg_decode_batches, JPEG_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# K5 — mixed-format compressed-media near-dup (PNG + JPEG corpus)
+# ---------------------------------------------------------------------------
+
+_JPEG_QUAD_OF_CELL = "((((i // 8) // 2) * 4) + ((i % 8) // 2))"
+_JPEG_YBYTE = (
+    f"ascii(substring(body, CAST({_JPEG_QUAD_OF_CELL} + 1 AS INTEGER), 1))"
+)
+
+_MEDIA_MIXED_GRAYS_SQL = f"""
+    WITH img AS (
+      SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN
+               list_transform(range(0, 64), i ->
+                 ascii(substring(body, 1 + 3 * i, 1))
+                 + ascii(substring(body, 2 + 3 * i, 1))
+                 + ascii(substring(body, 3 + 3 * i, 1)))
+             ELSE
+               list_transform(range(0, 64), i ->
+                 16 * ({_jpeg_rgb_val_sql("r", _JPEG_YBYTE)}
+                       + {_jpeg_rgb_val_sql("g", _JPEG_YBYTE)}
+                       + {_jpeg_rgb_val_sql("b", _JPEG_YBYTE)}))
+             END AS grays
+      FROM img
+    )"""
+
+
+def media_mixed_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed compressed-media corpus: even doc_ids carry a real
+    PNG (8x8 RGB, zlib IDAT, 5-filter scanlines), odd doc_ids a real
+    baseline 4:2:0 JPEG (quadrant-constant 32x32) — the honest shape
+    of a crawled image corpus, where the dedup stage cannot assume
+    one codec. Payload synthesis is the same pre-encode repartition
+    + Arrow-batched mapInPandas as the single-format pipelines."""
+    d = T(spark, sf_dir, "documents")
+    body = F.expr("rpad(text || ' x', 192, text || ' x')")
+    src = d.select(
+        "doc_id", F.encode(body, "UTF-8").alias("pixels")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def encode_mixed(batches: Iterator, _nothing=None):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.jpeg import jpeg_encode_baseline
+
+        def one(doc_id, b):
+            if b is None:
+                return None
+            b = bytes(b)
+            if doc_id % 2 == 0:
+                return png_encode_rgb(
+                    np.frombuffer(b[:192], dtype=np.uint8).reshape(
+                        PPM_H, PPM_W, _PNG_BPP
+                    )
+                )
+            a = np.frombuffer(b[:18], dtype=np.uint8)
+            y = np.repeat(np.repeat(a[:16].reshape(4, 4), 8, 0), 8, 1)
+            cb = np.full((JPEG_H // 2, JPEG_W // 2), a[16], np.uint8)
+            cr = np.full((JPEG_H // 2, JPEG_W // 2), a[17], np.uint8)
+            return jpeg_encode_baseline(y, cb, cr)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        one(i, p)
+                        for i, p in zip(pdf["doc_id"], pdf["pixels"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        encode_mixed,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+@query(
+    "k5_media_near_dup",
+    oracle=f"{_MEDIA_MIXED_GRAYS_SQL}{_AHASH_BANDS_SQL}{_AHASH_PAIRS_SQL}",
+)
+def k5_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format compressed-media dedup (VERDICT r10 #3's second
+    half — 'extend the near-dup pipeline to a mixed PNG/JPEG
+    corpus'): half the corpus arrives as PNG files, half as baseline
+    JPEGs; the hash kernel SNIFFS each payload's magic, runs the
+    matching REAL decoder (zlib+unfilter or Huffman+IDCT), normalizes
+    both to the same 8x8 aHash cell grid — PNG pixels 1:1, the 32x32
+    JPEG box-summed 4x4 per cell with pure-integer sums — and feeds
+    one banded near-dup join across formats. This is the actual
+    multimodal-corpus contract: near-dup candidates must surface
+    regardless of which codec a crawler stored.
+
+    The DuckDB oracle recomputes both formats' cell grays straight
+    from the source bytes (the PNG path byte-identity, the JPEG path
+    via the same YCbCr->RGB double ops the decoder performs) and
+    replays the shared banding SQL, so a hash match certifies BOTH
+    decoders through the dedup consumer in one verdict. NULL-text
+    rows are no-crash-only, like k5_ahash_near_dup (the fixture
+    carries none; the kernel drops them).
+
+    100 TB design: identical to k5_png_near_dup — pre-encode
+    repartition (18-192-byte pixel rows), one Arrow-batched map-only
+    encode+decode+hash pass, band-bucket equi-join as the only
+    data-sized shuffle, corpus-scaled banding via _ahash_band_plan;
+    the sniff adds one magic-bytes branch per image."""
+    png_or_jpg = media_mixed_payloads(spark, sf_dir)
+
+    def mixed_ahash_batches(batches: Iterator, _nothing=None):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.jpeg import jpeg_decode_baseline
+
+        def gray_cells(p):
+            p = bytes(p)
+            if p[:8] == PNG_SIG:
+                px = png_decode_rgb(p).astype(np.int64)
+                return px.sum(axis=2).reshape(-1)
+            if p[:2] == b"\xff\xd8":
+                px = jpeg_decode_baseline(p).astype(np.int64)
+                return (
+                    px.reshape(8, 4, 8, 4, 3).sum(axis=(1, 3, 4)).reshape(-1)
+                )
+            raise ValueError("unknown media payload magic")
+
+        for pdf in batches:
+            mask = pdf["payload"].notna()
+            if not mask.all():
+                pdf = pdf[mask]
+            if not len(pdf):
+                continue
+            gray = np.stack([gray_cells(p) for p in pdf["payload"]])
+            yield _gray_to_band_frame(pdf["doc_id"], gray)
+
+    hashes = png_or_jpg.mapInPandas(
+        mixed_ahash_batches, AHASH_SCHEMA
+    ).localCheckpoint(eager=True)
     m, r = _ahash_band_plan(hashes.count())
     return _ahash_candidate_pairs(hashes, m, r)

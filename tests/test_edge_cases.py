@@ -45,6 +45,9 @@ EMPTY_SAFE = [
     "k5_multimodal_features",
     "k5_frame_sample",
     "k5_resize_real",
+    "k5_jpeg_decode",
+    "k5_media_near_dup",
+    "k4_html_extract",
     "k6_hash_split",
     "k6_uniform_sample",
     "k7_training_corpus",
@@ -277,6 +280,8 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
         "k5_multimodal_features",
         "k5_multimodal_meta",
         "k5_resize_real",
+        "k5_jpeg_decode",
+        "k4_html_extract",
         "k5_wav_decode",
         "k5_pcm_frames",
         "k5_frame_sample",
@@ -301,6 +306,7 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
     # no-crash contract for the geometry-bound kernels
     assert qs["k5_ppm_decode"](spark, d).count() == 3
     assert qs["k5_ahash_near_dup"](spark, d).count() >= 0
+    assert qs["k5_media_near_dup"](spark, d).count() >= 0
     con.close()
 
 

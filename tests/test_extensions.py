@@ -119,12 +119,30 @@ def test_embedding_near_dup_pairs_verified(spark, sf_dir):
         assert r.vec_a < r.vec_b
 
 
-def test_multimodal_decode_stub_raises(spark, sf_dir):
-    """The real codec path must fail loudly, not silently fake."""
+def test_multimodal_decode_dispatch_and_seam(spark, sf_dir):
+    """_decode_image_real (r11): dispatches by magic to the REAL
+    from-spec codecs (PNG, baseline JPEG) and fails loudly — naming
+    the gap — for formats with no decoder in this environment."""
+    import numpy as np
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        multimodal._decode_image_real(b"\x89PNG...")
+    px = (np.arange(8 * 8 * 3) % 256).astype(np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(
+        multimodal._decode_image_real(multimodal.png_encode_rgb(px)), px
+    )
+    from lakehouse_homeserver_spark.functions.jpeg import (
+        jpeg_encode_baseline,
+    )
+
+    g = np.repeat(np.repeat(np.array([[7, 200]], np.uint8), 8, 0), 8, 1)
+    assert np.array_equal(
+        multimodal._decode_image_real(jpeg_encode_baseline(g)), g
+    )
+    with pytest.raises(NotImplementedError, match="magic 47494638"):
+        multimodal._decode_image_real(b"GIF89a" + b"\x00" * 16)
+    # a corrupt payload of a SUPPORTED format still raises ValueError
+    with pytest.raises(ValueError):
+        multimodal._decode_image_real(multimodal.PNG_SIG + b"garbage")
 
 
 def test_frame_sample_shape(spark, sf_dir):
@@ -1334,3 +1352,169 @@ def test_html_extract_semantics_and_gopher_composition(spark, tmp_path):
     assert gop[1].r_word_len and gop[1].r_stopwords and gop[1].r_alpha_words
     # the headline-only extraction of the empty doc fails word count
     assert not gop[2].r_word_count and not gop[2].keep
+
+
+def test_jpeg_codec_round_trips_and_near_lossless():
+    """The from-spec baseline JPEG pair (r11, VERDICT r10 #3):
+    (a) block-constant images — the certificate construction — are
+    EXACTLY invertible through the full Huffman/DCT chain (4:2:0
+    color and grayscale); (b) arbitrary images at quantizer 1 are
+    near-lossless (|err| <= 2 per Y sample, <= 3 per RGB channel
+    after the color transform) — the two bounded rounding steps are
+    the only loss; (c) the stream is a structurally real JPEG
+    (markers present, byte stuffing intact)."""
+    import numpy as np
+
+    from lakehouse_homeserver_spark.functions import jpeg as J
+
+    rng = np.random.RandomState(11)
+    # (a) block-constant 4:2:0: exact through YCbCr->RGB
+    yq = rng.randint(0, 256, size=(4, 4), dtype=np.uint8)
+    y = np.repeat(np.repeat(yq, 8, 0), 8, 1)  # 32x32
+    cb = np.full((16, 16), 90, np.uint8)
+    cr = np.full((16, 16), 170, np.uint8)
+    blob = J.jpeg_encode_baseline(y, cb, cr)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert b"\xff\xc0" in blob and b"\xff\xc4" in blob
+    rgb = J.jpeg_decode_baseline(blob)
+    yf = y.astype(np.float64)
+    want = np.stack(
+        [
+            np.clip(np.floor(yf + 1.402 * (170 - 128) + 0.5), 0, 255),
+            np.clip(
+                np.floor(
+                    yf
+                    - 0.344136 * (90 - 128)
+                    - 0.714136 * (170 - 128)
+                    + 0.5
+                ),
+                0,
+                255,
+            ),
+            np.clip(np.floor(yf + 1.772 * (90 - 128) + 0.5), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    assert np.array_equal(rgb, want)
+    # (a') grayscale block-constant: exact, 2D shape
+    g = np.repeat(np.repeat(rng.randint(0, 256, (2, 3), np.uint8), 8, 0), 8, 1)
+    assert np.array_equal(
+        J.jpeg_decode_baseline(J.jpeg_encode_baseline(g)), g
+    )
+    # (b) arbitrary grayscale: |err| <= 2
+    ga = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    out = J.jpeg_decode_baseline(J.jpeg_encode_baseline(ga))
+    assert np.abs(out.astype(int) - ga.astype(int)).max() <= 2
+    # (b') arbitrary 4:4:4 color: |err| <= 3 vs the float-converted
+    # original
+    y3 = rng.randint(0, 256, (16, 16), np.uint8)
+    cb3 = rng.randint(0, 256, (16, 16), np.uint8)
+    cr3 = rng.randint(0, 256, (16, 16), np.uint8)
+    out3 = J.jpeg_decode_baseline(J.jpeg_encode_baseline(y3, cb3, cr3))
+    yf, cbf, crf = (a.astype(np.float64) for a in (y3, cb3, cr3))
+    want3 = np.stack(
+        [
+            np.clip(np.floor(yf + 1.402 * (crf - 128) + 0.5), 0, 255),
+            np.clip(
+                np.floor(
+                    yf
+                    - 0.344136 * (cbf - 128)
+                    - 0.714136 * (crf - 128)
+                    + 0.5
+                ),
+                0,
+                255,
+            ),
+            np.clip(np.floor(yf + 1.772 * (cbf - 128) + 0.5), 0, 255),
+        ],
+        axis=2,
+    )
+    assert np.abs(out3.astype(int) - want3.astype(int)).max() <= 3
+
+
+def test_jpeg_decoder_fails_loudly_on_unsupported_and_corrupt():
+    """Loud-failure posture for the entropy-coded codec: structural
+    corruption and every unsupported variant raise ValueError NAMING
+    the problem. (JPEG carries no CRC, so PNG's any-flip-raises
+    property is impossible by format design — see the flip-posture
+    test below for what IS guaranteed.)"""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from lakehouse_homeserver_spark.functions import jpeg as J
+
+    y = np.repeat(np.repeat(np.arange(4, dtype=np.uint8).reshape(2, 2) * 50, 8, 0), 8, 1)
+    cb = np.full((8, 8), 100, np.uint8)
+    cr = np.full((8, 8), 150, np.uint8)
+    good = J.jpeg_encode_baseline(y, cb, cr)
+    assert J.jpeg_decode_baseline(good).shape == (16, 16, 3)
+
+    with _pytest.raises(ValueError, match="SOI"):
+        J.jpeg_decode_baseline(b"\x89PNG" + good[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        J.jpeg_decode_baseline(good[:40])
+    with _pytest.raises(ValueError, match="EOI"):
+        J.jpeg_decode_baseline(good[:-2])
+    # progressive frame header named
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="progressive"):
+        J.jpeg_decode_baseline(prog)
+    # arithmetic coding named
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with _pytest.raises(ValueError, match="arithmetic"):
+        J.jpeg_decode_baseline(arith)
+    # restart interval named
+    sof_at = good.index(b"\xff\xc0")
+    dri = good[:sof_at] + b"\xff\xdd" + struct.pack(">HH", 4, 8) + good[sof_at:]
+    with _pytest.raises(ValueError, match="DRI"):
+        J.jpeg_decode_baseline(dri)
+    # 12-bit precision named
+    deep = bytearray(good)
+    deep[sof_at + 4] = 12
+    with _pytest.raises(ValueError, match="12-bit"):
+        J.jpeg_decode_baseline(bytes(deep))
+    # 16-bit quantizer named
+    dqt_at = good.index(b"\xff\xdb")
+    q16 = bytearray(good)
+    q16[dqt_at + 4] = 0x10  # Pq=1
+    with _pytest.raises(ValueError, match="quantizer"):
+        J.jpeg_decode_baseline(bytes(q16))
+
+
+def test_jpeg_single_byte_flip_posture():
+    """What a checksum-less format CAN promise: flipping any single
+    byte either raises ValueError or still decodes to a valid-shaped
+    uint8 array — never a crash of another class, never a
+    wrong-shaped result. Stronger, in the entropy-coded region every
+    flipped byte except the final (pad-bearing) one must raise or
+    change the decoded pixels — a flip there rewrites coefficients,
+    and silently-identical output would mean dead bits in the
+    decoder."""
+    import numpy as np
+    import pytest as _pytest  # noqa: F401
+
+    from lakehouse_homeserver_spark.functions import jpeg as J
+
+    rng = np.random.RandomState(3)
+    y = np.repeat(np.repeat(rng.randint(0, 256, (2, 2), np.uint8), 8, 0), 8, 1)
+    cb = np.full((8, 8), 77, np.uint8)
+    cr = np.full((8, 8), 181, np.uint8)
+    good = J.jpeg_encode_baseline(y, cb, cr)
+    base = J.jpeg_decode_baseline(good)
+    sos_at = good.index(b"\xff\xda")
+    scan_start = sos_at + 2 + 12  # SOS header is 12 bytes payload+len
+    scan_end = len(good) - 2  # EOI
+    for i in range(len(good)):
+        flipped = bytearray(good)
+        flipped[i] ^= 0x5A
+        try:
+            out = J.jpeg_decode_baseline(bytes(flipped))
+        except ValueError:
+            continue
+        assert out.dtype == np.uint8 and out.shape == base.shape
+        if scan_start <= i < scan_end - 1:
+            assert not np.array_equal(out, base), (
+                f"entropy byte {i} flip was silently inert"
+            )
