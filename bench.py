@@ -23,23 +23,33 @@ from lakehouse_homeserver_spark.session import get_spark
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
+# Fixed I/O probe target: a parquet file whose SIZE does not depend
+# on $SPARK_GRAFT_SF_DIR, so the probe is fixed work across rounds.
+CANARY_IO_FILE = "/root/testdata/sf0.1/lineitem.parquet"
+
+
 def cpu_canary(spark) -> dict[str, float]:
-    """Fixed-work box-speed probe (VERDICT r9 next-round #1): the r9
-    driver sweep read +37% vs r8 with zero code explanation, and
-    nothing in the artifact could distinguish a slower box from a
-    real regression. These two fixed workloads — one pure-JVM
-    (whole-stage-codegen range aggregation, exercises the same
-    codegen+task machinery every query pays) and one pure-Python
-    (tight hash loop, the Python-worker speed every pandas-UDF query
-    pays) — cost ~2 s and scale with box speed but not with any
-    engine code path, so across rounds
+    """Fixed-work box-speed probe (VERDICT r9 next-round #1; widened
+    per VERDICT r10 #4): the r9 driver sweep read +37% vs r8 with
+    zero code explanation, and nothing in the artifact could
+    distinguish a slower box from a real regression. Three fixed
+    workloads — pure-JVM (whole-stage-codegen range aggregation),
+    pure-Python (tight hash loop, the Python-worker speed every
+    pandas-UDF query pays), and I/O-bound (scan+hash a FIXED parquet
+    file: parquet decode + page-cache/disk state, the component the
+    r10 verdict proved a pure-CPU probe cannot see — equal CPU
+    canaries, 1.47x different sweeps) — each scales with box
+    condition but not with any engine code path, so across rounds
 
         queries_slower AND canary_slower  -> box, not code
         queries_slower AND canary flat    -> real regression
 
-    Run BEFORE and AFTER the sweep: the pair also detects mid-run
-    throttling/co-tenancy drift (a big pre/post gap means the sweep
-    itself straddled a noise window)."""
+    Probes run BEFORE, AFTER, and INTERLEAVED between blocks of the
+    sweep (r10 #4: endpoint sampling straddles co-tenant noise
+    windows invisibly; the interleaved series localizes WHICH stretch
+    of the sweep a slowdown hit). `sec` stays jvm+py only — the
+    cross-round normalizer BASELINE.md has tracked since r10 —
+    io_sec is reported alongside, not folded in."""
     import hashlib
 
     # Untimed same-shape warmup: codegen/JIT for THIS expression is
@@ -58,7 +68,15 @@ def cpu_canary(spark) -> dict[str, float]:
     for _ in range(200_000):
         h = hashlib.sha256(h).digest()
     py = time.perf_counter() - t0
-    return {"jvm_sec": round(jvm, 3), "py_sec": round(py, 3)}
+
+    out = {"jvm_sec": round(jvm, 3), "py_sec": round(py, 3)}
+    if os.path.exists(CANARY_IO_FILE):
+        t0 = time.perf_counter()
+        spark.read.parquet(CANARY_IO_FILE).selectExpr(
+            "bit_xor(xxhash64(l_orderkey, l_suppkey, l_extendedprice)) AS h"
+        ).collect()
+        out["io_sec"] = round(time.perf_counter() - t0, 3)
+    return out
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -114,17 +132,51 @@ def main() -> None:
         dedup._PAIRS_MEMO.clear()
         text._BPE_MEMO.clear()
 
+    # Interleaved probes (VERDICT r10 #4): one fixed-work probe every
+    # PROBE_EVERY queries, so a co-tenant noise window that hits only
+    # part of the sweep is LOCALIZED instead of averaged away by the
+    # endpoint pair. ~1 s per probe, ~6 probes per full sweep.
+    probe_every = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_EVERY", "48"))
+    )
+    canary_series: list[dict] = []
     sweeps: list[dict[str, float]] = []
     for s in range(repeats):
         if s:
             reset_session_state()
         timings: dict[str, float] = {}
-        for name, fn in sorted(queries.items()):
+        block_start = time.perf_counter()
+        block_n = 0
+        for idx, (name, fn) in enumerate(sorted(queries.items())):
+            if idx and idx % probe_every == 0:
+                span = time.perf_counter() - block_start
+                canary_series.append(
+                    {
+                        "sweep": s,
+                        "after_n": idx,
+                        "block_sec": round(span, 3),
+                        "block_queries": block_n,
+                        **cpu_canary(spark),
+                    }
+                )
+                block_start = time.perf_counter()
+                block_n = 0
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             # Materialize every row without shipping rows to the driver.
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - start, 3)
+            block_n += 1
+        if block_n:
+            canary_series.append(
+                {
+                    "sweep": s,
+                    "after_n": len(timings),
+                    "block_sec": round(time.perf_counter() - block_start, 3),
+                    "block_queries": block_n,
+                    **cpu_canary(spark),
+                }
+            )
         sweeps.append(timings)
 
     canary_post = cpu_canary(spark)
@@ -139,6 +191,7 @@ def main() -> None:
     # — the summary survives truncation (VERDICT r4 next-round #5).
     out = {
         "queries": med,
+        "canary_series": canary_series,
         "metric": "headline_queries_total",
         "unit": "sec",
         "sf": sf_from_dir(sf_dir),
@@ -195,6 +248,17 @@ def main() -> None:
         "sec": canary_sec,
     }
     out["value_per_canary"] = round(out["value"] / canary_sec, 2)
+    # Compact tail form of the interleaved series (r10 #4): each
+    # block's wall time normalized by ITS OWN closing probe's jvm+py
+    # — a flat array means the box was steady; one spiked entry
+    # localizes a noise window to that stretch of the sweep. io_sec
+    # rides the sidecar series in full.
+    out["block_norm"] = [
+        round(
+            c["block_sec"] / max(c["jvm_sec"] + c["py_sec"], 1e-9), 1
+        )
+        for c in canary_series
+    ]
     if "r1_subset_total_sec" in out:
         out["r1_subset_per_canary"] = round(
             out["r1_subset_total_sec"] / canary_sec, 2

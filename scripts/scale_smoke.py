@@ -106,6 +106,16 @@ OPS = [
     # ratio must track the corpus (zlib+unfilter cost is per-image,
     # no shuffle anywhere).
     "k5_png_decode",
+    # round-11 additions: the baseline-JPEG round trip (same map-only
+    # shape, heavier per-image kernel — Huffman+IDCT in Python), the
+    # real resize chain, the HTML extraction pass (pure JVM regex/HOF,
+    # must scan-scale), and the mixed-format near-dup (output-volume
+    # bound: JPEG quadrant hashes live in a 2^16 space, so pair counts
+    # grow ~quadratically — per-pair cost is the honest unit).
+    "k5_jpeg_decode",
+    "k5_resize_real",
+    "k4_html_extract",
+    "k5_media_near_dup",
 ]
 
 
@@ -217,6 +227,11 @@ UNIT_OPS = {
     # with the same prose ("tracks true-pair volume"); per-PAIR cost
     # makes that claim mechanical the way it already is for ahash/cc.
     "k2_ppjoin",
+    # r11: the mixed PNG/JPEG corpus near-dup — JPEG docs hash into a
+    # 2^16-structured space (16 quadrant bits x4 replication), so
+    # true-pair volume grows ~quadratically with corpus size; total
+    # wall time legitimately exceeds 10x while per-pair cost must not.
+    "k5_media_near_dup",
 }
 UNIT_TOL = float(os.environ.get("SPARK_GRAFT_SMOKE_UNIT_TOL", "1.5"))
 
