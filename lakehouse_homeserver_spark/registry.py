@@ -27,102 +27,93 @@ _MODULES = []
 #      take the earliest latest-round entries), so session-tuning
 #      drift can't age a verdict past ~2-3 rounds unnoticed.
 #
-# ROUND-10 window = 50 names, machine-derived
+# ROUND-11 window = 50 names, machine-derived
 # (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
-# Composition (VERDICT r9 next-round #2 and #6) — (a) 2 new + (b) 3
-# edit hits + (c) 26 r2-era + (d) 19 r3-era = 50 exactly, the full
-# driver budget:
-#   (a) the round's NEW queries: k5_png_decode (real PNG decode —
-#       zlib inflate + 5-filter unapply — closing the compressed-
-#       codec seam, VERDICT r9 #4) and k5_png_near_dup (the composed
-#       compressed-media dedup pipeline); never sampled, lead the
-#       window;
-#   (b) the r10 edit hits: k5_ppm_decode (shares multimodal.py's
-#       edited decode helpers with the new PNG section),
-#       a54_pyds_pushdown (reached by the pyds.py `_file_seq`
-#       empty-map conformance fix, ADVICE r9 #1-#2 — result-neutral
-#       for well-formed engine logs, but edited-is-edited), and
-#       k5_ahash_near_dup (kernel/oracle factored into shared
-#       helpers);
-#   (c) the ENTIRE r2-era verdict-age tier (26) — including the
-#       flagship q1_pricing_summary, tpch_q5, e1_window_rank,
-#       h8_json_funcs, f2_sort_limit, f4_topk_per_group,
-#       c2_join_full_outer, d7_quantiles_approx, and the K/J-family
-#       members the judge listed explicitly so the LLM-pipeline tier
-#       keeps its rotation slots (VERDICT r9 #6): k3_knn_bruteforce,
-#       k1_dedup_exact_keep, k4_gopher_rules, j_grouped_agg_mad,
-#       j_label_dispersion, j_cogroup_medians;
-#   (d) the ENTIRE r3-era tier (19). After the r10 driver run no
-#       verdict predates r4 (<= 6 rounds old), and the next-oldest
-#       tier (25 r4-era, mostly the TPC-H batch certified in r4)
-#       fits inside one further window.
-# NO mass-touch refactors landed this round — the only package edits
-# are the PNG section in multimodal.py and the pyds.py seq-map
-# conformance fix.
+# Composition (VERDICT r10 next-round #2/#3/#5/#6) — (a) 4 new +
+# (b) 5 edit hits + (c) the ENTIRE r4-era tier (25) + (d) the 16
+# alphabetically-first of the 27-query r5-era tier = 50 exactly:
+#   (a) NEW queries, never sampled: k5_resize_real (real decode->
+#       box-downsample->re-encode, replacing the deleted digest
+#       stand-in k5_resize_stub — VERDICT r10 #2), k5_jpeg_decode
+#       (from-spec baseline JPEG, closing the last image-codec seam —
+#       r10 #3), k5_media_near_dup (mixed PNG/JPEG corpus dedup —
+#       r10 #3), k4_html_extract (HTML->text extraction — r10 #6);
+#   (b) r11 edit hits (stale_verdicts, call-graph): k5_png_decode /
+#       k5_png_near_dup (ADVICE r10 bounded-inflate + chunk-order
+#       hardening in png_decode), k5_ahash_near_dup (shares the
+#       banding SQL tail refactored for the mixed oracle),
+#       k5_ppm_decode and k5_wav_decode (reached through shared
+#       multimodal/codec helpers per the static call graph —
+#       attribution is conservative-inclusive by design);
+#   (c) the ENTIRE r4-era verdict-age tier (25): the TPC-H Q2-Q22
+#       batch certified in r4 plus d10-d12/d3_approx/a39/ts_* — after
+#       this round no verdict predates r5 (VERDICT r10 #5);
+#   (d) 16 of the r5-era tier (27), alphabetical within the tie
+#       (a40-a48 AQE/pushdown certs + the k4 text-quality family);
+#       the remaining 11 (k6/k7/sql/ts members) lead the r12 window.
 PRIORITY: tuple[str, ...] = (
-    # (a) new this round: the PNG decode cert + the composed
-    # compressed-media near-dup pipeline built on it
+    # (a) new this round
+    "k5_resize_real",
+    "k5_jpeg_decode",
+    "k5_media_near_dup",
+    "k4_html_extract",
+    # (b) r11 edit hits
     "k5_png_decode",
     "k5_png_near_dup",
-    # (b) r10 edit hits (k5_ahash_near_dup: its kernel tail + oracle
-    # pairs-SQL were factored into helpers shared with the new PNG
-    # pipeline — result-neutral, but edited-is-edited)
-    "k5_ppm_decode",
-    "a54_pyds_pushdown",
     "k5_ahash_near_dup",
-    # (c) age pool: the full r2-era tier (26)
-    "c2_join_full_outer",
-    "c3_join_anti",
-    "c4_theta_join",
-    "c6_range_join_bucketized",
-    "d13_bitmap_distinct",
-    "d4_rollup",
-    "d7_quantiles_approx",
-    "e1_window_rank",
-    "e2_window_lag_lead",
-    "e3_window_range_frame",
-    "f2_sort_limit",
-    "f4_topk_per_group",
-    "g_except_all",
-    "h13_variant",
-    "h1_interval_arith",
-    "h8_json_funcs",
-    "j_cogroup_medians",
-    "j_grouped_agg_mad",
-    "j_label_dispersion",
-    "k1_dedup_exact_keep",
-    "k3_knn_bruteforce",
-    "k4_gopher_rules",
-    "q1_pricing_summary",
-    "sql_exists_correlated",
-    "sql_grouping_sets",
-    "tpch_q5_local_supplier_volume",
-    # (d) age pool: the full r3-era tier (19)
-    "a34_profile",
-    "d17_theta_sketch_setops",
-    "d18_topn_plus_others",
-    "d3_hll_sketch_merge",
-    "d8_pivot",
-    "f5_keyset_pagination",
-    "h10_try_funcs",
-    "h11_null_semantics",
-    "h14_url_funcs",
-    "h16_xml_funcs",
-    "k5_frame_sample",
-    "k6_hash_split",
-    "k7_sequence_packing",
-    "sql_lateral_join",
-    "sql_recursive_month_spine",
-    "tpch_q12_priority_by_status",
-    "tpch_q3_shipping_priority",
-    "ts_funnel",
-    "ts_interval_merge",
+    "k5_ppm_decode",
+    "k5_wav_decode",
+    # (c) age pool: the full r4-era tier (25)
+    "a39_runtime_bloom_join",
+    "d10_histogram",
+    "d11_mode_median",
+    "d12_corr_covar",
+    "d3_approx_count_distinct",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_relationship",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_pricing",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "ts_attribution_join",
+    "ts_sliding_hll",
+    "ts_zscore_anomaly",
+    # (d) age pool: r5-era tier, 16 of 27 (alphabetical; rest lead r12)
+    "a40_agg_pushdown",
+    "a42_aqe_skew_join",
+    "a43_aqe_join_conversion",
+    "a44_aqe_coalesce",
+    "a45_reused_exchange",
+    "a46_scan_pruning",
+    "a48_codegen_partial_agg",
+    "k4_corpus_stats",
+    "k4_dataset_card",
+    "k4_fingerprint",
+    "k4_redact",
+    "k4_repetition_filter",
+    "k4_text_stats",
+    "k4_tfidf_terms",
+    "k4_token_count",
+    "k4_unigram_lm_score",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py
 # --check): queries reached by an edit since the last verdict commit
-# that did NOT fit the window. EMPTY this round - all 6 r9 edit hits
-# and all 8 r8 deferrals are in the window above.
+# that did NOT fit the window. EMPTY this round — all 9 r11 hits
+# (4 new + 5 edit-reached) are in the window above. The 11 unsampled
+# r5-era members deferred to r12 are AGE rotation, not edit hits, so
+# they carry valid (if old) verdicts and do not belong here.
 DEFERRED: dict[str, str] = {}
 
 
