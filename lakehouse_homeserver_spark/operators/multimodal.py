@@ -1589,13 +1589,17 @@ def jpeg_decode_batches(batches: Iterator, _nothing=None):
         )
 
 
-def _jpeg_rgb_val_sql(chan: str, ybyte: str) -> str:
+def _jpeg_rgb_val_sql(
+    chan: str,
+    ybyte: str,
+    cb: str = "ascii(substring(body, 17, 1))",
+    cr: str = "ascii(substring(body, 18, 1))",
+) -> str:
     """DuckDB BIGINT expr for one decoded channel of a block: the
     JFIF YCbCr->RGB formula with floor(x+0.5) rounding and [0,255]
     clamp — the exact double ops the decoder performs on the same
-    ints."""
-    cb = "ascii(substring(body, 17, 1))"
-    cr = "ascii(substring(body, 18, 1))"
+    ints. cb/cr default to the single-image payload's byte positions;
+    the MJPEG oracle passes per-frame positions."""
     if chan == "r":
         v = f"{ybyte} + 1.402 * ({cr} - 128)"
     elif chan == "g":
@@ -1832,3 +1836,187 @@ def k5_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     m, r = _ahash_band_plan(hashes.count())
     return _ahash_candidate_pairs(hashes, m, r)
+
+
+# ---------------------------------------------------------------------------
+# K5 — video rung: MJPEG frame sampling with REAL per-frame decode
+# ---------------------------------------------------------------------------
+
+MJPEG_FRAMES = 6      # frames per clip
+MJPEG_EVERY = 2       # sample every Nth frame
+MJPEG_FRAME_W = 16
+MJPEG_FRAME_H = 16
+_MJPEG_BYTES_PER_FRAME = 6  # 4 Y-block constants + Cb + Cr
+
+MJPEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("quad_hex", StringType()),
+    ]
+)
+
+
+def mjpeg_encode_batches(batches: Iterator, _nothing=None):
+    """Ingestion stand-in: 36 text-derived bytes per row -> a REAL
+    Motion-JPEG stream (MJPEG is literally concatenated baseline JPEG
+    frames — the format video pipelines split before per-frame work).
+    Frame f's 16x16 image uses bytes [6f..6f+3] as its four 8x8 Y
+    block constants and bytes [6f+4]/[6f+5] as its global Cb/Cr."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.jpeg import jpeg_encode_baseline
+
+    def one(b):
+        if b is None:
+            return None
+        a = np.frombuffer(
+            bytes(b)[: MJPEG_FRAMES * _MJPEG_BYTES_PER_FRAME],
+            dtype=np.uint8,
+        )
+        frames = []
+        for f in range(MJPEG_FRAMES):
+            fb = a[f * 6 : f * 6 + 6]
+            y = np.repeat(np.repeat(fb[:4].reshape(2, 2), 8, 0), 8, 1)
+            cb = np.full((8, 8), fb[4], np.uint8)
+            cr = np.full((8, 8), fb[5], np.uint8)
+            frames.append(jpeg_encode_baseline(y, cb, cr))
+        return b"".join(frames)
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [one(p) for p in pdf["pixels"]],
+            }
+        )
+
+
+def mjpeg_frame_batches(batches: Iterator, _nothing=None):
+    """REAL video frame sampling: split the MJPEG stream at SOI/EOI
+    boundaries (sound for baseline streams — byte stuffing guarantees
+    no raw FFD9 inside entropy data; this is exactly how MJPEG
+    splitters work), decode every MJPEG_EVERY-th frame with the full
+    baseline decoder, and emit its 4 block constants as RGB hex.
+    Frames NOT sampled are never decoded — the skip is the point of
+    frame sampling at 100 TB. One clip row fans out to
+    ceil(MJPEG_FRAMES/MJPEG_EVERY) frame rows. NULL payload -> no
+    rows (a missing clip has no frames)."""
+    import pandas as pd
+
+    from ..functions.jpeg import jpeg_decode_baseline
+
+    def frames_of(p):
+        p = bytes(p)
+        bounds = []
+        pos = 0
+        while pos < len(p):
+            if p[pos : pos + 2] != b"\xff\xd8":
+                raise ValueError(
+                    f"MJPEG stream: expected SOI at offset {pos}"
+                )
+            end = p.find(b"\xff\xd9", pos)
+            if end < 0:
+                raise ValueError("MJPEG stream: frame missing EOI")
+            bounds.append((pos, end + 2))
+            pos = end + 2
+        return bounds
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "frame_no", "width", "height", "quad_hex")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            if p is None:
+                continue
+            bounds = frames_of(p)
+            for f in range(0, len(bounds), MJPEG_EVERY):
+                s, e = bounds[f]
+                px = jpeg_decode_baseline(bytes(p)[s:e])
+                if px.shape != (MJPEG_FRAME_H, MJPEG_FRAME_W, 3):
+                    raise ValueError(f"unexpected frame shape {px.shape}")
+                out["doc_id"].append(doc_id)
+                out["frame_no"].append(f)
+                out["width"].append(MJPEG_FRAME_W)
+                out["height"].append(MJPEG_FRAME_H)
+                out["quad_hex"].append(
+                    bytes(px[::8, ::8].reshape(-1)).hex()
+                )
+        pdf_out = pd.DataFrame(out)
+        for c in ("frame_no", "width", "height"):
+            pdf_out[c] = pd.array(pdf_out[c], dtype="Int64")
+        yield pdf_out
+
+
+def _mjpeg_quad_hex_sql() -> str:
+    yb = (
+        "ascii(substring(body, CAST(f * 6 + q + 1 AS INTEGER), 1))"
+    )
+    cb = "ascii(substring(body, CAST(f * 6 + 5 AS INTEGER), 1))"
+    cr = "ascii(substring(body, CAST(f * 6 + 6 AS INTEGER), 1))"
+    return (
+        "(SELECT string_agg("
+        f"lpad(lower(hex({_jpeg_rgb_val_sql('r', yb, cb, cr)})), 2, '0')"
+        f" || lpad(lower(hex({_jpeg_rgb_val_sql('g', yb, cb, cr)})), 2, '0')"
+        f" || lpad(lower(hex({_jpeg_rgb_val_sql('b', yb, cb, cr)})), 2, '0')"
+        ", '' ORDER BY q) FROM UNNEST(range(4)) AS t(q))"
+    )
+
+
+@query(
+    "k5_mjpeg_frames",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
+      FROM documents
+      WHERE text IS NOT NULL
+    ), fr AS (
+      SELECT doc_id, body,
+             UNNEST(range(0, {MJPEG_FRAMES}, {MJPEG_EVERY})) AS f
+      FROM img
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_no,
+           CAST({MJPEG_FRAME_W} AS BIGINT) AS width,
+           CAST({MJPEG_FRAME_H} AS BIGINT) AS height,
+           {_mjpeg_quad_hex_sql()} AS quad_hex
+    FROM fr
+    """,
+)
+def k5_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-pipeline frame sampling with REAL decode (r11 — upgrades
+    the K5 video rung past k5_frame_sample's digest framing): each
+    row carries a genuine Motion-JPEG clip ({MJPEG_FRAMES} concatenated
+    baseline JPEG frames built by the from-spec encoder), and the
+    sampler does the actual work of a video ingest stage: split the
+    stream at frame boundaries (SOI scan + EOI search — sound because
+    baseline byte stuffing guarantees no raw EOI inside entropy
+    data), decode every {MJPEG_EVERY}nd frame through the full
+    Huffman/IDCT/color pipeline, and emit per-frame features; skipped
+    frames are never decoded, which is the entire economics of frame
+    sampling on a 100 TB video corpus. The DuckDB oracle recomputes
+    each sampled frame's expected RGB from the clip's source bytes
+    (same double ops), so a hash match certifies boundary detection +
+    per-frame decode + sampling stride in one verdict.
+
+    Scale shape: pre-encode repartition (36-used-byte rows), then two
+    chained map-only Arrow-batched passes with executor-side fan-out
+    (1 clip row -> {MJPEG_FRAMES // MJPEG_EVERY} frame rows); payloads
+    never shuffle. NULL-text rows carry no clip and emit no frames
+    (oracle: WHERE text IS NOT NULL)."""
+    d = T(spark, sf_dir, "documents")
+    body = F.expr("rpad(text || ' x', 192, text || ' x')")
+    src = d.select(
+        "doc_id", F.encode(body, "UTF-8").alias("pixels")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    clips = src.mapInPandas(
+        mjpeg_encode_batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    return clips.mapInPandas(mjpeg_frame_batches, MJPEG_SCHEMA)

@@ -1380,13 +1380,15 @@ GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that"]
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 15, 80
 
 
-@query(
-    "k4_gopher_rules",
-    oracle=f"""
-    WITH t AS (
+def _gopher_oracle_tail(src: str) -> str:
+    """The Gopher-gate oracle from CTE `t` onward, over any source
+    relation exposing (doc_id, text) — shared by the raw-documents
+    gate and the r11 extract->gate composition so the two oracles
+    cannot drift. Append after 'WITH ' or after earlier CTEs + ','."""
+    return f"""t AS (
       SELECT doc_id, {SQL_NORM} AS nt,
              string_split({SQL_NORM}, ' ') AS toks
-      FROM documents
+      FROM {src}
     ), m AS (
       SELECT doc_id,
              LEN(toks) AS n_words,
@@ -1409,26 +1411,13 @@ GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 15, 80
             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
             AND stopword_kinds >= 2 AND alpha_word_frac >= 0.8) AS keep
     FROM m
-    """,
-)
-def k4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style composed quality gate (Rae et al. 2021 §A1.1, the
-    standard LLM-corpus document filter; §2.K4 extension): word-count
-    band, mean-word-length band, minimum distinct-stopword presence,
-    and alphabetic-word fraction — each emitted as its own boolean
-    next to the composed `keep`, so downstream audits can see WHICH
-    rule dropped a document (the per-rule telemetry DataTrove/Dolma
-    pipelines keep).
-
-    Complements `k4_repetition_filter` (the repetition rule group) —
-    together they are the full Gopher gate.
-
-    100 TB design: one scan, zero shuffles — every rule is an array
-    expression over the token list (JVM codegen, map-only). All
-    metrics are integer-derived, so the booleans are bit-stable
-    across engines.
     """
-    d = T(spark, sf_dir, "documents")
+
+
+def gopher_gate(d: DataFrame) -> DataFrame:
+    """The Gopher rule computation over any (doc_id, text) DataFrame
+    — factored out (r11) so the extract->gate composition runs the
+    IDENTICAL gate, not a copy."""
     nt = norm_text(F.col("text"))
     toks = F.split(nt, " ")
     stop = F.array([F.lit(w) for w in GOPHER_STOPWORDS])
@@ -1460,6 +1449,30 @@ def k4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_al.alias("r_alpha_words"),
         (r_wc & r_wl & r_sw & r_al).alias("keep"),
     )
+
+
+@query(
+    "k4_gopher_rules",
+    oracle=f"WITH {_gopher_oracle_tail('documents')}",
+)
+def k4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composed quality gate (Rae et al. 2021 §A1.1, the
+    standard LLM-corpus document filter; §2.K4 extension): word-count
+    band, mean-word-length band, minimum distinct-stopword presence,
+    and alphabetic-word fraction — each emitted as its own boolean
+    next to the composed `keep`, so downstream audits can see WHICH
+    rule dropped a document (the per-rule telemetry DataTrove/Dolma
+    pipelines keep).
+
+    Complements `k4_repetition_filter` (the repetition rule group) —
+    together they are the full Gopher gate.
+
+    100 TB design: one scan, zero shuffles — every rule is an array
+    expression over the token list (JVM codegen, map-only). All
+    metrics are integer-derived, so the booleans are bit-stable
+    across engines.
+    """
+    return gopher_gate(T(spark, sf_dir, "documents"))
 
 
 BACKOFF_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
@@ -1839,3 +1852,46 @@ def k4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("extracted").cast("bigint").alias("extracted_chars"),
         F.md5("extracted").alias("extracted_digest"),
     )
+
+
+def _html_quality_oracle() -> str:
+    """Extraction CTEs + the SHARED Gopher tail over the extracted
+    text — the composed oracle is assembled from the same two
+    templates as the standalone queries, so neither stage can drift
+    from its certified form."""
+    e = _html_extract_exprs(duck=True)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {e["synth"]} AS html FROM documents
+    ), l AS (
+      SELECT doc_id, {e["lines"]} AS lines FROM h
+    ), extracted AS (
+      SELECT doc_id, {e["join"]}({e["kept"]}, ' ') AS text FROM l
+    ), {_gopher_oracle_tail("extracted")}
+    """
+
+
+@query("k4_html_quality_pipeline", oracle=_html_quality_oracle())
+def k4_html_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus front-end, driver-certified end-to-end
+    (r11): raw HTML -> boilerplate-stripped extraction
+    (`html_extracted`, the k4_html_extract stage) -> the Gopher
+    quality gate (`gopher_gate`, the k4_gopher_rules stage) applied
+    to the EXTRACTED text. This is the first two stages of every
+    CommonCrawl-style corpus build chained as one query — exactly the
+    composition a user runs, not just its parts: gate metrics are
+    computed on what extraction produced, so an extraction regression
+    (leaked tags, swallowed prose) changes keep decisions and fails
+    the hash.
+
+    Both stages are the SAME code paths as the standalone certs
+    (shared Spark helpers, oracle assembled from the same two SQL
+    templates). 100 TB design: still one scan, map-only — the
+    extraction's regex/HOF expressions and the gate's array
+    expressions fuse into one whole-stage-codegen pass, zero
+    shuffles, zero Python.
+    """
+    extracted = html_extracted(spark, sf_dir).select(
+        "doc_id", F.col("extracted").alias("text")
+    )
+    return gopher_gate(extracted)

@@ -29,8 +29,8 @@ _MODULES = []
 #
 # ROUND-11 window = 50 names, machine-derived
 # (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
-# Composition (VERDICT r10 next-round #2/#3/#5/#6) — (a) 4 new +
-# (b) 5 edit hits + (c) the ENTIRE r4-era tier (25) + (d) the 16
+# Composition (VERDICT r10 next-round #2/#3/#5/#6) — (a) 6 new +
+# (b) 6 edit hits + (c) the ENTIRE r4-era tier (25) + (d) the 13
 # alphabetically-first of the 27-query r5-era tier = 50 exactly:
 #   (a) NEW queries, never sampled: k5_resize_real (real decode->
 #       box-downsample->re-encode, replacing the deleted digest
@@ -52,12 +52,19 @@ _MODULES = []
 #       (a40-a48 AQE/pushdown certs + the k4 text-quality family);
 #       the remaining 11 (k6/k7/sql/ts members) lead the r12 window.
 PRIORITY: tuple[str, ...] = (
-    # (a) new this round
+    # (a) new this round (6: the four VERDICT items plus the two
+    # late-round compositions — k4_html_quality_pipeline chains
+    # extract->gate as one driver-certified query, k5_mjpeg_frames
+    # upgrades the video rung to real per-frame decode)
     "k5_resize_real",
     "k5_jpeg_decode",
     "k5_media_near_dup",
     "k4_html_extract",
-    # (b) r11 edit hits
+    "k4_html_quality_pipeline",
+    "k5_mjpeg_frames",
+    # (b) r11 edit hits (k4_gopher_rules: its gate body factored into
+    # the shared gopher_gate helper the composition reuses)
+    "k4_gopher_rules",
     "k5_png_decode",
     "k5_png_near_dup",
     "k5_ahash_near_dup",
@@ -89,7 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "ts_attribution_join",
     "ts_sliding_hll",
     "ts_zscore_anomaly",
-    # (d) age pool: r5-era tier, 16 of 27 (alphabetical; rest lead r12)
+    # (d) age pool: r5-era tier, 13 of 27 (alphabetical; rest lead r12)
     "a40_agg_pushdown",
     "a42_aqe_skew_join",
     "a43_aqe_join_conversion",
@@ -103,9 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "k4_redact",
     "k4_repetition_filter",
     "k4_text_stats",
-    "k4_tfidf_terms",
-    "k4_token_count",
-    "k4_unigram_lm_score",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py

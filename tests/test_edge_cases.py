@@ -48,6 +48,8 @@ EMPTY_SAFE = [
     "k5_jpeg_decode",
     "k5_media_near_dup",
     "k4_html_extract",
+    "k4_html_quality_pipeline",
+    "k5_mjpeg_frames",
     "k6_hash_split",
     "k6_uniform_sample",
     "k7_training_corpus",
@@ -281,7 +283,9 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
         "k5_multimodal_meta",
         "k5_resize_real",
         "k5_jpeg_decode",
+        "k5_mjpeg_frames",
         "k4_html_extract",
+        "k4_html_quality_pipeline",
         "k5_wav_decode",
         "k5_pcm_frames",
         "k5_frame_sample",

@@ -1518,3 +1518,85 @@ def test_jpeg_single_byte_flip_posture():
             assert not np.array_equal(out, base), (
                 f"entropy byte {i} flip was silently inert"
             )
+
+
+def test_mjpeg_stream_split_and_corruption():
+    """k5_mjpeg_frames' stream splitter (r11): frame boundaries found
+    by honest SOI/EOI scanning; the sampled frames decode to their
+    per-frame constants; a stream whose frame lacks its SOI (mid-
+    stream corruption) or whose tail is truncated raises ValueError;
+    and skipped frames are genuinely skipped (a corrupt UNSAMPLED
+    frame body that still carries valid SOI/EOI markers does not
+    crash the sampler — it is never decoded)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+    from lakehouse_homeserver_spark.functions.jpeg import (
+        jpeg_encode_baseline,
+    )
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 256, 36, dtype=np.uint8)
+    frames = []
+    for f in range(6):
+        fb = vals[f * 6 : f * 6 + 6]
+        y = np.repeat(np.repeat(fb[:4].reshape(2, 2), 8, 0), 8, 1)
+        frames.append(
+            jpeg_encode_baseline(
+                y,
+                np.full((8, 8), fb[4], np.uint8),
+                np.full((8, 8), fb[5], np.uint8),
+            )
+        )
+    clip = b"".join(frames)
+    out = pd.concat(
+        mm.mjpeg_frame_batches(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [clip]})])
+        )
+    )
+    assert list(out.frame_no) == [0, 2, 4]
+    # frame 2's quad RGB matches its encoded constants
+    fb = vals[12:18].astype(np.float64)
+    r = np.clip(np.floor(fb[:4] + 1.402 * (fb[5] - 128) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(
+            fb[:4] - 0.344136 * (fb[4] - 128) - 0.714136 * (fb[5] - 128) + 0.5
+        ),
+        0,
+        255,
+    )
+    b = np.clip(np.floor(fb[:4] + 1.772 * (fb[4] - 128) + 0.5), 0, 255)
+    want = b"".join(
+        bytes([int(r[q]), int(g[q]), int(b[q])]) for q in range(4)
+    ).hex()
+    assert out[out.frame_no == 2].iloc[0].quad_hex == want
+
+    # mid-stream garbage where an SOI should be
+    bad = frames[0] + b"JUNK" + b"".join(frames[1:])
+    with _pytest.raises(ValueError, match="expected SOI"):
+        list(
+            mm.mjpeg_frame_batches(
+                iter([pd.DataFrame({"doc_id": [1], "payload": [bad]})])
+            )
+        )
+    # truncated final frame
+    with _pytest.raises(ValueError, match="EOI"):
+        list(
+            mm.mjpeg_frame_batches(
+                iter([pd.DataFrame({"doc_id": [1], "payload": [clip[:-4]]})])
+            )
+        )
+    # corrupt an UNSAMPLED frame's entropy interior (frame 1): marker
+    # structure intact, so the splitter passes it and the sampler
+    # never decodes it
+    f1 = bytearray(frames[1])
+    f1[f1.index(b"\xff\xda") + 14] ^= 0x10
+    clip2 = frames[0] + bytes(f1) + b"".join(frames[2:])
+    out2 = pd.concat(
+        mm.mjpeg_frame_batches(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [clip2]})])
+        )
+    )
+    assert list(out2.frame_no) == [0, 2, 4]
