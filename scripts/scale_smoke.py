@@ -116,6 +116,11 @@ OPS = [
     "k5_resize_real",
     "k4_html_extract",
     "k5_media_near_dup",
+    # late-r11: the extract->gate composition (must stay scan-bound —
+    # one fused map-only pass) and the MJPEG sampler (6-frame encode,
+    # 3-frame decode per clip, executor-side fan-out).
+    "k4_html_quality_pipeline",
+    "k5_mjpeg_frames",
 ]
 
 
