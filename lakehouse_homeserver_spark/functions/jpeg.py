@@ -305,6 +305,12 @@ def jpeg_encode_baseline(y: np.ndarray, cb: np.ndarray | None = None,
     else:
         cb = np.asarray(cb, dtype=np.uint8)
         cr = np.asarray(cr, dtype=np.uint8)
+        if cr.shape != cb.shape:
+            # loud-failure posture (r11 review #2): numpy slicing
+            # would silently crop a mismatched cr to the cb grid
+            raise ValueError(
+                f"cr shape {cr.shape} != cb shape {cb.shape}"
+            )
         if cb.shape == (h, w):
             if h % 8 or w % 8:
                 raise ValueError("4:4:4 dims must be multiples of 8")

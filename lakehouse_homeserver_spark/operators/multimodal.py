@@ -1174,6 +1174,7 @@ _AHASH_SQL = (
     WITH img AS (
       SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
       FROM documents
+      WHERE text IS NOT NULL
     ), g AS (
       SELECT doc_id,
              list_transform(range(0, 64), i ->
@@ -1523,35 +1524,41 @@ JPEG_DECODE_SCHEMA = StructType(
 )
 
 
-def jpeg_encode_batches(batches: Iterator, _nothing=None):
-    """Ingestion stand-in: 18 text-derived bytes per row -> a REAL
-    baseline 4:2:0 JPEG file. Bytes 1-16 are the Y constants of the
-    image's 16 8x8 blocks, bytes 17/18 the global Cb/Cr — the
-    block-constant construction under which the float DCT chain is
-    exactly invertible (see functions/jpeg.py), so the decode
-    certificate can be bit-exact despite JPEG being lossy in
-    general. The entropy machinery exercised is complete: 4 MCUs,
-    cross-MCU DC prediction on three components, EOB coding, byte
-    stuffing, all four Annex K Huffman tables."""
+def _jpeg_quadrant_payload(b) -> bytes | None:
+    """18 text-derived bytes -> a REAL baseline 4:2:0 JPEG file.
+    Bytes 1-16 are the Y constants of the image's 16 8x8 blocks,
+    bytes 17/18 the global Cb/Cr — the block-constant construction
+    under which the float DCT chain is exactly invertible (see
+    functions/jpeg.py). Shared by the single-format and mixed-corpus
+    encoders (r11 review #6: a geometry edit applied to one copy would
+    silently leave the other certificate on the old layout)."""
     import numpy as np
-    import pandas as pd
 
     from ..functions.jpeg import jpeg_encode_baseline
 
-    def one(b):
-        if b is None:
-            return None
-        a = np.frombuffer(bytes(b)[:18], dtype=np.uint8)
-        y = np.repeat(np.repeat(a[:16].reshape(4, 4), 8, 0), 8, 1)
-        cb = np.full((JPEG_H // 2, JPEG_W // 2), a[16], np.uint8)
-        cr = np.full((JPEG_H // 2, JPEG_W // 2), a[17], np.uint8)
-        return jpeg_encode_baseline(y, cb, cr)
+    if b is None:
+        return None
+    a = np.frombuffer(bytes(b)[:18], dtype=np.uint8)
+    y = np.repeat(np.repeat(a[:16].reshape(4, 4), 8, 0), 8, 1)
+    cb = np.full((JPEG_H // 2, JPEG_W // 2), a[16], np.uint8)
+    cr = np.full((JPEG_H // 2, JPEG_W // 2), a[17], np.uint8)
+    return jpeg_encode_baseline(y, cb, cr)
+
+
+def jpeg_encode_batches(batches: Iterator, _nothing=None):
+    """Ingestion stand-in over `_jpeg_quadrant_payload`. The entropy
+    machinery exercised is complete: 4 MCUs, cross-MCU DC prediction
+    on three components, EOB coding, byte stuffing, all four Annex K
+    Huffman tables."""
+    import pandas as pd
 
     for pdf in batches:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "payload": [one(p) for p in pdf["pixels"]],
+                "payload": [
+                    _jpeg_quadrant_payload(p) for p in pdf["pixels"]
+                ],
             }
         )
 
@@ -1599,13 +1606,24 @@ def _jpeg_rgb_val_sql(
     JFIF YCbCr->RGB formula with floor(x+0.5) rounding and [0,255]
     clamp — the exact double ops the decoder performs on the same
     ints. cb/cr default to the single-image payload's byte positions;
-    the MJPEG oracle passes per-frame positions."""
+    the MJPEG oracle passes per-frame positions.
+
+    The coefficients are CAST to DOUBLE explicitly (r11 review #1):
+    DuckDB types bare literals as DECIMAL and would evaluate the
+    formula in exact decimal arithmetic, which disagrees with the
+    decoder's float64 at floor(x+0.5) ties (measured: 36 (y,cb,cr)
+    triples differ by 1 via the g-channel's .5 ties, e.g.
+    y=111,cb=78,cr=178 → 93 decimal vs 92 double). The cast makes
+    both engines run the same IEEE ops on the same ints."""
     if chan == "r":
-        v = f"{ybyte} + 1.402 * ({cr} - 128)"
+        v = f"{ybyte} + CAST(1.402 AS DOUBLE) * ({cr} - 128)"
     elif chan == "g":
-        v = f"{ybyte} - 0.344136 * ({cb} - 128) - 0.714136 * ({cr} - 128)"
+        v = (
+            f"{ybyte} - CAST(0.344136 AS DOUBLE) * ({cb} - 128) "
+            f"- CAST(0.714136 AS DOUBLE) * ({cr} - 128)"
+        )
     else:
-        v = f"{ybyte} + 1.772 * ({cb} - 128)"
+        v = f"{ybyte} + CAST(1.772 AS DOUBLE) * ({cb} - 128)"
     return f"CAST(LEAST(255, GREATEST(0, FLOOR({v} + 0.5))) AS BIGINT)"
 
 
@@ -1695,10 +1713,15 @@ _JPEG_YBYTE = (
     f"ascii(substring(body, CAST({_JPEG_QUAD_OF_CELL} + 1 AS INTEGER), 1))"
 )
 
+# WHERE text IS NOT NULL (r11 review #4): the engine kernels DROP
+# NULL payloads, but without the guard the oracle's CASE bits fall to
+# ELSE 0 for NULL grays, minting an all-zero hash that band-matches
+# real images — a NULL-text fixture row would emit oracle-only pairs.
 _MEDIA_MIXED_GRAYS_SQL = f"""
     WITH img AS (
       SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
       FROM documents
+      WHERE text IS NOT NULL
     ), g AS (
       SELECT doc_id,
              CASE WHEN doc_id % 2 = 0 THEN
@@ -1733,23 +1756,16 @@ def media_mixed_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from ..functions.jpeg import jpeg_encode_baseline
-
         def one(doc_id, b):
             if b is None:
                 return None
-            b = bytes(b)
             if doc_id % 2 == 0:
                 return png_encode_rgb(
-                    np.frombuffer(b[:192], dtype=np.uint8).reshape(
-                        PPM_H, PPM_W, _PNG_BPP
-                    )
+                    np.frombuffer(
+                        bytes(b)[:192], dtype=np.uint8
+                    ).reshape(PPM_H, PPM_W, _PNG_BPP)
                 )
-            a = np.frombuffer(b[:18], dtype=np.uint8)
-            y = np.repeat(np.repeat(a[:16].reshape(4, 4), 8, 0), 8, 1)
-            cb = np.full((JPEG_H // 2, JPEG_W // 2), a[16], np.uint8)
-            cr = np.full((JPEG_H // 2, JPEG_W // 2), a[17], np.uint8)
-            return jpeg_encode_baseline(y, cb, cr)
+            return _jpeg_quadrant_payload(b)
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -1794,8 +1810,9 @@ def k5_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the same YCbCr->RGB double ops the decoder performs) and
     replays the shared banding SQL, so a hash match certifies BOTH
     decoders through the dedup consumer in one verdict. NULL-text
-    rows are no-crash-only, like k5_ahash_near_dup (the fixture
-    carries none; the kernel drops them).
+    rows drop on BOTH sides (kernel: no payload; oracle: WHERE text
+    IS NOT NULL — r11 review #4), so the pairs are parity-true even
+    on a NULL-bearing corpus.
 
     100 TB design: identical to k5_png_near_dup — pre-encode
     repartition (18-192-byte pixel rows), one Arrow-batched map-only
@@ -1895,16 +1912,54 @@ def mjpeg_encode_batches(batches: Iterator, _nothing=None):
         )
 
 
+def _mjpeg_frame_end(p: bytes, pos: int) -> int:
+    """End offset (exclusive) of the baseline JPEG frame starting at
+    `pos` — an honest MJPEG splitter (r11 review #3: segment payloads
+    are NOT byte-stuffed, so a raw FF D9 inside a DQT/DHT/APPn/COM
+    body must be skipped STRUCTURALLY, not found with a byte search).
+    Walk the length-prefixed header segments to SOS, then scan the
+    entropy stream, where stuffing DOES guarantee every 0xFF is
+    followed by 0x00 (or a real marker) until EOI."""
+    import struct
+
+    if p[pos : pos + 2] != b"\xff\xd8":
+        raise ValueError(f"MJPEG stream: expected SOI at offset {pos}")
+    q = pos + 2
+    while True:  # header segments (all length-prefixed in baseline)
+        if q + 4 > len(p) or p[q] != 0xFF:
+            raise ValueError(
+                f"MJPEG stream: bad segment marker at offset {q}"
+            )
+        marker = p[q + 1]
+        (ln,) = struct.unpack(">H", p[q + 2 : q + 4])
+        q = q + 2 + ln
+        if marker == 0xDA:  # SOS header consumed; entropy follows
+            break
+    while True:  # entropy region: stuffing applies
+        idx = p.find(b"\xff", q)
+        if idx < 0 or idx + 1 >= len(p):
+            raise ValueError("MJPEG stream: frame missing EOI")
+        m = p[idx + 1]
+        if m == 0x00:  # stuffed data byte
+            q = idx + 2
+        elif m == 0xFF:  # fill byte before a marker
+            q = idx + 1
+        elif m == 0xD9:
+            return idx + 2
+        else:
+            raise ValueError(
+                f"MJPEG stream: unexpected marker 0xFF{m:02X} in frame"
+            )
+
+
 def mjpeg_frame_batches(batches: Iterator, _nothing=None):
-    """REAL video frame sampling: split the MJPEG stream at SOI/EOI
-    boundaries (sound for baseline streams — byte stuffing guarantees
-    no raw FFD9 inside entropy data; this is exactly how MJPEG
-    splitters work), decode every MJPEG_EVERY-th frame with the full
-    baseline decoder, and emit its 4 block constants as RGB hex.
-    Frames NOT sampled are never decoded — the skip is the point of
-    frame sampling at 100 TB. One clip row fans out to
-    ceil(MJPEG_FRAMES/MJPEG_EVERY) frame rows. NULL payload -> no
-    rows (a missing clip has no frames)."""
+    """REAL video frame sampling: split the MJPEG stream at frame
+    boundaries with the segment-aware walker above, decode every
+    MJPEG_EVERY-th frame with the full baseline decoder, and emit its
+    4 block constants as RGB hex. Frames NOT sampled are never
+    decoded — the skip is the point of frame sampling at 100 TB. One
+    clip row fans out to ceil(MJPEG_FRAMES/MJPEG_EVERY) frame rows.
+    NULL payload -> no rows (a missing clip has no frames)."""
     import pandas as pd
 
     from ..functions.jpeg import jpeg_decode_baseline
@@ -1914,15 +1969,9 @@ def mjpeg_frame_batches(batches: Iterator, _nothing=None):
         bounds = []
         pos = 0
         while pos < len(p):
-            if p[pos : pos + 2] != b"\xff\xd8":
-                raise ValueError(
-                    f"MJPEG stream: expected SOI at offset {pos}"
-                )
-            end = p.find(b"\xff\xd9", pos)
-            if end < 0:
-                raise ValueError("MJPEG stream: frame missing EOI")
-            bounds.append((pos, end + 2))
-            pos = end + 2
+            end = _mjpeg_frame_end(p, pos)
+            bounds.append((pos, end))
+            pos = end
         return bounds
 
     for pdf in batches:

@@ -32,25 +32,30 @@ _MODULES = []
 # Composition (VERDICT r10 next-round #2/#3/#5/#6) — (a) 6 new +
 # (b) 6 edit hits + (c) the ENTIRE r4-era tier (25) + (d) the 13
 # alphabetically-first of the 27-query r5-era tier = 50 exactly:
-#   (a) NEW queries, never sampled: k5_resize_real (real decode->
+#   (a) NEW queries, never sampled (6): k5_resize_real (real decode->
 #       box-downsample->re-encode, replacing the deleted digest
 #       stand-in k5_resize_stub — VERDICT r10 #2), k5_jpeg_decode
 #       (from-spec baseline JPEG, closing the last image-codec seam —
 #       r10 #3), k5_media_near_dup (mixed PNG/JPEG corpus dedup —
-#       r10 #3), k4_html_extract (HTML->text extraction — r10 #6);
-#   (b) r11 edit hits (stale_verdicts, call-graph): k5_png_decode /
+#       r10 #3), k4_html_extract (HTML->text extraction — r10 #6),
+#       k4_html_quality_pipeline (the extract->gate composition) and
+#       k5_mjpeg_frames (real video frame sampling);
+#   (b) r11 edit hits (6; stale_verdicts, call-graph): k5_png_decode /
 #       k5_png_near_dup (ADVICE r10 bounded-inflate + chunk-order
 #       hardening in png_decode), k5_ahash_near_dup (shares the
 #       banding SQL tail refactored for the mixed oracle),
-#       k5_ppm_decode and k5_wav_decode (reached through shared
-#       multimodal/codec helpers per the static call graph —
-#       attribution is conservative-inclusive by design);
+#       k4_gopher_rules (gate body factored into the shared
+#       gopher_gate helper), k5_ppm_decode and k5_wav_decode (reached
+#       through shared multimodal/codec helpers per the static call
+#       graph — attribution is conservative-inclusive by design);
 #   (c) the ENTIRE r4-era verdict-age tier (25): the TPC-H Q2-Q22
 #       batch certified in r4 plus d10-d12/d3_approx/a39/ts_* — after
 #       this round no verdict predates r5 (VERDICT r10 #5);
-#   (d) 16 of the r5-era tier (27), alphabetical within the tie
+#   (d) 13 of the r5-era tier (27), alphabetical within the tie
 #       (a40-a48 AQE/pushdown certs + the k4 text-quality family);
-#       the remaining 11 (k6/k7/sql/ts members) lead the r12 window.
+#       the remaining 14 (k4_tfidf_terms, k4_token_count,
+#       k4_unigram_lm_score + the k6/k7/sql/ts members) lead the r12
+#       window.
 PRIORITY: tuple[str, ...] = (
     # (a) new this round (6: the four VERDICT items plus the two
     # late-round compositions — k4_html_quality_pipeline chains
@@ -114,8 +119,8 @@ PRIORITY: tuple[str, ...] = (
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py
 # --check): queries reached by an edit since the last verdict commit
-# that did NOT fit the window. EMPTY this round — all 9 r11 hits
-# (4 new + 5 edit-reached) are in the window above. The 11 unsampled
+# that did NOT fit the window. EMPTY this round — all 12 r11 hits
+# (6 new + 6 edit-reached) are in the window above. The 14 unsampled
 # r5-era members deferred to r12 are AGE rotation, not edit hits, so
 # they carry valid (if old) verdicts and do not belong here.
 DEFERRED: dict[str, str] = {}

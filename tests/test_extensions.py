@@ -1600,3 +1600,41 @@ def test_mjpeg_stream_split_and_corruption():
         )
     )
     assert list(out2.frame_no) == [0, 2, 4]
+
+
+def test_jpeg_oracle_color_formula_is_double_typed():
+    """r11 review #1 regression pin: DuckDB types bare literals as
+    DECIMAL, and the exact-decimal YCbCr->RGB formula disagrees with
+    the decoder's float64 at floor(x+0.5) ties (y=111,cb=78,cr=178:
+    93 decimal vs 92 double on the g channel). The oracle fragment
+    must CAST its coefficients to DOUBLE so both engines run the same
+    IEEE ops — asserted here by evaluating the REAL oracle fragment
+    in DuckDB against the kernel arithmetic for known tie triples."""
+    import duckdb
+    import numpy as np
+
+    from lakehouse_homeserver_spark.operators.multimodal import (
+        _jpeg_rgb_val_sql,
+    )
+
+    con = duckdb.connect()
+    for y, cb, cr in ((111, 78, 178), (112, 178, 78), (64, 78, 178)):
+        body = bytes([0] * 16 + [cb, cr]).decode("latin-1")
+        frag = _jpeg_rgb_val_sql("g", str(y))
+        got = con.execute(
+            f"SELECT {frag} FROM (SELECT ? AS body)", [body]
+        ).fetchone()[0]
+        want = int(
+            np.clip(
+                np.floor(
+                    y
+                    - 0.344136 * (cb - 128)
+                    - 0.714136 * (cr - 128)
+                    + 0.5
+                ),
+                0,
+                255,
+            )
+        )
+        assert got == want, (y, cb, cr, got, want)
+    con.close()
