@@ -495,11 +495,12 @@ def k5_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_BPP = 3  # the RGB fast path the k5 queries use (color type 2)
-# 8-bit channel counts by IHDR color type (r10 widening): grayscale,
-# truecolor, truecolor+alpha. Palette (3) and gray+alpha (4) stay
-# loud failures — no corpus here exercises them and a silent partial
-# decode would be worse than the seam.
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+# 8-bit bytes-per-pixel by IHDR color type (r10 widening; r11 adds
+# palette): grayscale, truecolor, INDEXED (1 index byte/px, expanded
+# through PLTE to RGB on output), truecolor+alpha. Gray+alpha (4)
+# stays a loud failure — no corpus here exercises it and a silent
+# partial decode would be worse than the seam.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -599,12 +600,14 @@ def png_decode(b: bytes):
     on EVERY chunk, IHDR parse, multi-IDAT concat, zlib inflate, then
     per-scanline un-filtering of all five spec filter types (Paeth
     included) at the color type's byte-per-pixel offset. Returns a
-    uint8 array — (h, w) for grayscale, (h, w, 3) RGB, (h, w, 4)
+    uint8 array — (h, w) for grayscale, (h, w, 3) for RGB AND for
+    8-bit palette images (r11: indices expanded through a validated
+    PLTE; out-of-range indices and missing PLTE raise), (h, w, 4)
     RGBA. Every malformation raises ValueError LOUDLY — a corrupt
-    payload must never decode to silent garbage. Palette, 16-bit,
-    gray+alpha and interlaced variants raise with the variant named
-    (no corpus here exercises them; a silent partial decode would be
-    worse than the seam)."""
+    payload must never decode to silent garbage. 16-bit, gray+alpha,
+    interlaced, and tRNS-transparent variants raise with the variant
+    named (no corpus here exercises them; a silent partial decode
+    would be worse than the seam)."""
     import struct
     import zlib
 
@@ -614,7 +617,8 @@ def png_decode(b: bytes):
     if b[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
-    w = h = None
+    w = h = color = None
+    palette = None
     idat = bytearray()
     saw_iend = False
     while pos < len(b):
@@ -651,9 +655,24 @@ def png_decode(b: bytes):
                     "unsupported PNG variant "
                     f"(depth={depth} color={color} comp={comp} "
                     f"filter={filt} interlace={inter}); this decoder "
-                    "covers 8-bit gray/RGB/RGBA non-interlaced"
+                    "covers 8-bit gray/RGB/palette/RGBA non-interlaced"
                 )
             bpp = _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if w is None:
+                raise ValueError("PNG PLTE chunk before IHDR")
+            if len(data) == 0 or len(data) % 3 or len(data) > 768:
+                raise ValueError(
+                    f"PNG PLTE length {len(data)} is not a valid "
+                    "palette (1-256 RGB triples)"
+                )
+            palette = data
+        elif ctype == b"tRNS":
+            # palette transparency would silently change pixel
+            # SEMANTICS if ignored — loud seam, named
+            raise ValueError(
+                "unsupported PNG variant: tRNS palette transparency"
+            )
         elif ctype == b"IDAT":
             if w is None:
                 # ADVICE r10: IDAT before IHDR is a chunk-order
@@ -732,6 +751,18 @@ def png_decode(b: bytes):
         out[y] = rec
         prev = rec
     px = out.reshape(h, w, bpp).astype(np.uint8)
+    if color == 3:
+        # indexed: expand 1-byte indices through PLTE to (h, w, 3)
+        if palette is None:
+            raise ValueError("PNG palette image missing PLTE chunk")
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError(
+                f"PNG palette index {int(idx.max())} out of range "
+                f"for {len(pal)}-entry PLTE"
+            )
+        return pal[idx]
     return px[:, :, 0] if bpp == 1 else px
 
 
@@ -2069,3 +2100,127 @@ def k5_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return clips.mapInPandas(mjpeg_frame_batches, MJPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# K5 — compressed AUDIO codec: G.711 mu-law (ITU-T G.711), pure integer
+# ---------------------------------------------------------------------------
+
+
+def ulaw_decode(codes):
+    """REAL compressed-audio decode (ITU-T G.711 mu-law — the
+    standard telephony companding codec; closes the compressed-audio
+    rung the WAV/PCM certs left open): 8-bit code -> 16-bit linear
+    PCM via the spec's exact integer expansion. Vectorized numpy,
+    pure integer — bit-identical in any engine."""
+    import numpy as np
+
+    u = np.bitwise_xor(codes.astype(np.int64), 0xFF)
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def ulaw_encode(pcm):
+    """G.711 linear->mu-law compression (the lossy half): clip, bias,
+    find the segment (exponent), quantize the mantissa, complement.
+    Satisfies the spec identity encode(decode(c)) == c for every code
+    except 0x7F (negative zero, canonicalized to 0xFF) — pinned by
+    pytest."""
+    import numpy as np
+
+    x = pcm.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # exponent = position of the highest set bit above bit 7 (0..7)
+    exp = np.zeros_like(mag)
+    for e in range(7, 0, -1):
+        exp = np.where((mag >> (e + 7)) & 1 == 1, np.maximum(exp, e), exp)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return np.bitwise_xor(sign | (exp << 4) | mant, 0xFF).astype(np.uint8)
+
+
+ULAW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_pcm", LongType()),
+        StructField("min_pcm", LongType()),
+        StructField("max_pcm", LongType()),
+    ]
+)
+
+
+def ulaw_decode_batches(batches: Iterator, _nothing=None):
+    """Arrow-batched mu-law stream decode: payload bytes are G.711
+    codes; emit exact integer PCM stats per payload. NULL payload ->
+    NULL stats row; empty payload -> (0, NULL, NULL, NULL), matching
+    the oracle's empty-list aggregates."""
+    import numpy as np
+    import pandas as pd
+
+    def one(p):
+        if p is None:
+            return (None, None, None, None)
+        x = np.frombuffer(bytes(p), dtype=np.uint8)
+        if not len(x):
+            return (0, None, None, None)
+        pcm = ulaw_decode(x)
+        return (len(x), int(pcm.sum()), int(pcm.min()), int(pcm.max()))
+
+    for pdf in batches:
+        out = [one(p) for p in pdf["payload"]]
+        frame = {"doc_id": pdf["doc_id"]}
+        for i, c in enumerate(("n_samples", "sum_pcm", "min_pcm", "max_pcm")):
+            frame[c] = pd.array([o[i] for o in out], dtype="Int64")
+        yield pd.DataFrame(frame)
+
+
+_ULAW_PCM_SQL = """list_transform(
+      list_transform(range(octet_length(encode(text))),
+        k -> xor(CAST(ascii(substring(text, CAST(k + 1 AS INTEGER), 1))
+                 AS BIGINT), 255)),
+      u -> CASE WHEN (u & 128) > 0
+           THEN 132 - ((((u & 15) * 8) + 132) * (1 << ((u & 112) // 16)))
+           ELSE ((((u & 15) * 8) + 132) * (1 << ((u & 112) // 16))) - 132
+           END)"""
+
+
+@query(
+    "k5_ulaw_decode",
+    oracle=f"""
+    WITH pcm AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS nb,
+             {_ULAW_PCM_SQL} AS vals
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(nb AS BIGINT) AS n_samples,
+           CAST(list_sum(vals) AS BIGINT) AS sum_pcm,
+           CAST(list_min(vals) AS BIGINT) AS min_pcm,
+           CAST(list_max(vals) AS BIGINT) AS max_pcm
+    FROM pcm
+    """,
+)
+def k5_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-AUDIO codec certificate (r11 — the audio twin of
+    the PNG/JPEG image certs): each payload is a G.711 mu-law stream
+    (the fixture's text bytes as codes — every byte IS a valid mu-law
+    code, so no synthesis step is needed), and the Arrow-batched
+    kernel performs the REAL spec expansion to 16-bit linear PCM
+    (complement, mantissa/exponent unpack, bias removal — pure
+    integer, no codec library). The DuckDB oracle replays the exact
+    integer formula per byte, so the hash certifies the decode
+    bit-for-bit; the lossy encode half is pytest-pinned by the spec's
+    encode(decode(c)) == c identity over all 256 codes (0x7F's
+    negative zero canonicalizes to 0xFF, per spec).
+
+    Scale shape: one map-only mapInPandas pass, payload never
+    shuffles; mu-law expansion is a constant-time table-free bit
+    formula per sample, so decode runs at scan speed. Compressed
+    PERCEPTUAL audio (MP3/AAC) remains the documented out-of-scope
+    seam; companded telephony audio no longer is."""
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        ulaw_decode_batches, ULAW_SCHEMA
+    )

@@ -29,17 +29,18 @@ _MODULES = []
 #
 # ROUND-11 window = 50 names, machine-derived
 # (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
-# Composition (VERDICT r10 next-round #2/#3/#5/#6) — (a) 6 new +
-# (b) 6 edit hits + (c) the ENTIRE r4-era tier (25) + (d) the 13
+# Composition (VERDICT r10 next-round #2/#3/#5/#6) — (a) 7 new +
+# (b) 6 edit hits + (c) the ENTIRE r4-era tier (25) + (d) the 12
 # alphabetically-first of the 27-query r5-era tier = 50 exactly:
-#   (a) NEW queries, never sampled (6): k5_resize_real (real decode->
+#   (a) NEW queries, never sampled (7): k5_resize_real (real decode->
 #       box-downsample->re-encode, replacing the deleted digest
 #       stand-in k5_resize_stub — VERDICT r10 #2), k5_jpeg_decode
 #       (from-spec baseline JPEG, closing the last image-codec seam —
 #       r10 #3), k5_media_near_dup (mixed PNG/JPEG corpus dedup —
 #       r10 #3), k4_html_extract (HTML->text extraction — r10 #6),
-#       k4_html_quality_pipeline (the extract->gate composition) and
-#       k5_mjpeg_frames (real video frame sampling);
+#       k4_html_quality_pipeline (the extract->gate composition),
+#       k5_mjpeg_frames (real video frame sampling), and
+#       k5_ulaw_decode (G.711 mu-law — the compressed-audio rung);
 #   (b) r11 edit hits (6; stale_verdicts, call-graph): k5_png_decode /
 #       k5_png_near_dup (ADVICE r10 bounded-inflate + chunk-order
 #       hardening in png_decode), k5_ahash_near_dup (shares the
@@ -51,22 +52,24 @@ _MODULES = []
 #   (c) the ENTIRE r4-era verdict-age tier (25): the TPC-H Q2-Q22
 #       batch certified in r4 plus d10-d12/d3_approx/a39/ts_* — after
 #       this round no verdict predates r5 (VERDICT r10 #5);
-#   (d) 13 of the r5-era tier (27), alphabetical within the tie
+#   (d) 12 of the r5-era tier (27), alphabetical within the tie
 #       (a40-a48 AQE/pushdown certs + the k4 text-quality family);
-#       the remaining 14 (k4_tfidf_terms, k4_token_count,
+#       the remaining 15 (k4_text_stats, k4_tfidf_terms, k4_token_count,
 #       k4_unigram_lm_score + the k6/k7/sql/ts members) lead the r12
 #       window.
 PRIORITY: tuple[str, ...] = (
-    # (a) new this round (6: the four VERDICT items plus the two
-    # late-round compositions — k4_html_quality_pipeline chains
+    # (a) new this round (7: the four VERDICT items plus the three
+    # late-round additions — k4_html_quality_pipeline chains
     # extract->gate as one driver-certified query, k5_mjpeg_frames
-    # upgrades the video rung to real per-frame decode)
+    # upgrades the video rung to real per-frame decode, k5_ulaw_decode
+    # opens the compressed-audio rung)
     "k5_resize_real",
     "k5_jpeg_decode",
     "k5_media_near_dup",
     "k4_html_extract",
     "k4_html_quality_pipeline",
     "k5_mjpeg_frames",
+    "k5_ulaw_decode",
     # (b) r11 edit hits (k4_gopher_rules: its gate body factored into
     # the shared gopher_gate helper the composition reuses)
     "k4_gopher_rules",
@@ -101,7 +104,7 @@ PRIORITY: tuple[str, ...] = (
     "ts_attribution_join",
     "ts_sliding_hll",
     "ts_zscore_anomaly",
-    # (d) age pool: r5-era tier, 13 of 27 (alphabetical; rest lead r12)
+    # (d) age pool: r5-era tier, 12 of 27 (alphabetical; rest lead r12)
     "a40_agg_pushdown",
     "a42_aqe_skew_join",
     "a43_aqe_join_conversion",
@@ -114,13 +117,12 @@ PRIORITY: tuple[str, ...] = (
     "k4_fingerprint",
     "k4_redact",
     "k4_repetition_filter",
-    "k4_text_stats",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py
 # --check): queries reached by an edit since the last verdict commit
-# that did NOT fit the window. EMPTY this round — all 12 r11 hits
-# (6 new + 6 edit-reached) are in the window above. The 14 unsampled
+# that did NOT fit the window. EMPTY this round — all 13 r11 hits
+# (7 new + 6 edit-reached) are in the window above. The 15 unsampled
 # r5-era members deferred to r12 are AGE rotation, not edit hits, so
 # they carry valid (if old) verdicts and do not belong here.
 DEFERRED: dict[str, str] = {}

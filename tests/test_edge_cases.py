@@ -50,6 +50,7 @@ EMPTY_SAFE = [
     "k4_html_extract",
     "k4_html_quality_pipeline",
     "k5_mjpeg_frames",
+    "k5_ulaw_decode",
     "k6_hash_split",
     "k6_uniform_sample",
     "k7_training_corpus",
@@ -287,6 +288,7 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
         "k4_html_extract",
         "k4_html_quality_pipeline",
         "k5_wav_decode",
+        "k5_ulaw_decode",
         "k5_pcm_frames",
         "k5_frame_sample",
     ]

@@ -1638,3 +1638,118 @@ def test_jpeg_oracle_color_formula_is_double_typed():
         )
         assert got == want, (y, cb, cr, got, want)
     con.close()
+
+
+def test_png_palette_decode():
+    """r11 widening: 8-bit indexed (color type 3) PNGs decode — the
+    indices expand through a validated PLTE to (h, w, 3). Hand-built
+    files (the encoder writes truecolor only, so the palette path is
+    exercised against independently constructed payloads): known
+    palette + index grid round-trips exactly through all five
+    filters' worth of rows; missing PLTE, out-of-range index, and
+    tRNS transparency raise by name."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(13)
+    pal = rng.randint(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.randint(0, 5, (10, 7), dtype=np.uint8)  # 10 rows: all filters
+    ihdr = struct.pack(">IIBBBBB", 7, 10, 8, 3, 0, 0, 0)
+    raw = bytearray()
+    for y in range(10):
+        raw.append(0)  # filter None per row (filters covered elsewhere)
+        raw.extend(idx[y].tobytes())
+    blob = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"PLTE", pal.tobytes())
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    out = mm.png_decode(blob)
+    assert out.shape == (10, 7, 3)
+    assert np.array_equal(out, pal[idx])
+    # the dispatcher sees palette output as RGB
+    assert np.array_equal(mm._decode_image_real(blob), pal[idx])
+
+    # missing PLTE
+    noplte = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="missing PLTE"):
+        mm.png_decode(noplte)
+    # out-of-range index
+    bad = bytearray(raw)
+    bad[1] = 7  # index 7 >= 5 entries
+    oob = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"PLTE", pal.tobytes())
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(bad)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="out of range"):
+        mm.png_decode(oob)
+    # tRNS transparency is a named loud seam
+    trns = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"PLTE", pal.tobytes())
+        + mm._png_chunk(b"tRNS", b"\x80")
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="tRNS"):
+        mm.png_decode(trns)
+    # malformed palette length
+    badpal = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"PLTE", pal.tobytes()[:-1])
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="PLTE length"):
+        mm.png_decode(badpal)
+
+
+def test_ulaw_codec_spec_identities():
+    """G.711 mu-law (r11): (a) encode(decode(c)) == c for all 256
+    codes except 0x7F (negative zero canonicalizes to 0xFF — the
+    spec's two-zeros asymmetry); (b) decode covers the spec range
+    [-32124, 32124] symmetrically; (c) decode(encode(x)) is within
+    one quantization step of x across the full 16-bit range."""
+    import numpy as np
+
+    from lakehouse_homeserver_spark.operators.multimodal import (
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    pcm = ulaw_decode(codes)
+    assert int(pcm.min()) == -32124 and int(pcm.max()) == 32124
+    back = ulaw_encode(pcm)
+    mismatch = codes[back != codes]
+    assert list(mismatch) == [0x7F]
+    assert back[0x7F] == 0xFF and pcm[0x7F] == 0 and pcm[0xFF] == 0
+
+    xs = np.arange(-32768, 32768, 7, dtype=np.int64)
+    rt = ulaw_decode(ulaw_encode(xs))
+    clipped = np.clip(xs, -32635, 32635)
+    # quantization step doubles per segment; bound is step size at
+    # the value's own segment: |err| <= 2^(exp+3)
+    err = np.abs(rt - clipped)
+    mag = np.abs(clipped) + 0x84
+    step = np.zeros_like(mag)
+    for e in range(8):
+        step = np.where((mag >> 7) >= (1 << e), 1 << (e + 3), step)
+    assert (err <= step).all()
