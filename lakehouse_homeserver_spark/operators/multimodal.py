@@ -661,6 +661,12 @@ def png_decode(b: bytes):
         elif ctype == b"PLTE":
             if w is None:
                 raise ValueError("PNG PLTE chunk before IHDR")
+            if idat:
+                # spec chunk order: PLTE precedes IDAT (same posture
+                # as the ADVICE r10 IDAT-before-IHDR check)
+                raise ValueError("PNG PLTE chunk after IDAT")
+            if palette is not None:
+                raise ValueError("PNG with duplicate PLTE chunk")
             if len(data) == 0 or len(data) % 3 or len(data) > 768:
                 raise ValueError(
                     f"PNG PLTE length {len(data)} is not a valid "
@@ -1962,6 +1968,14 @@ def _mjpeg_frame_end(p: bytes, pos: int) -> int:
                 f"MJPEG stream: bad segment marker at offset {q}"
             )
         marker = p[q + 1]
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+            # SOI/EOI/RSTn/TEM carry no length field — none is legal
+            # inside a frame header, so misreading entropy bytes as a
+            # segment length must fail HERE, not somewhere downstream
+            raise ValueError(
+                f"MJPEG stream: unexpected marker 0xFF{marker:02X} "
+                "in frame header"
+            )
         (ln,) = struct.unpack(">H", p[q + 2 : q + 4])
         q = q + 2 + ln
         if marker == 0xDA:  # SOS header consumed; entropy follows
@@ -2134,7 +2148,8 @@ def ulaw_encode(pcm):
     # exponent = position of the highest set bit above bit 7 (0..7)
     exp = np.zeros_like(mag)
     for e in range(7, 0, -1):
-        exp = np.where((mag >> (e + 7)) & 1 == 1, np.maximum(exp, e), exp)
+        # parenthesized explicitly: Python's == binds tighter than &
+        exp = np.where(((mag >> (e + 7)) & 1) == 1, np.maximum(exp, e), exp)
     mant = (mag >> (exp + 3)) & 0x0F
     return np.bitwise_xor(sign | (exp << 4) | mant, 0xFF).astype(np.uint8)
 

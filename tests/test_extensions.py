@@ -964,7 +964,9 @@ def test_png_gray_and_rgba_round_trip():
     )
     with _pytest.raises(ValueError, match="IHDR must be 13"):
         mm.png_decode(bad_ihdr)
-    # palette (color type 3) still fails loudly by name
+    # palette (color type 3) DECODES since r11 (see
+    # test_png_palette_decode); a palette file MISSING its PLTE still
+    # fails loudly by name
     import struct
     import zlib
 
@@ -975,7 +977,7 @@ def test_png_gray_and_rgba_round_trip():
         + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
         + mm._png_chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="unsupported PNG variant"):
+    with _pytest.raises(ValueError, match="missing PLTE"):
         mm.png_decode(pal)
 
     for i in range(len(blob)):
@@ -1753,3 +1755,30 @@ def test_ulaw_codec_spec_identities():
     for e in range(8):
         step = np.where((mag >> 7) >= (1 << e), 1 << (e + 3), step)
     assert (err <= step).all()
+
+
+def test_png_palette_chunk_order():
+    """r11 self-review: PLTE after IDAT and duplicate PLTE are
+    CRC-valid chunk-order malformations — same posture as the
+    duplicate-IHDR/IDAT-before-IHDR checks."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from lakehouse_homeserver_spark.operators import multimodal as mm
+
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+    raw = bytes([0, 0, 1, 2, 3, 0, 3, 2, 1, 0])
+    idat = mm._png_chunk(b"IDAT", zlib.compress(raw))
+    plte = mm._png_chunk(b"PLTE", pal.tobytes())
+    head = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+    tail = mm._png_chunk(b"IEND", b"")
+    # canonical order decodes
+    assert mm.png_decode(head + plte + idat + tail).shape == (2, 4, 3)
+    with _pytest.raises(ValueError, match="PLTE chunk after IDAT"):
+        mm.png_decode(head + idat + plte + tail)
+    with _pytest.raises(ValueError, match="duplicate PLTE"):
+        mm.png_decode(head + plte + plte + idat + tail)
