@@ -1895,3 +1895,375 @@ def k4_html_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("extracted").alias("text")
     )
     return gopher_gate(extracted)
+
+
+# ---------------------------------------------------------------------------
+# K4 — WARC container stage (the CommonCrawl on-disk format in front
+# of the HTML tier): per-record gzip members, WARC/HTTP header parse
+# ---------------------------------------------------------------------------
+
+# Records per archive file is doc_id-modular so the synthesized
+# corpus layout — like everything oracle-visible — is a pure function
+# of the fixture, invariant to Spark parallelism.
+WARC_N_FILES = 16
+WARC_DATE = "2026-01-01T00:00:00Z"  # fixed: archives carry crawl time
+_CRLF = "\r\n"
+# DuckDB/Spark shared spelling of CRLF inside oracle SQL strings
+_SQL_CRLF = "chr(13) || chr(10)"
+
+
+def _warc_target_uri(doc_id: int, source: str) -> str:
+    return f"https://{source}.example.com/doc/{doc_id}"
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (wbits=31 writes MTIME=0). Real
+    .warc.gz files are exactly this: independently-gzipped records
+    concatenated, so any record can be fetched and inflated alone."""
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
+def _split_gzip_members(blob: bytes):
+    """Walk the concatenated gzip members of a .warc.gz blob, LOUDLY:
+    a bad member magic, a truncated stream, and any CRC32/ISIZE
+    trailer mismatch all raise ValueError. The 10-byte gzip member
+    header's MTIME/XFL/OS bytes are metadata outside the CRC — a flip
+    there yields byte-identical record content (pinned by the flip
+    property test), the same carve-out as JPEG pad bytes."""
+    import zlib
+
+    blob = bytes(blob)
+    pos = 0
+    while pos < len(blob):
+        if blob[pos : pos + 3] != b"\x1f\x8b\x08":
+            raise ValueError(f"bad gzip member magic at offset {pos}")
+        do = zlib.decompressobj(31)
+        try:
+            out = do.decompress(blob[pos:])
+        except zlib.error as exc:
+            raise ValueError(f"gzip member inflate failed: {exc}") from exc
+        if not do.eof:
+            raise ValueError("truncated gzip member (no trailer)")
+        yield out
+        pos = len(blob) - len(do.unused_data)
+
+
+def _build_warc_record(doc_id: int, source: str, html: str) -> bytes:
+    """One WARC/1.0 'response' record (ISO 28500 layout): version
+    line, named headers, blank line, Content-Length bytes of block
+    (an HTTP/1.1 response wrapping the UTF-8 page), CRLF CRLF."""
+    body = html.encode("utf-8")
+    http = (
+        "HTTP/1.1 200 OK" + _CRLF
+        + "Content-Type: text/html; charset=utf-8" + _CRLF
+        + f"Content-Length: {len(body)}" + _CRLF + _CRLF
+    ).encode("ascii") + body
+    head = (
+        "WARC/1.0" + _CRLF
+        + "WARC-Type: response" + _CRLF
+        + f"WARC-Record-ID: <urn:lakehouse:doc:{doc_id}>" + _CRLF
+        + f"WARC-Target-URI: {_warc_target_uri(doc_id, source)}" + _CRLF
+        + f"WARC-Date: {WARC_DATE}" + _CRLF
+        + "Content-Type: application/http;msgtype=response" + _CRLF
+        + f"Content-Length: {len(http)}" + _CRLF + _CRLF
+    ).encode("ascii")
+    return head + http + (_CRLF + _CRLF).encode("ascii")
+
+
+def _parse_warc_record(rec: bytes):
+    """(warc_type, doc_id, target_uri, http_status, content_length,
+    payload_text) from one inflated record; every malformation —
+    wrong version, header without ': ', missing required header,
+    block shorter than Content-Length, missing record terminator,
+    HTTP/WARC length disagreement, non-UTF-8 payload — raises
+    ValueError naming the defect."""
+    eol = rec.find(b"\r\n")
+    if eol < 0 or rec[:eol] != b"WARC/1.0":
+        raise ValueError(f"bad WARC version line {rec[:16]!r}")
+    pos = eol + 2
+    hdrs = {}
+    while True:
+        eol = rec.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated WARC header block")
+        line = rec[pos:eol]
+        pos = eol + 2
+        if line == b"":
+            break
+        key, sep, val = line.partition(b": ")
+        if not sep:
+            raise ValueError(f"malformed WARC header line {line!r}")
+        hdrs[key.decode("ascii")] = val.decode("ascii")
+    for req in (
+        "WARC-Type",
+        "WARC-Record-ID",
+        "WARC-Target-URI",
+        "Content-Length",
+    ):
+        if req not in hdrs:
+            raise ValueError(f"missing WARC header {req}")
+    clen = int(hdrs["Content-Length"])
+    block = rec[pos : pos + clen]
+    if len(block) != clen:
+        raise ValueError(
+            f"WARC block short: {len(block)} < Content-Length {clen}"
+        )
+    if rec[pos + clen :] != b"\r\n\r\n":
+        raise ValueError("WARC record not terminated by CRLF CRLF")
+    if hdrs["WARC-Type"] != "response":
+        raise ValueError(f"unexpected WARC-Type {hdrs['WARC-Type']!r}")
+    rid = hdrs["WARC-Record-ID"]
+    if not (rid.startswith("<urn:lakehouse:doc:") and rid.endswith(">")):
+        raise ValueError(f"unrecognized WARC-Record-ID {rid!r}")
+    doc_id = int(rid[len("<urn:lakehouse:doc:") : -1])
+    hend = block.find(b"\r\n\r\n")
+    if hend < 0:
+        raise ValueError("HTTP block missing header terminator")
+    head_lines = block[:hend].decode("ascii").split("\r\n")
+    status = head_lines[0].split(" ")
+    if len(status) < 3 or status[0] != "HTTP/1.1":
+        raise ValueError(f"bad HTTP status line {head_lines[0]!r}")
+    http_hdrs = {}
+    for line in head_lines[1:]:
+        key, sep, val = line.partition(": ")
+        if not sep:
+            raise ValueError(f"malformed HTTP header line {line!r}")
+        http_hdrs[key] = val
+    body = block[hend + 4 :]
+    if int(http_hdrs.get("Content-Length", -1)) != len(body):
+        raise ValueError(
+            "HTTP Content-Length disagrees with body length "
+            f"({http_hdrs.get('Content-Length')} vs {len(body)})"
+        )
+    try:
+        payload = body.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"non-UTF-8 HTTP payload: {exc}") from exc
+    return (
+        hdrs["WARC-Type"],
+        doc_id,
+        hdrs["WARC-Target-URI"],
+        int(status[1]),
+        clen,
+        payload,
+    )
+
+
+def _warc_assemble(pdf):
+    """Grouped synthesis kernel: the group's records in doc_id order,
+    each gzip-compressed independently, concatenated into one
+    .warc.gz blob — the literal CommonCrawl file layout. NULL html
+    (unfetched page) has no record, exactly as a real crawl."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id")
+    buf = bytearray()
+    for doc_id, source, html in zip(
+        pdf["doc_id"], pdf["source"], pdf["html"]
+    ):
+        if html is None:
+            continue
+        buf += _gzip_member(_build_warc_record(int(doc_id), source, html))
+    return pd.DataFrame(
+        {"file_id": [int(pdf["file_id"].iloc[0])], "warc": [bytes(buf)]}
+    )
+
+
+def warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(file_id, warc) — the synthesized .warc.gz corpus: pages are
+    the SAME html the k4_html tier synthesizes (shared SQL template,
+    so the container provably carries the certified page bytes),
+    bucketed doc_id-modular into WARC_N_FILES archive files.
+
+    The groupBy here is the fixture stand-in for a crawler writing
+    archive files and is the tier's ONLY shuffle (~500 B/record
+    pre-compression); a production run READS .warc.gz from storage —
+    one whole-file binary per task, zero shuffle."""
+    e = _html_extract_exprs(duck=False)
+    d = T(spark, sf_dir, "documents")
+    docs = d.selectExpr(
+        "doc_id",
+        "source",
+        f"{e['synth']} AS html",
+        f"doc_id % {WARC_N_FILES} AS file_id",
+    )
+    return docs.groupBy("file_id").applyInPandas(
+        _warc_assemble, "file_id long, warc binary"
+    )
+
+
+WARC_RECORD_SCHEMA = (
+    "doc_id long, file_id long, rec_index long, warc_type string, "
+    "target_uri string, http_status int, content_length bigint, "
+    "payload string"
+)
+
+
+def warc_record_batches(batches):
+    """Arrow-batched parse kernel: each .warc.gz blob -> its records,
+    streaming member-by-member (memory is bounded by one record, not
+    the archive — a 1 GB real-world WARC never materializes inflated).
+    rec_index is the PARSE-ORDER position inside the file, so the
+    oracle's doc_id-ordered row_number certifies the container walk
+    preserved record order."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "file_id", "rec_index", "warc_type", "target_uri",
+            "http_status", "content_length", "payload",
+        )}
+        for file_id, blob in zip(pdf["file_id"], pdf["warc"]):
+            for idx, rec in enumerate(_split_gzip_members(blob)):
+                wtype, doc_id, uri, status, clen, payload = (
+                    _parse_warc_record(rec)
+                )
+                rows["doc_id"].append(doc_id)
+                rows["file_id"].append(int(file_id))
+                rows["rec_index"].append(idx)
+                rows["warc_type"].append(wtype)
+                rows["target_uri"].append(uri)
+                rows["http_status"].append(status)
+                rows["content_length"].append(clen)
+                rows["payload"].append(payload)
+        out = pd.DataFrame(rows)
+        for c in ("doc_id", "file_id", "rec_index", "content_length"):
+            out[c] = out[c].astype("int64")
+        out["http_status"] = out["http_status"].astype("int32")
+        yield out
+
+
+def warc_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive corpus -> one row per WARC record (parse stage only,
+    map-only over the file blobs)."""
+    return warc_files(spark, sf_dir).mapInPandas(
+        warc_record_batches, WARC_RECORD_SCHEMA
+    )
+
+
+def _warc_oracle_cte() -> str:
+    """CTEs h (synthesized pages) and w (per-record archive facts
+    recomputed from PLAINTEXT — gzip+WARC+HTTP are lossless, so a
+    hash/length match certifies the whole container round-trip)."""
+    e = _html_extract_exprs(duck=True)
+    http_head = (
+        f"'HTTP/1.1 200 OK' || {_SQL_CRLF} || "
+        f"'Content-Type: text/html; charset=utf-8' || {_SQL_CRLF} || "
+        f"'Content-Length: ' || octet_length(encode(html)) || "
+        f"{_SQL_CRLF} || {_SQL_CRLF}"
+    )
+    return f"""h AS (
+      SELECT doc_id, source, {e["synth"]} AS html FROM documents
+    ), w AS (
+      SELECT doc_id,
+             doc_id % {WARC_N_FILES} AS file_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id % {WARC_N_FILES} ORDER BY doc_id
+             ) - 1 AS BIGINT) AS rec_index,
+             'response' AS warc_type,
+             'https://' || source || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS target_uri,
+             CAST(200 AS INTEGER) AS http_status,
+             CAST(octet_length(encode({http_head} || html)) AS BIGINT)
+               AS content_length,
+             CAST(LENGTH(html) AS BIGINT) AS payload_chars,
+             md5(html) AS payload_digest
+      FROM h WHERE html IS NOT NULL
+    )"""
+
+
+@query(
+    "k4_warc_parse",
+    oracle=f"""
+    WITH {_warc_oracle_cte()}
+    SELECT doc_id, file_id, rec_index, warc_type, target_uri,
+           http_status, content_length, payload_chars, payload_digest
+    FROM w
+    """,
+)
+def k4_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive parse (the stage BEFORE k4_html_extract in a real
+    CommonCrawl corpus build — raw crawl bytes, not clean rows): the
+    documents' synthesized pages are packed into .warc.gz archives
+    (per-record gzip members — the actual CC layout) and parsed back
+    by an honest container walk: gzip member split with CRC32/ISIZE
+    verification, WARC/1.0 version + header parse, Content-Length
+    block framing, HTTP response split, UTF-8 payload decode. Every
+    malformation raises LOUDLY (flip property pinned in pytest).
+
+    The oracle recomputes every fact from plaintext — target URI from
+    (doc_id, source), the WARC Content-Length from the HTTP envelope
+    arithmetic, the payload md5 from the shared html synth template —
+    so a hash match certifies compress -> archive -> split -> parse ->
+    decode end-to-end lossless, including record ORDER (rec_index is
+    parse-order, the oracle's is doc_id-ordered row_number).
+
+    100 TB design: parse is map-only mapInPandas over archive blobs,
+    streaming one gzip member at a time (peak memory = one record);
+    the only shuffle is the synthesis stand-in groupBy that plays the
+    crawler's role (a production run reads .warc.gz files directly —
+    zero shuffle, one file per task, the embarrassingly-parallel shape
+    CommonCrawl processing is known for)."""
+    p = warc_parsed(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        "file_id",
+        "rec_index",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "content_length",
+        F.length("payload").cast("bigint").alias("payload_chars"),
+        F.md5("payload").alias("payload_digest"),
+    )
+
+
+def _cc_pipeline_oracle() -> str:
+    """Archive-present pages (html NOT NULL — an unfetched page has
+    no WARC record) through the SAME extraction + gate SQL templates
+    as the standalone certs."""
+    e = _html_extract_exprs(duck=True)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {e["synth"]} AS html FROM documents
+    ), hf AS (
+      SELECT doc_id, html FROM h WHERE html IS NOT NULL
+    ), l AS (
+      SELECT doc_id, {e["lines"]} AS lines FROM hf
+    ), extracted AS (
+      SELECT doc_id, {e["join"]}({e["kept"]}, ' ') AS text FROM l
+    ), {_gopher_oracle_tail("extracted")}
+    """
+
+
+@query("k4_cc_pipeline", oracle=_cc_pipeline_oracle())
+def k4_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CommonCrawl-style corpus front-end as ONE query:
+    .warc.gz archives -> gzip member split -> WARC/HTTP parse ->
+    HTML boilerplate-stripping extraction -> Gopher quality gate.
+    k4_html_quality_pipeline certified extract->gate from clean rows;
+    this adds the container stage in front, so the chain now starts
+    from the bytes a crawler actually hands a 100 TB corpus build.
+
+    Every stage is the SAME code path as its standalone cert
+    (`warc_parsed`, `_html_extract_exprs`, `gopher_gate`); the oracle
+    replays extraction+gate from the plaintext synth — valid because
+    k4_warc_parse hash-certifies the container stage lossless — and
+    keeps only archive-present pages (NULL-text docs have no record).
+
+    100 TB design: after the synthesis stand-in shuffle, one map-only
+    pass: parse kernel (Arrow-batched) then extraction regexes and
+    gate array expressions fused by codegen — no joins, no shuffle,
+    the payload never leaves the executor that inflated it."""
+    e = _html_extract_exprs(duck=False)
+    extracted = (
+        warc_parsed(spark, sf_dir)
+        .selectExpr("doc_id", "payload AS html")
+        .selectExpr("doc_id", f"{e['lines']} AS lines")
+        .selectExpr("doc_id", f"{e['kept']} AS kept")
+        .selectExpr("doc_id", f"{e['join']}(kept, ' ') AS text")
+    )
+    return gopher_gate(extracted)

@@ -29,10 +29,13 @@ _MODULES = []
 #
 # ROUND-11 window = 50 names, machine-derived
 # (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
-# Composition (VERDICT r10 next-round #2/#3/#5/#6) — (a) 7 new +
-# (b) 6 edit hits + (c) the ENTIRE r4-era tier (25) + (d) the 12
-# alphabetically-first of the 27-query r5-era tier = 50 exactly:
-#   (a) NEW queries, never sampled (7): k5_resize_real (real decode->
+# Composition (VERDICT r10 next-round #2/#3/#5/#6) — (a) 9 new +
+# (b) 6 edit hits + (c) the ENTIRE r4-era tier (25) + (d) the 10
+# alphabetically-first of the 27-query r5-era tier = 50 exactly (the
+# late WARC pair displaced k4_redact/k4_repetition_filter from (d)'s
+# tail; they carry valid r5 verdicts and lead the r12 age pool):
+#   (a) NEW queries, never sampled (9 — the late WARC-container pair
+#       k4_warc_parse/k4_cc_pipeline lead the list): k5_resize_real (real decode->
 #       box-downsample->re-encode, replacing the deleted digest
 #       stand-in k5_resize_stub — VERDICT r10 #2), k5_jpeg_decode
 #       (from-spec baseline JPEG, closing the last image-codec seam —
@@ -52,17 +55,24 @@ _MODULES = []
 #   (c) the ENTIRE r4-era verdict-age tier (25): the TPC-H Q2-Q22
 #       batch certified in r4 plus d10-d12/d3_approx/a39/ts_* — after
 #       this round no verdict predates r5 (VERDICT r10 #5);
-#   (d) 12 of the r5-era tier (27), alphabetical within the tie
+#   (d) 10 of the r5-era tier (27), alphabetical within the tie
 #       (a40-a48 AQE/pushdown certs + the k4 text-quality family);
-#       the remaining 15 (k4_text_stats, k4_tfidf_terms, k4_token_count,
+#       the remaining 17 (k4_redact, k4_repetition_filter,
+#       k4_text_stats, k4_tfidf_terms, k4_token_count,
 #       k4_unigram_lm_score + the k6/k7/sql/ts members) lead the r12
 #       window.
 PRIORITY: tuple[str, ...] = (
-    # (a) new this round (7: the four VERDICT items plus the three
+    # (a) new this round (9: the four VERDICT items plus the
     # late-round additions — k4_html_quality_pipeline chains
     # extract->gate as one driver-certified query, k5_mjpeg_frames
     # upgrades the video rung to real per-frame decode, k5_ulaw_decode
     # opens the compressed-audio rung)
+    # (a2) late-r11 additions: the WARC container stage in front of
+    # the HTML tier (k4_warc_parse: per-record-gzip .warc.gz split +
+    # WARC/HTTP parse, hash-certified lossless; k4_cc_pipeline: the
+    # container->extract->gate chain as one query)
+    "k4_warc_parse",
+    "k4_cc_pipeline",
     "k5_resize_real",
     "k5_jpeg_decode",
     "k5_media_near_dup",
@@ -104,7 +114,7 @@ PRIORITY: tuple[str, ...] = (
     "ts_attribution_join",
     "ts_sliding_hll",
     "ts_zscore_anomaly",
-    # (d) age pool: r5-era tier, 12 of 27 (alphabetical; rest lead r12)
+    # (d) age pool: r5-era tier, 10 of 27 (alphabetical; rest lead r12)
     "a40_agg_pushdown",
     "a42_aqe_skew_join",
     "a43_aqe_join_conversion",
@@ -115,8 +125,6 @@ PRIORITY: tuple[str, ...] = (
     "k4_corpus_stats",
     "k4_dataset_card",
     "k4_fingerprint",
-    "k4_redact",
-    "k4_repetition_filter",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py

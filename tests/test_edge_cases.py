@@ -49,6 +49,8 @@ EMPTY_SAFE = [
     "k5_media_near_dup",
     "k4_html_extract",
     "k4_html_quality_pipeline",
+    "k4_warc_parse",
+    "k4_cc_pipeline",
     "k5_mjpeg_frames",
     "k5_ulaw_decode",
     "k6_hash_split",
@@ -287,6 +289,8 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
         "k5_mjpeg_frames",
         "k4_html_extract",
         "k4_html_quality_pipeline",
+        "k4_warc_parse",
+        "k4_cc_pipeline",
         "k5_wav_decode",
         "k5_ulaw_decode",
         "k5_pcm_frames",

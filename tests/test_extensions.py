@@ -5,6 +5,7 @@ monotonicity properties instead."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_homeserver_spark.operators import dedup, multimodal, similarity
@@ -1782,3 +1783,123 @@ def test_png_palette_chunk_order():
         mm.png_decode(head + idat + plte + tail)
     with _pytest.raises(ValueError, match="duplicate PLTE"):
         mm.png_decode(head + plte + plte + idat + tail)
+
+
+def test_warc_container_round_trip_and_loud_failures(spark, tmp_path):
+    """k4_warc_parse (late r11): (a) the synthesized corpus is real
+    multi-member .warc.gz — per-record gzip members, walkable and
+    CRC-verified; (b) parse recovers every field; (c) the flip
+    property: EVERY single-byte flip of an archive either raises
+    ValueError or (gzip header metadata bytes: MTIME/XFL/OS/FLG,
+    outside the CRC) leaves the parsed records byte-identical —
+    no flip may silently change a record; (d) hand-built WARC
+    malformations each raise naming the defect."""
+    from lakehouse_homeserver_spark.operators.text import (
+        _build_warc_record,
+        _parse_warc_record,
+        _split_gzip_members,
+        warc_files,
+        warc_parsed,
+    )
+
+    d = str(tmp_path / "docs")
+    long_text = (
+        "the quick brown engine scans a line every merge pass and "
+        "the planner keeps one line of state for the shuffle"
+    )
+    spark.createDataFrame(
+        [
+            (1, long_text, "en", "srcA", len(long_text)),
+            (17, long_text + " tail words", "en", "srcB", 11),
+            (3, None, "en", "srcC", None),  # unfetched: no record
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    files = {r.file_id: bytes(r.warc) for r in warc_files(spark, d).collect()}
+    # doc 1 and 17 share file_id 1 (mod 16); doc 3's file holds 0 records
+    assert set(files) == {1, 3}
+    blob = files[1]
+    assert blob[:3] == b"\x1f\x8b\x08" and files[3] == b""
+    members = list(_split_gzip_members(blob))
+    assert len(members) == 2  # two records, independently gzipped
+
+    rows = {r.doc_id: r for r in warc_parsed(spark, d).collect()}
+    assert set(rows) == {1, 17}
+    r1 = rows[1]
+    assert r1.target_uri == "https://srcA.example.com/doc/1"
+    assert r1.http_status == 200 and r1.warc_type == "response"
+    assert (r1.file_id, r1.rec_index) == (1, 0)
+    assert rows[17].rec_index == 1  # doc_id order inside the file
+    assert "Notes &amp; queries" in rows[17].payload  # raw html payload
+
+    # (c) flip property over the whole 2-record archive
+    baseline = members
+    changed = raised = meta = 0
+    for i in range(len(blob)):
+        t = bytearray(blob)
+        t[i] ^= 0x01
+        try:
+            got = [
+                _parse_warc_record(m) and m
+                for m in _split_gzip_members(bytes(t))
+            ]
+        except ValueError:
+            raised += 1
+            continue
+        if got == baseline:
+            meta += 1
+        else:
+            changed += 1
+    assert changed == 0, "a byte flip silently changed parsed records"
+    assert raised > len(blob) * 0.9  # CRC covers all but ~7 B/member
+    assert meta <= 16  # the metadata carve-out stays small
+
+    # (d) WARC-level malformations raise loudly
+    good = _build_warc_record(5, "srcZ", "<html>ok page</html>")
+    assert _parse_warc_record(good)[1] == 5
+    bads = [
+        (b"WARC/0.18" + good[8:], "version"),
+        (good.replace(b"WARC-Type: response", b"WARC-Type response"),
+         "malformed WARC header"),
+        (good.replace(b"WARC-Record-ID", b"X-Record-ID"), "missing"),
+        (good[:-6], "block short"),  # truncation eats into the block
+        (good[:-3], "terminated"),  # block intact, terminator clipped
+        (good.replace(b"Content-Length: 20", b"Content-Length: 21"),
+         "disagrees"),
+    ]
+    for bad, needle in bads:
+        with pytest.raises(ValueError, match=needle):
+            _parse_warc_record(bad)
+
+
+def test_cc_pipeline_is_transparent_over_the_container(spark, tmp_path):
+    """k4_cc_pipeline == k4_html_quality_pipeline restricted to
+    archive-present docs: the WARC stage must be a lossless prefix,
+    changing no gate metric and no keep decision."""
+    from lakehouse_homeserver_spark.operators.text import (
+        k4_cc_pipeline,
+        k4_html_quality_pipeline,
+    )
+
+    d = str(tmp_path / "docs")
+    words = " ".join(
+        "the quick brown engine scans and keeps state of rows".split()
+        * 12
+    )
+    spark.createDataFrame(
+        [
+            (1, words, "en", "srcA", len(words)),
+            (2, "", "en", "srcA", 0),
+            (3, None, "en", "srcB", None),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    via_warc = {r.doc_id: r for r in k4_cc_pipeline(spark, d).collect()}
+    direct = {
+        r.doc_id: r for r in k4_html_quality_pipeline(spark, d).collect()
+    }
+    assert set(via_warc) == {1, 2}  # NULL-text doc has no record
+    for doc_id, row in via_warc.items():
+        assert row == direct[doc_id], f"doc {doc_id} diverged"
