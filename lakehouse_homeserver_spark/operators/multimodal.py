@@ -2239,3 +2239,318 @@ def k5_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         ulaw_decode_batches, ULAW_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# K5 — BMP (Windows DIB): third image codec, the uncompressed one
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def bmp_encode(px) -> bytes:
+    """(h, w, 3) RGB uint8 -> a real 24-bit BI_RGB BMP: 'BM' file
+    header, BITMAPINFOHEADER, and the format's two famous quirks a
+    lazy codec gets wrong — pixels stored BGR (channel-reversed) and
+    rows BOTTOM-UP, each padded to a 4-byte boundary."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(
+            f"expected (h, w, 3) RGB pixels, got shape {tuple(px.shape)}"
+        )
+    h, w, _ = px.shape
+    stride = (3 * w + 3) & ~3
+    img_size = stride * h
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    head = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER + img_size, 0, 0, _BMP_HEADER
+    )
+    rows = bytearray()
+    bgr = px[:, :, ::-1]  # RGB -> BGR
+    pad = b"\x00" * (stride - 3 * w)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    return head + info + bytes(rows)
+
+
+def bmp_decode(b: bytes):
+    """Real BMP decode, LOUD on every malformation the header can
+    express: magic, declared-vs-actual file size, header size 40
+    (V4/V5/core variants raise NAMED), planes, bpp 24 only (palette
+    depths raise), BI_RGB only (RLE/bitfields raise), declared image
+    size vs geometry, pixel region bounds. Supports both bottom-up
+    (positive height) and top-down (negative height) row orders —
+    both occur in the wild and silently flipping one is the classic
+    BMP consumer bug. BMP carries NO checksum, so the corruption
+    contract is the JPEG-style one (pinned in pytest): any flip
+    raises or visibly changes pixels, except the documented metadata
+    bytes (reserved, resolution, color counts, row padding)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < _BMP_HEADER:
+        raise ValueError("truncated BMP: shorter than the two headers")
+    if b[:2] != b"BM":
+        raise ValueError(f"not a BMP: bad magic {b[:2]!r}")
+    fsize, _res, off = struct.unpack("<III", b[2:14])
+    if fsize != len(b):
+        raise ValueError(
+            f"BMP declared file size {fsize} != actual {len(b)}"
+        )
+    (
+        hsize, w, h, planes, bpp, comp, img_size, _xppm, _yppm,
+        _clr_used, _clr_imp,
+    ) = struct.unpack("<IiiHHIIiiII", b[14:54])
+    if hsize != 40:
+        raise ValueError(
+            f"unsupported BMP variant (header size {hsize}; this "
+            "decoder covers BITMAPINFOHEADER only)"
+        )
+    top_down = h < 0
+    h = -h if top_down else h
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP geometry {w}x{h}")
+    if planes != 1:
+        raise ValueError(f"BMP planes must be 1, got {planes}")
+    if bpp != 24:
+        raise ValueError(
+            f"unsupported BMP bit depth {bpp}; this decoder covers "
+            "24-bit BI_RGB only (palette/16/32-bit raise)"
+        )
+    if comp != 0:
+        raise ValueError(
+            f"unsupported BMP compression {comp} (RLE/bitfields); "
+            "BI_RGB only"
+        )
+    stride = (3 * w + 3) & ~3
+    want = stride * h
+    if img_size not in (0, want):  # 0 is legal for BI_RGB per spec
+        raise ValueError(
+            f"BMP declared image size {img_size} != geometry's {want}"
+        )
+    if off < _BMP_HEADER or off + want > len(b):
+        raise ValueError(
+            f"BMP pixel region [{off}, {off + want}) outside file "
+            f"of {len(b)} bytes"
+        )
+    rows = np.frombuffer(b, dtype=np.uint8, count=want, offset=off)
+    rows = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def bmp_roundtrip_batches(batches: Iterator, _nothing=None):
+    """Encode each row's text-derived 8x8 RGB pixels into a real BMP
+    and decode it back: header checks, bottom-up un-flip, BGR->RGB,
+    per-channel means. Mirrors png_encode/decode's NULL contract."""
+    import numpy as np
+    import pandas as pd
+
+    def one(px):
+        if px is None:
+            return (None, None, None, None, None)
+        arr = np.frombuffer(bytes(px)[:192], dtype=np.uint8).reshape(
+            PPM_H, PPM_W, 3
+        )
+        dec = bmp_decode(bmp_encode(arr))
+        if not np.array_equal(dec, arr):
+            # lossless format: any daylight between input and decode
+            # is a codec bug, never acceptable drift
+            raise ValueError("BMP round-trip mismatch")
+        h, w, _ = dec.shape
+        return (
+            w,
+            h,
+            float(dec[:, :, 0].mean()),
+            float(dec[:, :, 1].mean()),
+            float(dec[:, :, 2].mean()),
+        )
+
+    for pdf in batches:
+        decoded = [one(p) for p in pdf["pixels"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.array([d[0] for d in decoded], dtype="Int64"),
+                "height": pd.array([d[1] for d in decoded], dtype="Int64"),
+                "mean_r": [d[2] for d in decoded],
+                "mean_g": [d[3] for d in decoded],
+                "mean_b": [d[4] for d in decoded],
+            }
+        )
+
+
+@query(
+    "k5_bmp_decode",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           (SELECT AVG(ascii(substring(body, 1 + 3 * i, 1)))
+            FROM UNNEST(range(64)) AS t(i)) AS mean_r,
+           (SELECT AVG(ascii(substring(body, 2 + 3 * i, 1)))
+            FROM UNNEST(range(64)) AS t(i)) AS mean_g,
+           (SELECT AVG(ascii(substring(body, 3 + 3 * i, 1)))
+            FROM UNNEST(range(64)) AS t(i)) AS mean_b
+    FROM img
+    """,
+)
+def k5_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third image codec certificate (late r11, alongside PNG and
+    baseline JPEG): the same text-derived 8x8 RGB pixels as the
+    PNG/PPM certs round-trip through a real 24-bit BMP — BGR channel
+    order, bottom-up rows, 4-byte row padding, full header checks —
+    and the kernel additionally pins decode == input byte-for-byte
+    (BMP is uncompressed, so exact equality is the contract, not
+    just matching means). The oracle recomputes the channel means
+    straight from the text bytes and never sees a BMP, certifying
+    the quirk handling (a swallowed BGR swap or row flip changes
+    means and fails the hash; padded geometries and the top-down
+    variant are pinned by the dedicated pytest).
+
+    Scale shape: identical to k5_png_decode — one Arrow-batched
+    map-only pass, payload never shuffles, per-image work O(pixels).
+    """
+    d = T(spark, sf_dir, "documents")
+    body = F.expr("rpad(text || ' x', 192, text || ' x')")
+    src = d.select("doc_id", F.encode(body, "UTF-8").alias("pixels"))
+    return src.mapInPandas(bmp_roundtrip_batches, PPM_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# K5 — compressed AUDIO codec #2: G.711 A-law (the E1/international
+# half of the standard; mu-law above is the T1/North-American half)
+# ---------------------------------------------------------------------------
+
+
+def alaw_decode(codes):
+    """ITU-T G.711 A-law 8-bit code -> 13-bit-domain linear PCM via
+    the spec's exact integer expansion (XOR 0x55 toggle, segment /
+    mantissa unpack; segment 0 is linear, higher segments double).
+    Sign bit SET means positive — the opposite of mu-law, one of the
+    two classic cross-codec bugs (the other is the 0x55 vs 0xFF
+    toggle). Vectorized numpy, pure integer."""
+    import numpy as np
+
+    a = np.bitwise_xor(codes.astype(np.int64), 0x55)
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0,
+        t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t)
+
+
+def alaw_encode(pcm):
+    """G.711 linear->A-law compression: arithmetic-shift to the
+    13-bit domain, fold negatives (-p-1, so -1 encodes as +0's
+    magnitude — A-law has no negative zero, unlike mu-law's 0x7F),
+    segment search, mantissa quantize, XOR toggle. Satisfies
+    encode(decode(c)) == c for ALL 256 codes exactly (pytest-pinned;
+    mu-law needed its 0x7F carve-out, A-law needs none)."""
+    import numpy as np
+
+    p = pcm.astype(np.int64) >> 3
+    mask = np.where(p >= 0, 0xD5, 0x55)
+    p = np.where(p >= 0, p, -p - 1)
+    seg = np.zeros_like(p)
+    for end in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF):
+        seg += (p > end).astype(np.int64)
+    over = p > 0xFFF
+    shift = np.where(seg < 2, 1, seg)
+    aval = (seg << 4) | ((p >> shift) & 0x0F)
+    aval = np.where(over, 0x7F, aval)
+    return np.bitwise_xor(aval, mask).astype(np.uint8)
+
+
+def alaw_decode_batches(batches: Iterator, _nothing=None):
+    """Arrow-batched A-law stream decode; same NULL/empty contract
+    as the mu-law twin (NULL payload -> NULL stats; empty payload ->
+    (0, NULL, NULL, NULL))."""
+    import numpy as np
+    import pandas as pd
+
+    def one(p):
+        if p is None:
+            return (None, None, None, None)
+        x = np.frombuffer(bytes(p), dtype=np.uint8)
+        if not len(x):
+            return (0, None, None, None)
+        pcm = alaw_decode(x)
+        return (len(x), int(pcm.sum()), int(pcm.min()), int(pcm.max()))
+
+    for pdf in batches:
+        out = [one(p) for p in pdf["payload"]]
+        frame = {"doc_id": pdf["doc_id"]}
+        for i, c in enumerate(("n_samples", "sum_pcm", "min_pcm", "max_pcm")):
+            frame[c] = pd.array([o[i] for o in out], dtype="Int64")
+        yield pd.DataFrame(frame)
+
+
+_ALAW_PCM_SQL = """list_transform(
+      list_transform(range(octet_length(encode(text))),
+        k -> xor(CAST(ascii(substring(text, CAST(k + 1 AS INTEGER), 1))
+                 AS BIGINT), 85)),
+      a -> CASE WHEN (a & 128) > 0 THEN 1 ELSE -1 END *
+           CASE (a & 112) // 16
+           WHEN 0 THEN (a & 15) * 16 + 8
+           WHEN 1 THEN (a & 15) * 16 + 264
+           ELSE ((a & 15) * 16 + 264) * (1 << ((a & 112) // 16 - 1))
+           END)"""
+
+
+@query(
+    "k5_alaw_decode",
+    oracle=f"""
+    WITH pcm AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS nb,
+             {_ALAW_PCM_SQL} AS vals
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(nb AS BIGINT) AS n_samples,
+           CAST(list_sum(vals) AS BIGINT) AS sum_pcm,
+           CAST(list_min(vals) AS BIGINT) AS min_pcm,
+           CAST(list_max(vals) AS BIGINT) AS max_pcm
+    FROM pcm
+    """,
+)
+def k5_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second G.711 companding certificate (late r11): A-law is
+    the codec every NON-North-American telephony / VoIP archive
+    stores, so a media pipeline that only speaks mu-law silently
+    mangles half the world's call audio. Same contract as
+    k5_ulaw_decode — payload bytes are codes (all 256 are valid),
+    the kernel runs the spec's exact integer expansion, the oracle
+    replays the closed-form formula per byte, the hash certifies the
+    decode bit-for-bit. The two codecs' classic confusion bugs
+    (0x55 vs 0xFF toggle, inverted sign-bit convention) are exactly
+    what the twin certificates pin against each other; the lossy
+    encode half is pytest-pinned by encode(decode(c)) == c over all
+    256 codes, with NO carve-out (A-law folds negative zero away,
+    unlike mu-law's 0x7F).
+
+    Scale shape: identical to the mu-law twin — one map-only
+    Arrow-batched pass, constant-time bit formula per sample, decode
+    at scan speed."""
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        alaw_decode_batches, ULAW_SCHEMA
+    )

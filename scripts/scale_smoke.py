@@ -121,6 +121,15 @@ OPS = [
     # 3-frame decode per clip, executor-side fan-out).
     "k4_html_quality_pipeline",
     "k5_mjpeg_frames",
+    # late-r11 wave 2: the WARC container walk (gzip member split +
+    # WARC/HTTP parse — the synthesis groupBy is SF-linear in record
+    # count, the parse map-only), the container->extract->gate chain,
+    # and the BMP / A-law codec certificates (both map-only
+    # constant-per-byte kernels; must scan-scale like PNG/mu-law).
+    "k4_warc_parse",
+    "k4_cc_pipeline",
+    "k5_bmp_decode",
+    "k5_alaw_decode",
 ]
 
 

@@ -53,6 +53,7 @@ EMPTY_SAFE = [
     "k4_cc_pipeline",
     "k5_mjpeg_frames",
     "k5_ulaw_decode",
+    "k5_alaw_decode",
     "k6_hash_split",
     "k6_uniform_sample",
     "k7_training_corpus",
@@ -62,6 +63,7 @@ EMPTY_SAFE = [
     "k1_span_dedup",
     "k3_random_projection",
     "k5_ppm_decode",
+    "k5_bmp_decode",
     "k6_reservoir_per_group",
     "k6_weighted_sample",
     "d10_histogram",
@@ -293,6 +295,7 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
         "k4_cc_pipeline",
         "k5_wav_decode",
         "k5_ulaw_decode",
+        "k5_alaw_decode",
         "k5_pcm_frames",
         "k5_frame_sample",
     ]
@@ -315,6 +318,7 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
         assert s == o, f"{name}: {s[:3]} vs {o[:3]}"
     # no-crash contract for the geometry-bound kernels
     assert qs["k5_ppm_decode"](spark, d).count() == 3
+    assert qs["k5_bmp_decode"](spark, d).count() == 3
     assert qs["k5_ahash_near_dup"](spark, d).count() >= 0
     assert qs["k5_media_near_dup"](spark, d).count() >= 0
     con.close()

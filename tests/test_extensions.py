@@ -1903,3 +1903,112 @@ def test_cc_pipeline_is_transparent_over_the_container(spark, tmp_path):
     assert set(via_warc) == {1, 2}  # NULL-text doc has no record
     for doc_id, row in via_warc.items():
         assert row == direct[doc_id], f"doc {doc_id} diverged"
+
+
+def test_bmp_codec_quirks_and_flip_contract():
+    """k5_bmp_decode (late r11): (a) round-trip exact at padded and
+    unpadded strides; (b) the two format quirks really handled — a
+    decoder that skips the BGR swap or the bottom-up flip cannot
+    reproduce the input; (c) top-down (negative height) decodes too;
+    (d) checksum-less corruption contract: every single-byte flip
+    raises or visibly changes pixels, except the documented metadata
+    bytes (reserved, resolution, color counts, row padding);
+    (e) named loud failures for the unsupported variants."""
+    import struct
+
+    import numpy as np
+
+    from lakehouse_homeserver_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(8, 8), (2, 6), (3, 5), (1, 1)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(bmp_decode(bmp_encode(px)), px), (h, w)
+
+    # (b) quirks are load-bearing: raw pixel bytes inside the file
+    # are NOT the RGB rows (BGR + bottom-up), unless the image is
+    # invariant under both transforms
+    px = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    blob = bmp_encode(px)
+    raw = (
+        np.frombuffer(blob[54:], dtype=np.uint8)
+        .reshape(2, 8)[:, :6]  # strip the 2 pad bytes per row
+        .reshape(2, 2, 3)
+    )
+    assert not np.array_equal(raw, px)
+    assert np.array_equal(raw[::-1, :, ::-1], px)
+
+    # (c) top-down variant: negative height, rows in natural order
+    stride = (3 * 2 + 3) & ~3
+    td = bytearray(blob)
+    struct.pack_into("<i", td, 22, -2)
+    rows = [blob[54 + i * stride : 54 + (i + 1) * stride] for i in (1, 0)]
+    td = bytes(td[:54]) + rows[0] + rows[1]
+    assert np.array_equal(bmp_decode(td), px)
+
+    # (d) flip contract over a padded-stride file
+    px = rng.integers(0, 256, (2, 6, 3), dtype=np.uint8)
+    base = bmp_encode(px)
+    dec0 = bmp_decode(base)
+    stride = (3 * 6 + 3) & ~3
+    pad = {
+        54 + y * stride + k
+        for y in range(2)
+        for k in range(3 * 6, stride)
+    }
+    meta = set(range(6, 10)) | set(range(38, 54)) | pad
+    for i in range(len(base)):
+        t = bytearray(base)
+        t[i] ^= 0x01
+        try:
+            d = bmp_decode(bytes(t))
+        except ValueError:
+            continue
+        if np.array_equal(d, dec0):
+            assert i in meta, f"silent unchanged flip at offset {i}"
+
+    # (e) unsupported variants raise NAMED
+    cases = [
+        (14, "<I", 124, "header size"),      # BITMAPV5
+        (28, "<H", 8, "bit depth"),          # palette depth
+        (30, "<I", 1, "compression"),        # RLE8
+        (26, "<H", 3, "planes"),
+    ]
+    for off, fmt, val, needle in cases:
+        t = bytearray(base)
+        struct.pack_into(fmt, t, off, val)
+        with pytest.raises(ValueError, match=needle):
+            bmp_decode(bytes(t))
+    with pytest.raises(ValueError, match="magic"):
+        bmp_decode(b"PM" + base[2:])
+    with pytest.raises(ValueError, match="file size"):
+        bmp_decode(base[:-1])
+    with pytest.raises(ValueError, match="(?s)RGB pixels"):
+        bmp_encode(rng.integers(0, 256, (2, 2, 4), dtype=np.uint8))
+
+
+def test_g711_alaw_identity_and_cross_codec_divergence():
+    """k5_alaw_decode (late r11): (a) the spec identity
+    encode(decode(c)) == c holds for ALL 256 A-law codes with no
+    carve-out (mu-law's 0x7F negative zero has no A-law analogue);
+    (b) the two companding halves really are different codecs — a
+    mu-law stream fed to the A-law expander diverges on nearly every
+    code (the classic telephony-archive mix-up the twin certificates
+    exist to catch); (c) decode magnitudes stay in the 13-bit-domain
+    spec range."""
+    import numpy as np
+
+    from lakehouse_homeserver_spark.operators.multimodal import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert (alaw_encode(alaw_decode(codes)) == codes).all()
+    assert int(np.abs(alaw_decode(codes)).max()) == 32256
+    diverge = (alaw_decode(codes) != ulaw_decode(codes)).sum()
+    assert diverge >= 250, f"only {diverge}/256 codes diverge"
