@@ -2554,3 +2554,568 @@ def k5_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         alaw_decode_batches, ULAW_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# K5 — GIF87a: fourth image codec, and the LZW one (PNG covers
+# DEFLATE, JPEG covers DCT+Huffman, BMP covers raw — GIF adds the
+# dictionary-coding family)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """GIF-flavor LZW compress (LSB-first bit packing, variable code
+    width from mcs+1 to 12, clear/end codes, dictionary reset at
+    4096): the real greedy-dictionary encoder, so the decode
+    certificate exercises genuine dictionary growth, code-width
+    bumps, and the KwKwK case — not a degenerate literal stream."""
+    out_bits = []
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+
+    def emit(code):
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = end + 1
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([int(k)])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code > (1 << 12):
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = end + 1
+            width = mcs + 1
+        w = bytes([int(k)])
+    if w:
+        emit(table[w])
+    emit(end)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        b = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            b |= bit << j
+        by.append(b)
+    return bytes(by)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, max_px: int) -> bytes:
+    """GIF LZW expand, LOUD: truncated stream (no end code), code
+    beyond the table (the only malformation dictionary coding can
+    detect), table overflow without a clear, and output larger than
+    the descriptor's pixel count all raise ValueError."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while True:
+        if bitpos + width > nbits:
+            raise ValueError("LZW stream truncated (no end code)")
+        code = 0
+        for i in range(width):
+            code |= (
+                (data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1
+            ) << i
+        bitpos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW first code {code} out of table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(
+                f"LZW code {code} beyond table of {len(table)}"
+            )
+        if len(table) > 4096:
+            raise ValueError("LZW table overflow without clear code")
+        out += entry
+        if len(out) > max_px:
+            raise ValueError(f"LZW output exceeds {max_px} pixels")
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def gif_encode(px) -> bytes:
+    """(h, w, 3) RGB uint8 -> a real GIF87a: exact palette built from
+    the image's distinct colors (raises beyond 256 — GIF is a
+    palette format, silent quantization would be data loss), global
+    color table padded to the spec's power-of-two size, one
+    full-frame image, LZW-compressed indices in 255-byte sub-blocks,
+    trailer."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(
+            f"expected (h, w, 3) RGB pixels, got shape {tuple(px.shape)}"
+        )
+    h, w, _ = px.shape
+    colors, inv = np.unique(px.reshape(-1, 3), axis=0, return_inverse=True)
+    n = len(colors)
+    if n > 256:
+        raise ValueError(
+            f"GIF cannot hold {n} distinct colors (max 256); "
+            "quantize upstream, never silently here"
+        )
+    gct_bits = max(1, int(n - 1).bit_length()) if n > 1 else 1
+    mcs = max(2, gct_bits)  # spec: LZW min code size >= 2
+    flags = 0x80 | (0x07 << 4) | (gct_bits - 1)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, flags, 0, 0)
+    gct = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
+    gct[:n] = colors
+    out += gct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(mcs)
+    stream = _gif_lzw_encode(inv.astype(np.uint8), mcs)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def gif_decode(b: bytes):
+    """Real GIF87a decode -> (h, w, 3) RGB uint8, LOUD on every
+    malformation the container can express: magic (GIF89a raises
+    NAMED — extension blocks out of scope), truncated header/palette/
+    sub-blocks, missing global color table, partial-frame or
+    interlaced or local-color-table images (named), bad LZW min code
+    size, pixel-count mismatch, index beyond the color table, missing
+    trailer, trailing garbage. GIF carries NO checksum, so the
+    corruption contract is the JPEG/BMP-style one (pytest-pinned):
+    any single-byte flip raises or visibly changes pixels, except
+    the enumerated metadata bytes (background index, aspect ratio,
+    unused LCT-size bits, pad palette entries)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < 13:
+        raise ValueError("truncated GIF: no header")
+    if b[:6] == b"GIF89a":
+        raise ValueError(
+            "unsupported GIF variant GIF89a (extension blocks)"
+        )
+    if b[:6] != b"GIF87a":
+        raise ValueError(f"not a GIF87a: magic {b[:6]!r}")
+    w, h, flags, _bg, _aspect = struct.unpack("<HHBBB", b[6:13])
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table")
+    n_ent = 1 << ((flags & 0x07) + 1)
+    pos = 13
+    if pos + 3 * n_ent > len(b):
+        raise ValueError("truncated GIF: global color table")
+    palette = np.frombuffer(
+        b[pos : pos + 3 * n_ent], dtype=np.uint8
+    ).reshape(n_ent, 3)
+    pos += 3 * n_ent
+    if pos >= len(b):
+        raise ValueError("truncated GIF: no image descriptor")
+    if b[pos] != 0x2C:
+        raise ValueError(
+            f"expected image descriptor, got 0x{b[pos]:02x}"
+        )
+    left, top, iw, ih, iflags = struct.unpack(
+        "<HHHHB", b[pos + 1 : pos + 10]
+    )
+    pos += 10
+    if (left, top, iw, ih) != (0, 0, w, h):
+        raise ValueError("partial-frame GIF unsupported")
+    if iflags & 0x80:
+        raise ValueError("GIF local color table unsupported")
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if pos >= len(b):
+        raise ValueError("truncated GIF: no LZW min code size")
+    mcs = b[pos]
+    pos += 1
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"bad LZW min code size {mcs}")
+    stream = bytearray()
+    while True:
+        if pos >= len(b):
+            raise ValueError("truncated GIF: unterminated image data")
+        ln = b[pos]
+        pos += 1
+        if ln == 0:
+            break
+        if pos + ln > len(b):
+            raise ValueError("truncated GIF: short data sub-block")
+        stream += b[pos : pos + ln]
+        pos += ln
+    if pos >= len(b) or b[pos] != 0x3B:
+        raise ValueError("GIF missing trailer")
+    if pos + 1 != len(b):
+        raise ValueError("trailing bytes after GIF trailer")
+    idx = np.frombuffer(
+        _gif_lzw_decode(bytes(stream), mcs, w * h), dtype=np.uint8
+    )
+    if len(idx) != w * h:
+        raise ValueError(f"LZW pixel count {len(idx)} != {w}x{h}")
+    if int(idx.max(initial=0)) >= n_ent:
+        raise ValueError("GIF pixel index beyond color table")
+    return palette[idx.reshape(h, w)]
+
+
+def gif_roundtrip_batches(batches: Iterator, _nothing=None):
+    """Encode each row's text-derived 8x8 RGB pixels into a real
+    GIF87a and decode it back; pins decode == input exactly (the
+    64-pixel tile has <= 64 distinct colors, so the palette is exact
+    and GIF is lossless here). Same NULL contract as the PNG/BMP
+    twins."""
+    import numpy as np
+    import pandas as pd
+
+    def one(px):
+        if px is None:
+            return (None, None, None, None, None)
+        arr = np.frombuffer(bytes(px)[:192], dtype=np.uint8).reshape(
+            PPM_H, PPM_W, 3
+        )
+        dec = gif_decode(gif_encode(arr))
+        if not np.array_equal(dec, arr):
+            raise ValueError("GIF round-trip mismatch")
+        h, w, _ = dec.shape
+        return (
+            w,
+            h,
+            float(dec[:, :, 0].mean()),
+            float(dec[:, :, 1].mean()),
+            float(dec[:, :, 2].mean()),
+        )
+
+    for pdf in batches:
+        decoded = [one(p) for p in pdf["pixels"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.array([d[0] for d in decoded], dtype="Int64"),
+                "height": pd.array([d[1] for d in decoded], dtype="Int64"),
+                "mean_r": [d[2] for d in decoded],
+                "mean_g": [d[3] for d in decoded],
+                "mean_b": [d[4] for d in decoded],
+            }
+        )
+
+
+@query(
+    "k5_gif_decode",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, rpad(text || ' x', 192, text || ' x') AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           (SELECT AVG(ascii(substring(body, 1 + 3 * i, 1)))
+            FROM UNNEST(range(64)) AS t(i)) AS mean_r,
+           (SELECT AVG(ascii(substring(body, 2 + 3 * i, 1)))
+            FROM UNNEST(range(64)) AS t(i)) AS mean_g,
+           (SELECT AVG(ascii(substring(body, 3 + 3 * i, 1)))
+            FROM UNNEST(range(64)) AS t(i)) AS mean_b
+    FROM img
+    """,
+)
+def k5_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth image-codec certificate (late r11), closing the
+    dictionary-coding family: the same text-derived 8x8 tile as the
+    PNG/BMP/PPM certs round-trips through a real GIF87a — exact
+    palette construction, power-of-two global color table, and a
+    REAL LZW compressor/expander pair (variable code width, clear
+    codes, dictionary cap, the KwKwK self-reference case — all
+    pytest-pinned on crafted streams). The kernel pins decode ==
+    input exactly; the oracle recomputes the channel means from the
+    text bytes and never sees a GIF, so the hash certifies palette +
+    LZW + container end-to-end.
+
+    Scale shape: identical to the other image certs — one map-only
+    Arrow-batched pass, payload never shuffles, per-image cost
+    O(pixels) (LZW is linear-time)."""
+    d = T(spark, sf_dir, "documents")
+    body = F.expr("rpad(text || ' x', 192, text || ' x')")
+    src = d.select("doc_id", F.encode(body, "UTF-8").alias("pixels"))
+    return src.mapInPandas(gif_roundtrip_batches, PPM_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# K5 — WebDataset shard (ustar): the multimodal TRAINING container —
+# tar shards of same-key (sample.txt, sample.img) pairs, the layout
+# large image-text training runs stream from object storage
+# ---------------------------------------------------------------------------
+
+WDS_N_SHARDS = 16
+
+
+def _tar_header(name: str, size: int) -> bytes:
+    """One POSIX ustar 512-byte header: octal size field, the spec's
+    checksum (sum of header bytes with the checksum field read as
+    spaces — tar's only integrity device, so the parser MUST verify
+    it), typeflag '0', magic 'ustar\\0' + version '00'."""
+    h = bytearray(512)
+    nb = name.encode("ascii")
+    if len(nb) > 100:
+        raise ValueError(f"tar member name over 100 bytes: {name!r}")
+    h[0 : len(nb)] = nb
+    h[100:108] = b"0000644\x00"           # mode
+    h[108:116] = b"0000000\x00"           # uid
+    h[116:124] = b"0000000\x00"           # gid
+    h[124:136] = ("%011o" % size).encode() + b"\x00"
+    h[136:148] = ("%011o" % 0).encode() + b"\x00"  # mtime: fixed
+    h[148:156] = b" " * 8                  # chksum placeholder
+    h[156] = ord("0")                      # regular file
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    chk = sum(h)
+    h[148:156] = ("%06o" % chk).encode() + b"\x00 "
+    return bytes(h)
+
+
+def tar_pack(members) -> bytes:
+    """[(name, bytes)] -> a ustar archive: header + 512-padded
+    content per member, two zero blocks at the end (stdlib-tarfile
+    readable — pinned by pytest)."""
+    out = bytearray()
+    for name, data in members:
+        out += _tar_header(name, len(data))
+        out += data
+        if len(data) % 512:
+            out += b"\x00" * (512 - len(data) % 512)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def tar_unpack(blob: bytes):
+    """Walk a ustar archive LOUDLY, yielding (name, bytes) in
+    archive order: every header's checksum is verified (a flipped
+    header byte raises), octal fields must parse, only regular-file
+    members are supported (directories/links raise NAMED), the
+    archive must end with two zero blocks and nothing but zero
+    padding after them."""
+    blob = bytes(blob)
+    if len(blob) % 512:
+        raise ValueError(f"tar length {len(blob)} not block-aligned")
+    pos = 0
+    while True:
+        if pos + 512 > len(blob):
+            raise ValueError("tar truncated: no terminator blocks")
+        h = blob[pos : pos + 512]
+        if h == b"\x00" * 512:
+            if blob[pos + 512 : pos + 1024] != b"\x00" * 512:
+                raise ValueError("tar missing second terminator block")
+            if blob[pos + 1024 :].strip(b"\x00"):
+                raise ValueError("non-zero bytes after tar terminator")
+            return
+        if h[257:263] != b"ustar\x00":
+            raise ValueError(f"bad ustar magic {h[257:263]!r}")
+        declared = h[148:156]
+        try:
+            chk = int(declared.rstrip(b"\x00 ").lstrip(), 8)
+        except ValueError as exc:
+            raise ValueError("unparseable tar checksum field") from exc
+        actual = sum(h) - sum(declared) + 8 * ord(" ")
+        if chk != actual:
+            raise ValueError(
+                f"tar header checksum mismatch ({chk} != {actual})"
+            )
+        if h[156] not in (ord("0"), 0):
+            raise ValueError(
+                f"unsupported tar member type {chr(h[156])!r} "
+                "(directories/links out of scope)"
+            )
+        name = h[:100].rstrip(b"\x00").decode("ascii")
+        try:
+            size = int(h[124:136].rstrip(b"\x00 "), 8)
+        except ValueError as exc:
+            raise ValueError("unparseable tar size field") from exc
+        data = blob[pos + 512 : pos + 512 + size]
+        if len(data) != size:
+            raise ValueError(f"tar member {name!r} truncated")
+        yield name, data
+        pos += 512 + size
+        if size % 512:
+            pos += 512 - size % 512
+
+
+WDS_SCHEMA = (
+    "doc_id long, shard_id long, sample_index long, txt_chars bigint, "
+    "txt_digest string, img_w bigint, img_h bigint, pixel_digest string"
+)
+
+
+def _wds_assemble(pdf):
+    """Grouped shard writer: per doc (doc_id order) the WebDataset
+    pair {key}.txt (UTF-8 text) + {key}.img (the REAL PNG of the
+    text-derived tile) — same-key members adjacent, the wds layout
+    contract the parser enforces."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id")
+    members = []
+    for doc_id, text, px in zip(pdf["doc_id"], pdf["text"], pdf["pixels"]):
+        if text is None:
+            continue
+        key = f"{int(doc_id):08d}"
+        members.append((f"{key}.txt", text.encode("utf-8")))
+        members.append(
+            (
+                f"{key}.img",
+                png_encode_rgb(
+                    np.frombuffer(bytes(px)[:192], dtype=np.uint8).reshape(
+                        PPM_H, PPM_W, 3
+                    )
+                ),
+            )
+        )
+    return pd.DataFrame(
+        {
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "shard": [tar_pack(members)],
+        }
+    )
+
+
+def wds_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard_id, shard) — the WebDataset corpus; the groupBy is the
+    synthesis stand-in shuffle (a real run READS shards, one whole
+    file per task, zero shuffle — the same posture as warc_files)."""
+    d = T(spark, sf_dir, "documents")
+    body = F.expr("rpad(text || ' x', 192, text || ' x')")
+    docs = d.select(
+        "doc_id",
+        "text",
+        F.encode(body, "UTF-8").alias("pixels"),
+        (F.col("doc_id") % WDS_N_SHARDS).alias("shard_id"),
+    )
+    return docs.groupBy("shard_id").applyInPandas(
+        _wds_assemble, "shard_id long, shard binary"
+    )
+
+
+def wds_sample_batches(batches: Iterator, _nothing=None):
+    """Arrow-batched shard parse: ustar walk (checksums verified) ->
+    enforce the WebDataset pairing contract (members arrive as
+    adjacent same-key .txt/.img pairs — the property streaming
+    loaders rely on; any stray, misordered, or odd member raises) ->
+    decode the PNG half, digest both halves."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "shard_id", "sample_index", "txt_chars",
+            "txt_digest", "img_w", "img_h", "pixel_digest",
+        )}
+        for shard_id, blob in zip(pdf["shard_id"], pdf["shard"]):
+            members = list(tar_unpack(blob))
+            if len(members) % 2:
+                raise ValueError(
+                    f"shard {shard_id}: odd member count {len(members)}"
+                )
+            for idx in range(0, len(members), 2):
+                (tname, tdata), (iname, idata) = members[idx], members[idx + 1]
+                tkey, tdot, text_ext = tname.partition(".")
+                ikey, idot, img_ext = iname.partition(".")
+                if (text_ext, img_ext) != ("txt", "img") or tkey != ikey:
+                    raise ValueError(
+                        "WebDataset pairing violation: "
+                        f"{tname!r} / {iname!r}"
+                    )
+                px = png_decode_rgb(idata)
+                text = tdata.decode("utf-8")
+                rows["doc_id"].append(int(tkey))
+                rows["shard_id"].append(int(shard_id))
+                rows["sample_index"].append(idx // 2)
+                rows["txt_chars"].append(len(text))
+                rows["txt_digest"].append(
+                    hashlib.md5(tdata).hexdigest()
+                )
+                rows["img_w"].append(px.shape[1])
+                rows["img_h"].append(px.shape[0])
+                rows["pixel_digest"].append(
+                    hashlib.md5(px.tobytes()).hexdigest()
+                )
+        out = pd.DataFrame(rows)
+        for c in ("doc_id", "shard_id", "sample_index", "txt_chars",
+                  "img_w", "img_h"):
+            out[c] = out[c].astype("int64")
+        yield out
+
+
+@query(
+    "k5_webdataset_shard",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             rpad(text || ' x', 192, text || ' x') AS body
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           doc_id % {WDS_N_SHARDS} AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id % {WDS_N_SHARDS} ORDER BY doc_id
+           ) - 1 AS BIGINT) AS sample_index,
+           CAST(LENGTH(text) AS BIGINT) AS txt_chars,
+           md5(text) AS txt_digest,
+           CAST(8 AS BIGINT) AS img_w,
+           CAST(8 AS BIGINT) AS img_h,
+           md5(body) AS pixel_digest
+    FROM d
+    """,
+)
+def k5_webdataset_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard round-trip (late r11 — the TRAINING-side
+    container, closing the loop the WARC cert opened on the
+    ingestion side): each doc becomes the standard same-key
+    (.txt, .img) pair, packed in doc order into real ustar shards
+    (stdlib-tarfile-compatible, pytest-pinned), and the parser walks
+    them back verifying every header checksum, the pairing contract,
+    and the PNG payload through the certified decoder. The oracle
+    recomputes every fact from plaintext (text md5; pixel md5 of the
+    tile bytes the PNG must decode back to; row_number pairing
+    order), so the hash certifies pack -> checksum -> pair -> decode
+    end-to-end lossless.
+
+    100 TB design: the groupBy is the synthesis stand-in (a trainer
+    READS shards — one whole file per task, zero shuffle, sequential
+    I/O; that streaming-friendliness is the entire reason WebDataset
+    exists); parse + decode is one map-only Arrow-batched pass, a
+    shard never leaves the executor that read it."""
+    return wds_shards(spark, sf_dir).mapInPandas(
+        wds_sample_batches, WDS_SCHEMA
+    )

@@ -130,6 +130,12 @@ OPS = [
     "k4_cc_pipeline",
     "k5_bmp_decode",
     "k5_alaw_decode",
+    # late-r11 wave 3: the GIF/LZW round trip (map-only; LZW is
+    # linear-time per image, so it must scan-scale like the others)
+    # and the WebDataset shard round trip (synthesis groupBy is
+    # SF-linear in pair count; parse+decode map-only per shard).
+    "k5_gif_decode",
+    "k5_webdataset_shard",
 ]
 
 

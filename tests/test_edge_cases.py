@@ -64,6 +64,8 @@ EMPTY_SAFE = [
     "k3_random_projection",
     "k5_ppm_decode",
     "k5_bmp_decode",
+    "k5_gif_decode",
+    "k5_webdataset_shard",
     "k6_reservoir_per_group",
     "k6_weighted_sample",
     "d10_histogram",
@@ -319,6 +321,8 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
     # no-crash contract for the geometry-bound kernels
     assert qs["k5_ppm_decode"](spark, d).count() == 3
     assert qs["k5_bmp_decode"](spark, d).count() == 3
+    assert qs["k5_gif_decode"](spark, d).count() == 3
+    assert qs["k5_webdataset_shard"](spark, d).count() == 2  # NULL doc absent
     assert qs["k5_ahash_near_dup"](spark, d).count() >= 0
     assert qs["k5_media_near_dup"](spark, d).count() >= 0
     con.close()

@@ -2012,3 +2012,198 @@ def test_g711_alaw_identity_and_cross_codec_divergence():
     assert int(np.abs(alaw_decode(codes)).max()) == 32256
     diverge = (alaw_decode(codes) != ulaw_decode(codes)).sum()
     assert diverge >= 250, f"only {diverge}/256 codes diverge"
+
+
+def test_gif_lzw_and_container_contract():
+    """k5_gif_decode (late r11): (a) round-trip exact across palette
+    sizes, repetitive KwKwK-baiting patterns, dictionary-cap churn,
+    and code-width growth; (b) >256 distinct colors refuse to encode
+    (no silent quantization); (c) named loud failures for GIF89a,
+    interlace, local color table, partial frame, truncation, missing
+    trailer, trailing garbage; (d) checksum-less flip contract: every
+    single-byte flip raises or visibly changes pixels except the
+    enumerated metadata bytes (background, aspect, unused LCT-size
+    bits, pad palette entries)."""
+    import numpy as np
+
+    from lakehouse_homeserver_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        gif_decode,
+        gif_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [
+        rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+        np.tile(
+            np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8), (4, 8, 1)
+        ),
+        np.zeros((1, 1, 3), dtype=np.uint8),
+        rng.integers(0, 4, (16, 16, 3), dtype=np.uint8) * 60,
+        # 30x30 random over 200 colors: dictionary churn + width bumps
+        (rng.integers(0, 200, (30, 30, 1), dtype=np.uint8)
+         * np.array([[[1, 1, 1]]], dtype=np.uint8)),
+    ]
+    for i, px in enumerate(cases):
+        assert np.array_equal(gif_decode(gif_encode(px)), px), i
+
+    # raw LZW: KwKwK stream and truncation
+    idx = np.frombuffer(b"\x01\x02\x01\x02" * 16, dtype=np.uint8)
+    enc = _gif_lzw_encode(idx, 2)
+    assert _gif_lzw_decode(enc, 2, 64) == bytes(idx)
+    with pytest.raises(ValueError, match="truncated"):
+        _gif_lzw_decode(enc[:-2], 2, 64)
+
+    # (b) palette overflow refuses
+    grad = np.arange(300, dtype=np.int64) % 257
+    big = np.stack(
+        [grad % 256, grad // 2 % 256, grad // 3 % 256], axis=-1
+    ).astype(np.uint8).reshape(30, 10, 3)
+    if len(np.unique(big.reshape(-1, 3), axis=0)) > 256:
+        with pytest.raises(ValueError, match="distinct colors"):
+            gif_encode(big)
+
+    # (c) named failures
+    px = rng.integers(0, 5, (4, 6, 3), dtype=np.uint8) * 50
+    base = gif_encode(px)
+    with pytest.raises(ValueError, match="GIF89a"):
+        gif_decode(b"GIF89a" + base[6:])
+    with pytest.raises(ValueError, match="magic"):
+        gif_decode(b"GIF88a" + base[6:])
+    n = len(np.unique(px.reshape(-1, 3), axis=0))
+    gct_bits = max(1, int(n - 1).bit_length())
+    desc = 13 + 3 * (1 << gct_bits)  # image descriptor offset
+    t = bytearray(base)
+    t[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        gif_decode(bytes(t))
+    t = bytearray(base)
+    t[desc + 9] |= 0x80
+    with pytest.raises(ValueError, match="local color table"):
+        gif_decode(bytes(t))
+    t = bytearray(base)
+    t[desc + 1] = 1  # left != 0
+    with pytest.raises(ValueError, match="partial-frame"):
+        gif_decode(bytes(t))
+    with pytest.raises(ValueError, match="trailer|truncated"):
+        gif_decode(base[:-1])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        gif_decode(base + b"\x00")
+
+    # (d) flip contract
+    dec0 = gif_decode(base)
+    pal_used_end = 13 + 3 * n
+    pal_end = 13 + 3 * (1 << gct_bits)
+    meta = {11, 12} | set(range(pal_used_end, pal_end)) | {desc + 9}
+    for i in range(len(base)):
+        t = bytearray(base)
+        t[i] ^= 0x01
+        try:
+            d = gif_decode(bytes(t))
+        except ValueError:
+            continue
+        if d.shape == dec0.shape and np.array_equal(d, dec0):
+            assert i in meta, f"silent unchanged flip at offset {i}"
+
+
+def test_webdataset_shard_pairing_and_tar_contract(spark, tmp_path):
+    """k5_webdataset_shard (late r11): (a) the shards are real ustar
+    archives — stdlib tarfile reads them back byte-identically;
+    (b) every header checksum is verified: any single-byte flip in a
+    HEADER block raises, and flips in member content change a digest
+    (content is digest-certified, tar itself has no content
+    checksum); (c) the WebDataset pairing contract is enforced —
+    stray members, swapped extensions, and key mismatches raise;
+    (d) unsupported member types raise named."""
+    import io
+    import tarfile as stdtar
+
+    from lakehouse_homeserver_spark.operators.multimodal import (
+        _tar_header,
+        k5_webdataset_shard,
+        tar_pack,
+        tar_unpack,
+        wds_shards,
+    )
+
+    d = str(tmp_path / "docs")
+    words = "the quick brown engine scans rows " * 8
+    spark.createDataFrame(
+        [
+            (1, words, "en", "srcA", len(words)),
+            (17, words + "tail", "en", "srcB", 4),
+            (3, None, "en", "srcC", None),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    shards = {r.shard_id: bytes(r.shard) for r in wds_shards(spark, d).collect()}
+    blob = shards[1]  # docs 1 and 17
+    tf = stdtar.open(fileobj=io.BytesIO(blob))
+    names = [m.name for m in tf.getmembers()]
+    assert names == [
+        "00000001.txt", "00000001.img", "00000017.txt", "00000017.img",
+    ]
+    ours = list(tar_unpack(blob))
+    for (n1, d1), m in zip(ours, tf.getmembers()):
+        assert n1 == m.name and d1 == tf.extractfile(m).read()
+
+    rows = {r.doc_id: r for r in k5_webdataset_shard(spark, d).collect()}
+    assert set(rows) == {1, 17}
+    assert rows[17].sample_index == 1 and rows[17].img_w == 8
+
+    # (b) header flips raise via the checksum; the name field's
+    # trailing NULs are the one header region a flip can leave
+    # checksum-consistent only by ALSO breaking the checksum field
+    # (impossible with a single flip) — so: every header-block flip
+    # raises.
+    first_header = range(0, 512)
+    raised = 0
+    for i in first_header:
+        t = bytearray(blob)
+        t[i] ^= 0x01
+        try:
+            list(tar_unpack(bytes(t)))
+        except ValueError:
+            raised += 1
+    assert raised == 512, f"only {raised}/512 header flips raised"
+
+    # (c) pairing violations
+    txt = ("00000009.txt", b"hello")
+    img = ("00000009.img", b"not-a-png")
+    with pytest.raises(ValueError, match="odd member count"):
+        _drain_wds(tar_pack([txt]))
+    with pytest.raises(ValueError, match="pairing violation"):
+        _drain_wds(tar_pack([("00000009.txt", b"x"), ("00000008.img", b"y")]))
+    with pytest.raises(ValueError, match="pairing violation"):
+        _drain_wds(tar_pack([("00000009.img", b"x"), ("00000009.txt", b"y")]))
+    with pytest.raises(ValueError, match="not a PNG"):
+        _drain_wds(tar_pack([txt, img]))
+
+    # (d) member types / malformed archives
+    hdr = bytearray(_tar_header("dir/", 0))
+    hdr[156] = ord("5")
+    chk = sum(hdr) - sum(hdr[148:156]) + 8 * ord(" ")
+    hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+    with pytest.raises(ValueError, match="unsupported tar member type"):
+        list(tar_unpack(bytes(hdr) + b"\x00" * 1024))
+    with pytest.raises(ValueError, match="terminator"):
+        list(tar_unpack(tar_pack([txt])[:-512]))
+    with pytest.raises(ValueError, match="block-aligned"):
+        list(tar_unpack(b"\x00" * 100))
+
+
+def _drain_wds(blob: bytes):
+    """Run one shard blob through the wds parse kernel."""
+    import pandas as pd
+
+    from lakehouse_homeserver_spark.operators.multimodal import (
+        wds_sample_batches,
+    )
+
+    return list(
+        wds_sample_batches(
+            iter([pd.DataFrame({"shard_id": [0], "shard": [blob]})])
+        )
+    )
