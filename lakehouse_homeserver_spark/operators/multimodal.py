@@ -1026,18 +1026,20 @@ WAV_CHANNELS = 1
 WAV_BITS = 8
 
 
-def _build_wav(pcm: bytes) -> bytes:
-    """A real RIFF/WAVE container around u8 PCM: fmt chunk, a LIST
-    (INFO) chunk, then data. The LIST chunk exists so the parser must
-    genuinely WALK chunks — a fixed-44-byte-offset 'parser' would
-    read garbage."""
+def _build_wav(pcm: bytes, fmt_tag: int = 1) -> bytes:
+    """A real RIFF/WAVE container around 8-bit sample data: fmt
+    chunk, a LIST (INFO) chunk, then data. The LIST chunk exists so
+    the parser must genuinely WALK chunks — a fixed-44-byte-offset
+    'parser' would read garbage. fmt_tag 1 = u8 PCM (the original
+    cert); 6/7 = G.711 A-law/mu-law code streams (the late-r11
+    container-dispatch cert, k5_wav_g711_decode)."""
     import struct
 
     fmt = struct.pack(
         "<4sIHHIIHH",
         b"fmt ",
         16,
-        1,  # PCM
+        fmt_tag,
         WAV_CHANNELS,
         WAV_RATE,
         WAV_RATE * WAV_CHANNELS * WAV_BITS // 8,
@@ -1053,26 +1055,30 @@ def _build_wav(pcm: bytes) -> bytes:
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
-def _parse_wav(wav: bytes) -> tuple[int, int, int, bytes]:
-    """(sample_rate, channels, bits, pcm) via the chunk walk."""
+def _parse_wav(wav: bytes) -> tuple[int, int, int, int, bytes]:
+    """(fmt_tag, sample_rate, channels, bits, data) via the chunk
+    walk; fmt_tag is what a real audio pipeline DISPATCHES its
+    decoder on (1 = linear PCM, 6/7 = G.711 A-law/mu-law)."""
     import struct
 
     if wav[:4] != b"RIFF" or wav[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos, end = 12, 8 + struct.unpack("<I", wav[4:8])[0]
-    rate = channels = bits = None
+    fmt_tag = rate = channels = bits = None
     pcm = None
     while pos + 8 <= end:
         cid, size = struct.unpack("<4sI", wav[pos : pos + 8])
         body = wav[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt_tag, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size % 2)  # word alignment
     if rate is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
-    return rate, channels, bits, pcm
+    return fmt_tag, rate, channels, bits, pcm
 
 
 def wav_roundtrip_batches(batches):
@@ -1110,7 +1116,9 @@ def wav_roundtrip_batches(batches):
                 out["mean_amp"].append(None)
                 continue
             wav = _build_wav(bytes(payload))
-            rate, channels, bits, pcm = _parse_wav(wav)
+            fmt_tag, rate, channels, bits, pcm = _parse_wav(wav)
+            if fmt_tag != 1:
+                raise ValueError(f"expected PCM fmt tag, got {fmt_tag}")
             x = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
             s = int(x.sum())
             out["sample_rate"].append(rate)
@@ -3118,4 +3126,121 @@ def k5_webdataset_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard never leaves the executor that read it."""
     return wds_shards(spark, sf_dir).mapInPandas(
         wds_sample_batches, WDS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# K5 — WAV + G.711: container-driven codec DISPATCH (fmt tag 7 ->
+# mu-law, 6 -> A-law), composing the RIFF walk with both companders
+# ---------------------------------------------------------------------------
+
+WAV_G711_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt_tag", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_pcm", LongType()),
+        StructField("min_pcm", LongType()),
+        StructField("max_pcm", LongType()),
+    ]
+)
+
+
+def wav_g711_batches(batches: Iterator, _nothing=None):
+    """Encode each payload as a real G.711 WAV (even doc_ids fmt 7 /
+    mu-law, odd fmt 6 / A-law), parse it back with the RIFF chunk
+    walker, and DISPATCH the decoder on the container's fmt tag —
+    the decision a real audio pipeline makes per file. An unknown
+    tag raises NAMED (pytest-pinned), because the wrong-compander
+    failure mode is silent garbage, never an error."""
+    import numpy as np
+    import pandas as pd
+
+    def one(doc_id, p):
+        if p is None:
+            # NULL payload: the container constants are still known
+            # (the oracle emits them unconditionally — same NULL
+            # contract as k5_wav_decode); PCM-derived stats go NULL.
+            return (
+                7 if doc_id % 2 == 0 else 6,
+                WAV_RATE, WAV_BITS, None, None, None, None,
+            )
+        tag = 7 if doc_id % 2 == 0 else 6
+        wav = _build_wav(bytes(p), fmt_tag=tag)
+        fmt_tag, rate, _channels, bits, data = _parse_wav(wav)
+        if fmt_tag == 7:
+            decode = ulaw_decode
+        elif fmt_tag == 6:
+            decode = alaw_decode
+        else:
+            raise ValueError(
+                f"no decoder for WAV fmt tag {fmt_tag} "
+                "(1=PCM handled by k5_wav_decode; 6/7=G.711)"
+            )
+        x = np.frombuffer(data, dtype=np.uint8)
+        if not len(x):
+            return (fmt_tag, rate, bits, 0, None, None, None)
+        pcm = decode(x)
+        return (
+            fmt_tag, rate, bits,
+            len(x), int(pcm.sum()), int(pcm.min()), int(pcm.max()),
+        )
+
+    for pdf in batches:
+        out = [one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])]
+        frame = {"doc_id": pdf["doc_id"]}
+        for i, c in enumerate(("fmt_tag", "sample_rate", "bits")):
+            frame[c] = pd.array([o[i] for o in out], dtype="Int32")
+        for i, c in enumerate(
+            ("n_samples", "sum_pcm", "min_pcm", "max_pcm"), start=3
+        ):
+            frame[c] = pd.array([o[i] for o in out], dtype="Int64")
+        yield pd.DataFrame(frame)
+
+
+@query(
+    "k5_wav_g711_decode",
+    oracle=f"""
+    WITH pcm AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS nb,
+             CASE WHEN doc_id % 2 = 0
+                  THEN {_ULAW_PCM_SQL}
+                  ELSE {_ALAW_PCM_SQL}
+             END AS vals
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS INTEGER)
+             AS fmt_tag,
+           CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+           CAST({WAV_BITS} AS INTEGER) AS bits,
+           CAST(nb AS BIGINT) AS n_samples,
+           CAST(list_sum(vals) AS BIGINT) AS sum_pcm,
+           CAST(list_min(vals) AS BIGINT) AS min_pcm,
+           CAST(list_max(vals) AS BIGINT) AS max_pcm
+    FROM pcm
+    """,
+)
+def k5_wav_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-driven codec dispatch (late r11 — the composition
+    that makes the two G.711 certs OPERATIONAL): a mixed corpus of
+    real G.711 WAV files (even docs mu-law fmt 7, odd docs A-law
+    fmt 6) flows through the RIFF chunk walker, and the kernel picks
+    the compander from the container's fmt tag — exactly how a real
+    telephony/VoIP archive pass works, and exactly where the silent
+    wrong-compander bug lives (both decoders accept all 256 codes,
+    so only a certificate that crosses container and codec can catch
+    a swapped dispatch). The oracle replays the per-format closed
+    forms keyed by the same doc parity, so the hash certifies walk +
+    tag + dispatch + expansion end-to-end; an unknown fmt tag raises
+    NAMED rather than guessing.
+
+    Scale shape: one map-only Arrow-batched pass, same as every K5
+    audio cert."""
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        wav_g711_batches, WAV_G711_SCHEMA
     )

@@ -1926,13 +1926,22 @@ def _gzip_member(data: bytes) -> bytes:
     return co.compress(data) + co.flush()
 
 
+# Zip-bomb guard for the member walk: a WARC record's true size is
+# only known AFTER inflation (Content-Length lives inside), so the
+# cap is a fixed sanity bound far above any real record — the same
+# bounded-inflate posture ADVICE r10 demanded of png_decode, where
+# the IHDR made an exact cap possible.
+WARC_MEMBER_CAP = 1 << 26  # 64 MiB inflated per record
+
+
 def _split_gzip_members(blob: bytes):
     """Walk the concatenated gzip members of a .warc.gz blob, LOUDLY:
-    a bad member magic, a truncated stream, and any CRC32/ISIZE
-    trailer mismatch all raise ValueError. The 10-byte gzip member
-    header's MTIME/XFL/OS bytes are metadata outside the CRC — a flip
-    there yields byte-identical record content (pinned by the flip
-    property test), the same carve-out as JPEG pad bytes."""
+    a bad member magic, a truncated stream, any CRC32/ISIZE trailer
+    mismatch, and a member inflating past WARC_MEMBER_CAP (zip bomb)
+    all raise ValueError. The 10-byte gzip member header's
+    MTIME/XFL/OS bytes are metadata outside the CRC — a flip there
+    yields byte-identical record content (pinned by the flip property
+    test), the same carve-out as JPEG pad bytes."""
     import zlib
 
     blob = bytes(blob)
@@ -1942,9 +1951,13 @@ def _split_gzip_members(blob: bytes):
             raise ValueError(f"bad gzip member magic at offset {pos}")
         do = zlib.decompressobj(31)
         try:
-            out = do.decompress(blob[pos:])
+            out = do.decompress(blob[pos:], WARC_MEMBER_CAP)
         except zlib.error as exc:
             raise ValueError(f"gzip member inflate failed: {exc}") from exc
+        if do.unconsumed_tail:
+            raise ValueError(
+                f"gzip member inflates past {WARC_MEMBER_CAP} bytes"
+            )
         if not do.eof:
             raise ValueError("truncated gzip member (no trailer)")
         yield out

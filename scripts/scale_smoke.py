@@ -136,6 +136,9 @@ OPS = [
     # SF-linear in pair count; parse+decode map-only per shard).
     "k5_gif_decode",
     "k5_webdataset_shard",
+    # late-r11 wave 4: container-driven G.711 dispatch (map-only;
+    # per-byte bit formula after the RIFF walk).
+    "k5_wav_g711_decode",
 ]
 
 

@@ -54,6 +54,7 @@ EMPTY_SAFE = [
     "k5_mjpeg_frames",
     "k5_ulaw_decode",
     "k5_alaw_decode",
+    "k5_wav_g711_decode",
     "k6_hash_split",
     "k6_uniform_sample",
     "k7_training_corpus",
@@ -298,6 +299,7 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
         "k5_wav_decode",
         "k5_ulaw_decode",
         "k5_alaw_decode",
+        "k5_wav_g711_decode",
         "k5_pcm_frames",
         "k5_frame_sample",
     ]
@@ -343,8 +345,10 @@ def test_wav_parser_fails_loudly_on_corrupt_containers():
 
     pcm = bytes(range(64))
     good = mm._build_wav(pcm)
-    rate, channels, bits, out = mm._parse_wav(good)
-    assert (rate, channels, bits) == (mm.WAV_RATE, mm.WAV_CHANNELS, mm.WAV_BITS)
+    tag, rate, channels, bits, out = mm._parse_wav(good)
+    assert (tag, rate, channels, bits) == (
+        1, mm.WAV_RATE, mm.WAV_CHANNELS, mm.WAV_BITS,
+    )
     assert out == pcm
 
     with _pytest.raises(ValueError, match="RIFF/WAVE"):
@@ -374,10 +378,12 @@ def test_wav_parser_fails_loudly_on_corrupt_containers():
     with _pytest.raises(ValueError, match="missing fmt or data"):
         mm._parse_wav(container([(b"fmt ", fmt)]))  # no data
     # interleaved unknown chunk between fmt and data still parses
-    r2, c2, b2, p2 = mm._parse_wav(
+    t2, r2, c2, b2, p2 = mm._parse_wav(
         container([(b"fmt ", fmt), (b"JUNK", b"\x01\x02\x03"), (b"data", pcm)])
     )
-    assert (r2, c2, b2, p2) == (mm.WAV_RATE, mm.WAV_CHANNELS, mm.WAV_BITS, pcm)
+    assert (t2, r2, c2, b2, p2) == (
+        1, mm.WAV_RATE, mm.WAV_CHANNELS, mm.WAV_BITS, pcm,
+    )
     # a declared RIFF size that truncates before any chunk -> both
     # required chunks unreachable -> loud failure, not silent partial
     short = bytearray(good)
