@@ -2280,3 +2280,115 @@ def k4_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", f"{e['join']}(kept, ' ') AS text")
     )
     return gopher_gate(extracted)
+
+
+# ---------------------------------------------------------------------------
+# K4 — Unicode NFC normalization: the canonicalization pass that must
+# precede hashing/dedup on any multilingual corpus (an NFD copy of an
+# NFC page is byte-different but textually identical — exact AND
+# near-dup both miss the pair unless text is normalized first)
+# ---------------------------------------------------------------------------
+
+# Decomposed sequences (base letter + combining mark) whose NFC
+# compositions have been stable since Unicode 1.1 — safe to certify
+# across independent Unicode implementations (CPython unicodedata vs
+# DuckDB's utf8proc). One is appended per doc so every row REALLY
+# exercises composition, not just the ASCII fast path.
+_NFC_MARKERS = (
+    "e\u0301",  # e + COMBINING ACUTE ACCENT -> \u00e9
+    "a\u0300",  # a + COMBINING GRAVE ACCENT -> \u00e0
+    "c\u0327",  # c + COMBINING CEDILLA      -> \u00e7
+    "n\u0303",  # n + COMBINING TILDE        -> \u00f1
+)
+
+
+def _nfc_synth_sql() -> str:
+    """The decomposed-text synthesis, one template for BOTH dialects
+    (repeat/CASE/|| are spelled identically in Spark SQL and DuckDB;
+    the decomposed literals ride the SQL string as raw UTF-8)."""
+    cases = " ".join(
+        f"WHEN {i} THEN '{m}'" for i, m in enumerate(_NFC_MARKERS)
+    )
+    return (
+        "text || ' ' || repeat(CASE CAST(doc_id % 4 AS INTEGER) "
+        f"{cases} END, CAST(doc_id % 3 + 1 AS INTEGER))"
+    )
+
+
+def nfc_normalize_batches(batches):
+    """Arrow-batched NFC kernel: per-row unicodedata.normalize, char
+    counts before/after (Python len == SQL LENGTH, both codepoints),
+    md5 of the normalized UTF-8. NULL raw -> all-NULL row (matching
+    nfc_normalize(NULL)/md5(NULL) in the oracle)."""
+    import hashlib
+    import unicodedata
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "n_before", "n_after", "n_composed", "norm_digest",
+        )}
+        for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
+            rows["doc_id"].append(doc_id)
+            if raw is None:
+                for c in ("n_before", "n_after", "n_composed"):
+                    rows[c].append(None)
+                rows["norm_digest"].append(None)
+                continue
+            norm = unicodedata.normalize("NFC", raw)
+            rows["n_before"].append(len(raw))
+            rows["n_after"].append(len(norm))
+            rows["n_composed"].append(len(raw) - len(norm))
+            rows["norm_digest"].append(
+                hashlib.md5(norm.encode("utf-8")).hexdigest()
+            )
+        out = pd.DataFrame(rows)
+        for c in ("n_before", "n_after", "n_composed"):
+            out[c] = pd.array(out[c], dtype="Int64")
+        yield out
+
+
+@query(
+    "k4_unicode_nfc",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_nfc_synth_sql()} AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(LENGTH(raw) AS BIGINT) AS n_before,
+           CAST(LENGTH(nfc_normalize(raw)) AS BIGINT) AS n_after,
+           CAST(LENGTH(raw) - LENGTH(nfc_normalize(raw)) AS BIGINT)
+             AS n_composed,
+           md5(nfc_normalize(raw)) AS norm_digest
+    FROM d
+    """,
+)
+def k4_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization certificate (late r11): each doc's
+    text carries an appended DECOMPOSED suffix (base letter +
+    combining mark, repeated doc_id-modularly — sequences whose
+    compositions are stable across Unicode versions), and the
+    Arrow-batched kernel normalizes with CPython's unicodedata while
+    the oracle replays DuckDB's independent utf8proc implementation.
+    Char counts before/after, the per-doc composed-codepoint count,
+    and the md5 of the normalized text must all hash-match — two
+    unrelated Unicode engines agreeing byte-for-byte is the
+    certification (the same posture as the codec tier's
+    independent-oracle rule).
+
+    Why it's first-class: dedup (K1/K2) hashes text bytes, so an
+    NFD-encoded copy of an NFC page silently escapes every dedup
+    stage unless this pass runs first; real multilingual crawls mix
+    both encodings (macOS filenames and some CMS exports are NFD).
+
+    Scale shape: one map-only pass — the synthesis is a JVM string
+    expression, normalization an Arrow-batched mapInPandas kernel
+    (unicodedata is C-speed per string); zero shuffle, scan-bound."""
+    d = T(spark, sf_dir, "documents")
+    raw = d.selectExpr("doc_id", f"{_nfc_synth_sql()} AS raw")
+    return raw.mapInPandas(
+        nfc_normalize_batches,
+        "doc_id long, n_before bigint, n_after bigint, "
+        "n_composed bigint, norm_digest string",
+    )

@@ -29,17 +29,18 @@ _MODULES = []
 #
 # ROUND-11 window = 50 names, machine-derived
 # (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
-# Composition (VERDICT r10 next-round #2/#3/#5/#6) — (a) 14 new +
-# (b) 6 edit hits + (c) the ENTIRE r4-era tier (25) + (d) the 5
+# Composition (VERDICT r10 next-round #2/#3/#5/#6) — (a) 15 new +
+# (b) 6 edit hits + (c) the ENTIRE r4-era tier (25) + (d) the 4
 # alphabetically-first of the 27-query r5-era tier = 50 exactly (the
 # late WARC pair + BMP/A-law/GIF codecs + WebDataset shard + the WAV
-# G.711 dispatch displaced k4_redact/k4_repetition_filter/
-# k4_fingerprint/k4_dataset_card/k4_corpus_stats/
-# a48_codegen_partial_agg/a46_scan_pruning from (d)'s tail; they carry valid r5 verdicts and lead the r12 age
+# G.711 dispatch + Unicode NFC displaced k4_redact/
+# k4_repetition_filter/k4_fingerprint/k4_dataset_card/k4_corpus_stats/
+# a48_codegen_partial_agg/a46_scan_pruning/a45_reused_exchange from
+# (d)'s tail; they carry valid r5 verdicts and lead the r12 age
 # pool):
-#   (a) NEW queries, never sampled (14 — the late WARC-container pair,
-#       the BMP/A-law/GIF codecs, the WebDataset shard, and the WAV
-#       G.711 dispatch lead the list): k5_resize_real (real decode->
+#   (a) NEW queries, never sampled (15 — the late WARC-container pair,
+#       the BMP/A-law/GIF codecs, the WebDataset shard, the WAV G.711
+#       dispatch, and Unicode NFC lead the list): k5_resize_real (real decode->
 #       box-downsample->re-encode, replacing the deleted digest
 #       stand-in k5_resize_stub — VERDICT r10 #2), k5_jpeg_decode
 #       (from-spec baseline JPEG, closing the last image-codec seam —
@@ -59,9 +60,10 @@ _MODULES = []
 #   (c) the ENTIRE r4-era verdict-age tier (25): the TPC-H Q2-Q22
 #       batch certified in r4 plus d10-d12/d3_approx/a39/ts_* — after
 #       this round no verdict predates r5 (VERDICT r10 #5);
-#   (d) 5 of the r5-era tier (27), alphabetical within the tie
+#   (d) 4 of the r5-era tier (27), alphabetical within the tie
 #       (a40-a48 AQE/pushdown certs + the k4 text-quality family);
-#       the remaining 22 (a46_scan_pruning, a48_codegen_partial_agg,
+#       the remaining 23 (a45_reused_exchange, a46_scan_pruning,
+#       a48_codegen_partial_agg,
 #       k4_corpus_stats,
 #       k4_dataset_card, k4_fingerprint, k4_redact,
 #       k4_repetition_filter,
@@ -69,7 +71,7 @@ _MODULES = []
 #       k4_unigram_lm_score + the k6/k7/sql/ts members) lead the r12
 #       window.
 PRIORITY: tuple[str, ...] = (
-    # (a) new this round (14: the four VERDICT items plus the
+    # (a) new this round (15: the four VERDICT items plus the
     # late-round additions — k4_html_quality_pipeline chains
     # extract->gate as one driver-certified query, k5_mjpeg_frames
     # upgrades the video rung to real per-frame decode, k5_ulaw_decode
@@ -85,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "k5_gif_decode",
     "k5_webdataset_shard",
     "k5_wav_g711_decode",
+    "k4_unicode_nfc",
     "k5_resize_real",
     "k5_jpeg_decode",
     "k5_media_near_dup",
@@ -126,18 +129,17 @@ PRIORITY: tuple[str, ...] = (
     "ts_attribution_join",
     "ts_sliding_hll",
     "ts_zscore_anomaly",
-    # (d) age pool: r5-era tier, 5 of 27 (alphabetical; rest lead r12)
+    # (d) age pool: r5-era tier, 4 of 27 (alphabetical; rest lead r12)
     "a40_agg_pushdown",
     "a42_aqe_skew_join",
     "a43_aqe_join_conversion",
     "a44_aqe_coalesce",
-    "a45_reused_exchange",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py
 # --check): queries reached by an edit since the last verdict commit
-# that did NOT fit the window. EMPTY this round — all 20 r11 hits
-# (14 new + 6 edit-reached) are in the window above. The 22 unsampled
+# that did NOT fit the window. EMPTY this round — all 21 r11 hits
+# (15 new + 6 edit-reached) are in the window above. The 23 unsampled
 # r5-era members deferred to r12 are AGE rotation, not edit hits, so
 # they carry valid (if old) verdicts and do not belong here.
 DEFERRED: dict[str, str] = {}

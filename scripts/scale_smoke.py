@@ -137,8 +137,10 @@ OPS = [
     "k5_gif_decode",
     "k5_webdataset_shard",
     # late-r11 wave 4: container-driven G.711 dispatch (map-only;
-    # per-byte bit formula after the RIFF walk).
+    # per-byte bit formula after the RIFF walk) and Unicode NFC
+    # normalization (vectorized pandas UDF, scan-bound).
     "k5_wav_g711_decode",
+    "k4_unicode_nfc",
 ]
 
 

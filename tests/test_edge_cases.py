@@ -49,6 +49,7 @@ EMPTY_SAFE = [
     "k5_media_near_dup",
     "k4_html_extract",
     "k4_html_quality_pipeline",
+    "k4_unicode_nfc",
     "k4_warc_parse",
     "k4_cc_pipeline",
     "k5_mjpeg_frames",
@@ -294,6 +295,7 @@ def test_multimodal_kernels_null_and_empty_payload(spark, tmp_path):
         "k5_mjpeg_frames",
         "k4_html_extract",
         "k4_html_quality_pipeline",
+        "k4_unicode_nfc",
         "k4_warc_parse",
         "k4_cc_pipeline",
         "k5_wav_decode",
