@@ -2740,6 +2740,12 @@ def gif_decode(b: bytes):
     if b[:6] != b"GIF87a":
         raise ValueError(f"not a GIF87a: magic {b[:6]!r}")
     w, h, flags, _bg, _aspect = struct.unpack("<HHBBB", b[6:13])
+    if w == 0 or h == 0:
+        # Zero-dimension screens would otherwise "decode" to an empty
+        # array (a clear+end LZW stream satisfies every later check),
+        # violating the LOUD-on-malformation contract; bmp_decode has
+        # the same guard.
+        raise ValueError(f"bad GIF geometry {w}x{h}")
     if not flags & 0x80:
         raise ValueError("GIF without a global color table")
     n_ent = 1 << ((flags & 0x07) + 1)

@@ -2090,6 +2090,15 @@ def test_gif_lzw_and_container_contract():
         gif_decode(base[:-1])
     with pytest.raises(ValueError, match="trailing bytes"):
         gif_decode(base + b"\x00")
+    # zero-dimension geometry (ADVICE r11): w=0/h=0 in BOTH the
+    # screen and image descriptors slips past the partial-frame
+    # equality check and would silently decode to an empty array
+    t = bytearray(gif_encode(np.zeros((1, 1, 3), dtype=np.uint8)))
+    zdesc = 13 + 3 * 2  # 1-bit GCT -> 2 entries
+    t[6:10] = b"\x00" * 4  # screen w=h=0
+    t[zdesc + 5 : zdesc + 9] = b"\x00" * 4  # descriptor iw=ih=0
+    with pytest.raises(ValueError, match="bad GIF geometry"):
+        gif_decode(bytes(t))
 
     # (d) flip contract
     dec0 = gif_decode(base)
