@@ -189,10 +189,13 @@ class DmlSession:
             return self._update(stmt)
         if head == "DELETE":
             return self._delete(stmt)
+        if head == "INSERT":
+            return self._insert(stmt)
         raise ValueError(
             f"unsupported statement {head!r}: this DML front-end routes "
-            "MERGE INTO / UPDATE ... SET / DELETE FROM only (reads go "
-            "through the DataFrame/SQL surface, not here)"
+            "MERGE INTO / UPDATE ... SET / DELETE FROM / INSERT "
+            "INTO|OVERWRITE only (reads go through the DataFrame/SQL "
+            "surface, not here)"
         )
 
     def _table(self, name: str) -> SnapshotTable:
@@ -449,6 +452,54 @@ class DmlSession:
             raise ValueError("UPDATE with empty SET list")
         return out
 
+    # -- INSERT ------------------------------------------------------------
+
+    def _insert(self, stmt: str) -> dict:
+        """``INSERT INTO <t> <query>`` (atomic append) and ``INSERT
+        OVERWRITE <t> <query>`` (atomic full replace — Spark's
+        non-partitioned INSERT OVERWRITE semantics). The query tail
+        (SELECT ... or VALUES ...) is parsed and planned by Spark
+        against the registered source views; columns bind BY POSITION
+        and are cast to the target schema (standard SQL INSERT
+        coercion), arity mismatch raises. An explicit column list
+        (``INSERT INTO t (a, b)``) is out of scope, loudly."""
+        m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\S+)\s+", stmt,
+                     re.IGNORECASE)
+        if not m:
+            raise ValueError(
+                "INSERT must be INSERT INTO <table> <query> or "
+                "INSERT OVERWRITE <table> <query>"
+            )
+        mode = m.group(1).upper()
+        name = _ident(m.group(2), "insert target")
+        tail = stmt[m.end():].strip()
+        if tail.startswith("("):
+            raise ValueError(
+                "INSERT with an explicit column list is out of scope; "
+                "bind all columns by position"
+            )
+        if not re.match(r"(SELECT|VALUES|WITH)\b", tail, re.IGNORECASE):
+            raise ValueError(
+                f"INSERT body must be SELECT/VALUES/WITH, got {tail[:30]!r}"
+            )
+        table = self._table(name)
+        src = self.spark.sql(tail)
+        tgt_fields = table.schema().fields
+        if len(src.columns) != len(tgt_fields):
+            raise ValueError(
+                f"INSERT arity mismatch: query yields {len(src.columns)} "
+                f"columns, table {name!r} has {len(tgt_fields)}"
+            )
+        aligned = src.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(src.columns, tgt_fields)
+            ]
+        )
+        if mode == "OVERWRITE":
+            return table.create_or_replace(aligned)
+        return table.append(aligned)
+
     # -- DELETE ------------------------------------------------------------
 
     def _delete(self, stmt: str) -> dict:
@@ -504,23 +555,30 @@ class DmlSession:
              CASE WHEN c_nationkey < 10 THEN upper(c_mktsegment)
                   ELSE c_mktsegment END AS c_mktsegment
       FROM merged
+    ), deleted AS (
+      SELECT * FROM updated
+      WHERE NOT COALESCE(c_acctbal < 0.0, FALSE)
     )
-    SELECT * FROM updated
-    WHERE NOT COALESCE(c_acctbal < 0.0, FALSE)
+    SELECT * FROM deleted
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           'APPENDED' AS c_mktsegment
+    FROM customer WHERE c_custkey % 3 = 2 AND c_custkey % 4 = 1
     ORDER BY c_custkey
     """,
 )
 def a57_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-text DML route (VERDICT r11 #2): the full statement-text
-    path — a MERGE INTO upsert, a predicate UPDATE, and a predicate
-    DELETE, each parsed from SQL text and routed to the certified
-    SnapshotTable op, three real commits on one table. The oracle
-    recomputes all three statements relationally (anti-join ∪ source;
-    CASE-guarded assignment; IS-TRUE delete region), so the returned
-    table state hash-checks the parser's clause extraction, the
-    routing, and the commit semantics end-to-end. Arithmetic is
-    single-IEEE-op per row (+500.0 / +100.0) — bit-identical across
-    engines, no sum ordering involved.
+    path — a MERGE INTO upsert, a predicate UPDATE, a predicate
+    DELETE, and an INSERT INTO ... SELECT, each parsed from SQL text
+    and routed to the certified SnapshotTable op, four real commits
+    on one table. The oracle recomputes all four statements
+    relationally (anti-join ∪ source; CASE-guarded assignment;
+    IS-TRUE delete region; UNION ALL append), so the returned table
+    state hash-checks the parser's clause extraction, the routing,
+    and the commit semantics end-to-end. Arithmetic is single-IEEE-op
+    per row (+500.0 / +100.0) — bit-identical across engines, no sum
+    ordering involved.
 
     100 TB design: the front-end adds zero data-plane work over the
     API twins (a13/a19/a20) — MERGE is the same two hash joins,
@@ -560,4 +618,13 @@ def a57_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment = upper(c_mktsegment) WHERE c_nationkey < 10"
     )
     sess.sql("DELETE FROM cust WHERE c_acctbal < 0.0")
+    sess.register_source(
+        "dml_pool",
+        c.filter((F.col("c_custkey") % 3 == 2)
+                 & (F.col("c_custkey") % 4 == 1)).select(cols),
+    )
+    sess.sql(
+        "INSERT INTO cust SELECT c_custkey, c_name, c_nationkey, "
+        "c_acctbal, 'APPENDED' FROM dml_pool"
+    )
     return t.read().select(cols).orderBy("c_custkey")

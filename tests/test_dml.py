@@ -141,12 +141,47 @@ def test_delete_where_and_delete_all(sess):
     assert t.read().count() == 0
 
 
+def test_insert_into_values_and_overwrite(spark, sess):
+    s, t = sess
+    # positional bind + cast: VALUES yields (int, int, string) which
+    # must coerce to the table's (long k, double v, string tag)
+    entry = s.sql("INSERT INTO t VALUES (9, 9, 'ins'), (10, 0.5, 'ins')")
+    assert entry["operation"] == "append"
+    got = dict((r["k"], (r["v"], r["tag"])) for r in t.read().collect())
+    assert got[9] == (9.0, "ins") and got[10] == (0.5, "ins")
+    assert t.schema()["v"].dataType.simpleString() == "double"
+    # INSERT INTO ... SELECT over a registered source view
+    s.register_source("pool9", spark.createDataFrame(
+        [Row(k=20, v=1.0, tag="keep"), Row(k=21, v=-1.0, tag="drop")]
+    ))
+    s.sql("INSERT INTO t SELECT k, v, tag FROM pool9 WHERE v > 0.0")
+    assert 20 in {r["k"] for r in t.read().collect()}
+    assert 21 not in {r["k"] for r in t.read().collect()}
+    # INSERT OVERWRITE replaces the whole table atomically
+    s.sql("INSERT OVERWRITE t SELECT k, v, tag FROM pool9")
+    assert _rows(t.read(), "k") == [(20,), (21,)]
+
+
+def test_insert_loud_rejections(spark, sess):
+    s, t = sess
+    before = _rows(t.read())
+    with pytest.raises(ValueError, match="arity"):
+        s.sql("INSERT INTO t VALUES (1, 2.0)")
+    with pytest.raises(ValueError, match="column list"):
+        s.sql("INSERT INTO t (k, v) VALUES (1, 2.0)")
+    with pytest.raises(ValueError, match="SELECT/VALUES/WITH"):
+        s.sql("INSERT INTO t TABLE other")
+    with pytest.raises(ValueError, match="unknown DML target"):
+        s.sql("INSERT INTO missing VALUES (1, 2.0, 'x')")
+    assert _rows(t.read()) == before
+
+
 def test_loud_rejections(spark, sess, base_df):
     s, t = sess
     s.register_source("src", base_df)
     cases = [
-        ("INSERT INTO t VALUES (1, 2.0, 'x')", "unsupported statement"),
         ("SELECT * FROM t", "unsupported statement"),
+        ("TRUNCATE TABLE t", "unsupported statement"),
         ("DELETE FROM t WHERE k = 1; DELETE FROM t", "one DML statement"),
         ("DELETE FROM missing WHERE k = 1", "unknown DML target"),
         ("MERGE INTO t USING nope ON t.k = nope.k "
