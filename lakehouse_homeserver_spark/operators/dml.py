@@ -156,21 +156,21 @@ def _name_and_alias(clause: str, what: str) -> tuple[str, str | None]:
 class DmlSession:
     """Statement-text DML router over registered snapshot tables.
 
-    ``register_table`` binds a SQL name to a ``SnapshotTable``;
-    ``register_source`` binds a name to a DataFrame (and exposes it as
+    ``bind_table`` binds a SQL name to a ``SnapshotTable``;
+    ``bind_source`` binds a name to a DataFrame (and exposes it as
     a temp view so a parenthesized ``USING (SELECT ...)`` subquery can
     reference it). ``sql(text)`` parses ONE statement and routes it to
     the certified table op, returning that op's commit entry."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
-        self._tables: dict[str, SnapshotTable] = {}
+        self._dml_targets: dict[str, SnapshotTable] = {}
         self._sources: dict[str, DataFrame] = {}
 
-    def register_table(self, name: str, table: SnapshotTable) -> None:
-        self._tables[name] = table
+    def bind_table(self, name: str, table: SnapshotTable) -> None:
+        self._dml_targets[name] = table
 
-    def register_source(self, name: str, df: DataFrame) -> None:
+    def bind_source(self, name: str, df: DataFrame) -> None:
         self._sources[name] = df
         df.createOrReplaceTempView(name)
 
@@ -184,13 +184,13 @@ class DmlSession:
             raise ValueError("one DML statement at a time (embedded ';')")
         head = stmt.split(None, 1)[0].upper() if stmt else ""
         if head == "MERGE":
-            return self._merge(stmt)
+            return self._run_merge(stmt)
         if head == "UPDATE":
-            return self._update(stmt)
+            return self._run_update(stmt)
         if head == "DELETE":
-            return self._delete(stmt)
+            return self._run_delete(stmt)
         if head == "INSERT":
-            return self._insert(stmt)
+            return self._run_insert(stmt)
         raise ValueError(
             f"unsupported statement {head!r}: this DML front-end routes "
             "MERGE INTO / UPDATE ... SET / DELETE FROM / INSERT "
@@ -198,17 +198,17 @@ class DmlSession:
             "surface, not here)"
         )
 
-    def _table(self, name: str) -> SnapshotTable:
-        if name not in self._tables:
+    def _dml_target(self, name: str) -> SnapshotTable:
+        if name not in self._dml_targets:
             raise ValueError(
                 f"unknown DML target {name!r} "
-                f"(registered: {sorted(self._tables)})"
+                f"(registered: {sorted(self._dml_targets)})"
             )
-        return self._tables[name]
+        return self._dml_targets[name]
 
     # -- MERGE INTO --------------------------------------------------------
 
-    def _merge(self, stmt: str) -> dict:
+    def _run_merge(self, stmt: str) -> dict:
         m = re.match(r"MERGE\s+INTO\b", stmt, re.IGNORECASE)
         if not m:
             raise ValueError("MERGE must start with MERGE INTO")
@@ -231,11 +231,11 @@ class DmlSession:
         )
         src_clause = stmt[using[0][1]:on_a].strip()
         cond = stmt[on_b:whens[0][0]].strip()
-        table = self._table(tgt_name)
-        source = self._source_df(src_clause)
+        table = self._dml_target(tgt_name)
+        source = self._resolve_source(src_clause)
 
-        when_matched, when_not_matched = self._when_clauses(stmt, whens)
-        keys = self._merge_keys(
+        when_matched, when_not_matched = self._parse_when_clauses(stmt, whens)
+        keys = self._parse_merge_keys(
             cond, tgt_name, tgt_alias, src_clause, source
         )
         tgt_cols = [f.name for f in table.schema().fields]
@@ -252,7 +252,7 @@ class DmlSession:
             when_not_matched=when_not_matched,
         )
 
-    def _source_df(self, clause: str) -> DataFrame:
+    def _resolve_source(self, clause: str) -> DataFrame:
         """USING <registered-name> [AS a] or USING (subquery) [AS a]."""
         clause = clause.strip()
         if clause.startswith("("):
@@ -289,7 +289,7 @@ class DmlSession:
         return self._sources[name]
 
     @staticmethod
-    def _when_clauses(stmt: str, whens) -> tuple[str, str]:
+    def _parse_when_clauses(stmt: str, whens) -> tuple[str, str]:
         """Map the WHEN clause texts onto merge_plan's (when_matched,
         when_not_matched). Only the reference-exposed shapes parse:
         UPDATE SET * / DELETE / INSERT *; conditional WHENs and
@@ -332,7 +332,7 @@ class DmlSession:
         return matched, (not_matched or "ignore")
 
     @staticmethod
-    def _merge_keys(
+    def _parse_merge_keys(
         cond: str, tgt_name, tgt_alias, src_clause, source: DataFrame
     ) -> list[str]:
         """ON must be a conjunction of same-named equi-predicates —
@@ -388,7 +388,7 @@ class DmlSession:
 
     # -- UPDATE ------------------------------------------------------------
 
-    def _update(self, stmt: str) -> dict:
+    def _run_update(self, stmt: str) -> dict:
         sets = _top_level_matches(stmt, r"\bSET\b")
         if len(sets) != 1:
             raise ValueError("UPDATE needs exactly one top-level SET")
@@ -401,12 +401,12 @@ class DmlSession:
         if alias is not None:
             raise ValueError("aliased UPDATE targets are out of scope")
         set_end = wheres[0][0] if wheres else len(stmt)
-        assigns = self._assignments(stmt[sets[0][1]:set_end])
+        assigns = self._parse_assignments(stmt[sets[0][1]:set_end])
         where = stmt[wheres[0][1]:].strip() if wheres else None
         if wheres and not where:
             raise ValueError("empty WHERE clause")
 
-        table = self._table(name)
+        table = self._dml_target(name)
         cur = table.read()
         types = {f.name: f.dataType for f in cur.schema.fields}
         for col in assigns:
@@ -426,7 +426,7 @@ class DmlSession:
         return table.overwrite_where(updated, pred, validate=False)
 
     @staticmethod
-    def _assignments(text: str) -> dict[str, str]:
+    def _parse_assignments(text: str) -> dict[str, str]:
         out: dict[str, str] = {}
         for part in _split_top(text, r","):
             eqs = _top_level_matches(part, r"=")
@@ -454,7 +454,7 @@ class DmlSession:
 
     # -- INSERT ------------------------------------------------------------
 
-    def _insert(self, stmt: str) -> dict:
+    def _run_insert(self, stmt: str) -> dict:
         """``INSERT INTO <t> <query>`` (atomic append) and ``INSERT
         OVERWRITE <t> <query>`` (atomic full replace — Spark's
         non-partitioned INSERT OVERWRITE semantics). The query tail
@@ -482,7 +482,7 @@ class DmlSession:
             raise ValueError(
                 f"INSERT body must be SELECT/VALUES/WITH, got {tail[:30]!r}"
             )
-        table = self._table(name)
+        table = self._dml_target(name)
         src = self.spark.sql(tail)
         tgt_fields = table.schema().fields
         if len(src.columns) != len(tgt_fields):
@@ -502,7 +502,7 @@ class DmlSession:
 
     # -- DELETE ------------------------------------------------------------
 
-    def _delete(self, stmt: str) -> dict:
+    def _run_delete(self, stmt: str) -> dict:
         m = re.match(r"DELETE\s+FROM\b", stmt, re.IGNORECASE)
         if not m:
             raise ValueError("DELETE must start with DELETE FROM")
@@ -513,7 +513,7 @@ class DmlSession:
         name, alias = _name_and_alias(stmt[m.end():end], "delete target")
         if alias is not None:
             raise ValueError("aliased DELETE targets are out of scope")
-        table = self._table(name)
+        table = self._dml_target(name)
         if wheres:
             where = stmt[wheres[0][1]:].strip()
             if not where:
@@ -605,8 +605,8 @@ def a57_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("INSERTED").alias("c_mktsegment"),
     )
     sess = DmlSession(spark)
-    sess.register_table("cust", t)
-    sess.register_source("dml_src", upd.unionByName(ins))
+    sess.bind_table("cust", t)
+    sess.bind_source("dml_src", upd.unionByName(ins))
     sess.sql(
         "MERGE INTO cust AS t USING dml_src AS s "
         "ON t.c_custkey = s.c_custkey "
@@ -618,7 +618,7 @@ def a57_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment = upper(c_mktsegment) WHERE c_nationkey < 10"
     )
     sess.sql("DELETE FROM cust WHERE c_acctbal < 0.0")
-    sess.register_source(
+    sess.bind_source(
         "dml_pool",
         c.filter((F.col("c_custkey") % 3 == 2)
                  & (F.col("c_custkey") % 4 == 1)).select(cols),

@@ -39,7 +39,7 @@ def sess(spark, tmp_path, base_df):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.create(base_df)
     s = DmlSession(spark)
-    s.register_table("t", t)
+    s.bind_table("t", t)
     return s, t
 
 
@@ -54,8 +54,8 @@ def test_merge_sql_equals_api_twin(spark, tmp_path, base_df):
     t_api.create(base_df)
 
     s = DmlSession(spark)
-    s.register_table("t", t_sql)
-    s.register_source("src", src)
+    s.bind_table("t", t_sql)
+    s.bind_source("src", src)
     entry = s.sql(
         "MERGE INTO t USING src AS s ON t.k = s.k "
         "WHEN MATCHED THEN UPDATE SET * "
@@ -69,7 +69,7 @@ def test_merge_sql_equals_api_twin(spark, tmp_path, base_df):
 def test_merge_when_matched_delete(spark, tmp_path, base_df, sess):
     s, t = sess
     src = spark.createDataFrame([Row(k=1, v=0.0, tag="x")])
-    s.register_source("dsrc", src)
+    s.bind_source("dsrc", src)
     s.sql("MERGE INTO t USING dsrc ON t.k = dsrc.k "
           "WHEN MATCHED THEN DELETE")
     assert _rows(t.read(), "k") == [(2,), (3,), (4,)]
@@ -77,7 +77,7 @@ def test_merge_when_matched_delete(spark, tmp_path, base_df, sess):
 
 def test_merge_using_subquery(spark, sess):
     s, t = sess
-    s.register_source(
+    s.bind_source(
         "pool",
         spark.createDataFrame(
             [Row(k=4, v=40.0, tag="u"), Row(k=5, v=50.0, tag="i"),
@@ -100,7 +100,7 @@ def test_update_simultaneous_assignment_and_cast(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "swap"))
     t.create(spark.createDataFrame([Row(a=1.0, b=2.0), Row(a=3.0, b=4.0)]))
     s = DmlSession(spark)
-    s.register_table("t", t)
+    s.bind_table("t", t)
     s.sql("UPDATE t SET a = b, b = a")
     assert _rows(t.read()) == [(2.0, 1.0), (4.0, 3.0)]
     # int-literal RHS lands as the column's double type, not a schema
@@ -151,7 +151,7 @@ def test_insert_into_values_and_overwrite(spark, sess):
     assert got[9] == (9.0, "ins") and got[10] == (0.5, "ins")
     assert t.schema()["v"].dataType.simpleString() == "double"
     # INSERT INTO ... SELECT over a registered source view
-    s.register_source("pool9", spark.createDataFrame(
+    s.bind_source("pool9", spark.createDataFrame(
         [Row(k=20, v=1.0, tag="keep"), Row(k=21, v=-1.0, tag="drop")]
     ))
     s.sql("INSERT INTO t SELECT k, v, tag FROM pool9 WHERE v > 0.0")
@@ -178,7 +178,7 @@ def test_insert_loud_rejections(spark, sess):
 
 def test_loud_rejections(spark, sess, base_df):
     s, t = sess
-    s.register_source("src", base_df)
+    s.bind_source("src", base_df)
     cases = [
         ("SELECT * FROM t", "unsupported statement"),
         ("TRUNCATE TABLE t", "unsupported statement"),
@@ -212,7 +212,7 @@ def test_loud_rejections(spark, sess, base_df):
 
 def test_merge_source_column_mismatch_is_loud(spark, sess):
     s, t = sess
-    s.register_source("narrow", spark.createDataFrame([Row(k=1, v=2.0)]))
+    s.bind_source("narrow", spark.createDataFrame([Row(k=1, v=2.0)]))
     with pytest.raises(ValueError, match="source columns"):
         s.sql("MERGE INTO t USING narrow ON t.k = narrow.k "
               "WHEN MATCHED THEN UPDATE SET * "
