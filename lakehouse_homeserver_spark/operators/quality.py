@@ -298,37 +298,52 @@ def a34_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     null count, exact distinct cardinality, and min/max rendered as
     strings, one profile row per column.
 
-    Executes as ONE aggregate over one scan — Spark plans the three
-    exact COUNT(DISTINCT)s as a single Expand (each row replicated
-    once per distinct group), so the pass stays a map-side-partial
-    shuffle, never N per-column jobs; the profile rows are then
-    unpivoted from the single 1-row result with `stack`. At 100 TB
-    profiling cost is one pass over the table regardless of how many
-    columns are profiled; swap exact distinct for approx_count_distinct
-    when a 2 % HLL estimate is acceptable and the Expand disappears
-    entirely.
+    Plan shape (optimization r12, guide §2.3): the first cut fused
+    the three exact COUNT(DISTINCT)s into one aggregate, which Spark
+    rewrites as Expand — every row replicated 4× (2.4 M rows at
+    sf0.1) — and, because min/max over STRING columns carry immutable
+    aggregation buffers, the whole expanded stream fell back to
+    Sort + SortAggregate (measured 6.3 s at sf0.1; plan:
+    plans/r12/a34_profile_before.txt). The profile is instead
+    computed per column from `groupBy(col).count()` — HashAggregate
+    with map-side partial combine, so the exchange carries only the
+    DISTINCT values (~153 k narrow rows total vs 2.4 M wide) and the
+    big Sort disappears; every statistic is derived EXACTLY from the
+    grouped table (n_rows = Σcnt, n_nulls = Σcnt where key IS NULL,
+    n_distinct = count of non-null keys, min/max over keys ≡ min/max
+    over rows). Three pruned scans of one column each read the same
+    bytes as one three-column scan, so at 100 TB the I/O is unchanged
+    while the shuffle shrinks from table-sized to
+    distinct-value-sized; swap exact distinct for
+    approx_count_distinct when a 2 % HLL estimate is acceptable and
+    the per-column pass becomes a 1-row partial aggregate.
     """
     li = T(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.count(F.lit(1)) - F.count("l_orderkey")).alias("nn_k"),
-        F.count_distinct("l_orderkey").alias("nd_k"),
-        F.min("l_orderkey").cast("string").alias("min_k"),
-        F.max("l_orderkey").cast("string").alias("max_k"),
-        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("nn_f"),
-        F.count_distinct("l_returnflag").alias("nd_f"),
-        F.min("l_returnflag").alias("min_f"),
-        F.max("l_returnflag").alias("max_f"),
-        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("nn_d"),
-        F.count_distinct("l_shipdate").alias("nd_d"),
-        F.min("l_shipdate").cast("date").cast("string").alias("min_d"),
-        F.max("l_shipdate").cast("date").cast("string").alias("max_d"),
-    )
-    return agg.selectExpr(
-        """stack(3,
-             'l_orderkey',  n, nn_k, nd_k, min_k, max_k,
-             'l_returnflag', n, nn_f, nd_f, min_f, max_f,
-             'l_shipdate',  n, nn_d, nd_d, min_d, max_d
-           ) AS (column_name, n_rows, n_nulls, n_distinct,
-                 min_value, max_value)"""
+
+    def profile(col: str, render) -> DataFrame:
+        g = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return g.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col(col).isNull(), F.col("cnt"))),
+                F.lit(0).cast("bigint"),
+            ).alias("n_nulls"),
+            F.count(col).alias("n_distinct"),
+            render(F.min(col)).alias("min_value"),
+            render(F.max(col)).alias("max_value"),
+        ).select(
+            F.lit(col).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_date_str = lambda c: c.cast("date").cast("string")  # noqa: E731
+    return (
+        profile("l_orderkey", as_str)
+        .unionAll(profile("l_returnflag", as_str))
+        .unionAll(profile("l_shipdate", as_date_str))
     )

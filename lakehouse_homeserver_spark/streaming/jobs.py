@@ -229,9 +229,15 @@ def prepare_events_landing(
     # the in-time-order arrival a file-by-file stream replay needs —
     # the watermark advances monotonically across slices. (Global sort
     # window: test/demo helper only, never a data-plane path.)
+    # Materialize the ntile ONCE (optimization r12, guide §2.4): each
+    # per-slice write is a separate Spark job, and the lazy form
+    # re-ran the global-sort window behind every one of them — N
+    # slices paid N full sorts of the events table. localCheckpoint
+    # pins the sliced frame so the sort runs once and the N writes
+    # are filter+coalesce only.
     sliced = events.withColumn(
         "_slice", F.ntile(slices).over(Window.orderBy("ts", "event_id"))
-    )
+    ).localCheckpoint(eager=True)
     for i in range(1, slices + 1):
         (
             sliced.filter(F.col("_slice") == i)
