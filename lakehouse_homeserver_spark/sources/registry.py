@@ -84,7 +84,26 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Session -> sf_dir whose views are currently registered. Pure
+# METADATA memo (no query results, no data): every sql_* query paid
+# ten spark.read.parquet schema/listing round-trips per call even
+# though the views are identical within a session (optimization r12 —
+# ~0.5 s build per query × 30 queries). Keyed on the live session
+# object (temp views are per-session) and on sf_dir, so pointing the
+# same session at a different scale factor re-registers; a dead
+# session's entry is dropped by the weak reference.
+import weakref
+
+_VIEWS_CURRENT: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
+    key = os.path.abspath(sf_dir)
+    if _VIEWS_CURRENT.get(spark) == key:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_CURRENT[spark] = key
