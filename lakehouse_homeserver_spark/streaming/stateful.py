@@ -61,16 +61,23 @@ STATE_SCHEMA = StructType(
 GAP_US = 30 * 60 * 1_000_000  # 30 minutes, in µs
 
 
-def _close(row: tuple) -> pd.DataFrame:
+_SESSION_COLS = [f.name for f in SESSION_SCHEMA.fields]
+
+
+def _close(user_id, row: tuple) -> pd.DataFrame:
     start_us, last_us, n, types_csv, cents = row
     return pd.DataFrame(
-        {
-            "session_start_us": [start_us],
-            "session_end_us": [last_us + GAP_US],
-            "n_events": [n],
-            "event_types": [",".join(sorted(set(types_csv.split(","))))],
-            "value_cents": [cents],
-        }
+        [
+            (
+                user_id,
+                start_us,
+                last_us + GAP_US,
+                n,
+                ",".join(sorted(set(types_csv.split(",")))),
+                cents,
+            )
+        ],
+        columns=_SESSION_COLS,
     )
 
 
@@ -84,10 +91,24 @@ def sessionize_fn(
     made the custom operator the one row-at-a-time path in the repo —
     i12's 10× smoke put it at 3.7×. Session boundaries are now a
     numpy diff-threshold scan, per-session aggregates are reduceat
-    folds, and ALL closed sessions of a batch emit as ONE frame; the
-    only Python-level work left is O(#sessions) tuple assembly. The
+    folds, and ALL closed sessions of a batch emit as ONE frame. The
     emitted rows are bit-identical to the loop's (same HALF_UP cents,
-    same (us, event_id) tie order, same dedup-sorted type sets)."""
+    same (us, event_id) tie order, same dedup-sorted type sets).
+
+    Per-KEY overhead trimmed (optimization r12, guide §4.5): this
+    function runs once per active key per micro-batch — thousands of
+    invocations each seeing a handful of rows — so constant work per
+    call is what `allUpdatesTimeMs` actually measures (~20 s summed
+    per 33 k-row batch before). Three cuts, none observable in the
+    output: (a) keys with nothing to emit yield NOTHING instead of
+    building+serializing an empty DataFrame; (b) the per-segment
+    event-type strings are raw `join`s over numpy slices (the final
+    dedup-sort happens once at emit/close, where it always did)
+    instead of a 4-op pandas groupby chain per key; (c) the single
+    common case of one Arrow frame per key skips pd.concat. State
+    stays bounded: the types csv is dedup-sorted at `state.update`
+    time, which also fixes the continuation path that previously
+    accumulated raw per-event types across batches."""
     import numpy as np
 
     (user_id,) = key
@@ -95,16 +116,22 @@ def sessionize_fn(
     if state.hasTimedOut:
         # Watermark passed the open session's gap horizon — finalize.
         if state.exists:
-            pdf = _close(state.get)
+            pdf = _close(user_id, state.get)
             state.remove()
-            pdf.insert(0, "user_id", user_id)
             yield pdf
-        else:
-            yield _empty_sessions()
         return
 
     cur = list(state.get) if state.exists else None
-    batch = pd.concat(list(pdfs))
+    first = next(pdfs, None)
+    rest = list(pdfs) if first is not None else []
+    batch = (
+        pd.concat([first, *rest]) if rest else first
+    )
+    if batch is None:
+        batch = pd.DataFrame(
+            {"ts": pd.Series(dtype="datetime64[ns]"), "event_type": [],
+             "value": pd.Series(dtype="float64")}
+        )
     batch["us"] = batch["ts"].astype("int64") // 1000
     sort_keys = ["us", "event_id"] if "event_id" in batch else ["us"]
     batch = batch.sort_values(sort_keys)
@@ -149,22 +176,19 @@ def sessionize_fn(
             ends = np.append(b[1:], n)
             counts = ends - b
             sums = np.add.reduceat(cents, b)
-            seg = np.cumsum(starts)
-            tdf = (
-                pd.DataFrame({"seg": seg[b[0] :], "t": et[b[0] :]})
-                .drop_duplicates()
-                .sort_values(["seg", "t"])
-                .groupby("seg")["t"]
-                .agg(",".join)
-            )
+            # Per-segment type strings: a raw ",".join over the numpy
+            # slice (C-level) — the dedup-sort happens exactly once,
+            # at emit/_close/state.update below, where the old code
+            # re-did it anyway on top of a per-key pandas
+            # drop_duplicates/sort/groupby chain.
             k = len(b)
-            for j in range(k - 1):  # O(#sessions), not O(#events)
+            for j in range(k - 1):
                 closed.append(
                     (
                         int(us[b[j]]),
                         int(us[ends[j] - 1]),
                         int(counts[j]),
-                        tdf.iloc[j],
+                        ",".join(et[b[j] : ends[j]]),
                         int(sums[j]),
                     )
                 )
@@ -172,10 +196,14 @@ def sessionize_fn(
                 int(us[b[k - 1]]),
                 int(us[n - 1]),
                 int(counts[k - 1]),
-                tdf.iloc[k - 1],
+                ",".join(et[b[k - 1] : n]),
                 int(sums[k - 1]),
             ]
     if cur is not None:
+        # Dedup-sort the state csv so the per-key payload stays
+        # O(#distinct event types) no matter how many batches extend
+        # the open session (_close dedup-sorts again — idempotent).
+        cur[3] = ",".join(sorted(set(cur[3].split(","))))
         state.update(tuple(cur))
         # Fire when the event-time watermark passes the gap horizon;
         # if the group's data is already behind the watermark
@@ -188,30 +216,20 @@ def sessionize_fn(
         )
 
     if closed:
-        emit = pd.DataFrame(
-            closed,
-            columns=[
-                "session_start_us",
-                "_last_us",
-                "n_events",
-                "_types_csv",
-                "value_cents",
+        yield pd.DataFrame(
+            [
+                (
+                    user_id,
+                    s,
+                    last + GAP_US,
+                    ne,
+                    ",".join(sorted(set(t.split(",")))),
+                    c,
+                )
+                for (s, last, ne, t, c) in closed
             ],
+            columns=_SESSION_COLS,
         )
-        emit["session_end_us"] = emit.pop("_last_us") + GAP_US
-        emit["event_types"] = [
-            ",".join(sorted(set(t.split(",")))) for t in emit.pop("_types_csv")
-        ]
-        emit.insert(0, "user_id", user_id)
-        yield emit[[f.name for f in SESSION_SCHEMA.fields]]
-    else:
-        yield _empty_sessions()
-
-
-def _empty_sessions() -> pd.DataFrame:
-    return pd.DataFrame(
-        {f.name: pd.Series(dtype="object") for f in SESSION_SCHEMA}
-    )
 
 
 def rich_sessions(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
