@@ -2876,7 +2876,10 @@ def a40_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
         spark.conf.set("spark.sql.sources.useV1SourceList", "")
-        agg = T(spark, sf_dir, "orders").agg(
+        # fresh=True: the DSv2/pushdown confs above resolve at
+        # spark.read time, so this scan must be planned INSIDE the
+        # conf window, never served from the table-handle memo.
+        agg = T(spark, sf_dir, "orders", fresh=True).agg(
             F.min("o_orderkey").cast("bigint").alias("lo"),
             F.max("o_orderkey").cast("bigint").alias("hi"),
             F.count(F.lit(1)).alias("n"),
