@@ -2577,44 +2577,59 @@ def _gif_lzw_encode(indices, mcs: int) -> bytes:
     4096): the real greedy-dictionary encoder, so the decode
     certificate exercises genuine dictionary growth, code-width
     bumps, and the KwKwK case — not a degenerate literal stream."""
-    out_bits = []
+    # Byte-stream-identical rewrite (optimization r12, guide §4.2):
+    # the first cut appended 9-12 Python list items PER CODE and kept
+    # the dictionary keyed on growing byte strings (an O(match_len)
+    # concat+hash per pixel). Codes now pack LSB-first through an
+    # integer accumulator (O(1) per code) and the dictionary is the
+    # classic (prefix_code, symbol) formulation — same greedy LZW,
+    # same emitted codes, same bytes out (pinned by the roundtrip
+    # pytest and the k5_gif_decode oracle hash).
     clear, end = 1 << mcs, (1 << mcs) + 1
     width = mcs + 1
+    out = bytearray()
+    acc = 0
+    accbits = 0
 
     def emit(code):
-        for i in range(width):
-            out_bits.append((code >> i) & 1)
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
 
-    table = {bytes([i]): i for i in range(1 << mcs)}
+    table: dict = {}
     next_code = end + 1
     emit(clear)
-    w = b""
+    w = -1  # current match's code; -1 = no pending match
     for k in indices:
-        wk = w + bytes([int(k)])
-        if wk in table:
+        k = int(k)
+        if w < 0:
+            w = k  # single symbols are their own codes
+            continue
+        wk = table.get((w, k))
+        if wk is not None:
             w = wk
             continue
-        emit(table[w])
-        table[wk] = next_code
+        emit(w)
+        table[(w, k)] = next_code
         next_code += 1
         if next_code > (1 << width) and width < 12:
             width += 1
         elif next_code > (1 << 12):
             emit(clear)
-            table = {bytes([i]): i for i in range(1 << mcs)}
+            table = {}
             next_code = end + 1
             width = mcs + 1
-        w = bytes([int(k)])
-    if w:
-        emit(table[w])
+        w = k
+    if w >= 0:
+        emit(w)
     emit(end)
-    by = bytearray()
-    for i in range(0, len(out_bits), 8):
-        b = 0
-        for j, bit in enumerate(out_bits[i : i + 8]):
-            b |= bit << j
-        by.append(b)
-    return bytes(by)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
 
 
 def _gif_lzw_decode(data: bytes, mcs: int, max_px: int) -> bytes:
@@ -2629,14 +2644,14 @@ def _gif_lzw_decode(data: bytes, mcs: int, max_px: int) -> bytes:
     prev = None
     bitpos = 0
     nbits = len(data) * 8
+    # One big-int view of the LSB-first stream: each code read is a
+    # shift+mask instead of `width` per-bit Python indexings
+    # (optimization r12, guide §4.2 — same bytes, same codes).
+    stream = int.from_bytes(data, "little")
     while True:
         if bitpos + width > nbits:
             raise ValueError("LZW stream truncated (no end code)")
-        code = 0
-        for i in range(width):
-            code |= (
-                (data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1
-            ) << i
+        code = (stream >> bitpos) & ((1 << width) - 1)
         bitpos += width
         if code == clear:
             table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
