@@ -37,8 +37,17 @@ _MODULES = []
 #       reader round-trip — r11 #3), k7_multimodal_export (the
 #       dedup -> Gopher gate -> WebDataset-shard export composition —
 #       r11 #6);
-#   (b) r12 edit hit (1): k5_gif_decode (ADVICE r11 zero-dimension
-#       geometry guard added to gif_decode);
+#   (b) r12 edit hits (5): k5_gif_decode (ADVICE r11 zero-dimension
+#       geometry guard + the r12 LZW kernel rewrite), and the four
+#       optimization-round behavior-adjacent edits — a34_profile
+#       (Expand+Sort -> per-column groupBy restructure),
+#       a40_agg_pushdown (fresh-read fix under its conf window),
+#       a30_stream_upsert_totals (landing-prep sort reuse),
+#       i12_stateful_session_timeout (sessionize_fn per-key rewrite).
+#       They take the 4 slots of the alphabetically-last (d) names
+#       (k3_knn_lsh, k3_mmr_rerank, k3_pq_quantize,
+#       k3_random_projection — valid r6 verdicts, lead the r13 age
+#       pool together with the three r11 leftovers);
 #   (c) the ENTIRE r5-era verdict-age tier (23): the a45/a46/a48
 #       plan-fact certs, the k4 classic text-quality family, the
 #       k6 sampling family, k7_incremental_dedup/k7_shard_manifest,
@@ -54,8 +63,12 @@ PRIORITY: tuple[str, ...] = (
     "a57_sql_dml",
     "a58_avro_manifest",
     "k7_multimodal_export",
-    # (b) r12 edit hit
+    # (b) r12 edit hits
     "k5_gif_decode",
+    "a34_profile",
+    "a40_agg_pushdown",
+    "a30_stream_upsert_totals",
+    "i12_stateful_session_timeout",
     # (c) age pool: the full r5-era tier (23)
     "a45_reused_exchange",
     "a46_scan_pruning",
@@ -100,20 +113,51 @@ PRIORITY: tuple[str, ...] = (
     "k3_embedding_near_dup",
     "k3_int8_quantize",
     "k3_ivfpq_search",
-    "k3_knn_lsh",
-    "k3_mmr_rerank",
-    "k3_pq_quantize",
-    "k3_random_projection",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py
 # --check): queries reached by an edit since the last verdict commit
-# that did NOT fit the window. EMPTY this round — all 4 r12 hits
-# (3 new + the gif_decode guard) are in the window above. The 3
-# unsampled r6-era members deferred to r13 (k5_multimodal_meta,
-# k8_decontaminate, ts_value_spikes) are AGE rotation, not edit hits,
-# so they carry valid (if old) verdicts and do not belong here.
-DEFERRED: dict[str, str] = {}
+# that did NOT fit the window. Round 12 is the OPTIMIZATION round:
+# its one repo-wide edit is the sources/registry.py metadata memo
+# (load_table handle + register_views reuse — driver-side listing/
+# schema round-trips only; the executed plans, scans, and results are
+# unchanged by construction), which the static call graph correctly
+# attributes to every consumer. The four edits that touched
+# behavior-adjacent code (a34/a40/a30/i12) are IN the window above;
+# the remaining memo-reached names are deferred on the strength of
+# the in-round verification recorded in OPTIMIZATION_r12.md: the
+# FULL 275/275 oracle parity sweep re-ran at sf0.01 after the memo
+# landed (it caught — and the fix re-greened — the one real
+# interaction, a40's read-time conf window), plus the full pytest
+# suite. Window slots stay on the r11 #1 age tiers.
+_MEMO_DEFERRAL = (
+    "r12 metadata-memo edit (load_table/register_views); results "
+    "unchanged by construction; full 275/275 oracle sweep re-ran "
+    "in-round after the edit (see OPTIMIZATION_r12.md)"
+)
+DEFERRED: dict[str, str] = {
+    name: _MEMO_DEFERRAL
+    for name in (
+        "a10_snapshot_lineage", "a12_time_travel", "a13_merge_upsert",
+        "a14_table_stats", "a15_file_skipping", "a16_incremental_read",
+        "a17_zero_copy_clone", "a18_rollback", "a19_delete_where",
+        "a20_mor_delete", "a21_bloom_skipping", "a22_wap_publish",
+        "a24_schema_history", "a25_change_feed", "a26_ivm_view",
+        "a27_spec_history", "a29_stream_cdc_view", "a31_compaction",
+        "a32_zorder_skipping", "a33_expire_orphans",
+        "a35_partition_overwrite", "a36_positional_delete",
+        "a37_check_constraints", "a41_cross_engine_read",
+        "a47_rest_catalog", "a49_pyds_roundtrip", "a50_timestamp_travel",
+        "a51_ingest_lifecycle", "a52_catalog_persistence",
+        "a54_pyds_pushdown", "a56_catalog_resolved_scan",
+        "i10_stream_restart_exactly_once", "i11_stream_dedup",
+        "i7_stream_stream_join", "i8_stream_static_enrich",
+        "i9_stream_outer_join", "j_udtf_term_expand", "k2_dup_clusters",
+        "k3_contrastive_pairs", "k6_leakage_free_split",
+        "k8_bloom_decontaminate", "k9_cc_bigstar",
+        "k9_pagerank_dupgraph", "k9_triangle_count", "ts_ewma",
+    )
+}
 
 
 def _load_modules():
