@@ -132,10 +132,20 @@ def sessionize_fn(
             {"ts": pd.Series(dtype="datetime64[ns]"), "event_type": [],
              "value": pd.Series(dtype="float64")}
         )
-    batch["us"] = batch["ts"].astype("int64") // 1000
-    sort_keys = ["us", "event_id"] if "event_id" in batch else ["us"]
-    batch = batch.sort_values(sort_keys)
-    us = batch["us"].to_numpy(np.int64)
+    # numpy lexsort over the two key arrays instead of a pandas
+    # sort_values + sorted-frame copy: this runs once per key group,
+    # so its constant cost is multiplied by thousands of calls per
+    # micro-batch (optimization r12). Tie order within equal (us,
+    # event_id) is output-invariant (types dedup-sort at emit; sums/
+    # counts are order-free), and event_id makes keys unique anyway.
+    us_raw = batch["ts"].to_numpy("datetime64[ns]").astype(np.int64) // 1000
+    if "event_id" in batch:
+        order = np.lexsort(
+            (batch["event_id"].to_numpy(), us_raw)
+        )
+    else:
+        order = np.argsort(us_raw, kind="stable")
+    us = us_raw[order]
     # HALF_UP to match F.round/DuckDB ROUND in the batch twin (Python
     # round() is banker's: 12.5 -> 12, breaking the stream==batch
     # contract on exact half-cents). Values are non-negative here;
@@ -146,11 +156,11 @@ def sessionize_fn(
     # and corrupts value_cents (r7 review). Known residual edge: a
     # session whose EVERY value is NULL sums to NULL in the twin but
     # 0 here — matching that would mean widening the state tuple.
-    vals = batch["value"].to_numpy(np.float64)
+    vals = batch["value"].to_numpy(np.float64)[order]
     cents = np.where(
         np.isnan(vals), 0.0, np.floor(vals * 100.0 + 0.5)
     ).astype(np.int64)
-    et = batch["event_type"].to_numpy()
+    et = batch["event_type"].to_numpy()[order]
     n = len(us)
     closed: list[tuple] = []
     if n:
