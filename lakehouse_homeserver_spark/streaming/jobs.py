@@ -536,12 +536,25 @@ def apply_cdc_batch(
         # row-filter on the offset column rather than skipping whole
         # batches, and only the genuinely-new span is folded.
         batch = batch.filter(F.col("_commit_version") > applied_hi)
-    span = batch.agg(
-        F.min("_commit_version").alias("lo"),
-        F.max("_commit_version").alias("hi"),
-    ).collect()[0]
-    if span["hi"] is None:
-        return  # empty / fully-replayed batch — nothing new to fold
+    # The micro-batch is consumed by TWO actions (the span scalar and
+    # the delta aggregate feeding the merge); without a persist each
+    # action re-executes the change-feed scan through the Python
+    # data source (optimization r12 — the documented foreachBatch
+    # reuse pattern; the micro-batch is bounded by definition).
+    batch = batch.persist()
+    try:
+        span = batch.agg(
+            F.min("_commit_version").alias("lo"),
+            F.max("_commit_version").alias("hi"),
+        ).collect()[0]
+        if span["hi"] is None:
+            return  # empty / fully-replayed batch — nothing new to fold
+        _apply_cdc_delta(t, keys, measure, batch, batch_id, span)
+    finally:
+        batch.unpersist()
+
+
+def _apply_cdc_delta(t, keys, measure, batch, batch_id, span) -> None:
     sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
     m = F.col(measure).cast("decimal(18,2)")
     delta = (
