@@ -1706,13 +1706,6 @@ def k3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver."""
     emb = T(spark, sf_dir, "embeddings")
     k, iters = 8, 3
-    head = emb.select("embedding").head()
-    if head is None:
-        raise ValueError(
-            "k3_kmeans: embeddings table is empty — nothing to "
-            "cluster (clean-empty convention, r6 review)"
-        )
-    d = len(head[0])
     q = emb.select(
         "vec_id",
         F.transform(
@@ -1720,27 +1713,41 @@ def k3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round((x + F.lit(2.0)) * 1000).cast("bigint"),
         ).alias("q"),
     )
+    # One bounded collect doubles as the empty-corpus probe (the
+    # former head() was a second full action just to learn d —
+    # optimization r13, guide §1.2: fewer driver actions per build).
     seeds = q.orderBy("vec_id").limit(k).collect()  # k x d ints, bounded
+    if not seeds:
+        raise ValueError(
+            "k3_kmeans: embeddings table is empty — nothing to "
+            "cluster (clean-empty convention, r6 review)"
+        )
+    d = len(seeds[0]["q"])
     cents = [(int(r["vec_id"]), list(r["q"])) for r in seeds]
 
     def assigned_df():
-        keys = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.array(*[F.lit(int(v)) for v in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            * 1024
-            + F.lit(cid)
+        # The whole argmin is ONE SQL string → one py4j round-trip per
+        # round (the `_nearest_clusters` idiom), replacing ~k×d F.lit
+        # calls of driver↔JVM chatter per rebuild (optimization r13,
+        # guide §1.2 step 2 — the expression tree and its integer
+        # arithmetic are unchanged: k inlined zip_with/aggregate
+        # folds, least() with the *1024+cid tie-break).
+        keys = ",".join(
+            "aggregate(zip_with(q, array("
+            + ",".join(f"{int(v)}L" for v in c)
+            + "), (a, b) -> (a - b) * (a - b)), "
+            "cast(0 as bigint), (acc, x) -> acc + x) "
+            f"* 1024 + {cid}"
             for cid, c in cents
-        ]
-        return q.withColumn("cid", (F.least(*keys) % 1024).cast("int"))
+        )
+        return q.withColumn(
+            "cid", F.expr(f"cast(least({keys}) % 1024 as int)")
+        )
 
-    sums = [F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(d)]
+    sums = [
+        F.expr(f"sum(element_at(q, {i + 1}))").alias(f"s{i}")
+        for i in range(d)
+    ]
     for _ in range(iters - 1):
         rows = (
             assigned_df()

@@ -29,6 +29,80 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Worker interpreter shim (optimization r13, guide §4 — see
+# scripts/worker_python.sh for the measured numbers): freshly spawned
+# Python workers import pyspark through $SPARK_HOME's pyspark.zip,
+# paying ~1.3 s of zipimport bytecode compilation PER PROCESS — and
+# the Python streaming source runner is one fresh process per stream.
+# When the driver's own pyspark is a directory install (bytecode
+# cache warm), the shim prepends it to the worker's PYTHONPATH so the
+# same release imports in ~0.4 s. Results are unaffected: it is the
+# identical pyspark version either way, only resolved from a path
+# with a __pycache__.
+_WORKER_SHIM = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts",
+    "worker_python.sh",
+)
+
+
+def _worker_shim_env(real_python: str) -> dict[str, str]:
+    """Env the shim needs, or {} when it must not be used: driver
+    pyspark lives in a zip/egg (no bytecode-cached dir to point at),
+    the shim is missing, or the configured worker interpreter is a
+    different major.minor than the driver's (its workers could not
+    import the driver's install; Spark itself rejects such a mismatch
+    at run time, but don't let the shim be the thing that breaks)."""
+    import shutil
+    import subprocess
+    import sys
+
+    import pyspark
+
+    pkg_dir = os.path.dirname(os.path.abspath(pyspark.__file__))
+    if not os.path.isdir(pkg_dir) or not os.access(_WORKER_SHIM, os.X_OK):
+        return {}
+    driver_ver = "%d.%d" % sys.version_info[:2]
+    resolved = shutil.which(real_python)
+    if resolved is None:
+        return {}
+    if os.path.realpath(resolved) != os.path.realpath(sys.executable):
+        try:
+            worker_ver = subprocess.run(
+                [resolved, "-c", "import sys;print('%d.%d'%sys.version_info[:2])"],
+                capture_output=True,
+                text=True,
+                timeout=30,
+            ).stdout.strip()
+        except (OSError, subprocess.SubprocessError):
+            return {}
+        if worker_ver != driver_ver:
+            return {}
+    return {
+        "SPARK_GRAFT_PYSPARK_DIR": os.path.dirname(pkg_dir),
+        "SPARK_GRAFT_REAL_PYTHON": real_python,
+    }
+
+
+def _install_worker_shim_env() -> None:
+    """Export the shim env + PYSPARK_PYTHON before the JVM starts
+    (get_spark path): the JVM inherits os.environ, and every
+    PythonWorkerFactory spawn inherits the JVM's environment. The
+    shim never changes WHICH interpreter runs (it execs the one that
+    was configured, or the driver's own) — it only prepends the
+    driver's bytecode-cached pyspark dir to the worker's PYTHONPATH."""
+    import sys
+
+    real = os.environ.get("PYSPARK_PYTHON") or sys.executable
+    if os.path.realpath(real) == os.path.realpath(_WORKER_SHIM):
+        return  # already installed
+    env = _worker_shim_env(real)
+    if not env:
+        return
+    for k, v in env.items():
+        os.environ[k] = v
+    os.environ["PYSPARK_PYTHON"] = _WORKER_SHIM
+
 
 def default_conf() -> dict[str, str]:
     return {
@@ -71,6 +145,7 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    _install_worker_shim_env()
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = {**default_conf(), **(extra_conf or {})}
     if master.startswith("local"):
@@ -109,6 +184,18 @@ def tune_session(spark: SparkSession) -> SparkSession:
             # queries later with no cause attached.
             if "static" not in str(e).lower():
                 raise
+    # Worker shim on an externally-built session: the JVM env is
+    # already fixed, but `sc.pythonExec` is read (Python-side) when
+    # each function/data source is wrapped, and `sc.environment` is
+    # shipped as the worker's envVars — so functions created AFTER
+    # tune_session spawn their workers through the shim. The shim
+    # still execs the interpreter that was configured.
+    sc = spark.sparkContext
+    if os.path.realpath(sc.pythonExec) != os.path.realpath(_WORKER_SHIM):
+        env = _worker_shim_env(sc.pythonExec)
+        if env:
+            sc.environment.update(env)
+            sc.pythonExec = _WORKER_SHIM
     _ship_package(spark)
     return spark
 

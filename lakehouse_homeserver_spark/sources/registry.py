@@ -134,7 +134,16 @@ _TABLE_MEMO = weakref.WeakKeyDictionary()
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     key = os.path.abspath(sf_dir)
-    if _VIEWS_CURRENT.get(spark) == key:
+    # Sentinel guard on the memo fast path (ADVICE r12 low): the memo
+    # assumes no code drops/shadows a fixture temp view within the
+    # session. Verify one sentinel still resolves (~1 ms catalog
+    # lookup, no job) before skipping re-registration, so a future
+    # cert calling dropTempView/createOrReplaceTempView with a TABLES
+    # name degrades to a re-register instead of silently running
+    # later sql_* queries against a missing/shadowed view.
+    if _VIEWS_CURRENT.get(spark) == key and spark.catalog.tableExists(
+        TABLES[0]
+    ):
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -232,20 +232,27 @@ def prepare_events_landing(
     # Materialize the ntile ONCE (optimization r12, guide §2.4): each
     # per-slice write is a separate Spark job, and the lazy form
     # re-ran the global-sort window behind every one of them — N
-    # slices paid N full sorts of the events table. localCheckpoint
-    # pins the sliced frame so the sort runs once and the N writes
-    # are filter+coalesce only.
+    # slices paid N full sorts of the events table. persist/unpersist
+    # (ADVICE r12 low): the first write materializes the sort, later
+    # writes reuse the cached slices, and — unlike localCheckpoint,
+    # whose blocks cannot be released through the DataFrame API — the
+    # storage is reclaimed on exit, so a session calling this helper
+    # many times (the test suite does ~14×) does not accumulate
+    # pinned block copies for its lifetime.
     sliced = events.withColumn(
         "_slice", F.ntile(slices).over(Window.orderBy("ts", "event_id"))
-    ).localCheckpoint(eager=True)
-    for i in range(1, slices + 1):
-        (
-            sliced.filter(F.col("_slice") == i)
-            .drop("_slice")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(landing_dir)
-        )
+    ).persist()
+    try:
+        for i in range(1, slices + 1):
+            (
+                sliced.filter(F.col("_slice") == i)
+                .drop("_slice")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(landing_dir)
+            )
+    finally:
+        sliced.unpersist()
 
 
 def interval_join(

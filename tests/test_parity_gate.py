@@ -153,6 +153,7 @@ def sample_names() -> list[str]:
     return names
 
 
+@pytest.mark.slow
 def test_parity_sample_at_sf01(sample_names):
     """Axis 1: the rotating sample must hash-match DuckDB at sf0.1 —
     10x the driver gate's SF, where the r9 ROUND/half-tie/recall-bound
@@ -164,6 +165,7 @@ def test_parity_sample_at_sf01(sample_names):
     assert summary["n"] == len(sample_names)
 
 
+@pytest.mark.slow
 def test_parity_sample_at_adversarial_parallelism(sample_names):
     """Axis 2: same sample at local[4] / 7 shuffle partitions at the
     driver's sf0.01 — any result that depends on partition count
@@ -179,6 +181,7 @@ def test_parity_sample_at_adversarial_parallelism(sample_names):
     assert summary["n"] == len(sample_names)
 
 
+@pytest.mark.slow
 def test_parity_sample_under_local_cluster(sample_names):
     """Axis 3 (VERDICT r9 #5, standing form): a 4-query slice of the
     rotating sample under local-cluster[2,2,1024] — separate Worker +
