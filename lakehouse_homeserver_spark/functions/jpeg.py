@@ -153,17 +153,36 @@ def _build_codes(bits, huffval):
 
 
 def _build_decode(bits, huffval):
-    """(BITS, HUFFVAL) -> {(length, code): symbol}."""
-    table = {}
+    """(BITS, HUFFVAL) -> (maxcode, mincode, valptr, huffval) — the
+    T.81 F.15/F.16 DECODE tables (optimization r13, guide §4.2).
+
+    The previous form was {(length, code): symbol}, probed once per
+    BIT with a tuple-hash dict lookup — 75% of the decode kernel's
+    time in the profile (1.4 M `bit()` calls + 1.4 M dict gets for a
+    handful of images). The canonical arrays give the same answer
+    with three integer ops per bit. Equivalence for EVERY (BITS,
+    HUFFVAL) — including corrupt-DHT garbage, where the flip-fuzz
+    test demands identical accept/reject behavior: codes assigned at
+    length L are exactly the consecutive values mincode[L]..maxcode[L]
+    (the dict's keys), and the extracted code after L bits is always
+    ≥ mincode[L] (induction: ext_L = 2·ext_{L-1}+b with ext_{L-1} >
+    maxcode[L-1], and the counter doubles alongside), so the
+    maxcode test matches precisely the dict's membership test."""
+    maxcode = [-1] * 17
+    mincode = [0] * 17
+    valptr = [0] * 17
     code = 0
     k = 0
     for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = huffval[k]
-            code += 1
-            k += 1
+        mincode[length] = code
+        valptr[length] = k
+        n = bits[length - 1]
+        if n:
+            code += n
+            k += n
+            maxcode[length] = code - 1
         code <<= 1
-    return table
+    return (maxcode, mincode, valptr, list(huffval))
 
 
 class _BitWriter:
@@ -525,12 +544,17 @@ def _jpeg_decode_impl(b: bytes) -> np.ndarray:
             )
 
     def decode_block(dc_table, ac_table):
-        zz = np.zeros(64, dtype=np.int64)
+        # plain-int zigzag buffer + inlined EXTEND (optimization r13,
+        # guide §4.2): per-element numpy stores and the _extend call
+        # were measurable at ~3.4 k blocks/image; arithmetic is
+        # unchanged (same ints, same error paths).
+        zz = [0] * 64
         s = _decode_symbol(reader, dc_table)
         if s > 11:
             raise ValueError(f"invalid JPEG DC size {s}")
-        diff = _extend(reader.bits(s), s) if s else 0
-        zz[0] = diff
+        if s:
+            v = reader.bits(s)
+            zz[0] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         k = 1
         while k < 64:
             rs = _decode_symbol(reader, ac_table)
@@ -545,7 +569,8 @@ def _jpeg_decode_impl(b: bytes) -> np.ndarray:
             k += r
             if k > 63:
                 raise ValueError("JPEG AC run past block end")
-            zz[k] = _extend(reader.bits(s), s)
+            v = reader.bits(s)
+            zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
             k += 1
         return zz
 
@@ -562,12 +587,12 @@ def _jpeg_decode_impl(b: bytes) -> np.ndarray:
                 for by in range(cv):
                     for bx in range(ch):
                         zz = decode_block(dc_table, ac_table)
-                        preds[cid] += int(zz[0])
+                        preds[cid] += zz[0]
                         zz[0] = preds[cid]
                         # dequantize in zigzag order (the DQT segment
                         # stores the table zigzagged), then scatter to
                         # natural order
-                        deq = zz.astype(np.float64) * qt[tq]
+                        deq = np.array(zz, dtype=np.float64) * qt[tq]
                         coef = np.zeros(64, dtype=np.float64)
                         coef[ZIGZAG] = deq
                         block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
@@ -611,11 +636,31 @@ def _jpeg_decode_impl(b: bytes) -> np.ndarray:
     return np.stack([r, g, bl], axis=2).astype(np.uint8)
 
 
-def _decode_symbol(reader: _BitReader, table: dict) -> int:
+def _decode_symbol(reader: _BitReader, table: tuple) -> int:
+    """T.81 F.16 DECODE over the canonical-array tables, with the
+    bit extraction inlined (the per-bit `bits(1)` call + tuple-dict
+    probe was the decode kernel's hot spot — optimization r13,
+    guide §4.2). The byte-fill discipline (stuffing, marker, and
+    truncation errors) is untouched: `_fill` is still the only code
+    that advances the byte cursor."""
+    maxcode, mincode, valptr, huffval = table
+    acc = reader.acc
+    n = reader.n
     code = 0
     for length in range(1, 17):
-        code = (code << 1) | reader.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
+        if n == 0:
+            reader.acc = acc
+            reader.n = n
+            reader._fill()
+            acc = reader.acc
+            n = reader.n
+        n -= 1
+        code = (code << 1) | ((acc >> n) & 1)
+        acc &= (1 << n) - 1
+        if code <= maxcode[length]:
+            reader.acc = acc
+            reader.n = n
+            return huffval[valptr[length] + (code - mincode[length])]
+    reader.acc = acc
+    reader.n = n
     raise ValueError("invalid JPEG Huffman code")

@@ -174,8 +174,16 @@ def test_parity_harness_catches_uncast_sum(spark, duck, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_all_queries_run(spark, sf_dir):
-    """Queries without oracles must still execute and return rows>=0."""
+    """Queries without oracles must still execute and return rows>=0.
+
+    Slow tier (r13): a full-registry execution pass (~2.6 min) whose
+    coverage is a strict subset of the per-round full parity sweep
+    (scripts/parity_sweep.py, run at every round end — see
+    OPTIMIZATION_r13.md) plus the driver's own 50-query oracle gate;
+    keeping it out of the default tier is what lets the driver's
+    time-capped pytest run finish (VERDICT r12 next-round #2)."""
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
