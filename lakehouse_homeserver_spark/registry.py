@@ -58,106 +58,61 @@ _MODULES = []
 #       were NOT edited this round, and lead the r13 age pool (the
 #       r11 verdict's #1 asked for all 49 in one window; the three
 #       mandated new certificates displaced exactly these three).
+# ROUND-13 window = 50 names, machine-derived
+# (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
+# Composition (VERDICT r12 next-round #6 + ADVICE r12 #1):
+#   (a) the 5 r13 optimization-round edit hits, per the mechanical
+#       call graph: k3_kmeans (SQL-string Lloyd rounds),
+#       k5_jpeg_decode / k5_media_near_dup / k5_mjpeg_frames (the
+#       F.16 Huffman-decode rewrite), a30_stream_upsert_totals
+#       (prepare_events_landing persist/unpersist). The r13 worker
+#       shim (session.py) and the register_views sentinel guard are
+#       session plumbing the graph correctly does not put on any
+#       result path; they were nonetheless re-verified by TWO full
+#       275/275 sweeps after landing (OPTIMIZATION_r13.md).
+#   (b) ALL 45 names deferred in r12 under the metadata-memo
+#       justification — the rotation VERDICT r12 #6 mandated; this
+#       empties DEFERRED. Includes a29_stream_cdc_view, whose r12
+#       deferral ADVICE r12 #1 flagged as mischaracterized (the
+#       apply_cdc_batch persist was a behavioral edit, not the memo)
+#       — it is now IN the window, carrying both the r12 persist and
+#       the r13 shim effect.
+# 5 + 45 = 50: the age tiers resume in r14.
 PRIORITY: tuple[str, ...] = (
-    # (a) new this round
-    "a57_sql_dml",
-    "a58_avro_manifest",
-    "k7_multimodal_export",
-    # (b) r12 edit hits
-    "k5_gif_decode",
-    "a34_profile",
-    "a40_agg_pushdown",
+    # (a) r13 edit hits
+    "k3_kmeans",
+    "k5_jpeg_decode",
+    "k5_media_near_dup",
+    "k5_mjpeg_frames",
     "a30_stream_upsert_totals",
-    "i12_stateful_session_timeout",
-    # (c) age pool: the full r5-era tier (23)
-    "a45_reused_exchange",
-    "a46_scan_pruning",
-    "a48_codegen_partial_agg",
-    "k4_corpus_stats",
-    "k4_dataset_card",
-    "k4_fingerprint",
-    "k4_redact",
-    "k4_repetition_filter",
-    "k4_text_stats",
-    "k4_tfidf_terms",
-    "k4_token_count",
-    "k4_unigram_lm_score",
-    "k6_epoch_shuffle",
-    "k6_reservoir_per_group",
-    "k6_weighted_sample",
-    "k7_incremental_dedup",
-    "k7_shard_manifest",
-    "sql_group_by_all",
-    "sql_in_subquery",
-    "sql_named_params",
-    "sql_pipe_syntax",
-    "sql_scalar_subquery",
-    "ts_pattern_match",
-    # (d) age pool: r6-era tier, 23 of 26 (alphabetical; rest lead r13)
-    "a53_cbo_join_reorder",
-    "a55_observed_metrics",
-    "c12_sortfree_bucketed_join",
-    "g_union_by_name",
-    "h15_bitwise_funcs",
-    "k10_chunk_documents",
-    "k10_phrase_search",
-    "k1_cdc_chunk_dedup",
-    "k1_span_dedup",
-    "k1_substr_dedup",
-    "k1_url_dedup",
-    "k2_containment_pairs",
-    "k2_minhash_lsh",
-    "k2_ngram_jaccard",
-    "k2_ppjoin",
-    "k3_centroid_by_label",
-    "k3_embedding_near_dup",
-    "k3_int8_quantize",
-    "k3_ivfpq_search",
+    # (b) the full r12 DEFERRED rotation (45)
+    "a10_snapshot_lineage", "a12_time_travel", "a13_merge_upsert",
+    "a14_table_stats", "a15_file_skipping", "a16_incremental_read",
+    "a17_zero_copy_clone", "a18_rollback", "a19_delete_where",
+    "a20_mor_delete", "a21_bloom_skipping", "a22_wap_publish",
+    "a24_schema_history", "a25_change_feed", "a26_ivm_view",
+    "a27_spec_history", "a29_stream_cdc_view", "a31_compaction",
+    "a32_zorder_skipping", "a33_expire_orphans",
+    "a35_partition_overwrite", "a36_positional_delete",
+    "a37_check_constraints", "a41_cross_engine_read",
+    "a47_rest_catalog", "a49_pyds_roundtrip", "a50_timestamp_travel",
+    "a51_ingest_lifecycle", "a52_catalog_persistence",
+    "a54_pyds_pushdown", "a56_catalog_resolved_scan",
+    "i10_stream_restart_exactly_once", "i11_stream_dedup",
+    "i7_stream_stream_join", "i8_stream_static_enrich",
+    "i9_stream_outer_join", "j_udtf_term_expand", "k2_dup_clusters",
+    "k3_contrastive_pairs", "k6_leakage_free_split",
+    "k8_bloom_decontaminate", "k9_cc_bigstar",
+    "k9_pagerank_dupgraph", "k9_triangle_count", "ts_ewma",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py
 # --check): queries reached by an edit since the last verdict commit
-# that did NOT fit the window. Round 12 is the OPTIMIZATION round:
-# its one repo-wide edit is the sources/registry.py metadata memo
-# (load_table handle + register_views reuse — driver-side listing/
-# schema round-trips only; the executed plans, scans, and results are
-# unchanged by construction), which the static call graph correctly
-# attributes to every consumer. The four edits that touched
-# behavior-adjacent code (a34/a40/a30/i12) are IN the window above;
-# the remaining memo-reached names are deferred on the strength of
-# the in-round verification recorded in OPTIMIZATION_r12.md: the
-# FULL 275/275 oracle parity sweep re-ran at sf0.01 after the memo
-# landed (it caught — and the fix re-greened — the one real
-# interaction, a40's read-time conf window), plus the full pytest
-# suite. Window slots stay on the r11 #1 age tiers.
-_MEMO_DEFERRAL = (
-    "r12 metadata-memo edit (load_table/register_views); results "
-    "unchanged by construction; full 275/275 oracle sweep re-ran "
-    "in-round after the edit (see OPTIMIZATION_r12.md)"
-)
-DEFERRED: dict[str, str] = {
-    name: _MEMO_DEFERRAL
-    for name in (
-        "a10_snapshot_lineage", "a12_time_travel", "a13_merge_upsert",
-        "a14_table_stats", "a15_file_skipping", "a16_incremental_read",
-        "a17_zero_copy_clone", "a18_rollback", "a19_delete_where",
-        "a20_mor_delete", "a21_bloom_skipping", "a22_wap_publish",
-        "a24_schema_history", "a25_change_feed", "a26_ivm_view",
-        "a27_spec_history", "a29_stream_cdc_view", "a31_compaction",
-        "a32_zorder_skipping", "a33_expire_orphans",
-        "a35_partition_overwrite", "a36_positional_delete",
-        "a37_check_constraints", "a41_cross_engine_read",
-        "a47_rest_catalog", "a49_pyds_roundtrip", "a50_timestamp_travel",
-        "a51_ingest_lifecycle", "a52_catalog_persistence",
-        "a54_pyds_pushdown", "a56_catalog_resolved_scan",
-        "i10_stream_restart_exactly_once", "i11_stream_dedup",
-        "i7_stream_stream_join", "i8_stream_static_enrich",
-        "i9_stream_outer_join", "j_udtf_term_expand", "k2_dup_clusters",
-        "k3_contrastive_pairs", "k6_leakage_free_split",
-        "k8_bloom_decontaminate", "k9_cc_bigstar",
-        "k9_pagerank_dupgraph", "k9_triangle_count", "ts_ewma",
-    )
-}
+# that did NOT fit the window. Round 13 rotated the ENTIRE r12
+# deferral set (45 memo-reached names) into the window above
+# (VERDICT r12 #6: "DEFERRED shrinks toward empty"), and the round's
+# own 5 edit hits all fit — nothing is deferred.
+DEFERRED: dict[str, str] = {}
 
 
 def _load_modules():
