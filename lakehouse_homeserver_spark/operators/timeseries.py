@@ -2057,7 +2057,14 @@ def i12_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _stamp(j)
 
-    with pinned_shuffle(spark):
+    # Scale-adaptive state-partition pin (optimization r13, guide §2):
+    # 8 is the measured optimum at sf0.1 but caps the summed per-key
+    # Python time at 8-way on bigger inputs — the 10× clone runs 2.1×
+    # faster at 32 partitions. Results are partition-count invariant
+    # (the standing local[4]/7-partition parity axis).
+    from ..streaming.jobs import scaled_state_partitions
+
+    with pinned_shuffle(spark, scaled_state_partitions(sf_dir)):
         q = stream_rich_sessions(
             spark,
             landing,

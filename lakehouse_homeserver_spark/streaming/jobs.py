@@ -67,6 +67,36 @@ def pinned_shuffle(spark: SparkSession, n: str = "8"):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def scaled_state_partitions(
+    sf_dir: str,
+    table: str = "events",
+    rows_per_partition: int = 12_500,
+    lo: int = 8,
+    hi: int | None = None,
+) -> str:
+    """Scale-ADAPTIVE state-partition pin for stateful streaming
+    certs (optimization r13, guide §2: derive partitioning from input
+    size instead of a constant tuned for one scale factor).
+
+    Measured on the rich-sessionizer (i12): at sf0.1 (100 k events)
+    8 partitions beat 16/32 (medians 10.6 / 11.2 / 12.3 s — the
+    per-partition state-store lifecycle dominates), but on the 10×
+    clone (1 M events) the same pin CAPS the summed per-key Python
+    time at 8-way and 32 partitions run 2.1× faster (32–39 → 15–19 s).
+    rows//12 500 clamped to [lo, min(cores, hi)] reproduces both
+    measured optima (100 k → 8, 1 M → 32) and keeps growing with
+    volume on a real cluster, where hi should be the executor-core
+    count. Footer-only row count — no Spark job."""
+    import os as _os
+
+    from ..sources.registry import table_row_count
+
+    if hi is None:
+        hi = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = table_row_count(sf_dir, table) // rows_per_partition
+    return str(max(lo, min(hi, n)))
+
+
 def _start_parquet_sink(
     df: DataFrame, out_dir: str, checkpoint: str, mode: str = "append"
 ) -> StreamingQuery:

@@ -478,3 +478,25 @@ def test_stream_cdc_aggregate_tracks_mutating_table(spark, sf_dir, tmp_path):
         map(tuple, SnapshotTable(spark, view_path).read().collect())
     )
     assert before == after
+
+
+def test_scaled_state_partitions_tracks_volume():
+    """Scale-adaptive state-partition pin (optimization r13): the pin
+    must reproduce the two measured optima — 8 at the sf0.1 volume
+    (100 k events), cores at the 10× volume — clamp to the low bound
+    on tiny fixtures, and never exceed the core budget (the hi clamp
+    is what keeps an 8-core driver run at 8 partitions)."""
+    from lakehouse_homeserver_spark.streaming.jobs import (
+        scaled_state_partitions,
+    )
+
+    assert scaled_state_partitions("/root/testdata/sf0.001", hi=32) == "8"
+    assert scaled_state_partitions("/root/testdata/sf0.01", hi=32) == "8"
+    assert scaled_state_partitions("/root/testdata/sf0.1", hi=32) == "8"
+    # 10× the sf0.1 volume → the core budget, whatever it is
+    assert scaled_state_partitions(
+        "/root/testdata/sf0.1", rows_per_partition=1_250, hi=32
+    ) == "32"
+    assert scaled_state_partitions(
+        "/root/testdata/sf0.1", rows_per_partition=1_250, hi=8
+    ) == "8"
