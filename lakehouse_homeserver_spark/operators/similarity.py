@@ -391,38 +391,55 @@ def ivf_train(
         if every > 1
         else corpus
     )
-    seeds = (
-        train.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(nlist)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in seeds]
-    if not centroids:
-        raise ValueError(
-            "ivf_train: corpus is empty — an IVF index needs at least "
-            "one vector (build the index after ingestion, not before)"
-        )
-    dim = len(centroids[0])
-    for _ in range(iters):
-        assigned = train.select(
-            F.element_at(
-                _nearest_clusters(vec_col, centroids, 1), 1
-            ).alias("cluster_id"),
-            vec_col,
-        )
-        rows = (
-            assigned.select("cluster_id", F.posexplode(vec_col).alias("dim_idx", "v"))
-            .groupBy("cluster_id", "dim_idx")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    # Persist the BOUNDED training sample across training's 1+iters
+    # actions (optimization r13, guide §5 in-query reuse — the a29
+    # micro-batch-persist precedent): without it the seeds collect
+    # and every Lloyd iteration re-scanned the full corpus parquet
+    # and re-applied the hash filter just to re-derive the identical
+    # ~256·nlist-row sample. The sample is O(nlist) by construction
+    # (the whole point of sampled training), so the cache is bounded
+    # at any corpus size; unpersisted before returning.
+    train = train.persist()
+    try:
+        seeds = (
+            train.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(nlist)
             .collect()
         )
-        new: dict[int, list[float]] = {}
-        for r in rows:
-            new.setdefault(r["cluster_id"], [0.0] * dim)[r["dim_idx"]] = r["m"]
-        # empty clusters keep their previous centroid
-        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
-    return centroids
+        centroids = [[float(x) for x in r[0]] for r in seeds]
+        if not centroids:
+            raise ValueError(
+                "ivf_train: corpus is empty — an IVF index needs at "
+                "least one vector (build the index after ingestion, "
+                "not before)"
+            )
+        dim = len(centroids[0])
+        for _ in range(iters):
+            assigned = train.select(
+                F.element_at(
+                    _nearest_clusters(vec_col, centroids, 1), 1
+                ).alias("cluster_id"),
+                vec_col,
+            )
+            rows = (
+                assigned.select(
+                    "cluster_id", F.posexplode(vec_col).alias("dim_idx", "v")
+                )
+                .groupBy("cluster_id", "dim_idx")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .collect()
+            )
+            new: dict[int, list[float]] = {}
+            for r in rows:
+                new.setdefault(r["cluster_id"], [0.0] * dim)[r["dim_idx"]] = (
+                    r["m"]
+                )
+            # empty clusters keep their previous centroid
+            centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+        return centroids
+    finally:
+        train.unpersist()
 
 
 def k3_knn_ivf(

@@ -61,26 +61,29 @@ _MODULES = []
 # ROUND-13 window = 50 names, machine-derived
 # (`scripts/stale_verdicts.py`, enforced by tests/test_stale_verdicts.py).
 # Composition (VERDICT r12 next-round #6 + ADVICE r12 #1):
-#   (a) the 6 r13 optimization-round edit hits, per the mechanical
+#   (a) the 9 r13 optimization-round edit hits, per the mechanical
 #       call graph: k3_kmeans (SQL-string Lloyd rounds),
 #       k5_jpeg_decode / k5_media_near_dup / k5_mjpeg_frames (the
 #       F.16 Huffman-decode rewrite), a30_stream_upsert_totals
 #       (prepare_events_landing persist/unpersist),
 #       i12_stateful_session_timeout (scale-adaptive state-partition
-#       pin). The r13 worker shim (session.py) and the
-#       register_views sentinel guard are session plumbing the graph
-#       correctly does not put on any result path; they were
-#       nonetheless re-verified by THREE full 275/275 sweeps after
-#       landing, incl. one at sf0.1 (OPTIMIZATION_r13.md).
-#   (b) 44 of the 45 names deferred in r12 under the metadata-memo
+#       pin), k3_knn_ivf / k3_ivf_recall / k3_ivfpq_search (the
+#       ivf_train bounded-sample persist). The r13 worker shim
+#       (session.py) and the register_views sentinel guard are
+#       session plumbing the graph correctly does not put on any
+#       result path; they were nonetheless re-verified by FOUR full
+#       275/275 sweeps after landing, incl. one at sf0.1
+#       (OPTIMIZATION_r13.md).
+#   (b) 41 of the 45 names deferred in r12 under the metadata-memo
 #       justification — the rotation VERDICT r12 #6 mandated; the
-#       one that did not fit (ts_ewma) carries its own DEFERRED
-#       entry below. Includes a29_stream_cdc_view, whose r12
-#       deferral ADVICE r12 #1 flagged as mischaracterized (the
-#       apply_cdc_batch persist was a behavioral edit, not the memo)
-#       — it is now IN the window, carrying both the r12 persist and
-#       the r13 shim effect.
-# 6 + 44 = 50: the age tiers resume in r14.
+#       four that did not fit (alphabetically last within the tie,
+#       the r12 convention) carry their own DEFERRED entries below.
+#       Includes a29_stream_cdc_view, whose r12 deferral ADVICE r12
+#       #1 flagged as mischaracterized (the apply_cdc_batch persist
+#       was a behavioral edit, not the memo) — it is now IN the
+#       window, carrying both the r12 persist and the r13 shim
+#       effect.
+# 9 + 41 = 50: the age tiers resume in r14.
 PRIORITY: tuple[str, ...] = (
     # (a) r13 edit hits
     "k3_kmeans",
@@ -89,6 +92,9 @@ PRIORITY: tuple[str, ...] = (
     "k5_mjpeg_frames",
     "a30_stream_upsert_totals",
     "i12_stateful_session_timeout",
+    "k3_knn_ivf",
+    "k3_ivf_recall",
+    "k3_ivfpq_search",
     # (b) the full r12 DEFERRED rotation (45)
     "a10_snapshot_lineage", "a12_time_travel", "a13_merge_upsert",
     "a14_table_stats", "a15_file_skipping", "a16_incremental_read",
@@ -106,25 +112,32 @@ PRIORITY: tuple[str, ...] = (
     "i7_stream_stream_join", "i8_stream_static_enrich",
     "i9_stream_outer_join", "j_udtf_term_expand", "k2_dup_clusters",
     "k3_contrastive_pairs", "k6_leakage_free_split",
-    "k8_bloom_decontaminate", "k9_cc_bigstar",
-    "k9_pagerank_dupgraph", "k9_triangle_count",
+    "k8_bloom_decontaminate",
 )
 
 # Explicit, justification-carrying deferrals (see stale_verdicts.py
 # --check): queries reached by an edit since the last verdict commit
-# that did NOT fit the window. Round 13 rotated 44 of the 45
+# that did NOT fit the window. Round 13 rotated 41 of the 45
 # r12-deferred names into the window above (VERDICT r12 #6:
-# "DEFERRED shrinks toward empty" — 45 → 1); the round's own 6 edit
-# hits all fit. The single remaining deferral:
+# "DEFERRED shrinks toward empty" — 45 → 4); the round's own 9 edit
+# hits all fit. The four deferrals (alphabetically last within the
+# r12-rotation tie, the r12 convention) share one accurate
+# justification:
+_ROTATION_DEFERRAL = (
+    "r12 metadata-memo edit only (load_table handle — no behavioral "
+    "code on this query's result path changed in r12 or r13); "
+    "displaced from the 50-slot r13 window by the round's own edit "
+    "hits (behavioral edits that must be driver-sampled first). "
+    "Re-verified in-round by the r13 full 275/275 sweeps at sf0.01 "
+    "AND sf0.1; rotates into the r14 window first."
+)
 DEFERRED: dict[str, str] = {
-    "ts_ewma": (
-        "r12 metadata-memo edit only (load_table handle — no "
-        "behavioral code on its result path changed in r12 or r13); "
-        "displaced from the 50-slot r13 window by the round's 6th "
-        "edit hit (i12's scale-adaptive pin, a behavioral edit that "
-        "must be driver-sampled first). Re-verified in-round by the "
-        "r13 full 275/275 sweeps at sf0.01 AND sf0.1; rotates into "
-        "the r14 window first."
+    name: _ROTATION_DEFERRAL
+    for name in (
+        "k9_cc_bigstar",
+        "k9_pagerank_dupgraph",
+        "k9_triangle_count",
+        "ts_ewma",
     )
 }
 
